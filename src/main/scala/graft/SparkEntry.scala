@@ -1,10 +1,27 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.algo.LabelPropagation
+import graft.graph.GraphOps
+import graft.sources.{PagesSynth, TextExtract}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: synthesize a Common-Crawl-style pages table, extract the
+    * url→outlink edge table, run synchronous label propagation to
+    * convergence, return per-url community labels (north_star pipeline,
+    * end to end, at smoke scale).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = PagesSynth.pages(spark, 2000L)
+    val (raw, dict) = TextExtract.buildEdges(pages)
+    val edges = GraphOps.prepareForGather(
+      GraphOps.symmetrize(GraphOps.dropSelfLoops(raw)), 8)
+    val n = GraphOps.vertices(edges).count()
+    val labels = LabelPropagation.run(edges, n).labels
+    labels.join(dict, labels("id") === dict("id"))
+      .select(dict("name").as("url"), labels("label").as("community"))
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

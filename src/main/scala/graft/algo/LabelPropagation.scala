@@ -1,0 +1,99 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{Checkpointer, Superstep}
+import graft.graph.GraphOps
+
+/** Synchronous (Jacobi) label propagation — the engine's ground-truth mode
+  * (SURVEY.md §2.3; reference `labelPropagationSequential(sync=true)`,
+  * `algorithms.h:373-473`, and the V2 dataflow pipeline
+  * `algorithms.h:1084-1296`).
+  *
+  * Per-vertex update rule (reference `getMaximumLabel`,
+  * `algorithms.h:263-334`): gather the labels of all out-neighbors, count
+  * occurrences per label, and take a label of maximum count. The reference
+  * breaks ties uniformly at random (`algorithms.h:327`, `kernels.h:382`),
+  * which makes its own runs irreproducible (its published seq/par goldens
+  * disagree); per BASELINE.json determinism we pin the tie-break to the
+  * MINIMUM label among the maxima. Vertices with no in-edges keep their
+  * label (the reference's zero-degree CSR rows behave the same,
+  * `algorithms.h:283-285`).
+  *
+  * Relational shape of one superstep — literally the reference's V2 CUDA
+  * pipeline (SURVEY.md §2.4) expressed in Catalyst:
+  *   gather  = inner equi-join  edges ⋈_{dst=id} labels   (lp_gather)
+  *   count   = groupBy(src,label).count                    (sort+scan+W)
+  *   argmax  = groupBy(src).max_by(label,(cnt,-label))     (lp_reduce)
+  * Catalyst's partial+final hash aggregation is the two-level segmented
+  * reduce of `reduce.h:360-476`, for free.
+  *
+  * Scale: edges arrive dst-partitioned and persisted (no per-iteration
+  * edge shuffle); `groupBy(src,label)` partial-aggregates map-side, so the
+  * per-superstep shuffle volume is the number of distinct (vertex,
+  * neighbor-label) pairs, not the edge count. Hot-vertex skew is removed
+  * by routing high-in-degree vertices through a broadcast gather
+  * ([[GraphOps.planSkew]]).
+  */
+object LabelPropagation {
+
+  /** One synchronous superstep: returns the new (id, label) table.
+    * Vertices receiving no messages are left at their previous label.
+    */
+  def superstep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val msgs = gather(edges, labels)
+    applyMode(msgs, labels)
+  }
+
+  /** Skew-aware superstep: cold edges gather via shuffle join, hot edges
+    * (high-in-degree dst) via broadcast of the hot vertices' labels.
+    */
+  def superstepSkewAware(plan: GraphOps.SkewPlan, labels: DataFrame): DataFrame = {
+    val hotLabels = labels.join(broadcast(plan.hotIds), Seq("id"), "left_semi")
+    val coldMsgs = gather(plan.coldEdges, labels)
+    val hotMsgs = plan.hotEdges
+      .join(broadcast(hotLabels), plan.hotEdges("dst") === hotLabels("id"))
+      .select(plan.hotEdges("src").as("id"), hotLabels("label"))
+    applyMode(coldMsgs.union(hotMsgs), labels)
+  }
+
+  private def gather(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels, edges("dst") === labels("id"))
+      .select(edges("src").as("id"), labels("label"))
+
+  /** mode-label with deterministic (max count, min label) tie-break. */
+  private def applyMode(msgs: DataFrame, prevLabels: DataFrame): DataFrame = {
+    val counts = msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+    val winners = counts.groupBy(col("id"))
+      .agg(max_by(col("label"), struct(col("cnt"), negate(col("label")))).as("newLabel"))
+    prevLabels.join(winners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+  }
+
+  /** Initial state: every vertex labeled with its own id
+    * (`algorithms.h:402-404`).
+    */
+  def initLabels(vertices: DataFrame): DataFrame =
+    vertices.select(col("id"), col("id").as("label"))
+
+  /** Run to convergence. `edges` should be symmetrized for undirected
+    * semantics and pre-partitioned via [[GraphOps.prepareForGather]].
+    */
+  def run(
+      edges: DataFrame,
+      nNodes: Long,
+      checkpointer: Option[Checkpointer] = None,
+      checkpointEvery: Int = 5,
+      maxIter: Option[Int] = None,
+      skewPlan: Option[GraphOps.SkewPlan] = None,
+      earlyStop: Boolean = true): Superstep.Result = {
+    val init = initLabels(GraphOps.vertices(edges))
+    val step: DataFrame => DataFrame = skewPlan match {
+      case Some(p) => labels => superstepSkewAware(p, labels)
+      case None    => labels => superstep(edges, labels)
+    }
+    Superstep.run("lp", init, step, nNodes,
+      earlyStop = earlyStop, checkpointer = checkpointer,
+      checkpointEvery = checkpointEvery, maxIter = maxIter)
+  }
+}

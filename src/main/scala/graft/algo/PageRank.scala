@@ -1,0 +1,118 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphOps
+
+/** PageRank over the edge table (north_rule algorithm; absent from the
+  * reference — SURVEY.md §2.8). Standard damped power iteration:
+  *
+  *   rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u) + D/N )
+  *
+  * where D is the total rank mass of dangling (zero-out-degree) vertices,
+  * redistributed uniformly so the ranks stay a probability distribution.
+  * Convergence: L∞(rank' − rank) < eps, or a fixed iteration count.
+  *
+  * Scale shape: `edges ⋈ outdeg` is joined ONCE and persisted (each edge
+  * carries its source's out-degree), so a superstep is one join against
+  * the small rank table plus one partial-aggregated groupBy(dst) — the
+  * same two-shuffle skeleton as LP, with the same skew remedy available.
+  */
+object PageRank {
+
+  final case class Result(ranks: DataFrame, iterations: Int, converged: Boolean,
+                          l1History: Seq[Double])
+
+  def run(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      eps: Double = 1e-10,
+      maxIter: Int = 100,
+      partitions: Int = 32): Result = {
+    val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(edges("src"), edges("dst"), col("outdeg"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edgesDeg.count()
+    val dangling = verts.join(outDeg, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = dangling.count() > 0L
+
+    var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+
+    var iter = 0
+    var converged = false
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Double]
+    while (iter < maxIter && !converged) {
+      iter += 1
+      val dMass =
+        if (hasDangling)
+          dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
+        else 0.0
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      val sums = contribs.groupBy("id").agg(sum("c").as("s"))
+      val next = verts.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
+      val delta = next.join(ranks.withColumnRenamed("rank", "prev"), "id")
+        .agg(max(abs(col("rank") - col("prev")))).first().getDouble(0)
+      hist += delta
+      ranks.unpersist(blocking = false)
+      ranks = next
+      converged = delta < eps
+    }
+    Result(ranks, iter, converged, hist.toSeq)
+  }
+
+  /** Fixed-iteration variant (no convergence actions between steps) —
+    * used by the oracle-checked query and the benchmark, where the
+    * iteration count must be identical across engines/parallelism levels.
+    */
+  def runFixed(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               partitions: Int = 32): DataFrame = {
+    val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(edges("src"), edges("dst"), col("outdeg"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = verts.join(outDeg, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = dangling.count() > 0L
+
+    var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val dMass =
+        if (hasDangling)
+          dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
+        else 0.0
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      val sums = contribs.groupBy("id").agg(sum("c").as("s"))
+      ranks = verts.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+}

@@ -1,0 +1,102 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.engine.Checkpointer
+import graft.graph.GraphOps
+import graft.measures.Measures
+import graft.sources.{PagesSynth, TextExtract}
+
+/** spark-submit entry point (north_rule: "run via spark-submit ... at two
+  * cluster sizes"). Local-mode master is injected for sandbox runs; under
+  * a real spark-submit the master comes from the cluster manager.
+  *
+  * Usage:
+  *   Main <algo: lp|cc|pagerank|triangles|all>
+  *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
+  *        <outDir> [maxIter] [partitions]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: Main <lp|cc|pagerank|triangles|all> <synth:N|pages:PATH|edges:PATH> <outDir> [maxIter] [partitions]")
+    val algo = args(0)
+    val input = args(1)
+    val outDir = args(2)
+    val maxIter = if (args.length > 3) Some(args(3).toInt) else None
+    val partitions = if (args.length > 4) args(4).toInt
+      else sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    val builder = SparkSession.builder()
+      .appName("graft-linkgraph")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (sys.props.get("spark.master") match {
+      case Some(_) => builder
+      case None    => builder.master(s"local[$partitions]")
+    }).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (rawEdges, dictOpt): (DataFrame, Option[DataFrame]) = input.split(":", 2) match {
+      case Array("synth", n) =>
+        val pages = PagesSynth.pages(spark, n.toLong)
+        val (e, d) = TextExtract.buildEdges(pages)
+        (e, Some(d))
+      case Array("pages", path) =>
+        val (e, d) = TextExtract.buildEdges(spark.read.parquet(path))
+        (e, Some(d))
+      case Array("edges", path) =>
+        (spark.read.parquet(path).select("src", "dst"), None)
+      case _ => sys.error(s"bad input spec: $input")
+    }
+
+    val edges = GraphOps.prepareForGather(
+      GraphOps.symmetrize(GraphOps.dropSelfLoops(rawEdges)), partitions)
+    val nNodes = GraphOps.vertices(edges).count()
+    val nSlots = edges.count()
+    println(s"[graft] graph: $nNodes nodes, $nSlots directed slots")
+    val cp = new Checkpointer(s"$outDir/checkpoints", spark)
+
+    def runLp(): Unit = {
+      val r = LabelPropagation.run(edges, nNodes, checkpointer = Some(cp),
+        maxIter = maxIter)
+      r.labels.write.mode("overwrite").parquet(s"$outDir/lp_labels")
+      val q = Measures.modularity(edges, r.labels)
+      val c = Measures.communityCount(r.labels)
+      println(s"[graft] lp: iters=${r.iterations} converged=${r.converged} " +
+        s"communities=$c modularity=$q")
+    }
+    def runCc(): Unit = {
+      val r = ConnectedComponents.run(edges, nNodes, checkpointer = Some(cp),
+        maxIter = maxIter)
+      r.labels.write.mode("overwrite").parquet(s"$outDir/cc_labels")
+      println(s"[graft] cc: iters=${r.iterations} converged=${r.converged} " +
+        s"components=${Measures.communityCount(r.labels)}")
+    }
+    def runPr(): Unit = {
+      val r = PageRank.run(edges, maxIter = maxIter.getOrElse(100),
+        partitions = partitions)
+      r.ranks.write.mode("overwrite").parquet(s"$outDir/pagerank")
+      println(s"[graft] pagerank: iters=${r.iterations} converged=${r.converged}")
+    }
+    def runTri(): Unit = {
+      val t = TriangleCount.countTriangles(edges)
+      TriangleCount.perVertex(edges).write.mode("overwrite")
+        .parquet(s"$outDir/triangles_per_vertex")
+      println(s"[graft] triangles: $t")
+    }
+
+    algo match {
+      case "lp"        => runLp()
+      case "cc"        => runCc()
+      case "pagerank"  => runPr()
+      case "triangles" => runTri()
+      case "all"       => runLp(); runCc(); runPr(); runTri()
+      case other       => sys.error(s"unknown algorithm: $other")
+    }
+    dictOpt.foreach(_.write.mode("overwrite").parquet(s"$outDir/dictionary"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,222 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model.SuperstepMetrics
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Generic Pregel-style superstep driver (SURVEY.md §2.3-2.5).
+  *
+  * The reference's host loop (`algorithms.h:373-473` sequential,
+  * `algorithms.h:650-773` GPU sync) is: snapshot labels → per-node update
+  * from the snapshot (Jacobi) → count changes → count communities → apply
+  * stopping rules. Here the snapshot is free (the previous Dataset is
+  * immutable), the update is a caller-supplied DataFrame transform, and
+  * the stopping rules are ported in [[Convergence]].
+  *
+  * Plan-growth control: iterative DataFrame loops grow the logical plan
+  * without bound; every `checkpointEvery` iterations the label table is
+  * written to the run's checkpoint directory and re-read, truncating
+  * lineage and simultaneously providing the resumable per-superstep
+  * checkpoint demanded by the north_rule. Between checkpoints,
+  * `localCheckpoint` keeps the plan shallow.
+  */
+object Superstep {
+
+  final case class Result(
+      labels: DataFrame,
+      iterations: Int,
+      converged: Boolean,
+      metrics: Seq[SuperstepMetrics])
+
+  /** Iteration cap: reference `MAX_ITERATION 500` combined with
+    * `min(nNodes, 500)` (`algorithms.h:14,406`).
+    */
+  def maxIterations(nNodes: Long): Int = math.min(nNodes, 500L).toInt
+
+  /** Run `update` until convergence.
+    *
+    * @param initLabels  (id, label) initial state
+    * @param update      previous labels → new labels (must return (id, label))
+    * @param countChanges if true, convergence uses the changed-vertex count
+    *                     (reference `lp_compare_labels`, `kernels.h:719-735`)
+    * @param checkpointer optional durable per-superstep checkpointing
+    */
+  def run(
+      algorithm: String,
+      initLabels: DataFrame,
+      update: DataFrame => DataFrame,
+      nNodes: Long,
+      earlyStop: Boolean = true,
+      plateau: Boolean = true,
+      checkpointer: Option[Checkpointer] = None,
+      checkpointEvery: Int = 5,
+      maxIter: Option[Int] = None): Result = {
+
+    val cap = maxIter.getOrElse(maxIterations(nNodes))
+    val metrics = ArrayBuffer.empty[SuperstepMetrics]
+    val conv = new Convergence(earlyStop, plateau)
+
+    var labels = initLabels.persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var iter = 0
+    var converged = false
+
+    while (iter < cap && !converged) {
+      val t0 = System.nanoTime()
+      iter += 1
+      val prev = labels
+      var next = update(prev)
+        .select(col("id"), col("label"))
+
+      // Lineage truncation: durable checkpoint every K supersteps (also the
+      // resume point), cheap local checkpoint otherwise.
+      next = checkpointer match {
+        case Some(cp) if iter % checkpointEvery == 0 =>
+          cp.checkpoint(algorithm, iter, next)
+        case _ =>
+          next.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      }
+
+      // Convergence scalars — the only data that crosses to the driver
+      // (the reference copies the whole labels array back per iteration,
+      // `algorithms.h:735-739`; we keep labels distributed).
+      val changes = next.join(prev.withColumnRenamed("label", "labelAnt"), "id")
+        .filter(col("label") =!= col("labelAnt")).count()
+      val communities = next.select("label").distinct().count()
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+
+      metrics += SuperstepMetrics(algorithm, iter, changes, communities, wallMs)
+      checkpointer.foreach(_.writeMetrics(algorithm, metrics.toSeq))
+
+      prev.unpersist(blocking = false)
+      labels = next
+      converged = conv.shouldStop(iter, changes, communities)
+    }
+
+    Result(labels, iter, converged, metrics.toSeq)
+  }
+}
+
+/** Stopping rules, ported from the reference loop heads
+  * (`algorithms.h:414,445-464`):
+  *   1. changes == 0  (fixed point);
+  *   2. plateau — community count unchanged for two consecutive iterations
+  *      (`res == 0 && resAnt == 0`, `algorithms.h:457-460`);
+  *   3. curve-fit early stop — from t >= 10, fit y = b/x to the
+  *      community-count history by gradient descent and stop when
+  *      RMSE < 0.4 (`community_measures.cu:282-320`).
+  *
+  * The curve-fit port fixes two reference bugs (documented in SURVEY.md
+  * §2.5): the y-estimate divided by x = 0 at the first point
+  * (`get_y_estimation`, `community_measures.cu:243`), and the gradient was
+  * overwritten instead of accumulated (`sum =` for `+=`,
+  * `community_measures.cu:273`). Intent (fit the 1/x decay of the
+  * community-count curve) is preserved.
+  */
+final class Convergence(earlyStop: Boolean, usePlateau: Boolean = true) {
+  private val history = ArrayBuffer.empty[Long] // community count per iter
+  private var lastDelta: Option[Long] = None
+
+  def shouldStop(iter: Int, changes: Long, communities: Long): Boolean = {
+    if (changes == 0L) return true
+    val delta: Option[Long] = history.lastOption.map(communities - _)
+    history += communities
+    val plateau = (delta, lastDelta) match {
+      case (Some(0L), Some(0L)) => true
+      case _                    => false
+    }
+    lastDelta = delta
+    // The plateau/curve-fit heuristics target LP's noisy community curve
+    // (`algorithms.h:457-464`); monotone algorithms (CC) must disable them
+    // — their label count can plateau while minima are still propagating.
+    if (usePlateau && plateau) return true
+    earlyStop && iter >= 10 && curveFitRmse(history.toSeq) < 0.4
+  }
+
+  /** Gradient-descent fit of y = b/x (x = iteration, 1-based) to the
+    * community-count history; returns relative RMSE as the reference's
+    * `get_recm` does (`community_measures.cu:252-263`).
+    */
+  private[engine] def curveFitRmse(ys: Seq[Long]): Double = {
+    val xs = ys.indices.map(i => (i + 1).toDouble) // 1-based: no divide-by-zero
+    val yd = ys.map(_.toDouble)
+    var b = yd.head // init near the curve's scale
+    val lr = 0.1
+    var k = 0
+    while (k < 200) {
+      // d/db sum((b/x - y)^2) = 2 sum((b/x - y)/x) — accumulated (bug fix)
+      var g = 0.0
+      var i = 0
+      while (i < xs.length) { g += 2.0 * (b / xs(i) - yd(i)) / xs(i); i += 1 }
+      b -= lr * g / xs.length
+      k += 1
+    }
+    var se = 0.0
+    var i = 0
+    while (i < xs.length) {
+      val e = (b / xs(i) - yd(i)) / math.max(yd(i), 1.0)
+      se += e * e
+      i += 1
+    }
+    math.sqrt(se / xs.length)
+  }
+}
+
+/** Durable per-superstep checkpoint + metrics + per-partition lineage
+  * (north_rule: "every superstep checkpoints per-partition lineage and
+  * iteration metrics ... so runs resume mid-convergence").
+  *
+  * Layout (Parquet stand-in for an Iceberg table — the offline image has
+  * no iceberg-spark-runtime jar; this is the `TableIO` seam of SURVEY.md
+  * §7.5):
+  *   {dir}/{algorithm}/labels/iter={N}/        label snapshot
+  *   {dir}/{algorithm}/lineage/iter={N}/       per-partition (count, labelSum)
+  *   {dir}/{algorithm}/metrics.json            iteration metrics history
+  */
+final class Checkpointer(val dir: String, spark: SparkSession) {
+
+  def checkpoint(algorithm: String, iter: Int, labels: DataFrame): DataFrame = {
+    val path = s"$dir/$algorithm/labels/iter=$iter"
+    labels.write.mode("overwrite").parquet(path)
+    val reread = spark.read.parquet(path)
+    val lineage = reread
+      .groupBy(spark_partition_id().as("partitionId"))
+      .agg(count(lit(1)).as("rowCount"), sum(col("label")).as("labelSum"))
+      .withColumn("iteration", lit(iter))
+    lineage.write.mode("overwrite")
+      .parquet(s"$dir/$algorithm/lineage/iter=$iter")
+    reread.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def writeMetrics(algorithm: String, metrics: Seq[SuperstepMetrics]): Unit = {
+    val json = metrics.map { m =>
+      s"""{"algorithm":"${m.algorithm}","iteration":${m.iteration},""" +
+        s""""changes":${m.changes},"communities":${m.communities},""" +
+        s""""wallMillis":${m.wallMillis}}"""
+    }.mkString("[", ",", "]")
+    val p = java.nio.file.Paths.get(s"$dir/$algorithm")
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.writeString(p.resolve("metrics.json"), json)
+  }
+
+  /** Latest durable snapshot for `algorithm`, if any — the resume point. */
+  def latest(algorithm: String): Option[(Int, DataFrame)] = {
+    val base = java.nio.file.Paths.get(s"$dir/$algorithm/labels")
+    if (!java.nio.file.Files.isDirectory(base)) return None
+    val iters = java.nio.file.Files.list(base).toArray.toSeq
+      .map(_.toString)
+      .flatMap { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        if (name.startsWith("iter=")) Some(name.stripPrefix("iter=").toInt)
+        else None
+      }
+    if (iters.isEmpty) None
+    else {
+      val it = iters.max
+      Some((it, spark.read.parquet(s"$dir/$algorithm/labels/iter=$it")))
+    }
+  }
+}

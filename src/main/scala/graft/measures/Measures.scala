@@ -1,0 +1,99 @@
+package graft.measures
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community quality measures (SURVEY.md §2.6), re-expressed as
+  * aggregations — the reference computes all of these with O(n²)-ish host
+  * loops; every formula below is algebraically identical and one or two
+  * shuffles.
+  */
+object Measures {
+
+  /** Modularity, matching the reference's accounting exactly
+    * (`getModularity`, `community_measures.cu:48-70`):
+    *
+    *   Q = (1/2m) Σ_{i≠j, label_i=label_j} (A_ij − k_i·k_j / 2m)
+    *
+    * with m = directed-edge-slots / 2 (`community_measures.cu:53`) and
+    * k = out-degree over slots. The Σ over same-label ordered pairs
+    * decomposes into:
+    *   Σ A_ij          = same-label directed slots (self-loops excluded)
+    *   Σ k_i·k_j (i≠j) = Σ_c [ (Σ_{i∈c} k_i)² − Σ_{i∈c} k_i² ]
+    * — no O(n²) pass, just two grouped aggregates.
+    *
+    * @param edges  directed slots (symmetrized for undirected graphs)
+    * @param labels (id, label), one row per vertex
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): Double = {
+    val m2 = edges.count().toDouble // 2m = slot count
+    if (m2 == 0) return 0.0
+    val srcLab = labels.select(col("id").as("src"), col("label").as("slab"))
+    val dstLab = labels.select(col("id").as("dst"), col("label").as("dlab"))
+    val eIn = edges.filter(col("src") =!= col("dst"))
+      .join(srcLab, "src").join(dstLab, "dst")
+      .filter(col("slab") === col("dlab"))
+      .count().toDouble
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val perComm = labels.join(deg, Seq("id"), "left").na.fill(0L, Seq("k"))
+      .groupBy("label")
+      .agg(sum(col("k")).as("ks"), sum(col("k") * col("k")).as("ksq"))
+      .agg(sum(col("ks") * col("ks") - col("ksq")))
+      .first().getAs[Any](0) match {
+        case null      => 0.0
+        case l: Long   => l.toDouble
+        case d: Double => d
+        case b: java.math.BigDecimal => b.doubleValue()
+      }
+    (eIn - perComm / m2) / m2
+  }
+
+  /** Distinct-label count (`countCommunities`,
+    * `community_measures.cu:75-78`) — exact, used for stopping rules.
+    */
+  def communityCount(labels: DataFrame): Long =
+    labels.select("label").distinct().count()
+
+  /** Approximate community count for high-frequency metrics streams at
+    * scale (HLL sketch; exact count stays the stopping-rule input).
+    */
+  def communityCountApprox(labels: DataFrame): DataFrame =
+    labels.agg(approx_count_distinct("label").as("communities"))
+
+  /** Confusion matrix N_ij = #vertices with true label i and predicted
+    * label j (`compareCommunities`, `community_measures.cu:100-116`).
+    */
+  def confusionMatrix(trueLabels: DataFrame, predLabels: DataFrame): DataFrame =
+    trueLabels.select(col("id"), col("label").as("trueLabel"))
+      .join(predLabels.select(col("id"), col("label").as("predLabel")), "id")
+      .groupBy("trueLabel", "predLabel").agg(count(lit(1)).as("n"))
+
+  /** Normalized mutual information between two labelings (`getNMI`,
+    * `community_measures.cu:143-234`):
+    *
+    *   NMI = −2 ΣΣ N_ij·log(N_ij·n / (N_i·N_j))
+    *         / ( Σ N_i·log(N_i/n) + Σ N_j·log(N_j/n) )
+    *
+    * The reference uses log10 (`community_measures.cu:200,212,222`); the
+    * ratio is base-invariant, natural log here. Marginals and the double
+    * sum are grouped aggregates; only scalars reach the driver.
+    */
+  def nmi(trueLabels: DataFrame, predLabels: DataFrame): Double = {
+    val cm = confusionMatrix(trueLabels, predLabels).persist()
+    try {
+      val n = cm.agg(sum("n")).first().getLong(0).toDouble
+      if (n == 0) return 0.0
+      val rowM = cm.groupBy("trueLabel").agg(sum("n").as("ni"))
+      val colM = cm.groupBy("predLabel").agg(sum("n").as("nj"))
+      val num = cm.join(rowM, "trueLabel").join(colM, "predLabel")
+        .select((col("n") * log(col("n") * n / (col("ni") * col("nj")))).as("t"))
+        .agg(sum("t")).first().getDouble(0)
+      val denRow = rowM.select((col("ni") * log(col("ni") / n)).as("t"))
+        .agg(sum("t")).first().getDouble(0)
+      val denCol = colM.select((col("nj") * log(col("nj") / n)).as("t"))
+        .agg(sum("t")).first().getDouble(0)
+      val den = denRow + denCol
+      if (den == 0.0) 1.0 else -2.0 * num / den
+    } finally cm.unpersist()
+  }
+}

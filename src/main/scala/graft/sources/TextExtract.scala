@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+
+/** Deterministic text + outlink extraction from the `html` binary column,
+  * and the url→outlink edge-table builder (north_star: "an edge table
+  * (src, dst) built from url→outlink extraction"; SURVEY.md §2.1 last row,
+  * §7.2). Pure built-in expressions — whole-stage-codegen'd, no UDFs, so
+  * the extraction runs at scan speed and Catalyst prunes the pages table
+  * to exactly (url, html).
+  *
+  * Extraction spec (the per-row invariant): decode UTF-8, strip tags in
+  * document order (`<[^>]*>` → one space), collapse `[ \t\n\r]+` runs to a
+  * single space, trim. Byte-identical output per url across runs and
+  * parallelism levels; the pages generator's independently assembled
+  * `text` column is the oracle.
+  */
+object TextExtract {
+
+  def htmlToString(html: Column): Column = decode(html, "UTF-8")
+
+  /** Deterministic text extraction. */
+  def extractText(html: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(htmlToString(html), "<[^>]*>", " "),
+      "[ \\t\\n\\r]+", " "))
+
+  /** All href targets of anchor tags, in document order. */
+  def extractOutlinks(html: Column): Column =
+    regexp_extract_all(htmlToString(html), lit("<a\\s+href=\"([^\"]*)\""), lit(1))
+
+  /** URL normalization: lowercase scheme+host, strip fragment. */
+  def normalizeUrl(u: Column): Column = {
+    val head = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val rest = regexp_replace(
+      regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""), "#.*$", "")
+    concat(lower(head), rest)
+  }
+
+  /** (src_url, dst_url) link pairs from the pages table. */
+  def linkPairs(pages: DataFrame): DataFrame =
+    pages.select(
+      normalizeUrl(col("url")).as("src_url"),
+      explode(extractOutlinks(col("html"))).as("raw_dst"))
+      .select(col("src_url"), normalizeUrl(col("raw_dst")).as("dst_url"))
+
+  /** Full edge-table build: extract links, dictionary-encode urls (union
+    * of source urls and link targets — targets never seen as pages still
+    * get ids, mirroring the reference appending target-only nodes,
+    * `Graph.cu:303-307`), return (edges, dictionary).
+    *
+    * @return (edges(src, dst), dict(name, id))
+    */
+  def buildEdges(pages: DataFrame, scalableDict: Boolean = false)
+      : (DataFrame, DataFrame) = {
+    val pairs = linkPairs(pages)
+    val names = pairs.select(col("src_url").as("name"))
+      .union(pairs.select(col("dst_url").as("name")))
+    val dict =
+      if (scalableDict) GraphOps.dictionaryEncodeScalable(names)
+      else GraphOps.dictionaryEncode(names)
+    val srcD = dict.select(col("name").as("src_url"), col("id").as("src"))
+    val dstD = dict.select(col("name").as("dst_url"), col("id").as("dst"))
+    val edges = pairs.join(srcD, "src_url").join(dstD, "dst_url")
+      .select(col("src"), col("dst"))
+    (edges, dict)
+  }
+}
