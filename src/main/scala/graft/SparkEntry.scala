@@ -22,9 +22,14 @@ object SparkEntry {
     labels.join(dict, labels("id") === dict("id"))
       .select(dict("name").as("url"), labels("label").as("community"))
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  /** One entry per implemented operator from SURVEY.md §2 (graph engine)
+    * plus the training-data pipeline operators.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.GraphQueries.queries ++ graft.queries.PipelineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.GraphQueries.oracleSql ++ graft.queries.PipelineQueries.oracleSql
 }

@@ -76,6 +76,22 @@ object LabelPropagation {
   def initLabels(vertices: DataFrame): DataFrame =
     vertices.select(col("id"), col("id").as("label"))
 
+  /** Exactly `supersteps` updates, no convergence actions — for
+    * oracle-checked fixed-step queries and benchmarks where the step
+    * count must be identical across engines and parallelism levels.
+    */
+  def runFixed(edges: DataFrame, supersteps: Int): DataFrame = {
+    var labels = initLabels(GraphOps.vertices(edges))
+    var i = 0
+    while (i < supersteps) {
+      i += 1
+      labels = superstep(edges, labels)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
+    }
+    labels
+  }
+
   /** Run to convergence. `edges` should be symmetrized for undirected
     * semantics and pre-partitioned via [[GraphOps.prepareForGather]].
     */

@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.graph.GraphOps
+import graft.measures.Measures
+
+/** Driver-gate graph queries + their DuckDB oracle SQL.
+  *
+  * The graph under test is derived deterministically from the provided
+  * TPC-H-style tables: `src = l_orderkey % 300`, `dst = l_partkey % 300`
+  * (first line item per order), self-loops dropped, symmetrized — a
+  * bounded 300-vertex id space at every scale factor so the iterative
+  * oracles (recursive CTE closure, unrolled supersteps) stay tractable in
+  * DuckDB while the Spark side exercises the full engine. Float outputs
+  * are rounded to integers (×1e6) before hashing so cross-engine
+  * summation-order noise (~1e-15) cannot flip the compare.
+  */
+object GraphQueries {
+
+  val NodeSpace = 300
+
+  /** Shared CTE prefix: raw pairs → symmetrized dedup'd slots → vertices.
+    * Mirrors GraphOps.symmetrize ∘ dropSelfLoops. Dedup is an explicit
+    * DISTINCT (not bare UNION): inside a DuckDB `WITH RECURSIVE` block a
+    * non-recursive CTE's UNION loses its duplicate elimination.
+    */
+  val cte: String =
+    s"""raw AS (
+       |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+       |  FROM lineitem WHERE l_linenumber = 1
+       |), e0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM raw WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst, src FROM raw WHERE src <> dst) u
+       |), verts AS (SELECT DISTINCT src AS id FROM e0)""".stripMargin
+
+  /** Recursive connected-components labeling (min reachable id). */
+  val ccCte: String =
+    """reach(id, lab) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT e0.dst, reach.lab FROM reach JOIN e0 ON e0.src = reach.id
+      |), cclab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)""".stripMargin
+
+  def demoEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_linenumber") === 1)
+    val raw = li.select(
+      (col("l_orderkey") % NodeSpace).as("src"),
+      (col("l_partkey") % NodeSpace).as("dst"))
+    GraphOps.symmetrize(GraphOps.dropSelfLoops(raw))
+  }
+
+  private def oneRow(spark: SparkSession, name: String, v: Long): DataFrame = {
+    import spark.implicits._
+    Seq(v).toDF(name)
+  }
+
+  /** Unrolled synchronous LP superstep SQL for `t` steps — the engine's
+    * join/count/argmax plan transcribed to ANSI SQL, tie-break pinned to
+    * (max count, min label) via the window ordering.
+    */
+  def lpSql(t: Int): String = {
+    val steps = (1 to t).map { k =>
+      s"""c$k AS (
+         |  SELECT e0.src AS id, p.label, count(*) AS cnt
+         |  FROM e0 JOIN s${k - 1} p ON e0.dst = p.id GROUP BY 1, 2
+         |), w$k AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$k) t WHERE rn = 1
+         |), s$k AS (
+         |  SELECT p.id, coalesce(w.label, p.label) AS label
+         |  FROM s${k - 1} p LEFT JOIN w$k w ON p.id = w.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cte,
+       |s0 AS (SELECT id, id AS label FROM verts),
+       |$steps
+       |SELECT id, label FROM s$t""".stripMargin
+  }
+
+  /** Unrolled PageRank SQL for `t` iterations (graph is symmetrized ⇒ no
+    * dangling mass), ranks rounded ×1e6.
+    */
+  def prSql(t: Int): String = {
+    val steps = (1 to t).map { k =>
+      s"""x$k AS (
+         |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+         |  FROM e0 JOIN r${k - 1} p ON e0.src = p.id JOIN deg d ON e0.src = d.id
+         |  GROUP BY 1
+         |), r$k AS (
+         |  SELECT v.id, 0.15 / (SELECT count(*) FROM verts)
+         |         + 0.85 * coalesce(x.s, 0) AS r
+         |  FROM verts v LEFT JOIN x$k x ON v.id = x.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cte,
+       |deg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+       |r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS r FROM verts),
+       |$steps
+       |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r$t""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_edges" -> ((s, dir) => demoEdges(s, dir)),
+
+    "g_degrees" -> ((s, dir) => GraphOps.degrees(demoEdges(s, dir))),
+
+    "g_cc" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val n = GraphOps.vertices(e).count()
+      ConnectedComponents.run(e, n).labels
+    }),
+
+    "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3)),
+
+    "g_pagerank_t5" -> ((s, dir) =>
+      PageRank.runFixed(demoEdges(s, dir), 5)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))),
+
+    "g_triangles" -> ((s, dir) =>
+      oneRow(s, "triangles", TriangleCount.countTriangles(demoEdges(s, dir)))),
+
+    "g_tri_per_vertex" -> ((s, dir) => TriangleCount.perVertex(demoEdges(s, dir))),
+
+    "g_modularity" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val n = GraphOps.vertices(e).count()
+      val lab = ConnectedComponents.run(e, n).labels
+      oneRow(s, "q_e6", math.round(Measures.modularity(e, lab) * 1000000))
+    }),
+
+    "g_community_count" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val n = GraphOps.vertices(e).count()
+      oneRow(s, "communities",
+        Measures.communityCount(ConnectedComponents.run(e, n).labels))
+    }),
+
+    "g_nmi" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val n = GraphOps.vertices(e).count()
+      val cc = ConnectedComponents.run(e, n).labels
+      val attr = GraphOps.vertices(e).select(col("id"), (col("id") % 7).as("label"))
+      oneRow(s, "nmi_e6", math.round(Measures.nmi(attr, cc) * 1000000))
+    }),
+
+    "g_confusion" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val n = GraphOps.vertices(e).count()
+      val cc = ConnectedComponents.run(e, n).labels
+      val attr = GraphOps.vertices(e).select(col("id"), (col("id") % 7).as("label"))
+      Measures.confusionMatrix(attr, cc)
+        .select(col("trueLabel").as("attr_label"),
+          col("predLabel").as("cc_label"), col("n"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "g_edges" -> s"WITH $cte SELECT src, dst FROM e0",
+
+    "g_degrees" ->
+      s"WITH $cte SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1",
+
+    "g_cc" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
+
+    "g_lp_t3" -> lpSql(3),
+
+    "g_pagerank_t5" -> prSql(5),
+
+    "g_triangles" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst)
+         |SELECT count(*) AS triangles
+         |FROM canon e1
+         |JOIN canon e2 ON e1.dst = e2.src
+         |JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+
+    "g_tri_per_vertex" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM canon e1
+         |  JOIN canon e2 ON e1.dst = e2.src
+         |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT id, count(*) AS triangles FROM (
+         |  SELECT a AS id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) u
+         |GROUP BY id""".stripMargin,
+
+    "g_modularity" ->
+      s"""WITH RECURSIVE $cte, $ccCte,
+         |m2 AS (SELECT count(*)::DOUBLE AS v FROM e0),
+         |ein AS (
+         |  SELECT count(*)::DOUBLE AS v FROM e0
+         |  JOIN cclab a ON e0.src = a.id
+         |  JOIN cclab b ON e0.dst = b.id
+         |  WHERE a.label = b.label AND e0.src <> e0.dst),
+         |deg AS (SELECT src AS id, count(*) AS k FROM e0 GROUP BY 1),
+         |per AS (
+         |  SELECT sum(ks * ks - ksq)::DOUBLE AS v FROM (
+         |    SELECT l.label, sum(coalesce(d.k, 0)) AS ks,
+         |           sum(coalesce(d.k, 0) * coalesce(d.k, 0)) AS ksq
+         |    FROM cclab l LEFT JOIN deg d ON l.id = d.id GROUP BY 1) g)
+         |SELECT CAST(ROUND((ein.v - per.v / m2.v) / m2.v * 1000000) AS BIGINT) AS q_e6
+         |FROM ein, per, m2""".stripMargin,
+
+    "g_community_count" ->
+      s"WITH RECURSIVE $cte, $ccCte SELECT count(DISTINCT label) AS communities FROM cclab",
+
+    "g_nmi" ->
+      s"""WITH RECURSIVE $cte, $ccCte,
+         |t AS (SELECT id, id % 7 AS tl FROM verts),
+         |p AS (SELECT id, label AS pl FROM cclab),
+         |cm AS (SELECT t.tl, p.pl, count(*)::DOUBLE AS n
+         |       FROM t JOIN p ON t.id = p.id GROUP BY 1, 2),
+         |tot AS (SELECT sum(n) AS v FROM cm),
+         |rm AS (SELECT tl, sum(n) AS ni FROM cm GROUP BY 1),
+         |colm AS (SELECT pl, sum(n) AS nj FROM cm GROUP BY 1),
+         |num AS (
+         |  SELECT sum(cm.n * ln(cm.n * tot.v / (rm.ni * colm.nj))) AS v
+         |  FROM cm JOIN rm ON cm.tl = rm.tl JOIN colm ON cm.pl = colm.pl, tot),
+         |den AS (
+         |  SELECT (SELECT sum(ni * ln(ni / tot.v)) FROM rm, tot)
+         |       + (SELECT sum(nj * ln(nj / tot.v)) FROM colm, tot) AS v)
+         |SELECT CAST(ROUND(-2.0 * num.v / den.v * 1000000) AS BIGINT) AS nmi_e6
+         |FROM num, den""".stripMargin,
+
+    "g_confusion" ->
+      s"""WITH RECURSIVE $cte, $ccCte
+         |SELECT v.id % 7 AS attr_label, c.label AS cc_label, count(*) AS n
+         |FROM verts v JOIN cclab c ON v.id = c.id
+         |GROUP BY 1, 2""".stripMargin)
+}

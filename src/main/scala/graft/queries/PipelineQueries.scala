@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators over the provided `documents`,
+  * `embeddings`, and `events` tables, each paired with DuckDB oracle SQL.
+  * All expressed with built-in codegen'd expressions — no UDFs — so at
+  * 100 TB each is a scan + (at most) one shuffle. Float-valued outputs are
+  * rounded (×1e3/×1e6) before hashing so cross-engine summation-order
+  * noise cannot flip the compare; every regexp used is identical under
+  * Java regex and RE2.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/events.parquet")
+
+  private val tokensCol: Column =
+    regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+
+  /** Count non-overlapping occurrences of word `w` (space-delimited) via
+    * the replace-length trick — byte-identical semantics in Spark and
+    * DuckDB (both scan left-to-right, non-overlapping).
+    */
+  private def wordCount(padded: Column, w: String): Column =
+    (length(padded) - length(regexp_replace(padded, s" $w ", ""))) / (w.length + 2)
+
+  private def wordCountSql(w: String): String =
+    s"(len(pad) - len(replace(pad, ' $w ', ''))) // ${w.length + 2}"
+
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "que", "los"),
+    "de" -> Seq("und", "der", "die", "nicht"),
+    "fr" -> Seq("le", "les", "et", "une"))
+
+  // ---- document shingles (word 3-grams), shared by minhash + jaccard ----
+
+  /** (doc_id, sh) distinct word-3-gram shingles. */
+  private def shingles(d: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val base = d.select((Seq(col("doc_id")) ++ extra.map(col)) :+
+      tokensCol.as("arr"): _*)
+    base.filter(size(col("arr")) >= 3)
+      .select((Seq(col("doc_id")) ++ extra.map(col)) :+
+        explode(transform(sequence(lit(0), size(col("arr")) - 3),
+          j => concat_ws(" ",
+            element_at(col("arr"), j + 1),
+            element_at(col("arr"), j + 2),
+            element_at(col("arr"), j + 3)))).as("sh"): _*)
+      .distinct()
+  }
+
+  private val shinglesSql: String =
+    """tok AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS arr
+      |        FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |         unnest([arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+      |                 for i in range(len(arr) - 2)]) AS sh
+      |       FROM tok)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: content-hash group, keep min doc_id
+    "d_dedup_exact" -> ((s, dir) =>
+      docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))),
+
+    // token counting (whitespace tokenizer)
+    "d_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(tokensCol).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))),
+
+    // language-ID: n-gram (marker-word) scores, argmax with fixed precedence
+    "d_lang_id" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scores = langMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => wordCount(padded, w)).reduce(_ + _)
+      }
+      val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(scores)
+      docs(s, dir).select(col("doc_id"),
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de").otherwise("fr").as("pred_lang"),
+        en.cast("long").as("score_en"))
+    }),
+
+    // quality scoring: alpha ratio + token-count saturation
+    "d_quality" -> ((s, dir) => {
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      val toks = size(tokensCol)
+      docs(s, dir).select(col("doc_id"),
+        round((alpha.cast("double") / length(col("text")) * 0.5 +
+          least(toks, lit(50)).cast("double") / 50.0 * 0.5) * 1000)
+          .cast("long").as("quality_e3"))
+    }),
+
+    // document fingerprint: hash of case/punct-normalized text
+    "d_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("fingerprint"))),
+
+    // MinHash + LSH near-dup candidates: 3-gram shingles → 8 minhashes →
+    // 2 bands of 4 → band-bucket self-join
+    "d_minhash_pairs" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir))
+      val mh = sh.crossJoin(
+          s.range(8).select(col("id").as("i")))
+        .select(col("doc_id"), col("i"),
+          md5(concat(col("i").cast("string"), lit(":"), col("sh"))).as("h"))
+        .groupBy("doc_id", "i").agg(min(col("h")).as("h"))
+      val band = mh.groupBy(col("doc_id"), (col("i") / 4).cast("long").as("b"))
+        .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("h")))),
+          x => x.getField("h")), "|").as("sig"))
+      val a = band.select(col("doc_id").as("a"), col("b"), col("sig"))
+      val bdf = band.select(col("doc_id").as("b2"), col("b"), col("sig"))
+      a.join(bdf, Seq("b", "sig")).filter(col("a") < col("b2"))
+        .select(col("a"), col("b2").as("b")).distinct()
+    }),
+
+    // n-gram Jaccard near-dup verify (same-source candidates, >= 0.5)
+    "d_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir), Seq("source"))
+      val sz = sh.groupBy(col("doc_id").as("d")).agg(count(lit(1)).as("n"))
+      val x = sh.select(col("doc_id").as("a"), col("source"), col("sh"))
+      val y = sh.select(col("doc_id").as("b"), col("source"), col("sh"))
+      val common = x.join(y, Seq("source", "sh")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      common
+        .join(sz.withColumnRenamed("d", "a").withColumnRenamed("n", "na"), "a")
+        .join(sz.withColumnRenamed("d", "b").withColumnRenamed("n", "nb"), "b")
+        .select(col("a"), col("b"),
+          (col("common").cast("double") /
+            (col("na") + col("nb") - col("common"))).as("j"))
+        .filter(col("j") >= 0.5)
+        .select(col("a"), col("b"), round(col("j") * 1000).cast("long").as("jaccard_e3"))
+    }),
+
+    // brute-force cosine top-k ANN (query set: vec_id % 50 == 0, k = 5)
+    "e_ann_topk" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = v.select(col("vec_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val sims = q.crossJoin(n).filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm")) * 1000000)
+            .cast("long").as("sim_e6"))
+      sims.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("sim_e6").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+          col("sim_e6"))
+    }),
+
+    // embedding-cosine near-dup pairs (same label, sampled, sim >= 0.25)
+    "e_cos_dups" -> ((s, dir) => {
+      val v = emb(s, dir).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = v.select(col("vec_id"), col("label"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+      val a = n.select(col("vec_id").as("a"), col("label"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b"), col("label"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, "label").filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")) * 1000000)
+            .cast("long").as("sim_e6"))
+        .filter(col("sim_e6") >= 250000)
+    }),
+
+    // event-stream hourly rollup (batch form of the streaming agg)
+    "ev_hourly" -> ((s, dir) =>
+      events(s, dir).groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) * 1000).cast("long").as("sum_value_e3"))),
+
+    // multimodal metadata: opaque binary treated by length/magic only
+    "m_media_meta" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  val oracleSql: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |count(*) AS copies FROM documents GROUP BY 1""".stripMargin,
+
+    "d_token_counts" ->
+      """SELECT doc_id,
+        |CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |CAST(len(text) AS BIGINT) AS n_chars_m FROM documents""".stripMargin,
+
+    "d_lang_id" -> {
+      def score(lang: String) =
+        langMarkers(lang).map(wordCountSql).mkString("(", " + ", ")")
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents),
+         |s AS (SELECT doc_id, ${score("en")} AS en, ${score("es")} AS es,
+         |             ${score("de")} AS de, ${score("fr")} AS fr FROM p)
+         |SELECT doc_id,
+         |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es >= de AND es >= fr THEN 'es'
+         |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+         |  CAST(en AS BIGINT) AS score_en
+         |FROM s""".stripMargin
+    },
+
+    "d_quality" ->
+      """SELECT doc_id,
+        |CAST(ROUND((len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+        |  / len(text) * 0.5
+        |  + LEAST(len(regexp_extract_all(text, '\S+')), 50)::DOUBLE / 50.0 * 0.5)
+        |  * 1000) AS BIGINT) AS quality_e3
+        |FROM documents""".stripMargin,
+
+    "d_fingerprint" ->
+      """SELECT doc_id,
+        |md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "d_minhash_pairs" ->
+      s"""WITH $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |WHERE x.doc_id < y.doc_id""".stripMargin,
+
+    "d_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.source = y.source
+         |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT a, b,
+         |  CAST(ROUND(c::DOUBLE / (sa.n + sb.n - c) * 1000) AS BIGINT) AS jaccard_e3
+         |FROM common JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""".stripMargin,
+
+    "e_ann_topk" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, vec_id,
+        |        CAST(ROUND(list_sum([qv[i+1] * v[i+1] for i in range(64)])
+        |          / (qn * nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM q, n WHERE qid <> vec_id)
+        |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM s) t
+        |WHERE rank <= 5""".stripMargin,
+
+    "e_cos_dups" ->
+      """WITH v AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings WHERE vec_id % 5 = 0),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |  CAST(ROUND(list_sum([x.v[i+1] * y.v[i+1] for i in range(64)])
+        |    / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS sim_e6
+        |FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
+        |WHERE CAST(ROUND(list_sum([x.v[i+1] * y.v[i+1] for i in range(64)])
+        |    / (x.nrm * y.nrm) * 1000000) AS BIGINT) >= 250000""".stripMargin,
+
+    "ev_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |event_type, count(*) AS n,
+        |CAST(ROUND(sum(value) * 1000) AS BIGINT) AS sum_value_e3
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "m_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+        |FROM documents""".stripMargin)
+}
