@@ -18,7 +18,7 @@ object SparkEntry {
     val edges = GraphOps.prepareForGather(
       GraphOps.symmetrize(GraphOps.dropSelfLoops(raw)), 8)
     val n = GraphOps.vertices(edges).count()
-    val labels = LabelPropagation.run(edges, n).labels
+    val labels = LabelPropagation.run(edges, n, symmetric = true).labels
     labels.join(dict, labels("id") === dict("id"))
       .select(dict("name").as("url"), labels("label").as("community"))
   }

@@ -39,10 +39,23 @@ object LabelPropagation {
 
   /** One synchronous superstep: returns the new (id, label) table.
     * Vertices receiving no messages are left at their previous label.
+    *
+    * @param symmetric caller guarantees the edge table is symmetrized, so
+    *        every vertex has in-edges and the winners table covers all
+    *        vertices — the keep-previous fallback join (one join + one
+    *        exchange per superstep) is skipped. Zero-degree vertices never
+    *        enter the vertex set (vertices are defined by edge endpoints),
+    *        matching the reference's zero-degree CSR rows keeping their
+    *        initial label (`algorithms.h:283-285`).
     */
-  def superstep(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def superstep(edges: DataFrame, labels: DataFrame,
+                symmetric: Boolean = false): DataFrame = {
     val msgs = gather(edges, labels)
-    applyMode(msgs, labels)
+    if (symmetric) {
+      val counts = msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("id"))
+        .agg(max_by(col("label"), struct(col("cnt"), negate(col("label")))).as("label"))
+    } else applyMode(msgs, labels)
   }
 
   /** Skew-aware superstep: cold edges gather via shuffle join, hot edges
@@ -92,6 +105,20 @@ object LabelPropagation {
     labels
   }
 
+  /** Lazily chained fixed supersteps: ONE action executes the whole
+    * multi-superstep DAG (each superstep's aggregations are shuffle
+    * boundaries, so stages run exactly once). No per-step materialization
+    * job — used by the throughput benchmark, where per-action fixed
+    * overhead would otherwise mask compute scaling. Depth-limited by plan
+    * size; use [[runFixed]]/[[run]] beyond ~10 steps.
+    */
+  def chainFixed(edges: DataFrame, supersteps: Int): DataFrame = {
+    var labels = initLabels(GraphOps.vertices(edges))
+    var i = 0
+    while (i < supersteps) { i += 1; labels = superstep(edges, labels) }
+    labels
+  }
+
   /** Run to convergence. `edges` should be symmetrized for undirected
     * semantics and pre-partitioned via [[GraphOps.prepareForGather]].
     */
@@ -102,11 +129,12 @@ object LabelPropagation {
       checkpointEvery: Int = 5,
       maxIter: Option[Int] = None,
       skewPlan: Option[GraphOps.SkewPlan] = None,
-      earlyStop: Boolean = true): Superstep.Result = {
+      earlyStop: Boolean = true,
+      symmetric: Boolean = false): Superstep.Result = {
     val init = initLabels(GraphOps.vertices(edges))
     val step: DataFrame => DataFrame = skewPlan match {
       case Some(p) => labels => superstepSkewAware(p, labels)
-      case None    => labels => superstep(edges, labels)
+      case None    => labels => superstep(edges, labels, symmetric)
     }
     Superstep.run("lp", init, step, nNodes,
       earlyStop = earlyStop, checkpointer = checkpointer,

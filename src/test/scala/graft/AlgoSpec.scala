@@ -36,6 +36,16 @@ class LabelPropagationSpec extends GraftSuite {
     assert(got.values.toSet.size === 1)
   }
 
+  test("symmetric fast path equals general superstep on symmetrized graphs") {
+    val slots = undirected(Fixtures.karatePairs)
+    val edges = edgesDf(slots)
+    val n = GraphOps.vertices(edges).count()
+    val a = labelsMap(LabelPropagation.run(edges, n, earlyStop = false).labels)
+    val b = labelsMap(LabelPropagation.run(edges, n, earlyStop = false,
+      symmetric = true).labels)
+    assert(a === b)
+  }
+
   test("skew-aware superstep equals plain superstep") {
     val slots = undirected(Fixtures.karatePairs)
     val edges = edgesDf(slots)
