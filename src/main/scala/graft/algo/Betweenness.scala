@@ -1,0 +1,113 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Brandes betweenness centrality (reference `brandesSequential` /
+  * `brandesParallel`, `algorithms.h:29-250` — compiled but never wired
+  * into the reference CLI, SURVEY.md §2.7).
+  *
+  * Multi-source formulation: all sources advance one BFS level per
+  * superstep over a (source, vertex) keyed state table, so the level loop
+  * runs diameter times regardless of source count — the distributed
+  * replacement for the reference's per-source loop (`algorithms.h:51`)
+  * and its n×n GPU predecessor bitmask (`algorithms.h:151`), which
+  * becomes the (source, v, w) level-join below.
+  *
+  *   forward:  sigma(s,w) = Σ_{v: dist(s,v)=dist(s,w)-1, v→w} sigma(s,v)
+  *   backward: delta(s,v) = Σ_{w succ} sigma(s,v)/sigma(s,w) · (1+delta(s,w))
+  *   bc(v)    = Σ_s delta(s,v),  v ≠ s   (unnormalized, undirected pairs
+  *              counted twice — exactly Brandes on a symmetrized digraph)
+  *
+  * At web scale, run on a sampled source set (`sources`) — the standard
+  * approximation; exact = all vertices.
+  */
+object Betweenness {
+
+  def run(edges: DataFrame, sources: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").as("v"), col("dst").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- forward BFS: visited(s, id, dist, sigma) ----
+    // Every self-join below re-aliases its keys (fresh exprIds) — Spark's
+    // ambiguous-self-join detection rejects same-lineage joins otherwise.
+    var visited = sources.select(col("id").as("s"), col("id"),
+        lit(0).as("dist"), lit(1.0).as("sigma"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var level = 0
+    var maxLevel = 0
+    var go = true
+    while (go) {
+      level += 1
+      // rename e's columns through a fresh select so no dataset-tagged
+      // column reference appears on both sides (frontier already carries
+      // e in its lineage from the previous level)
+      val eRen = e.select(col("v").as("jv"), col("w").as("jw"))
+      val expanded = frontier
+        .select(col("s").as("es"), col("id").as("eid"), col("sigma").as("esigma"))
+        .join(eRen, col("eid") === col("jv"))
+        .select(col("es"), col("jw").as("nid"), col("esigma"))
+      val seen = visited.select(col("s").as("vs"), col("id").as("vid"))
+      val candidate = expanded
+        .join(seen, col("es") === col("vs") && col("nid") === col("vid"), "left_anti")
+        .groupBy(col("es"), col("nid")).agg(sum("esigma").as("sigma"))
+        .select(col("es").as("s"), col("nid").as("id"),
+          lit(level).as("dist"), col("sigma"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = candidate.count()
+      if (n == 0L) { go = false; candidate.unpersist(blocking = false) }
+      else {
+        maxLevel = level
+        val nv = visited.union(candidate)
+          .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+        visited.unpersist(blocking = false)
+        visited = nv
+        frontier = candidate
+      }
+    }
+
+    // ---- backward accumulation, level by level descending ----
+    // successors(s, v, w): dist(s,w) = dist(s,v) + 1 and edge v→w
+    var delta = visited.select(col("s"), col("id"), lit(0.0).as("delta"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var l = maxLevel
+    while (l > 0) {
+      val wLev = visited.filter(col("dist") === l)
+        .select(col("s").as("ws"), col("id").as("w"), col("sigma").as("sigmaW"))
+      val dW = delta.select(col("s").as("ds"), col("id").as("dw"),
+        col("delta").as("deltaW"))
+      val wSide = wLev
+        .join(dW, col("ws") === col("ds") && col("w") === col("dw"))
+        .select(col("ws"), col("w"), col("sigmaW"), col("deltaW"))
+      val vLev = visited.filter(col("dist") === l - 1)
+        .select(col("s").as("vs"), col("id").as("v"), col("sigma").as("sigmaV"))
+      val e2 = e.select(col("v").as("ev"), col("w").as("ew"))
+      val contrib = vLev
+        .join(e2, col("v") === col("ev"))
+        .join(wSide, col("vs") === col("ws") && col("ew") === col("w"))
+        .select(col("vs").as("cs"), col("v").as("cid"),
+          (col("sigmaV") / col("sigmaW") * (lit(1.0) + col("deltaW"))).as("c"))
+        .groupBy(col("cs"), col("cid")).agg(sum("c").as("add"))
+      val nd = delta
+        .join(contrib, delta("s") === col("cs") && delta("id") === col("cid"), "left")
+        .select(delta("s"), delta("id"),
+          (col("delta") + coalesce(col("add"), lit(0.0))).as("delta"))
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      delta.unpersist(blocking = false)
+      delta = nd
+      l -= 1
+    }
+
+    val bc = delta.filter(col("s") =!= col("id"))
+      .groupBy("id").agg(sum("delta").as("bc"))
+    e.unpersist(blocking = false)
+    bc
+  }
+
+  /** Exact BC: every vertex a source. */
+  def runExact(edges: DataFrame): DataFrame =
+    run(edges, graft.graph.GraphOps.vertices(edges))
+}

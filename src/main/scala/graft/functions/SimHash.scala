@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** 64-bit SimHash over a token array, as a native Catalyst expression
+  * with whole-stage codegen (`doGenCode`) — the preferred extension form
+  * when built-ins can't express an operator (here: the per-bit majority
+  * vote over token hashes needs a 64-cell accumulator per row, which no
+  * composition of built-in higher-order functions provides without
+  * exploding 64× rows).
+  *
+  * Definition: for each token, h = two 32-bit Murmur3 hashes (seeds 42,
+  * 0x9747b28c) concatenated to 64 bits; bit i of the simhash is 1 iff
+  * more tokens have bit i set than not. Near-duplicate docs differ in few
+  * bits (compare with `bit_count(a ^ b)`, a built-in).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got $other")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    java.lang.Long.valueOf(SimHash64.ofTokens(arr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.ofTokens($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  /** Shared by interpreted eval and generated code. */
+  def ofTokens(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val lo = hashUtf8(s, 42)
+        val hi = hashUtf8(s, 0x9747b28c)
+        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  private def hashUtf8(s: UTF8String, seed: Int): Int =
+    Murmur3_x86_32.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+      s.numBytes(), seed)
+
+  /** Column-API entry point (Spark 4: Column↔Expression via the classic
+    * bridge).
+    */
+  def simhash64(tokens: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimHash64(org.apache.spark.sql.GraftBridge.expression(tokens)))
+}

@@ -1,0 +1,109 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video handled as opaque `binary`
+  * payloads with typed metadata, plus batched decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The Spark-side plumbing — schema, partitioning, typed encoders, batch
+  * shape — is real and tested. The codec step itself is a clearly marked
+  * STUB: this container has no image/audio libraries, and the idiomatic
+  * production form (vectorized Python workers via `mapInPandas`) is a
+  * PySpark surface, so the Scala engine exposes the same batched
+  * contract through `mapPartitions` with a deterministic fake decoder
+  * where libjpeg/ffmpeg would be called. Swapping in a real codec touches
+  * only [[MediaCodec.decodeStub]].
+  */
+object Media {
+
+  final case class MediaMeta(width: Int, height: Int, sampleRate: Int, frames: Int)
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                            meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 features: Array[Float])
+
+  /** Deterministic synthetic media table derived from the documents table
+    * (payload = UTF-8 text bytes standing in for encoded frames).
+    */
+  def synthesize(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        (pmod(col("doc_id"), lit(8)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(8)) * 90 + 180).cast("int").as("height"),
+        lit(16000).as("sampleRate"),
+        (pmod(col("doc_id"), lit(100)) + 1).cast("int").as("frames")).as("meta"))
+
+  /** Batched decode + feature extraction. Batches of `batchSize` rows per
+    * call into the codec — the same batch contract `mapInPandas` gives
+    * Python workers (amortizes codec init across rows).
+    */
+  def decodeFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // one codec init per batch, not per row
+        val codec = MediaCodec.open()
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong,
+            codec.decodeStub(r.bytes, r.meta))
+        }
+      }
+    }
+  }
+
+  /** Resize: production = decode → scale → re-encode; stub keeps the
+    * payload contract (binary out, metadata updated) deterministically.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      // STUB: real impl re-encodes pixels; payload passthrough keeps shape
+      col("bytes"),
+      struct(lit(w).as("width"), lit(h).as("height"),
+        col("meta.sampleRate").as("sampleRate"),
+        col("meta.frames").as("frames")).as("meta"))
+
+  /** Frame sampling for video rows: every k-th frame index, as an array
+    * column (real impl would slice the container; indices are the
+    * contract the trainer consumes).
+    */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        sequence(lit(0), col("meta.frames") - 1, lit(everyK)).as("frame_indices"))
+}
+
+/** The codec seam. */
+object MediaCodec {
+  final class Handle private[MediaCodec] () {
+    /** STUB decode: deterministic 8-dim feature vector from byte-stream
+      * statistics (moments of the byte histogram). A real build replaces
+      * this body with libjpeg/ffmpeg calls — signature and batching stay.
+      */
+    def decodeStub(bytes: Array[Byte], meta: Media.MediaMeta): Array[Float] = {
+      var sum = 0L; var sumSq = 0L; var min = 255; var max = 0
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sum += b; sumSq += b.toLong * b
+        if (b < min) min = b
+        if (b > max) max = b
+        i += 1
+      }
+      val n = math.max(bytes.length, 1)
+      Array(
+        n.toFloat, sum.toFloat / n,
+        (sumSq.toFloat / n) - (sum.toFloat / n) * (sum.toFloat / n),
+        min.toFloat, max.toFloat,
+        meta.width.toFloat, meta.height.toFloat, meta.frames.toFloat)
+    }
+  }
+  def open(): Handle = new Handle()
+}

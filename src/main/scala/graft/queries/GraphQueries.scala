@@ -151,6 +151,15 @@ object GraphQueries {
       oneRow(s, "nmi_e6", math.round(Measures.nmi(attr, cc) * 1000000))
     }),
 
+    // Brandes betweenness, sampled sources (rows-only check: no tractable
+    // SQL oracle; validated against an in-memory Brandes in ScalaTest)
+    "g_bc_sampled" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      graft.algo.Betweenness.run(e, sources)
+        .select(col("id"), round(col("bc") * 1000).cast("long").as("bc_e3"))
+    }),
+
     "g_confusion" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()

@@ -197,7 +197,64 @@ object PipelineQueries {
     "m_media_meta" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))))
+        ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"))),
+
+    // stateful sessionization (flatMapGroupsWithState) vs a
+    // gaps-and-islands SQL oracle
+    "ev_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionize(ev, gapSec = 1800)
+        .toDF("user_id", "events", "start_epoch", "end_epoch")
+    }),
+
+    // the streaming path (memory sink, Complete mode) must equal the batch
+    // rollup — same oracle SQL as ev_hourly
+    "ev_stream_hourly" -> ((s, dir) =>
+      graft.streaming.EventStreams
+        .runStreamOnce(s, s"$dir/events.parquet", "graft_verify_stream")
+        .select("hour_epoch", "event_type", "n", "sum_value_e3")),
+
+    // ---- rows-only checks (engine-specific hashing, no DuckDB analog) ----
+
+    // 64-bit SimHash via the native Catalyst expression
+    "d_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("simhash"))),
+
+    // SimHash near-dup pairs (Hamming <= 8)
+    "d_simhash_dups" -> ((s, dir) => {
+      val h = docs(s, dir).select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("h"))
+      val a = h.select(col("doc_id").as("a"), col("h").as("ha"))
+      val b = h.select(col("doc_id").as("b"), col("h").as("hb"))
+      a.crossJoin(b).filter(col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= 8)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // LSH-bucketed approximate nearest neighbours (scale path of e_ann_topk)
+    "e_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.functions.Similarity.lshTopK(e, e.filter(col("vec_id") % 50 === 0),
+        k = 5, nPlanes = 4)
+    }),
+
+    // batched media decode over opaque binary + typed metadata
+    "m_media_decode" -> ((s, dir) => {
+      val media = graft.media.Media.synthesize(docs(s, dir))
+      graft.media.Media.decodeFeatures(media, batchSize = 64)
+        .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("features"), 2) * 1000).cast("long")
+            .as("mean_byte_e3"))
+    }))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -299,5 +356,28 @@ object PipelineQueries {
     "m_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, t,
+        |        CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, count(*) AS events, min(t) AS start_epoch,
+        |       max(t) AS end_epoch
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "ev_stream_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |event_type, count(*) AS n,
+        |CAST(ROUND(sum(value) * 1000) AS BIGINT) AS sum_value_e3
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

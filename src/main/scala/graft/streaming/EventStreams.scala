@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference engine is batch-iterative and has no streaming surface
+  * (SURVEY.md §2.9); these operators exist for the engine's data-pipeline
+  * role: incremental ingestion of new page/event batches feeding the
+  * batch graph builds. Batch/stream parity: [[hourlyRollup]] is the same
+  * plan as the `ev_hourly` driver-gate query, so one definition serves
+  * both `read` and `readStream` inputs (tested for equality in
+  * StreamingSpec).
+  */
+object EventStreams {
+
+  /** Watermarked sliding-window rollup — works on batch or streaming
+    * input alike (Catalyst plans the streaming aggregation + state store
+    * when the source is a stream).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      // parquet TIMESTAMP_NTZ → TIMESTAMP: watermarks require an
+      // instant-typed event time (values preserved, session TZ is UTC)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 1000).cast("long").as("sum_value_e3"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value_e3"))
+
+  /** Same rollup keyed by epoch instead of window struct — byte-equal to
+    * the batch `ev_hourly` query.
+    */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events.groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 1000).cast("long").as("sum_value_e3"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(count: Long, first: Long, last: Long)
+  final case class UserSession(user_id: Long, events: Long,
+                               startEpoch: Long, endEpoch: Long)
+
+  /** Stateful sessionization: per-user sessions closed after `gapSec` of
+    * inactivity (custom state via flatMapGroupsWithState — the engine's
+    * KeyValueGroupedDataset escape hatch for semantics windowed aggs can't
+    * express).
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Batch-mode semantics: all rows for the key arrive at once;
+          // emit every closed session, keep the last one open in state.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if t - s.last <= gapSec =>
+                cur = Some(SessionState(s.count + 1, s.first, t))
+              case Some(s) =>
+                out += UserSession(user, s.count, s.first, s.last)
+                cur = Some(SessionState(1, t, t))
+              case None =>
+                cur = Some(SessionState(1, t, t))
+            }
+          }
+          cur.foreach(s => out += UserSession(user, s.count, s.first, s.last))
+          if (state.exists) state.remove() // batch mode: nothing persists
+          out.iterator
+      }
+  }
+
+  /** Run a streaming query over a parquet directory with the memory sink —
+    * the local smoke harness (one batch ≙ the directory's files).
+    */
+  def runStreamOnce(spark: SparkSession, path: String, name: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    // the streaming file source lists a DIRECTORY; wrap a bare file
+    val dir = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-stream")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        d.toString
+      }
+    }
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    // Complete mode: with a single finite batch the watermark never
+    // advances past the windows, so Append would emit nothing.
+    val q = windowedCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
