@@ -51,9 +51,32 @@ object Probe {
         .agg(max_by(col("label"), struct(col("cnt"), negate(col("label")))).as("label"))
     }
 
+    // hash-only argmax: max-count, join back, min-label — no SortAggregate
+    def superstepHashArgmax(labels: DataFrame): DataFrame = {
+      val msgs = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), labels("label"))
+      val counts = msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+      val maxes = counts.groupBy(col("id")).agg(max(col("cnt")).as("mx"))
+        .select(col("id").as("mid"), col("mx"))
+      counts.join(maxes, col("id") === col("mid") && col("cnt") === col("mx"))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    }
+    // packed-long argmax: single hash agg, (cnt << 40 | ~label) max
+    def superstepPacked(labels: DataFrame): DataFrame = {
+      val msgs = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), labels("label"))
+      val counts = msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+      val packed = counts.groupBy(col("id"))
+        .agg(max(shiftleft(col("cnt"), 40) + (lit((1L << 40) - 1) - col("label")))
+          .as("p"))
+      packed.select(col("id"),
+        (lit((1L << 40) - 1) - (col("p").bitwiseAND(lit((1L << 40) - 1)))).as("label"))
+    }
     val step: DataFrame => DataFrame = variant match {
       case "repart" | "repart-noaqe" => superstepRepart
       case "nofb" | "nofb-noaqe"     => superstepNoFb
+      case "hashargmax"              => superstepHashArgmax
+      case "packed"                  => superstepPacked
       case _ => l => LabelPropagation.superstep(edges, l)
     }
     var labels = LabelPropagation.initLabels(GraphOps.vertices(edges))
