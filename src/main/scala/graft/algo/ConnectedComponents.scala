@@ -32,12 +32,14 @@ object ConnectedComponents {
       edges: DataFrame,
       nNodes: Long,
       checkpointer: Option[Checkpointer] = None,
+      checkpointEvery: Int = 5,
       maxIter: Option[Int] = None): Superstep.Result = {
     val init = LabelPropagation.initLabels(GraphOps.vertices(edges))
     // Early-stop/plateau heuristics are for LP's noisy community curve; CC
     // is monotone so only the exact changes==0 rule applies.
     Superstep.run("cc", init, labels => superstep(edges, labels), nNodes,
       earlyStop = false, plateau = false,
-      checkpointer = checkpointer, maxIter = maxIter)
+      checkpointer = checkpointer, checkpointEvery = checkpointEvery,
+      maxIter = maxIter)
   }
 }

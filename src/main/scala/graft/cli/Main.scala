@@ -60,8 +60,18 @@ object Main {
     val cp = new Checkpointer(s"$outDir/checkpoints", spark)
 
     def runLp(): Unit = {
-      val r = LabelPropagation.run(edges, nNodes, checkpointer = Some(cp),
-        maxIter = maxIter)
+      // resume mid-convergence from the latest durable snapshot if present
+      val r = cp.latest("lp") match {
+        case Some((iter, snapshot)) =>
+          println(s"[graft] lp: resuming from checkpoint iter=$iter")
+          graft.engine.Superstep.run("lp", snapshot,
+            l => LabelPropagation.superstep(edges, l, symmetric = true),
+            nNodes, checkpointer = Some(cp), checkpointEvery = 1,
+            maxIter = maxIter)
+        case None =>
+          LabelPropagation.run(edges, nNodes, checkpointer = Some(cp),
+            checkpointEvery = 1, maxIter = maxIter, symmetric = true)
+      }
       r.labels.write.mode("overwrite").parquet(s"$outDir/lp_labels")
       val q = Measures.modularity(edges, r.labels)
       val c = Measures.communityCount(r.labels)
@@ -70,7 +80,7 @@ object Main {
     }
     def runCc(): Unit = {
       val r = ConnectedComponents.run(edges, nNodes, checkpointer = Some(cp),
-        maxIter = maxIter)
+        checkpointEvery = 1, maxIter = maxIter)
       r.labels.write.mode("overwrite").parquet(s"$outDir/cc_labels")
       println(s"[graft] cc: iters=${r.iterations} converged=${r.converged} " +
         s"components=${Measures.communityCount(r.labels)}")

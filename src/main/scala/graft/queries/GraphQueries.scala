@@ -151,6 +151,19 @@ object GraphQueries {
       oneRow(s, "nmi_e6", math.round(Measures.nmi(attr, cc) * 1000000))
     }),
 
+    // lexicographic dictionary encode (std::map id-assignment parity,
+    // Graph.cu:284-292) over a real string column
+    "g_dict_encode" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_mktsegment").as("name"))
+      GraphOps.dictionaryEncode(names)
+    }),
+
+    // degree-ascending re-encode (`sorted=1`, Graph.cu:254-282)
+    "g_degree_reorder" -> ((s, dir) =>
+      GraphOps.degreeReorder(demoEdges(s, dir))
+        .select(col("id"), col("newId").as("new_id"))),
+
     // Brandes betweenness, sampled sources (rows-only check: no tractable
     // SQL oracle; validated against an in-memory Brandes in ScalaTest)
     "g_bc_sampled" -> ((s, dir) => {
@@ -244,5 +257,17 @@ object GraphQueries {
       s"""WITH RECURSIVE $cte, $ccCte
          |SELECT v.id % 7 AS attr_label, c.label AS cc_label, count(*) AS n
          |FROM verts v JOIN cclab c ON v.id = c.id
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "g_dict_encode" ->
+      """SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+        |FROM (SELECT DISTINCT c_mktsegment AS name FROM customer) n""".stripMargin,
+
+    "g_degree_reorder" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1)
+         |SELECT v.id,
+         |  CAST(row_number() OVER (ORDER BY coalesce(d.degree, 0), v.id) - 1
+         |       AS BIGINT) AS new_id
+         |FROM verts v LEFT JOIN deg d ON v.id = d.id""".stripMargin)
 }
