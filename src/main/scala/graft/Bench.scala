@@ -196,14 +196,14 @@ object Bench {
     val (nPages, scaleVerts): (Long, Long) =
       if (sfDir.contains("sf0.001")) (2000L, 50000L)
       else if (sfDir.contains("sf0.01")) (20000L, 200000L)
-      else (200000L, 1000000L)
+      else (200000L, 600000L)
 
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")
-    val (low, high) =
-      if (scalingOnly) {
-        val empty = RunStats(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-        (empty, empty)
-      } else (runAt(8, nPages), runAt(32, nPages))
+    // one headline level only (local[32]); cross-level determinism is
+    // already evidenced by scaling_hash_match on the dedicated graph
+    val high =
+      if (scalingOnly) RunStats(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      else runAt(32, nPages)
 
     // Two-cluster-size evidence (N vs 4N cores) on the dedicated graph,
     // each level in its own JVM (clean-room, like separate spark-submits).
@@ -214,8 +214,8 @@ object Bench {
     // contended upper pair.
     val Array(nCores, n4Cores) = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
       .split(",").map(_.trim.toInt)
-    val steps = 3
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val steps = 2
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     // The sandbox host is multi-tenant and noisy; interleave repetitions
     // and take the per-level minimum (the standard noise-robust statistic).
     val runs = (1 to reps).flatMap { _ =>
@@ -240,8 +240,7 @@ object Bench {
         s""""4n_edges_per_sec":${f(eps32)},""" +
         s""""sec_n":${f(s8)},"sec_4n":${f(s32)},""" +
         s""""efficiency_n_to_4n":${f(efficiency)},""" +
-        s""""scaling_hash_match":${h8 == h32},""" +
-        s""""pipeline_hash_match":${low.labelHash == high.labelHash}}"""
+        s""""scaling_hash_match":${h8 == h32}}"""
     println(
       s"""{"metric":"lp_edges_per_sec_4n","value":${f(eps32)},""" +
         s""""unit":"edges/sec","queries":$queries,"sf":"$sfDir",""" +

@@ -140,7 +140,7 @@ final class Convergence(earlyStop: Boolean, usePlateau: Boolean = true) {
     * community-count history; returns relative RMSE as the reference's
     * `get_recm` does (`community_measures.cu:252-263`).
     */
-  private[engine] def curveFitRmse(ys: Seq[Long]): Double = {
+  private[graft] def curveFitRmse(ys: Seq[Long]): Double = {
     val xs = ys.indices.map(i => (i + 1).toDouble) // 1-based: no divide-by-zero
     val yd = ys.map(_.toDouble)
     var b = yd.head // init near the curve's scale

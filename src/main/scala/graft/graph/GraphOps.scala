@@ -142,6 +142,23 @@ object GraphOps {
   def neighbors(edges: DataFrame, id: Long): DataFrame =
     edges.filter(col("src") === id).select("dst")
 
+  /** Adjacency test (reference `getAij`, `community_measures.cu:24-43`):
+    * set form — left-semi existence join marking which of the requested
+    * pairs are edges (the scalar 0/1 lookup is `pairs` with one row).
+    */
+  def adjacent(edges: DataFrame, pairs: DataFrame): DataFrame =
+    pairs.join(edges, Seq("src", "dst"), "left_semi")
+
+  /** Seeded random vertex permutation (reference `getPermutation`,
+    * `algorithms.h:342-355` — used only by the async schedule, which the
+    * engine does not reproduce; provided for parity). Deterministic given
+    * the seed. The reference's Fisher-Yates variant never swaps into
+    * position 0 (`algorithms.h:349`) — a bug, not replicated.
+    */
+  def permutation(vertices: DataFrame, seed: Long): DataFrame =
+    vertices.orderBy(xxhash64(col("id"), lit(seed)))
+      .select(col("id"))
+
   /** CSR-blocked adjacency form: one row per vertex with a sorted neighbor
     * array — the reference's `indexs`/`edges_tail` pair as a nested column
     * (north_star: "CSR-blocked adjacency partitions").

@@ -58,7 +58,20 @@ object GraphReaders {
         (t(0), t(1), if (t.length > 2) t(2).toFloat else 1.0f)
       }
       .toDF("srcName", "dstName", "weight")
-    encodePairs(pairs.select("srcName", "dstName"), directed = false, dedup = true)
+    val (edges, dict) = encodePairs(pairs.select("srcName", "dstName"),
+      directed = false, dedup = true)
+    // re-attach parsed costs (reference keeps edges_cost, Graph.cu:442-447;
+    // multi-edge dedup keeps the minimum cost deterministically)
+    val srcD = dict.select(col("name").as("srcName"), col("id").as("wsrc"))
+    val dstD = dict.select(col("name").as("dstName"), col("id").as("wdst"))
+    val costs = pairs.join(srcD, "srcName").join(dstD, "dstName")
+      .select(col("wsrc"), col("wdst"), col("weight"))
+    val sym = costs.union(costs.select(col("wdst").as("wsrc"),
+      col("wsrc").as("wdst"), col("weight")))
+      .groupBy(col("wsrc").as("src"), col("wdst").as("dst"))
+      .agg(min("weight").as("weight"))
+    (edges.join(sym, Seq("src", "dst"), "left").na.fill(1.0, Seq("weight")),
+      dict)
   }
 
   /** Ground-truth labels scan (reference `getRealCommunities`,

@@ -46,6 +46,24 @@ class GraphOpsSpec extends GraftSuite {
     assert(Set(m(1L), m(2L), m(3L)) === Set(0L, 1L, 2L))
   }
 
+  test("adjacency test marks exactly the edge pairs") {
+    val slots = undirected(Seq((1L, 2L), (2L, 3L)))
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = GraphOps.adjacent(edgesDf(slots), pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 2L)))
+  }
+
+  test("permutation is a seeded deterministic reordering of the vertex set") {
+    val verts = (0L until 20L).toDF("id")
+    val p1 = GraphOps.permutation(verts, 7L).as[Long].collect().toSeq
+    val p2 = GraphOps.permutation(verts, 7L).as[Long].collect().toSeq
+    val p3 = GraphOps.permutation(verts, 8L).as[Long].collect().toSeq
+    assert(p1 === p2)
+    assert(p1.sorted === (0L until 20L))
+    assert(p1 !== p3)
+  }
+
   test("CSR blocks round-trip to COO") {
     val slots = undirected(Fixtures.twoCliquesBridge)
     val back = GraphOps.cooFromCsr(GraphOps.csrBlocks(edgesDf(slots)))

@@ -105,6 +105,11 @@ class ReadersSpec extends GraftSuite {
         |""".stripMargin, ".net")
     val (edges, _) = GraphReaders.readPajekNet(spark, path)
     assert(edges.count() === 6L) // 3 pairs × 2 directions, multi-edge dedup'd
+    // parsed costs survive, symmetrized; ids: a=0,b=1,c=2,d=3
+    val w = edges.as[(Long, Long, Float)].collect()
+      .map { case (s, d, c) => (s, d) -> c }.toMap
+    assert(w((3L, 2L)) === 2.5f && w((2L, 3L)) === 2.5f)
+    assert(w((0L, 1L)) === 1.0f)
   }
 
   test("ground truth: first occurrence wins") {
