@@ -19,6 +19,66 @@ import graft.graph.GraphOps
   */
 object ConnectedComponents {
 
+  /** Alternating large-star/small-star contraction (the O(log n)-round
+    * connected-components algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — the scale path for
+    * high-diameter graphs, where plain min-label propagation needs
+    * O(diameter) supersteps. Both operations preserve connectivity and
+    * monotonically decrease labels toward the component minimum:
+    *
+    *   large-star: every u links each strictly-larger neighbor v to
+    *               min(N(u) ∪ u)
+    *   small-star: every u links itself and smaller neighbors to the min
+    *
+    * State is the parent-pointer edge set; converged when stable. Final
+    * labels equal the component minimum — identical output contract to
+    * [[run]], so the two are interchangeable (asserted in tests).
+    */
+  def runAlternating(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    var g = GraphOps.symmetrize(edges.select("src", "dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      // large-star: for each u, m = min over (neighbors ∪ u); emit (v, m)
+      // for v in neighbors, v > u — keeps connectivity, shrinks stars
+      val mins = g.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val large = g.select(col("src").as("u"), col("dst").as("v"))
+        .join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(mins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star on the (now mostly parent-pointer) graph: point every
+      // node and its smaller neighbors at the neighborhood minimum
+      val lmins = large.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      val small = large.select(col("src").as("u"), col("dst").as("v"))
+        .join(lmins, "u")
+        .filter(col("v") <= col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .union(lmins.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = GraphOps.symmetrize(small)
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      done = next.except(g).isEmpty && g.except(next).isEmpty
+      g.unpersist(blocking = false)
+      small.unpersist(blocking = false)
+      g = next
+    }
+    // parent pointers: component min is each vertex's smallest neighbor
+    val labels = g.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+    // vertices isolated after contraction (= component minima) label themselves
+    val verts = GraphOps.vertices(GraphOps.symmetrize(edges.select("src", "dst")))
+    verts.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   def superstep(edges: DataFrame, labels: DataFrame): DataFrame = {
     val msgs = edges.join(labels, edges("dst") === labels("id"))
       .select(edges("src").as("id"), labels("label"))

@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions for SQL use, so `spark.sql("SELECT simhash64(tokens)...")`
+  * works in any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
+}
+
+/** Post-hoc registration on an already-built session (extensions only
+  * apply at session construction; `getOrCreate` on a live context ignores
+  * `withExtensions`).
+  */
+object GraftExtensions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+}

@@ -146,6 +146,44 @@ class SimilaritySpec extends GraftSuite {
   }
 }
 
+class AlternatingCcSpec extends GraftSuite {
+  import graft.algo.ConnectedComponents
+
+  test("large-star/small-star CC equals min-propagation on random graphs") {
+    val rnd = new scala.util.Random(19)
+    for (_ <- 1 to 4) {
+      val n = 5 + rnd.nextInt(30)
+      val pairs = (0 until n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val slots = undirected(pairs)
+        val got = labelsMap(ConnectedComponents.runAlternating(edgesDf(slots)))
+        assert(got === Oracles.connectedComponents(slots))
+      }
+    }
+  }
+
+  test("high-diameter path: alternating CC converges in far fewer rounds than the diameter") {
+    // 200-vertex path — min-propagation needs ~200 supersteps; the
+    // alternating algorithm is O(log n)
+    val pairs = (0L until 199L).map(i => (i, i + 1))
+    val slots = undirected(pairs)
+    val got = labelsMap(ConnectedComponents.runAlternating(edgesDf(slots), maxRounds = 20))
+    assert(got === (0L until 200L).map(_ -> 0L).toMap)
+  }
+
+  test("simhash64 is callable from SQL after registration") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql("SELECT simhash64(array('a','b')) AS h").collect()(0).getLong(0)
+    val viaCol = Seq(Seq("a", "b")).toDF("t")
+      .select(graft.functions.SimHash64.simhash64(org.apache.spark.sql.functions.col("t")))
+      .collect()(0).getLong(0)
+    assert(r === viaCol)
+  }
+}
+
 class BetweennessSpec extends GraftSuite {
 
   test("exact BC on karate matches in-memory Brandes") {
