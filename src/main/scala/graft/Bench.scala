@@ -68,7 +68,7 @@ object Bench {
       // every parallelism level).
       val supersteps = 5
       val (lpFixed, lpFixedSec) = time {
-        LabelPropagation.runFixed(edges, supersteps)
+        LabelPropagation.runFixed(edges, supersteps, symmetric = true)
       }
       val labelHash = lpFixed
         .agg(bit_xor(xxhash64(col("id"), col("label")))).first().getLong(0)

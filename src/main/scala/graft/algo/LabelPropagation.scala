@@ -122,12 +122,13 @@ object LabelPropagation {
     * oracle-checked fixed-step queries and benchmarks where the step
     * count must be identical across engines and parallelism levels.
     */
-  def runFixed(edges: DataFrame, supersteps: Int): DataFrame = {
+  def runFixed(edges: DataFrame, supersteps: Int,
+               symmetric: Boolean = false): DataFrame = {
     var labels = initLabels(GraphOps.vertices(edges))
     var i = 0
     while (i < supersteps) {
       i += 1
-      labels = superstep(edges, labels)
+      labels = superstep(edges, labels, symmetric)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
     }

@@ -117,7 +117,7 @@ object GraphQueries {
       ConnectedComponents.run(e, n).labels
     }),
 
-    "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3)),
+    "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
 
     "g_pagerank_t5" -> ((s, dir) =>
       PageRank.runFixed(demoEdges(s, dir), 5)
