@@ -112,6 +112,23 @@ object LabelPropagation {
     edges.join(labels, edges("dst") === labels("id"))
       .select(edges("src").as("id"), labels("label"))
 
+  /** Superstep over the CSR-blocked adjacency form (north_star:
+    * "CSR-blocked adjacency partitions"): one row per vertex with its
+    * neighbor array ([[GraphOps.csrBlocks]]). The gather explodes blocks
+    * back to COO lazily inside the plan — same messages, same argmax —
+    * while the stored/persisted representation is the compact blocked one
+    * (one row per vertex, array-encoded: smaller cache footprint and
+    * per-vertex locality). Equality with the COO superstep is asserted in
+    * tests.
+    */
+  def superstepCsr(blocks: DataFrame, labels: DataFrame,
+                   packedArgmax: Boolean = true): DataFrame = {
+    val msgs = GraphOps.cooFromCsr(blocks)
+      .join(labels, col("dst") === labels("id"))
+      .select(col("src").as("id"), labels("label"))
+    argmax(msgs, packedArgmax)
+  }
+
   /** Initial state: every vertex labeled with its own id
     * (`algorithms.h:402-404`).
     */

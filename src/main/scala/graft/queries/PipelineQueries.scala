@@ -73,6 +73,15 @@ object PipelineQueries {
       docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))),
 
+    // dedup materialization: the surviving corpus (min doc_id per hash)
+    "d_dedup_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keep = d.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // token counting (whitespace tokenizer)
     "d_token_counts" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -262,6 +271,11 @@ object PipelineQueries {
     "d_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |count(*) AS copies FROM documents GROUP BY 1""".stripMargin,
+
+    "d_dedup_docs" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY md5(text))""".stripMargin,
 
     "d_token_counts" ->
       """SELECT doc_id,

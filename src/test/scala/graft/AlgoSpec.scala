@@ -46,6 +46,16 @@ class LabelPropagationSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("CSR-blocked superstep equals COO superstep") {
+    val slots = undirected(Fixtures.karatePairs)
+    val edges = edgesDf(slots)
+    val blocks = GraphOps.csrBlocks(edges)
+    val init = LabelPropagation.initLabels(GraphOps.vertices(edges))
+    val a = labelsMap(LabelPropagation.superstep(edges, init, symmetric = true))
+    val b = labelsMap(LabelPropagation.superstepCsr(blocks, init))
+    assert(a === b)
+  }
+
   test("skew-aware superstep equals plain superstep") {
     val slots = undirected(Fixtures.karatePairs)
     val edges = edgesDf(slots)
