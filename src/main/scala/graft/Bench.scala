@@ -196,7 +196,7 @@ object Bench {
     val (nPages, scaleVerts): (Long, Long) =
       if (sfDir.contains("sf0.001")) (2000L, 50000L)
       else if (sfDir.contains("sf0.01")) (20000L, 200000L)
-      else (200000L, 600000L)
+      else (200000L, 400000L)
 
     val scalingOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")
     // one headline level only (local[32]); cross-level determinism is
