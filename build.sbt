@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr instead
+// of through sbt's logger: the logger prefixes every line with "[info] ",
+// which broke machine parsing of graft.Bench's single JSON result line
+// (BENCH_r01.json captured `[info] {...}` and recorded parsed: null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -110,4 +110,49 @@ object Betweenness {
   /** Exact BC: every vertex a source. */
   def runExact(edges: DataFrame): DataFrame =
     run(edges, graft.graph.GraphOps.vertices(edges))
+
+  /** Multi-source BFS shortest-path levels: (source, id, dist) — the
+    * forward pass of [[run]] without σ, exposed as its own operator
+    * because (unlike full Brandes) it has a tractable SQL analog
+    * (recursive closure with a depth bound), giving the driver's DuckDB
+    * gate direct coverage of the level-synchronous BFS machinery that
+    * betweenness builds on. Same frontier/anti-join shape: all sources
+    * advance one level per superstep, `diameter` rounds total.
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame): DataFrame = {
+    val e = edges.select(col("src").as("v"), col("dst").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.select(col("id").as("s"), col("id"),
+        lit(0).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var level = 0
+    var go = true
+    while (go) {
+      level += 1
+      val eRen = e.select(col("v").as("jv"), col("w").as("jw"))
+      val expanded = frontier
+        .select(col("s").as("es"), col("id").as("eid"))
+        .join(eRen, col("eid") === col("jv"))
+        .select(col("es"), col("jw").as("nid")).distinct()
+      val seen = visited.select(col("s").as("vs"), col("id").as("vid"))
+      val candidate = expanded
+        .join(seen, col("es") === col("vs") && col("nid") === col("vid"), "left_anti")
+        .select(col("es").as("s"), col("nid").as("id"), lit(level).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (candidate.count() == 0L) {
+        go = false
+        candidate.unpersist(blocking = false)
+      } else {
+        val nv = visited.union(candidate)
+          .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+        visited.unpersist(blocking = false)
+        visited = nv
+        frontier = candidate
+      }
+    }
+    e.unpersist(blocking = false)
+    visited.select(col("s").as("source"), col("id"),
+      col("dist").cast("long").as("dist"))
+  }
 }

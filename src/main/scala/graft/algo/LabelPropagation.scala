@@ -56,14 +56,67 @@ object LabelPropagation {
   val PackLabelBits = 40
   private val LabelMask = (1L << PackLabelBits) - 1
 
+  /** Packed-argmax eligibility: every vertex id (= every possible label)
+    * must fit 40 bits and every per-label neighbor count (bounded by max
+    * in-degree) must fit 23 bits. One aggregation job: per-dst group gives
+    * the in-degree and carries max(src), so both bounds come from a single
+    * shuffle. Every public entry point consults this (or an explicit
+    * caller override) — outside the budget `LabelMask - label` goes
+    * negative and the packed max would elect wrong winners silently.
+    */
+  def packedBudgetOk(edges: DataFrame): Boolean = {
+    val row = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("indeg"), max(col("src")).as("maxSrc"))
+      .agg(max(col("indeg")).as("maxDeg"),
+        max(greatest(col("dst"), col("maxSrc"))).as("maxId"))
+      .first()
+    row.getLong(1) < (1L << PackLabelBits) && row.getLong(0) < (1L << 23)
+  }
+
+  private def resolvePacked(edges: DataFrame, packed: Option[Boolean]): Boolean =
+    packed.getOrElse(packedBudgetOk(edges))
+
+  /** @param tieBreakSeed None = pinned MINIMUM label among the maxima (the
+    *        engine's oracle-checked default). Some(seed) = deterministic
+    *        HASHED tie-break: among max-count labels pick the one
+    *        minimizing xxhash64(id, label, seed) — an unbiased,
+    *        reproducible stand-in for the reference's `rand()` tie-break
+    *        (`algorithms.h:327`). The min-label pin is biased toward
+    *        low-label flooding, which on tie-heavy small graphs (karate)
+    *        collapses communities the reference's random choice preserves;
+    *        hashed mode reproduces the reference's QUALITY envelope while
+    *        staying deterministic across runs and parallelism levels.
+    *        Vary the seed per iteration (as [[run]] does) or repeated ties
+    *        repeat the same choice and can 2-cycle.
+    */
   def superstep(edges: DataFrame, labels: DataFrame,
                 symmetric: Boolean = false,
-                packedArgmax: Boolean = true): DataFrame = {
+                packedArgmax: Boolean = true,
+                tieBreakSeed: Option[Long] = None): DataFrame = {
     val msgs = gather(edges, labels)
-    val winners = argmax(msgs, packedArgmax)
+    val winners = tieBreakSeed match {
+      case Some(seed) => argmaxHashed(msgs, seed)
+      case None       => argmax(msgs, packedArgmax)
+    }
     if (symmetric) winners
     else labels.join(winners.withColumnRenamed("label", "newLabel"), Seq("id"), "left")
       .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
+  }
+
+  /** Hashed tie-break argmax (parity/quality mode): max-count → join-back
+    * → min by (hash, label). The struct ordering keeps the result total
+    * even under hash collisions. SortAggregate-planned (struct buffer) —
+    * acceptable: this mode exists for reference-quality parity runs, the
+    * throughput path is the packed argmax.
+    */
+  private def argmaxHashed(msgs: DataFrame, seed: Long): DataFrame = {
+    val counts = msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+    val maxes = counts.groupBy(col("id")).agg(max(col("cnt")).as("mx"))
+      .select(col("id").as("mid"), col("mx"))
+    counts.join(maxes, col("id") === col("mid") && col("cnt") === col("mx"))
+      .groupBy(col("id"))
+      .agg(min_by(col("label"),
+        struct(xxhash64(col("id"), col("label"), lit(seed)), col("label"))).as("label"))
   }
 
   /** mode-label with deterministic (max count, min label) tie-break.
@@ -122,11 +175,12 @@ object LabelPropagation {
     * tests.
     */
   def superstepCsr(blocks: DataFrame, labels: DataFrame,
-                   packedArgmax: Boolean = true): DataFrame = {
-    val msgs = GraphOps.cooFromCsr(blocks)
+                   packedArgmax: Option[Boolean] = None): DataFrame = {
+    val coo = GraphOps.cooFromCsr(blocks)
+    val msgs = coo
       .join(labels, col("dst") === labels("id"))
       .select(col("src").as("id"), labels("label"))
-    argmax(msgs, packedArgmax)
+    argmax(msgs, resolvePacked(coo, packedArgmax))
   }
 
   /** Initial state: every vertex labeled with its own id
@@ -138,31 +192,50 @@ object LabelPropagation {
   /** Exactly `supersteps` updates, no convergence actions — for
     * oracle-checked fixed-step queries and benchmarks where the step
     * count must be identical across engines and parallelism levels.
+    *
+    * Execution shape: each step's labels get a LAZY persist (they are
+    * referenced twice by the next step in non-symmetric mode), and an
+    * eager localCheckpoint only every `eagerEvery` steps (0 = never) to
+    * bound plan depth on long runs. No per-step materialization job —
+    * the per-step `persist + localCheckpoint(eager=true)` of round 1 ran
+    * one full job per superstep and measured 5× slower than this lazy
+    * chain on the bench graph (VERDICT r1).
+    *
+    * @param packedArgmax None = derive from [[packedBudgetOk]] (one extra
+    *        aggregation job); Some(b) = caller-asserted eligibility.
     */
   def runFixed(edges: DataFrame, supersteps: Int,
-               symmetric: Boolean = false): DataFrame = {
+               symmetric: Boolean = false,
+               packedArgmax: Option[Boolean] = None,
+               eagerEvery: Int = 10): DataFrame = {
+    val packed = resolvePacked(edges, packedArgmax)
     var labels = initLabels(GraphOps.vertices(edges))
     var i = 0
     while (i < supersteps) {
       i += 1
-      labels = superstep(edges, labels, symmetric)
+      labels = superstep(edges, labels, symmetric, packed)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .localCheckpoint(eager = true)
+      if (eagerEvery > 0 && i % eagerEvery == 0 && i < supersteps)
+        labels = labels.localCheckpoint(eager = true)
     }
     labels
   }
 
-  /** Lazily chained fixed supersteps: ONE action executes the whole
-    * multi-superstep DAG (each superstep's aggregations are shuffle
-    * boundaries, so stages run exactly once). No per-step materialization
-    * job — used by the throughput benchmark, where per-action fixed
-    * overhead would otherwise mask compute scaling. Depth-limited by plan
-    * size; use [[runFixed]]/[[run]] beyond ~10 steps.
+  /** Purely lazily chained fixed supersteps: ONE action executes the
+    * whole multi-superstep DAG with no intermediate persists (each
+    * superstep's aggregations are shuffle boundaries, so stages run
+    * exactly once when the result is consumed once). Depth-limited by
+    * plan size; use [[runFixed]]/[[run]] beyond ~10 steps.
     */
-  def chainFixed(edges: DataFrame, supersteps: Int): DataFrame = {
+  def chainFixed(edges: DataFrame, supersteps: Int,
+                 symmetric: Boolean = false,
+                 packedArgmax: Option[Boolean] = None): DataFrame = {
+    val packed = resolvePacked(edges, packedArgmax)
     var labels = initLabels(GraphOps.vertices(edges))
     var i = 0
-    while (i < supersteps) { i += 1; labels = superstep(edges, labels) }
+    while (i < supersteps) {
+      i += 1; labels = superstep(edges, labels, symmetric, packed)
+    }
     labels
   }
 
@@ -177,16 +250,17 @@ object LabelPropagation {
       maxIter: Option[Int] = None,
       skewPlan: Option[GraphOps.SkewPlan] = None,
       earlyStop: Boolean = true,
-      symmetric: Boolean = false): Superstep.Result = {
+      symmetric: Boolean = false,
+      tieBreakSeed: Option[Long] = None): Superstep.Result = {
     val init = initLabels(GraphOps.vertices(edges))
-    // packed argmax is valid iff every label (= vertex id) fits 40 bits
-    // and every per-label count (≤ max in-degree) fits 23 bits
-    val maxId = init.agg(max("id")).first().getLong(0)
-    val maxDeg = edges.groupBy("dst").count().agg(max("count")).first().getLong(0)
-    val packed = maxId < (1L << PackLabelBits) && maxDeg < (1L << 23)
+    val packed = packedBudgetOk(edges)
+    // hashed tie-break re-seeds per iteration (the reference re-draws
+    // rand() every call; a fixed per-(id,label) choice can 2-cycle)
+    var it = 0
+    def seedNow(): Option[Long] = { it += 1; tieBreakSeed.map(_ + it) }
     val step: DataFrame => DataFrame = skewPlan match {
       case Some(p) => labels => superstepSkewAware(p, labels, packed)
-      case None    => labels => superstep(edges, labels, symmetric, packed)
+      case None    => labels => superstep(edges, labels, symmetric, packed, seedNow())
     }
     Superstep.run("lp", init, step, nNodes,
       earlyStop = earlyStop, checkpointer = checkpointer,

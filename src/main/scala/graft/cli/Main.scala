@@ -60,14 +60,21 @@ object Main {
     val cp = new Checkpointer(s"$outDir/checkpoints", spark)
 
     def runLp(): Unit = {
+      val t0 = System.nanoTime()
       // resume mid-convergence from the latest durable snapshot if present
       val r = cp.latest("lp") match {
         case Some((iter, snapshot)) =>
           println(s"[graft] lp: resuming from checkpoint iter=$iter")
+          // stale snapshots beyond the resume point (from an interrupted
+          // farther-advanced run) would shadow the resumed run in latest()
+          cp.pruneAbove("lp", iter)
+          val packed = LabelPropagation.packedBudgetOk(edges)
           graft.engine.Superstep.run("lp", snapshot,
-            l => LabelPropagation.superstep(edges, l, symmetric = true),
+            l => LabelPropagation.superstep(edges, l, symmetric = true,
+              packedArgmax = packed),
             nNodes, checkpointer = Some(cp), checkpointEvery = 1,
-            maxIter = maxIter)
+            maxIter = maxIter, startIter = iter,
+            priorMetrics = cp.readMetrics("lp").filter(_.iteration <= iter))
         case None =>
           LabelPropagation.run(edges, nNodes, checkpointer = Some(cp),
             checkpointEvery = 1, maxIter = maxIter, symmetric = true)
@@ -77,6 +84,10 @@ object Main {
       val c = Measures.communityCount(r.labels)
       println(s"[graft] lp: iters=${r.iterations} converged=${r.converged} " +
         s"communities=$c modularity=$q")
+      // reference-format metrics row (tests.h:76-82 printCommunities):
+      // Nodes\tEdges\tCom\tMod\tNMI\tTime  (NMI = -1 without ground truth)
+      println(Measures.referenceRow(nNodes, nSlots / 2, c, q, nmi = -1.0,
+        timeSec = (System.nanoTime() - t0) / 1e9))
     }
     def runCc(): Unit = {
       val r = ConnectedComponents.run(edges, nNodes, checkpointer = Some(cp),

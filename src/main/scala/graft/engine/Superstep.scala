@@ -44,6 +44,16 @@ object Superstep {
     *                     (reference `lp_compare_labels`, `kernels.h:719-735`)
     * @param checkpointer optional durable per-superstep checkpointing
     */
+  /** @param startIter    resume offset: iteration numbering continues at
+    *                      `startIter + 1` so a resumed run never renumbers
+    *                      (and never overwrites) snapshots it did not write
+    *                      — pair with [[Checkpointer.pruneAbove]] to drop
+    *                      stale post-crash snapshots first
+    * @param priorMetrics  metrics history of the interrupted run up to the
+    *                      resume point; re-emitted in metrics.json (no
+    *                      history loss) and used to seed the convergence
+    *                      rules' community-count history
+    */
   def run(
       algorithm: String,
       initLabels: DataFrame,
@@ -53,15 +63,19 @@ object Superstep {
       plateau: Boolean = true,
       checkpointer: Option[Checkpointer] = None,
       checkpointEvery: Int = 5,
-      maxIter: Option[Int] = None): Result = {
+      maxIter: Option[Int] = None,
+      startIter: Int = 0,
+      priorMetrics: Seq[SuperstepMetrics] = Nil): Result = {
 
-    val cap = maxIter.getOrElse(maxIterations(nNodes))
+    val cap = startIter + maxIter.getOrElse(maxIterations(nNodes))
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
+    metrics ++= priorMetrics
     val conv = new Convergence(earlyStop, plateau)
+    priorMetrics.foreach(m => conv.seed(m.communities))
 
     var labels = initLabels.persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
-    var iter = 0
+    var iter = startIter
     var converged = false
 
     while (iter < cap && !converged) {
@@ -120,6 +134,15 @@ final class Convergence(earlyStop: Boolean, usePlateau: Boolean = true) {
   private val history = ArrayBuffer.empty[Long] // community count per iter
   private var lastDelta: Option[Long] = None
 
+  /** Preload one community-count observation (resume support): replays the
+    * interrupted run's history so plateau/curve-fit behave as if the run
+    * had never stopped.
+    */
+  def seed(communities: Long): Unit = {
+    lastDelta = history.lastOption.map(communities - _)
+    history += communities
+  }
+
   def shouldStop(iter: Int, changes: Long, communities: Long): Boolean = {
     if (changes == 0L) return true
     val delta: Option[Long] = history.lastOption.map(communities - _)
@@ -137,8 +160,13 @@ final class Convergence(earlyStop: Boolean, usePlateau: Boolean = true) {
   }
 
   /** Gradient-descent fit of y = b/x (x = iteration, 1-based) to the
-    * community-count history; returns relative RMSE as the reference's
-    * `get_recm` does (`community_measures.cu:252-263`).
+    * community-count history; returns ABSOLUTE RMSE, matching the
+    * reference's `get_recm` (`community_measures.cu:252-263`) so the
+    * 0.4 threshold carries the same meaning: fire only when the curve is
+    * essentially exactly b/x (in practice the plateau rule usually fires
+    * first, as in the reference). Round 1 shipped a relative-RMSE variant
+    * that stopped far earlier than the ported rule implied — reverted to
+    * reference semantics per ADVICE r1.
     */
   private[graft] def curveFitRmse(ys: Seq[Long]): Double = {
     val xs = ys.indices.map(i => (i + 1).toDouble) // 1-based: no divide-by-zero
@@ -157,7 +185,7 @@ final class Convergence(earlyStop: Boolean, usePlateau: Boolean = true) {
     var se = 0.0
     var i = 0
     while (i < xs.length) {
-      val e = (b / xs(i) - yd(i)) / math.max(yd(i), 1.0)
+      val e = b / xs(i) - yd(i)
       se += e * e
       i += 1
     }
@@ -201,6 +229,43 @@ final class Checkpointer(val dir: String, spark: SparkSession) {
     java.nio.file.Files.createDirectories(p)
     java.nio.file.Files.writeString(p.resolve("metrics.json"), json)
   }
+
+  /** Metrics history as last written by [[writeMetrics]] (empty if none).
+    * Hand-rolled parse of the hand-rolled JSON above — no JSON library in
+    * the offline classpath beyond Spark's internals.
+    */
+  def readMetrics(algorithm: String): Seq[SuperstepMetrics] = {
+    val p = java.nio.file.Paths.get(s"$dir/$algorithm/metrics.json")
+    if (!java.nio.file.Files.isRegularFile(p)) return Nil
+    val txt = java.nio.file.Files.readString(p)
+    val rec = """\{"algorithm":"([^"]+)","iteration":(\d+),"changes":(\d+),"communities":(\d+),"wallMillis":(\d+)\}""".r
+    rec.findAllMatchIn(txt).map { m =>
+      SuperstepMetrics(m.group(1), m.group(2).toInt, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong)
+    }.toSeq
+  }
+
+  /** Delete label/lineage snapshots with iteration > `iter` — called
+    * before resuming so stale snapshots from a previous (farther-advanced
+    * but then re-interrupted) run can never shadow the resumed run's
+    * progress in [[latest]].
+    */
+  def pruneAbove(algorithm: String, iter: Int): Unit =
+    Seq("labels", "lineage").foreach { kind =>
+      val base = java.nio.file.Paths.get(s"$dir/$algorithm/$kind")
+      if (java.nio.file.Files.isDirectory(base)) {
+        java.nio.file.Files.list(base).toArray.toSeq.map(_.toString).foreach { p =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          if (name.startsWith("iter=") && name.stripPrefix("iter=").toInt > iter) {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete(); ()
+            }
+            rm(new java.io.File(p))
+          }
+        }
+      }
+    }
 
   /** Latest durable snapshot for `algorithm`, if any — the resume point. */
   def latest(algorithm: String): Option[(Int, DataFrame)] = {

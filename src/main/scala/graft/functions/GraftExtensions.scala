@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      (children: Seq[Expression]) => SimHashMd5(children.head)))
   }
 }
 
@@ -24,7 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * `withExtensions`).
   */
 object GraftExtensions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_md5", exprs => SimHashMd5(exprs.head), "built-in")
+  }
 }

@@ -88,3 +88,89 @@ object SimHash64 {
     org.apache.spark.sql.GraftBridge.column(
       SimHash64(org.apache.spark.sql.GraftBridge.expression(tokens)))
 }
+
+/** 60-bit SimHash with an MD5 token hash — same majority-vote core as
+  * [[SimHash64]], but the per-token hash is the first 15 hex chars of
+  * `md5(token)` (= top 60 bits of the digest), a function both this engine
+  * and DuckDB compute identically, so the whole operator is verifiable by
+  * the driver's DuckDB oracle end to end ([[SimHash64]]'s Murmur3 mix is
+  * Spark-internal and has no DuckDB analog, which left round 1's simhash
+  * queries rows-only). 60 bits also keeps the value strictly positive in
+  * a signed BIGINT on both engines. Murmur3 [[SimHash64]] remains the
+  * throughput path; this is the verified-parity path.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_md5 requires array<string>, got $other")
+    }
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHashMd5.ofTokens(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHashMd5.ofTokens($c);")
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_md5"
+}
+
+object SimHashMd5 {
+  val Bits = 60
+
+  /** Top 60 bits of md5(utf8 bytes): numerically equal to parsing the
+    * first 15 hex chars of the digest string — the DuckDB-side form is
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`.
+    */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** Shared by interpreted eval and generated code. Empty/null-only token
+    * arrays hash to 0 on both engines (no votes → no bits set).
+    */
+  def ofTokens(arr: ArrayData): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](Bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        h = h >>> 4
+        var b = 0
+        while (b < Bits) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < Bits) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def simhashMd5(tokens: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimHashMd5(org.apache.spark.sql.GraftBridge.expression(tokens)))
+}

@@ -26,20 +26,38 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Deterministic hyperplane coefficient for (plane, dim): uniform in
-    * [-1, 1] from a seeded hash — reproducible across runs/levels.
+  /** Deterministic hyperplane coefficients, materialized driver-side as
+    * PLAIN LITERALS (splitmix64 scramble quantized to 3 decimals in
+    * [-1, 1]). Literal constants — not a hash expression evaluated per
+    * row — for two reasons: (a) the projection is a zip_with against a
+    * constant array, no per-element hashing in the hot scan; (b) the same
+    * constants can be embedded verbatim in the DuckDB oracle SQL, making
+    * the LSH path end-to-end driver-verifiable (round 1's xxhash64-based
+    * coefficients had no DuckDB analog, leaving e_ann_lsh rows-only).
+    * 3-decimal quantization ⇒ the decimal text parses to the identical
+    * IEEE double in both engines.
     */
-  private def planeCoef(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d, lit(1337L)), lit(2001L)).cast("double") - 1000.0) / 1000.0
+  def planeCoefs(nPlanes: Int, dim: Int, seed: Long = 1337L): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      var z = seed + p.toLong * 0x9E3779B97F4A7C15L + (d + 1).toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (java.lang.Long.remainderUnsigned(z, 2001L) - 1000L) / 1000.0
+    }
 
-  /** Sign-bit LSH signature of the embedding column (`nPlanes` ≤ 62). */
-  def lshSignature(v: Column, nPlanes: Int): Column = {
+  /** Sign-bit LSH signature of the embedding column (`nPlanes` ≤ 62,
+    * `dim` must match the embedding width). The projection is rounded
+    * (×1e6) before the sign test so a sub-1e-12 cross-engine summation
+    * difference cannot flip a bucket bit.
+    */
+  def lshSignature(v: Column, nPlanes: Int, dim: Int = 64): Column = {
+    val coefs = planeCoefs(nPlanes, dim)
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x.cast("double") * planeCoef(p, i)),
+        zip_with(v, typedLit(coefs(p).toSeq), (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(round(proj * 1e6) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -48,6 +48,25 @@ object Measures {
     (eIn - perComm / m2) / m2
   }
 
+  /** The reference's summary row, byte-compatible with `printCommunities`
+    * (`tests.h:76-82`): `Nodes\tEdges\tCom\tMod\tNMI\tTime` — tab-separated,
+    * NMI = -1 when no ground-truth labels were supplied, so this engine's
+    * CLI output lines up side-by-side with the reference's `.tst` files.
+    * The reference prints float via default `cout` formatting (up to 6
+    * significant digits); matched with %.6g.
+    */
+  def referenceRow(nodes: Long, edges: Long, communities: Long,
+                   modularity: Double, nmi: Double, timeSec: Double): String = {
+    def g6(d: Double) = {
+      val s = "%.6g".format(d)
+      // trim trailing zeros like cout does (0.277038 not 0.277038000)
+      if (s.contains('.') && !s.contains('e'))
+        s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    s"$nodes\t$edges\t$communities\t${g6(modularity)}\t${g6(nmi)}\t${g6(timeSec)}"
+  }
+
   /** Distinct-label count (`countCommunities`,
     * `community_measures.cu:75-78`) — exact, used for stopping rules.
     */

@@ -98,9 +98,13 @@ object MediaCodec {
         i += 1
       }
       val n = math.max(bytes.length, 1)
+      // moments accumulate in double and quantize to float LAST: double
+      // division of exact integers is bit-identical across engines, so a
+      // SQL oracle (CAST(sum/n AS REAL)) reproduces these features exactly
+      val mean = (sum.toDouble / n).toFloat
+      val variance = (sumSq.toDouble / n - (sum.toDouble / n) * (sum.toDouble / n)).toFloat
       Array(
-        n.toFloat, sum.toFloat / n,
-        (sumSq.toFloat / n) - (sum.toFloat / n) * (sum.toFloat / n),
+        n.toFloat, mean, variance,
         min.toFloat, max.toFloat,
         meta.width.toFloat, meta.height.toFloat, meta.frames.toFloat)
     }

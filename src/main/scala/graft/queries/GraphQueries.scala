@@ -164,13 +164,23 @@ object GraphQueries {
       GraphOps.degreeReorder(demoEdges(s, dir))
         .select(col("id"), col("newId").as("new_id"))),
 
-    // Brandes betweenness, sampled sources (rows-only check: no tractable
-    // SQL oracle; validated against an in-memory Brandes in ScalaTest)
+    // Brandes betweenness, sampled sources (rows-only check: the σ/δ
+    // accumulation has no tractable SQL oracle; validated against an
+    // in-memory Brandes in ScalaTest — the BFS machinery it builds on is
+    // driver-oracled via g_bfs_levels below)
     "g_bc_sampled" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
       graft.algo.Betweenness.run(e, sources)
         .select(col("id"), round(col("bc") * 1000).cast("long").as("bc_e3"))
+    }),
+
+    // multi-source BFS shortest-path levels (the forward pass of Brandes,
+    // oracled via a depth-bounded recursive closure)
+    "g_bfs_levels" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      graft.algo.Betweenness.bfsLevels(e, sources)
     }),
 
     "g_confusion" -> ((s, dir) => {
@@ -262,6 +272,18 @@ object GraphQueries {
     "g_dict_encode" ->
       """SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id
         |FROM (SELECT DISTINCT c_mktsegment AS name FROM customer) n""".stripMargin,
+
+    "g_bfs_levels" ->
+      s"""WITH RECURSIVE $cte,
+         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < 40)
+         |SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
+         |FROM reach GROUP BY 1, 2""".stripMargin,
 
     "g_degree_reorder" ->
       s"""WITH $cte,

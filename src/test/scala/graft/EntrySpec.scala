@@ -30,7 +30,9 @@ class EntrySpec extends GraftSuite {
 
   test("curve-fit early stop: fires on a 1/x community curve, not on a flat noisy one") {
     val conv = new Convergence(earlyStop = true)
-    val decay = (1 to 12).map(t => (1000.0 / t).toLong)
+    // absolute RMSE (reference get_recm semantics): use an EXACT b/x curve
+    // (27720 = lcm(1..12)) so the residual of the fitted curve is ~0
+    val decay = (1 to 12).map(t => 27720L / t)
     assert(conv.curveFitRmse(decay) < 0.4)
     val noisy = Seq.fill(12)(500L).zipWithIndex.map { case (v, i) => v + (i % 2) * 400 }
     assert(conv.curveFitRmse(noisy) >= 0.4)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algo.{LabelPropagation, SemiSyncLP}
+import graft.graph.GraphOps
+import graft.measures.Measures
+import graft.sources.GraphReaders
+
+/** End-to-end quality-envelope parity on the REFERENCE'S OWN datasets
+  * (the `.net` files under `/root/reference/datasets/converted`, published
+  * results in the `.tst` files under `tests/results`): read the Pajek
+  * file with the engine's reader,
+  * run LP to convergence, and assert communities/modularity land inside
+  * the envelope the reference publishes across its schedules
+  * (seq/par × sync/async/semisync — the reference tie-breaks at random,
+  * so its own runs span an envelope rather than a point):
+  *
+  *   karate   (34 n / 156 slots):  2-5 communities, Q in [0.12, 0.46]
+  *   football (115 n / 1226 slots): 9-13 communities, Q in [0.50, 0.62]
+  *
+  * Runs use the deterministic HASHED tie-break (`tieBreakSeed`): the
+  * engine's default pinned-min-label tie-break is biased toward low-label
+  * flooding, which on tie-heavy small graphs collapses communities the
+  * reference's random choice preserves (karate sync lands at Q=0.03 under
+  * min-label vs 0.17 hashed vs the reference's published 0.174-0.277).
+  * Hashed mode is the unbiased, reproducible stand-in for the reference's
+  * `rand()` tie-break — correctness of the update rule itself is gated
+  * separately (min-label mode vs the DuckDB oracle, `g_lp_t3`).
+  *
+  * Skipped (not failed) when the reference checkout isn't present.
+  */
+class ReferenceParitySpec extends GraftSuite {
+
+  private val datasets = "/root/reference/datasets/converted"
+
+  private def envelope(file: String, comLo: Long, comHi: Long,
+                       qLo: Double, qHi: Double): Unit = {
+    assume(new java.io.File(s"$datasets/$file").isFile,
+      s"reference dataset $file not present")
+    val (weighted, _) = GraphReaders.readPajekNet(spark, s"$datasets/$file")
+    val edges = GraphOps.prepareForGather(
+      weighted.select(col("src"), col("dst")), 8)
+    val n = GraphOps.vertices(edges).count()
+
+    val sync = LabelPropagation.run(edges, n, symmetric = true,
+      tieBreakSeed = Some(1L)).labels
+    val cSync = Measures.communityCount(sync)
+    val qSync = Measures.modularity(edges, sync)
+    info(s"$file sync: $cSync communities, Q=$qSync")
+    assert(cSync >= comLo && cSync <= comHi,
+      s"$file sync communities $cSync outside [$comLo, $comHi]")
+    assert(qSync >= qLo && qSync <= qHi,
+      s"$file sync modularity $qSync outside [$qLo, $qHi]")
+
+    val (semi, _) = SemiSyncLP.run(edges, n, tieBreakSeed = Some(1L))
+    val cSemi = Measures.communityCount(semi)
+    val qSemi = Measures.modularity(edges, semi)
+    info(s"$file semisync: $cSemi communities, Q=$qSemi")
+    assert(cSemi >= comLo && cSemi <= comHi,
+      s"$file semisync communities $cSemi outside [$comLo, $comHi]")
+    assert(qSemi >= qLo && qSemi <= qHi,
+      s"$file semisync modularity $qSemi outside [$qLo, $qHi]")
+    edges.unpersist(blocking = false)
+  }
+
+  test("karate.net lands in the reference's published envelope") {
+    envelope("karate.net", 2, 5, 0.12, 0.46)
+  }
+
+  test("football.net lands in the reference's published envelope") {
+    envelope("football.net", 9, 13, 0.50, 0.62)
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algo.{AsyncEmuLP, Betweenness, LabelPropagation, SemiSyncLP}
+import graft.engine.{Checkpointer, Superstep}
+import graft.functions.{SimHashMd5, Similarity}
+import graft.graph.GraphOps
+import graft.model.SuperstepMetrics
+
+/** Round-2 additions: async-emulation LP, md5-simhash + pigeonhole
+  * banding, literal-coefficient LSH, BFS levels, checkpoint resume
+  * numbering.
+  */
+class AsyncEmuSpec extends GraftSuite {
+
+  private lazy val karate = {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    GraphOps.prepareForGather(e, 4)
+  }
+
+  test("batches=1 degenerates to synchronous LP (fixed sweeps == fixed supersteps)") {
+    val n = GraphOps.vertices(karate).count()
+    val (async1, _) = AsyncEmuLP.run(karate, n, batches = 1, maxSweeps = Some(3))
+    val sync = LabelPropagation.runFixed(karate, 3, symmetric = true)
+    assert(labelsMap(async1) === labelsMap(sync))
+  }
+
+  test("async emulation is deterministic and converges to a sweep fixed point") {
+    val n = GraphOps.vertices(karate).count()
+    val (a, sweepsA) = AsyncEmuLP.run(karate, n, batches = 8)
+    val (b, sweepsB) = AsyncEmuLP.run(karate, n, batches = 8)
+    assert(labelsMap(a) === labelsMap(b))
+    assert(sweepsA === sweepsB)
+    // fixed point: one more full sweep over the converged labels changes nothing
+    val la = labelsMap(a)
+    val after = labelsMap(LabelPropagation.superstep(
+      karate, a, symmetric = true,
+      packedArgmax = true))
+    // async fixed point is per-class against current labels, which at
+    // convergence equals the Jacobi fixed point too
+    assert(after === la)
+  }
+
+  test("async emulation lands in the karate quality envelope (reference async golden: 3 com, Q=0.4215)") {
+    // the reference's Pajek karate (same graph, dictionary-encoded ids):
+    // the async emulation reaches 2 communities Q=0.402 vs the reference's
+    // published seq-async 3 com Q=0.4215 (kar01.tst) — same quality family
+    assume(new java.io.File(
+      "/root/reference/datasets/converted/karate.net").isFile)
+    val (weighted, _) = graft.sources.GraphReaders.readPajekNet(spark,
+      "/root/reference/datasets/converted/karate.net")
+    val e = GraphOps.prepareForGather(weighted.select(col("src"), col("dst")), 4)
+    val n = GraphOps.vertices(e).count()
+    val (labels, _) = AsyncEmuLP.run(e, n, batches = 8)
+    val com = graft.measures.Measures.communityCount(labels)
+    val q = graft.measures.Measures.modularity(e, labels)
+    info(s"async-emu karate.net: $com communities, Q=$q")
+    assert(com >= 2 && com <= 6, s"communities $com")
+    assert(q > 0.1 && q < 0.5, s"modularity $q")
+    e.unpersist(blocking = false)
+  }
+}
+
+class SimHashMd5Spec extends GraftSuite {
+  import spark.implicits._
+
+  test("token hash equals DuckDB's ('0x' || substr(md5(t),1,15))::BIGINT form") {
+    // first 15 hex chars of md5('hello') = 5d41402abc4b2a7 = 419982666956583591
+    val h = SimHashMd5.tokenHash("hello".getBytes("UTF-8"))
+    assert(h === 419982666956583591L)
+    assert(h === java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
+  test("simhash_md5: order-invariant, 60-bit, codegen == interpreted") {
+    val df = Seq(Seq("x", "y", "z"), Seq("z", "x", "y")).toDF("t")
+    val viaExpr = df.select(SimHashMd5.simhashMd5(col("t"))).as[Long].collect()
+    assert(viaExpr(0) === viaExpr(1))              // vote counts are a bag
+    assert(viaExpr(0) >= 0 && viaExpr(0) < (1L << 60))
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array(org.apache.spark.unsafe.types.UTF8String.fromString("x"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("y"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("z")))
+    assert(viaExpr(0) === SimHashMd5.ofTokens(arr)) // interpreted path
+  }
+
+  test("pigeonhole banding finds exactly the all-pairs Hamming<=8 set") {
+    val dir = "/root/testdata/sf0.001"
+    val banded = graft.queries.PipelineQueries.queries("d_simhash_dups")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val h = docs.select(col("doc_id"),
+      SimHashMd5.simhashMd5(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("h"))
+    val a = h.select(col("doc_id").as("a"), col("h").as("ha"))
+    val b = h.select(col("doc_id").as("b"), col("h").as("hb"))
+    val allPairs = a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("d"))
+      .filter(col("d") <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === allPairs)
+  }
+}
+
+class BfsLevelsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("multi-source BFS levels match an in-memory BFS on karate") {
+    val slots = undirected(Fixtures.karatePairs)
+    val e = edgesDf(slots)
+    val sources = Seq(1L, 34L)
+    val got = Betweenness.bfsLevels(e, sources.toDF("id"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // reference BFS
+    val adj = slots.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    sources.foreach { s =>
+      var frontier = Set(s)
+      var dist = 0L
+      expect((s, s)) = 0L
+      while (frontier.nonEmpty) {
+        dist += 1
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+          .filter(w => !expect.contains((s, w)))
+        frontier.foreach(w => expect((s, w)) = dist)
+      }
+    }
+    assert(got === expect.toMap)
+  }
+}
+
+class ResumeNumberingSpec extends GraftSuite {
+
+  test("resume continues iteration numbering, prunes stale snapshots, keeps metrics history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val cp = new Checkpointer(dir, spark)
+    val edges = GraphOps.prepareForGather(
+      edgesDf(undirected(Fixtures.karatePairs)), 4)
+    val n = GraphOps.vertices(edges).count()
+    // run 1: up to three iterations, durable every iteration
+    val r1 = LabelPropagation.run(edges, n, checkpointer = Some(cp),
+      checkpointEvery = 1, maxIter = Some(3), symmetric = true)
+    val it1 = r1.iterations
+    assume(!r1.converged, "karate LP unexpectedly converged within 3 iters")
+    val Some((itSnap, snap)) = cp.latest("lp")
+    assert(itSnap === it1)
+    val prior = cp.readMetrics("lp")
+    assert(prior.map(_.iteration) === (1 to it1))
+    // simulate a stale farther-advanced snapshot from a crashed later run
+    snap.write.mode("overwrite").parquet(s"$dir/lp/labels/iter=${it1 + 4}")
+    cp.pruneAbove("lp", it1)
+    assert(cp.latest("lp").get._1 === it1)
+    // resume: numbering continues at it1+1, metrics history is preserved
+    val packed = LabelPropagation.packedBudgetOk(edges)
+    val r2 = Superstep.run("lp", snap,
+      l => LabelPropagation.superstep(edges, l, symmetric = true, packed),
+      n, checkpointer = Some(cp), checkpointEvery = 1,
+      maxIter = Some(2), startIter = it1,
+      priorMetrics = prior)
+    assert(r2.iterations > it1) // absolute numbering
+    val all = cp.readMetrics("lp")
+    assert(all.map(_.iteration).take(it1) === (1 to it1))
+    assert(all.map(_.iteration) === (1 to r2.iterations))
+    // the resumed run equals an uninterrupted run with the same flags and
+    // total cap (seeded convergence history ⇒ identical stopping decisions)
+    val straight = LabelPropagation.run(edges, n, maxIter = Some(it1 + 2),
+      symmetric = true)
+    assert(r2.iterations === straight.iterations)
+    assert(labelsMap(r2.labels) === labelsMap(straight.labels))
+  }
+}
+
+class MetricsRowSpec extends GraftSuite {
+  test("referenceRow matches the reference's printCommunities layout") {
+    val row = graft.measures.Measures.referenceRow(34, 78, 4, 0.277038, -1.0, 0.000119776)
+    assert(row === "34\t78\t4\t0.277038\t-1\t0.000119776")
+  }
+}
