@@ -130,8 +130,11 @@ object LabelPropagation {
     * join-back → min-label, also hash-only, for graphs outside the bit
     * budget.
     */
-  private def argmax(msgs: DataFrame, packed: Boolean): DataFrame = {
-    val counts = msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt"))
+  private def argmax(msgs: DataFrame, packed: Boolean): DataFrame =
+    argmaxFromCounts(
+      msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt")), packed)
+
+  private def argmaxFromCounts(counts: DataFrame, packed: Boolean): DataFrame = {
     if (packed) {
       counts.groupBy(col("id"))
         .agg(max(shiftleft(col("cnt"), PackLabelBits) +
@@ -144,6 +147,30 @@ object LabelPropagation {
       counts.join(maxes, col("id") === col("mid") && col("cnt") === col("mx"))
         .groupBy(col("id")).agg(min(col("label")).as("label"))
     }
+  }
+
+  /** WEIGHTED superstep: the per-vertex rule becomes argmax over the SUM
+    * OF INCIDENT EDGE WEIGHTS per label (unweighted = all weights 1). The
+    * reference parses and stores Pajek edge costs (`Graph.cu:442-447`) but
+    * its LP counts occurrences only; this generalization uses the same
+    * packed hash-aggregate argmax, so it costs exactly one extra column in
+    * the gather. Weights must be integral and per-label sums must fit the
+    * 23-bit budget for the packed path (`packedArgmax = false` otherwise).
+    *
+    * @param edges (src, dst, weight) — weight is the message strength dst
+    *        contributes to src's label vote
+    */
+  def superstepWeighted(edges: DataFrame, labels: DataFrame,
+                        symmetric: Boolean = false,
+                        packedArgmax: Boolean = true): DataFrame = {
+    val msgs = edges.join(labels, edges("dst") === labels("id"))
+      .select(edges("src").as("id"), labels("label"), edges("weight"))
+    val counts = msgs.groupBy(col("id"), col("label"))
+      .agg(sum(col("weight")).cast("long").as("cnt"))
+    val winners = argmaxFromCounts(counts, packedArgmax)
+    if (symmetric) winners
+    else labels.join(winners.withColumnRenamed("label", "newLabel"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
   }
 
   /** Skew-aware superstep: cold edges gather via shuffle join, hot edges

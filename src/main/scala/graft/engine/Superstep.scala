@@ -96,10 +96,16 @@ object Superstep {
 
       // Convergence scalars — the only data that crosses to the driver
       // (the reference copies the whole labels array back per iteration,
-      // `algorithms.h:735-739`; we keep labels distributed).
-      val changes = next.join(prev.withColumnRenamed("label", "labelAnt"), "id")
-        .filter(col("label") =!= col("labelAnt")).count()
-      val communities = next.select("label").distinct().count()
+      // `algorithms.h:735-739`; we keep labels distributed). Both scalars
+      // come from ONE aggregation job over the prev⋈next join.
+      val convRow = next.join(prev.withColumnRenamed("label", "labelAnt"), "id")
+        .agg(
+          coalesce(sum(when(col("label") =!= col("labelAnt"), 1L).otherwise(0L)),
+            lit(0L)).as("chg"),
+          countDistinct(col("label")).as("com"))
+        .first()
+      val changes = convRow.getLong(0)
+      val communities = convRow.getLong(1)
       val wallMs = (System.nanoTime() - t0) / 1000000L
 
       metrics += SuperstepMetrics(algorithm, iter, changes, communities, wallMs)

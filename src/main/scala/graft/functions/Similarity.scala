@@ -89,6 +89,79 @@ object Similarity {
     topK(sims, k)
   }
 
+  /** IVF approximate top-k with a SAMPLED coarse quantizer: centroids are
+    * the vectors with `vec_id % centStride == 0` (no Lloyd training in
+    * this path — cross-row float means are summation-order-dependent and
+    * would break bit-exact reproducibility across engines; see
+    * [[ivfTrain]] for the trained variant). Every vector is assigned to
+    * its nearest centroid (squared-L2, rounded ×1e6 before the argmin so
+    * a sub-ulp difference cannot flip a cell), queries probe the
+    * `nProbe` nearest cells, and candidates get an exact cosine re-rank.
+    *
+    * Scale shape: the centroid table is tiny and broadcast, so the build
+    * is a map-side |V|×K distance scan (the standard IVF build cost) and
+    * the search is a cell equi-join — no all-pairs anywhere.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              nProbe: Int = 2, centStride: Int = 29): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def nearestCells(side: DataFrame, idCol: String, vCol: String, top: Int) =
+      side.crossJoin(broadcast(cents))
+        .select(col(idCol), col(vCol),
+          col("cid"), round(sqDist(col(vCol), col("cv")) * 1e6).cast("long").as("d"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("d"), col("cid"))))
+        .filter(col("rk") <= top)
+    val assign = nearestCells(v, "vec_id", "v", 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val qprobe = nearestCells(
+        queries.select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv")),
+        "qid", "qv", nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val sims = qprobe.join(assign, "cid")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+      .dropDuplicates("qid", "vec_id")
+    topK(sims, k)
+  }
+
+  /** Lloyd-trained centroids (k-means) for IVF: `iters` rounds of
+    * assign + elementwise mean. Engine-side only — the cross-row mean is
+    * float-summation-order-dependent, so this variant is validated by
+    * recall tests in ScalaTest rather than a bit-exact SQL oracle.
+    * Returns (cid, cv).
+    */
+  def ivfTrain(vectors: DataFrame, centStride: Int = 29, iters: Int = 2): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var cents = v.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val assign = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cid"),
+          round(sqDist(col("v"), col("cv")) * 1e6).cast("long").as("d"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
+        .filter(col("rk") === 1)
+      cents = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    cents
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame =
     sims.withColumn("sim_e6", round(col("sim") * 1000000).cast("long"))
       .withColumn("rank", row_number().over(

@@ -45,6 +45,24 @@ object GraphQueries {
       |  SELECT e0.dst, reach.lab FROM reach JOIN e0 ON e0.src = reach.id
       |), cclab AS (SELECT id, min(lab) AS label FROM reach GROUP BY id)""".stripMargin
 
+  /** Weighted demo graph: same vertex space, integer weights derived from
+    * l_quantity; parallel edges aggregated by weight sum, symmetrized by
+    * summing both directions (⇒ weight(u,v) == weight(v,u)).
+    */
+  def demoWeightedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_linenumber") === 1)
+    val raw = li.select(
+        (col("l_orderkey") % NodeSpace).as("src"),
+        (col("l_partkey") % NodeSpace).as("dst"),
+        (col("l_quantity").cast("long") % 5 + 1).as("w"))
+      .filter(col("src") =!= col("dst"))
+    val agg = raw.groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    agg.select(col("src"), col("dst"), col("w"))
+      .union(agg.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).cast("long").as("weight"))
+  }
+
   def demoEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .filter(col("l_linenumber") === 1)
@@ -118,6 +136,20 @@ object GraphQueries {
     }),
 
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
+
+    // weighted LP (argmax over summed incident edge weights per label),
+    // 2 fixed supersteps on the weighted demo graph
+    "g_lp_weighted_t2" -> ((s, dir) => {
+      val e = demoWeightedEdges(s, dir)
+      var labels = LabelPropagation.initLabels(
+        GraphOps.vertices(e.select(col("src"), col("dst"))))
+      var i = 0
+      while (i < 2) {
+        i += 1
+        labels = LabelPropagation.superstepWeighted(e, labels, symmetric = true)
+      }
+      labels
+    }),
 
     "g_pagerank_t5" -> ((s, dir) =>
       PageRank.runFixed(demoEdges(s, dir), 5)
@@ -202,6 +234,31 @@ object GraphQueries {
     "g_cc" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
 
     "g_lp_t3" -> lpSql(3),
+
+    "g_lp_weighted_t2" ->
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |vw AS (SELECT DISTINCT src AS id FROM ew),
+         |t0 AS (SELECT id, id AS label FROM vw),
+         |k1 AS (SELECT ew.src AS id, p.label, sum(ew.weight) AS cnt
+         |       FROM ew JOIN t0 p ON ew.dst = p.id GROUP BY 1, 2),
+         |x1 AS (SELECT id, label FROM (
+         |         SELECT id, label, row_number() OVER (PARTITION BY id
+         |           ORDER BY cnt DESC, label ASC) AS rn FROM k1) t WHERE rn = 1),
+         |k2 AS (SELECT ew.src AS id, p.label, sum(ew.weight) AS cnt
+         |       FROM ew JOIN x1 p ON ew.dst = p.id GROUP BY 1, 2),
+         |x2 AS (SELECT id, label FROM (
+         |         SELECT id, label, row_number() OVER (PARTITION BY id
+         |           ORDER BY cnt DESC, label ASC) AS rn FROM k2) t WHERE rn = 1)
+         |SELECT id, label FROM x2""".stripMargin,
 
     "g_pagerank_t5" -> prSql(5),
 

@@ -120,20 +120,29 @@ object PipelineQueries {
 
     // MinHash + LSH near-dup candidates: 3-gram shingles → 8 minhashes →
     // 2 bands of 4 → band-bucket self-join
-    "d_minhash_pairs" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir))
-      val mh = sh.crossJoin(
-          s.range(8).select(col("id").as("i")))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast("string"), lit(":"), col("sh"))).as("h"))
-        .groupBy("doc_id", "i").agg(min(col("h")).as("h"))
-      val band = mh.groupBy(col("doc_id"), (col("i") / 4).cast("long").as("b"))
-        .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("h")))),
-          x => x.getField("h")), "|").as("sig"))
-      val a = band.select(col("doc_id").as("a"), col("b"), col("sig"))
-      val bdf = band.select(col("doc_id").as("b2"), col("b"), col("sig"))
-      a.join(bdf, Seq("b", "sig")).filter(col("a") < col("b2"))
-        .select(col("a"), col("b2").as("b")).distinct()
+    "d_minhash_pairs" -> ((s, dir) => minhashPairs(s, docs(s, dir))),
+
+    // the composed near-dup pipeline — the shape that runs at 100 TB:
+    // banded-MinHash CANDIDATES (bucketed equi-join) → exact n-gram
+    // Jaccard verify restricted to those pairs (candidate × shingle join,
+    // never the raw all-shingle self-join of d_ngram_jaccard)
+    "d_dedup_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = minhashPairs(s, d)
+      val sh = shingles(d)
+      val sz = sh.groupBy(col("doc_id").as("szd")).agg(count(lit(1)).as("n"))
+      val shA = sh.select(col("doc_id").as("a"), col("sh"))
+      val shB = sh.select(col("doc_id").as("b"), col("sh"))
+      val common = cand.join(shA, "a").join(shB, Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cm"))
+      common
+        .join(sz.withColumnRenamed("szd", "a").withColumnRenamed("n", "na"), "a")
+        .join(sz.withColumnRenamed("szd", "b").withColumnRenamed("n", "nb"), "b")
+        .select(col("a"), col("b"),
+          (col("cm").cast("double") / (col("na") + col("nb") - col("cm"))).as("j"))
+        .filter(col("j") >= 0.5)
+        .select(col("a"), col("b"),
+          round(col("j") * 1000).cast("long").as("jaccard_e3"))
     }),
 
     // n-gram Jaccard near-dup verify (same-source candidates, >= 0.5)
@@ -273,6 +282,14 @@ object PipelineQueries {
         k = 5, nPlanes = 4)
     }),
 
+    // IVF ANN with a sampled coarse quantizer (second scale path next to
+    // LSH): broadcast centroid assignment + cell equi-join + exact re-rank
+    "e_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.functions.Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0),
+        k = 5, nProbe = 2, centStride = 29)
+    }),
+
     // batched media decode over opaque binary + typed metadata; the stub
     // codec's byte-moment features are integer arithmetic + one float
     // quantization, so the oracle reproduces them from the raw text bytes
@@ -290,6 +307,25 @@ object PipelineQueries {
   private val simhashChunks: Seq[(Int, Int, Int)] =
     (0 until 6).map(i => (i, i * 7, 7)) ++
       (0 until 3).map(i => (6 + i, 42 + i * 6, 6))
+
+  /** Banded-MinHash near-dup candidate pairs (a < b): 8 minhashes over
+    * word-3-gram shingles, 2 bands of 4, band-signature equi-join.
+    */
+  private def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
+    val sh = shingles(d)
+    val mh = sh.crossJoin(
+        s.range(8).select(col("id").as("i")))
+      .select(col("doc_id"), col("i"),
+        md5(concat(col("i").cast("string"), lit(":"), col("sh"))).as("h"))
+      .groupBy("doc_id", "i").agg(min(col("h")).as("h"))
+    val band = mh.groupBy(col("doc_id"), (col("i") / 4).cast("long").as("b"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("h")))),
+        x => x.getField("h")), "|").as("sig"))
+    val a = band.select(col("doc_id").as("a"), col("b"), col("sig"))
+    val bdf = band.select(col("doc_id").as("b2"), col("b"), col("sig"))
+    a.join(bdf, Seq("b", "sig")).filter(col("a") < col("b2"))
+      .select(col("a"), col("b2").as("b")).distinct()
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -364,6 +400,37 @@ object PipelineQueries {
 
     "e_ann_lsh" -> annLshSql,
 
+    // IVF: nearest-of-sampled-centroids assignment (squared L2 rounded
+    // ×1e6 before the argmin, tie → centroid id), top-2 probed cells,
+    // exact cosine re-rank — the oracle recomputes the identical plan
+    "e_ann_ivf" ->
+      """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |            FROM embeddings),
+        |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 29 = 0),
+        |ad AS (SELECT vv.vec_id, vv.v, ct.cid,
+        |         CAST(ROUND(list_sum([(v[i+1]-cv[i+1])*(v[i+1]-cv[i+1])
+        |           for i in range(64)]) * 1000000) AS BIGINT) AS d
+        |       FROM vv, ct),
+        |assign AS (SELECT vec_id, v, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |  FROM ad) t WHERE rk = 1),
+        |qp AS (SELECT vec_id AS qid, v AS qv, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |  FROM ad WHERE vec_id % 50 = 0) t WHERE rk <= 2),
+        |cand AS (SELECT DISTINCT qp.qid, qp.qv, a.vec_id, a.v
+        |         FROM qp JOIN assign a ON qp.cid = a.cid
+        |         WHERE qp.qid <> a.vec_id),
+        |sims AS (SELECT qid, vec_id,
+        |          CAST(ROUND(list_sum([qv[i+1]*v[i+1] for i in range(64)])
+        |            / (sqrt(list_sum([qv[i+1]*qv[i+1] for i in range(64)]))
+        |             * sqrt(list_sum([v[i+1]*v[i+1] for i in range(64)])))
+        |            * 1000000) AS BIGINT) AS sim_e6
+        |         FROM cand)
+        |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM sims) t
+        |WHERE rank <= 5""".stripMargin,
+
     "m_media_decode" ->
       """WITH b AS (SELECT doc_id AS media_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -427,6 +494,30 @@ object PipelineQueries {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
          |WHERE x.doc_id < y.doc_id""".stripMargin,
+
+    // composed pipeline: banded-MinHash candidates, then exact Jaccard on
+    // candidates only — same CTEs as the two component oracles
+    "d_dedup_pipeline" ->
+      s"""WITH $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |         WHERE x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT c.a, c.b, count(*) AS cm
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.a
+         |  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+         |  GROUP BY 1, 2)
+         |SELECT a, b,
+         |  CAST(ROUND(cm::DOUBLE / (sa.n + sb.n - cm) * 1000) AS BIGINT) AS jaccard_e3
+         |FROM common JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
+         |WHERE cm::DOUBLE / (sa.n + sb.n - cm) >= 0.5""".stripMargin,
 
     "d_ngram_jaccard" ->
       s"""WITH $shinglesSql,

@@ -16,7 +16,8 @@ class EntrySpec extends GraftSuite {
   test("every query in SparkEntry.queries returns rows at sf0.001") {
     // d_ngram_jaccard legitimately returns 0 rows when no near-dups exist
     // at a scale; everything else must produce output
-    val allowEmpty = Set("d_ngram_jaccard", "d_simhash_dups", "e_cos_dups")
+    val allowEmpty = Set("d_ngram_jaccard", "d_simhash_dups", "e_cos_dups",
+      "d_dedup_pipeline")
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
       assert(allowEmpty(name) || n > 0, s"$name returned 0 rows")

