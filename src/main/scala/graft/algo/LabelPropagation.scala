@@ -89,14 +89,28 @@ object LabelPropagation {
     *        Vary the seed per iteration (as [[run]] does) or repeated ties
     *        repeat the same choice and can 2-cycle.
     */
+  /** @param mapSideCombine true (default) = partial-aggregate the
+    *        (id, label) message counts map-side and exchange twice (on
+    *        (id,label), then on id): shuffle volume is bounded by distinct
+    *        (vertex, neighbor-label) pairs, so a hot vertex's 10^8
+    *        messages compress to its label diversity — the skew-robust
+    *        plan for power-law graphs. false = repartition RAW messages by
+    *        id once, then BOTH aggregation levels run exchange-free
+    *        (HashPartitioning(id) satisfies the (id,label) clustering):
+    *        one exchange instead of two, measured ~10% faster per
+    *        superstep on the bench graph — but the raw shuffle keys by
+    *        vertex, so a hot vertex lands on one reducer; use only when
+    *        max in-degree is a small fraction of |E| / partitions.
+    */
   def superstep(edges: DataFrame, labels: DataFrame,
                 symmetric: Boolean = false,
                 packedArgmax: Boolean = true,
-                tieBreakSeed: Option[Long] = None): DataFrame = {
+                tieBreakSeed: Option[Long] = None,
+                mapSideCombine: Boolean = true): DataFrame = {
     val msgs = gather(edges, labels)
     val winners = tieBreakSeed match {
       case Some(seed) => argmaxHashed(msgs, seed)
-      case None       => argmax(msgs, packedArgmax)
+      case None       => argmax(msgs, packedArgmax, mapSideCombine)
     }
     if (symmetric) winners
     else labels.join(winners.withColumnRenamed("label", "newLabel"), Seq("id"), "left")
@@ -130,9 +144,12 @@ object LabelPropagation {
     * join-back → min-label, also hash-only, for graphs outside the bit
     * budget.
     */
-  private def argmax(msgs: DataFrame, packed: Boolean): DataFrame =
+  private def argmax(msgs: DataFrame, packed: Boolean,
+                     mapSideCombine: Boolean = true): DataFrame = {
+    val pre = if (mapSideCombine) msgs else msgs.repartition(col("id"))
     argmaxFromCounts(
-      msgs.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt")), packed)
+      pre.groupBy(col("id"), col("label")).agg(count(lit(1)).as("cnt")), packed)
+  }
 
   private def argmaxFromCounts(counts: DataFrame, packed: Boolean): DataFrame = {
     if (packed) {

@@ -203,6 +203,26 @@ class PlanGateR2Spec extends GraftSuite {
   }
 }
 
+class SingleExchangeSpec extends GraftSuite {
+
+  test("mapSideCombine=false superstep is bit-identical to the default plan") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 3) {
+      val n = 10 + rnd.nextInt(40)
+      val pairs = (0 until 3 * n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val e = edgesDf(undirected(pairs))
+        val init = LabelPropagation.initLabels(GraphOps.vertices(e))
+        val a = labelsMap(LabelPropagation.superstep(e, init, symmetric = true))
+        val b = labelsMap(LabelPropagation.superstep(e, init, symmetric = true,
+          mapSideCombine = false))
+        assert(a === b)
+      }
+    }
+  }
+}
+
 class WeightedLpSpec extends GraftSuite {
   import spark.implicits._
 
