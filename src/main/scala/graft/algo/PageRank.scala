@@ -97,6 +97,11 @@ object PageRank {
     var iter = 0
     while (iter < iterations) {
       iter += 1
+      // With danglers the per-iteration mass sum is an action anyway; on
+      // dangler-free (e.g. symmetrized) graphs the whole fixed run chains
+      // lazily — ranks are referenced once per iteration, so no plan
+      // doubling — with an eager truncation only every 5 iterations
+      // (round 1 materialized every iteration: one extra job each).
       val dMass =
         if (hasDangling)
           dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
@@ -111,7 +116,8 @@ object PageRank {
             lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
             .as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-        .localCheckpoint(eager = true)
+      if (hasDangling || (iter % 5 == 0 && iter < iterations))
+        ranks = ranks.localCheckpoint(eager = true)
     }
     ranks
   }

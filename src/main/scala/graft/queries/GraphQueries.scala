@@ -168,6 +168,16 @@ object GraphQueries {
       oneRow(s, "q_e6", math.round(Measures.modularity(e, lab) * 1000000))
     }),
 
+    // weighted modularity of the CC partition over the weighted demo graph
+    "g_modularity_weighted" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val ew = demoWeightedEdges(s, dir)
+      val n = GraphOps.vertices(e).count()
+      val lab = ConnectedComponents.run(e, n).labels
+      oneRow(s, "qw_e6",
+        math.round(Measures.modularityWeighted(ew, lab) * 1000000))
+    }),
+
     "g_community_count" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -298,6 +308,34 @@ object GraphQueries {
          |    FROM cclab l LEFT JOIN deg d ON l.id = d.id GROUP BY 1) g)
          |SELECT CAST(ROUND((ein.v - per.v / m2.v) / m2.v * 1000000) AS BIGINT) AS q_e6
          |FROM ein, per, m2""".stripMargin,
+
+    "g_modularity_weighted" ->
+      s"""WITH RECURSIVE $cte, $ccCte,
+         |rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |w2 AS (SELECT sum(weight)::DOUBLE AS v FROM ew),
+         |ein AS (
+         |  SELECT sum(ew.weight)::DOUBLE AS v FROM ew
+         |  JOIN cclab a ON ew.src = a.id
+         |  JOIN cclab b ON ew.dst = b.id
+         |  WHERE a.label = b.label AND ew.src <> ew.dst),
+         |st AS (SELECT src AS id, sum(weight) AS s FROM ew GROUP BY 1),
+         |per AS (
+         |  SELECT sum(ss * ss - ssq)::DOUBLE AS v FROM (
+         |    SELECT l.label, sum(coalesce(st.s, 0)) AS ss,
+         |           sum(coalesce(st.s, 0) * coalesce(st.s, 0)) AS ssq
+         |    FROM cclab l LEFT JOIN st ON l.id = st.id GROUP BY 1) g)
+         |SELECT CAST(ROUND((ein.v - per.v / w2.v) / w2.v * 1000000) AS BIGINT)
+         |       AS qw_e6
+         |FROM ein, per, w2""".stripMargin,
 
     "g_community_count" ->
       s"WITH RECURSIVE $cte, $ccCte SELECT count(DISTINCT label) AS communities FROM cclab",

@@ -235,6 +235,28 @@ class WeightedLpSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("weighted modularity with unit weights equals unweighted modularity") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val labels = GraphOps.vertices(e).select(col("id"), (col("id") % 3).as("label"))
+    val a = graft.measures.Measures.modularity(e, labels)
+    val b = graft.measures.Measures.modularityWeighted(
+      e.withColumn("weight", lit(1L)), labels)
+    assert(math.abs(a - b) < 1e-12, s"$a vs $b")
+  }
+
+  test("weighted modularity rewards heavy intra-community edges") {
+    // two pairs {0,1} {2,3} with heavy internal edges, light cross edges
+    import spark.implicits._
+    val ew = Seq(
+      (0L, 1L, 10L), (1L, 0L, 10L), (2L, 3L, 10L), (3L, 2L, 10L),
+      (1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "weight")
+    val good = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)).toDF("id", "label")
+    val bad = Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)).toDF("id", "label")
+    val qGood = graft.measures.Measures.modularityWeighted(ew, good)
+    val qBad = graft.measures.Measures.modularityWeighted(ew, bad)
+    assert(qGood > qBad && qGood > 0.3, s"good=$qGood bad=$qBad")
+  }
+
   test("weights steer the argmax: heavier neighbor wins over more numerous ones") {
     // vertex 0 has neighbors 1,2 (labels 1,2): two light edges to label-1
     // holders vs one heavy edge to the label-2 holder
@@ -274,6 +296,52 @@ class IvfSpec extends GraftSuite {
     // trained centroids are means: verify dimensionality survives
     assert(trained.select(size(col("cv"))).distinct().collect()
       .map(_.getInt(0)).toSeq === Seq(64))
+  }
+}
+
+class AppendModeStreamSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("append mode emits a window only after the watermark passes it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def write(name: String, rows: Seq[(Long, String, String, Double)]): Unit =
+      rows.toDF("event_id", "tss", "event_type", "value")
+        .select(col("event_id"), col("tss").cast("timestamp").as("ts"),
+          col("event_type"), col("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    // batch 1: all events inside hour 10
+    write("b1", Seq(
+      (1L, "2024-01-01 10:05:00", "click", 1.0),
+      (2L, "2024-01-01 10:25:00", "click", 2.0)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = graft.streaming.EventStreams.windowedCounts(stream)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("graft_append_test")
+      .start()
+    q.processAllAvailable()
+    // watermark = max(ts) - 1h = 09:25 — hour-10 window not closed yet
+    val afterB1 = spark.sql("SELECT * FROM graft_append_test").count()
+    assert(afterB1 === 0L, s"append emitted $afterB1 rows before watermark")
+    // batch 2: an event two hours later pushes the watermark past hour 10
+    write("b2", Seq((3L, "2024-01-01 12:30:00", "view", 5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT hour_epoch, event_type, n, sum_value_e3 FROM graft_append_test")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // exactly the finalized hour-10 click window; hour-12 still open
+    val h10 = java.time.Instant.parse("2024-01-01T10:00:00Z").getEpochSecond
+    assert(rows === Set((h10, "click", 2L, 3000L)), s"got $rows")
   }
 }
 
