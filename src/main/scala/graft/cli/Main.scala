@@ -13,14 +13,23 @@ import graft.sources.{PagesSynth, TextExtract}
   * a real spark-submit the master comes from the cluster manager.
   *
   * Usage:
-  *   Main <algo: lp|cc|pagerank|triangles|all>
+  *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
+  *
+  * The lp / lp-semisync / lp-async triple mirrors the reference CLI's
+  * algorithm selector (0-sync / 2-semisync / 1-async, `main.cu:48-62`);
+  * async here is the deterministic micro-batch emulation
+  * ([[graft.algo.AsyncEmuLP]]). SPARK_GRAFT_TIEBREAK_SEED=<long> switches
+  * the LP argmax tie-break from the pinned minimum label (exact
+  * reproducibility, the oracle-gated default) to the deterministic hashed
+  * mode that reproduces the reference's random-tie-break QUALITY envelope.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: Main <lp|cc|pagerank|triangles|all> <synth:N|pages:PATH|edges:PATH> <outDir> [maxIter] [partitions]")
+      "usage: Main <lp|lp-semisync|lp-async|cc|pagerank|triangles|all> " +
+        "<synth:N|pages:PATH|edges:PATH> <outDir> [maxIter] [partitions]")
     val algo = args(0)
     val input = args(1)
     val outDir = args(2)
@@ -58,6 +67,7 @@ object Main {
     val nSlots = edges.count()
     println(s"[graft] graph: $nNodes nodes, $nSlots directed slots")
     val cp = new Checkpointer(s"$outDir/checkpoints", spark)
+    val tieSeed = sys.env.get("SPARK_GRAFT_TIEBREAK_SEED").map(_.toLong)
 
     def runLp(): Unit = {
       val t0 = System.nanoTime()
@@ -69,15 +79,20 @@ object Main {
           // farther-advanced run) would shadow the resumed run in latest()
           cp.pruneAbove("lp", iter)
           val packed = LabelPropagation.packedBudgetOk(edges)
+          var it = iter
           graft.engine.Superstep.run("lp", snapshot,
-            l => LabelPropagation.superstep(edges, l, symmetric = true,
-              packedArgmax = packed),
+            l => {
+              it += 1
+              LabelPropagation.superstep(edges, l, symmetric = true,
+                packedArgmax = packed, tieBreakSeed = tieSeed.map(_ + it))
+            },
             nNodes, checkpointer = Some(cp), checkpointEvery = 1,
             maxIter = maxIter, startIter = iter,
             priorMetrics = cp.readMetrics("lp").filter(_.iteration <= iter))
         case None =>
           LabelPropagation.run(edges, nNodes, checkpointer = Some(cp),
-            checkpointEvery = 1, maxIter = maxIter, symmetric = true)
+            checkpointEvery = 1, maxIter = maxIter, symmetric = true,
+            tieBreakSeed = tieSeed)
       }
       r.labels.write.mode("overwrite").parquet(s"$outDir/lp_labels")
       val q = Measures.modularity(edges, r.labels)
@@ -109,13 +124,36 @@ object Main {
       println(s"[graft] triangles: $t")
     }
 
+    def report(mode: String, labels: DataFrame, sweeps: Int, t0: Long): Unit = {
+      labels.write.mode("overwrite").parquet(s"$outDir/${mode}_labels")
+      val q = Measures.modularity(edges, labels)
+      val c = Measures.communityCount(labels)
+      println(s"[graft] $mode: sweeps=$sweeps communities=$c modularity=$q")
+      println(Measures.referenceRow(nNodes, nSlots / 2, c, q, nmi = -1.0,
+        timeSec = (System.nanoTime() - t0) / 1e9))
+    }
+    def runLpSemi(): Unit = {
+      val t0 = System.nanoTime()
+      val (labels, sweeps) = graft.algo.SemiSyncLP.run(edges, nNodes,
+        maxSweeps = maxIter, tieBreakSeed = tieSeed)
+      report("lp-semisync", labels, sweeps, t0)
+    }
+    def runLpAsync(): Unit = {
+      val t0 = System.nanoTime()
+      val (labels, sweeps) = graft.algo.AsyncEmuLP.run(edges, nNodes,
+        batches = 8, maxSweeps = maxIter, tieBreakSeed = tieSeed)
+      report("lp-async", labels, sweeps, t0)
+    }
+
     algo match {
-      case "lp"        => runLp()
-      case "cc"        => runCc()
-      case "pagerank"  => runPr()
-      case "triangles" => runTri()
-      case "all"       => runLp(); runCc(); runPr(); runTri()
-      case other       => sys.error(s"unknown algorithm: $other")
+      case "lp"          => runLp()
+      case "lp-semisync" => runLpSemi()
+      case "lp-async"    => runLpAsync()
+      case "cc"          => runCc()
+      case "pagerank"    => runPr()
+      case "triangles"   => runTri()
+      case "all"         => runLp(); runCc(); runPr(); runTri()
+      case other         => sys.error(s"unknown algorithm: $other")
     }
     dictOpt.foreach(_.write.mode("overwrite").parquet(s"$outDir/dictionary"))
     spark.stop()
