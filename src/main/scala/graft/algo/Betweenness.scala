@@ -25,7 +25,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Betweenness {
 
-  def run(edges: DataFrame, sources: DataFrame): DataFrame = {
+  /** BFS depth bound, SHARED between the engine and the driver-gate oracle
+    * SQL ([[graft.queries.GraphQueries]]): both sides truncate shortest
+    * paths at this many levels, so a graph with eccentricity beyond it can
+    * never produce a spurious engine-vs-oracle row mismatch (ADVICE r2 —
+    * the engine previously ran to frontier exhaustion while the oracle's
+    * recursive closure stopped at 40). Effectively exact for link graphs
+    * (web diameters are ~20); raise per call for pathological chains.
+    */
+  val DepthCap = 40
+
+  def run(edges: DataFrame, sources: DataFrame,
+          maxDepth: Int = DepthCap): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src").as("v"), col("dst").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -40,7 +51,7 @@ object Betweenness {
     var level = 0
     var maxLevel = 0
     var go = true
-    while (go) {
+    while (go && level < maxDepth) {
       level += 1
       // rename e's columns through a fresh select so no dataset-tagged
       // column reference appears on both sides (frontier already carries
@@ -63,11 +74,13 @@ object Betweenness {
         maxLevel = level
         val nv = visited.union(candidate)
           .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+        if (frontier ne visited) frontier.unpersist(blocking = false)
         visited.unpersist(blocking = false)
         visited = nv
         frontier = candidate
       }
     }
+    if (frontier ne visited) frontier.unpersist(blocking = false)
 
     // ---- backward accumulation, level by level descending ----
     // successors(s, v, w): dist(s,w) = dist(s,v) + 1 and edge v→w
@@ -103,6 +116,9 @@ object Betweenness {
 
     val bc = delta.filter(col("s") =!= col("id"))
       .groupBy("id").agg(sum("delta").as("bc"))
+    // the final delta is eagerly checkpointed (truncated lineage), so the
+    // sigma table behind it can be released now
+    visited.unpersist(blocking = false)
     e.unpersist(blocking = false)
     bc
   }
@@ -119,7 +135,8 @@ object Betweenness {
     * betweenness builds on. Same frontier/anti-join shape: all sources
     * advance one level per superstep, `diameter` rounds total.
     */
-  def bfsLevels(edges: DataFrame, sources: DataFrame): DataFrame = {
+  def bfsLevels(edges: DataFrame, sources: DataFrame,
+                maxDepth: Int = DepthCap): DataFrame = {
     val e = edges.select(col("src").as("v"), col("dst").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var visited = sources.select(col("id").as("s"), col("id"),
@@ -128,7 +145,7 @@ object Betweenness {
     var frontier = visited
     var level = 0
     var go = true
-    while (go) {
+    while (go && level < maxDepth) {
       level += 1
       val eRen = e.select(col("v").as("jv"), col("w").as("jw"))
       val expanded = frontier
@@ -146,11 +163,13 @@ object Betweenness {
       } else {
         val nv = visited.union(candidate)
           .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+        if (frontier ne visited) frontier.unpersist(blocking = false)
         visited.unpersist(blocking = false)
         visited = nv
         frontier = candidate
       }
     }
+    if (frontier ne visited) frontier.unpersist(blocking = false)
     e.unpersist(blocking = false)
     visited.select(col("s").as("source"), col("id"),
       col("dist").cast("long").as("dist"))

@@ -38,6 +38,7 @@ object ConnectedComponents {
     import org.apache.spark.storage.StorageLevel
     var g = GraphOps.symmetrize(edges.select("src", "dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var gCount = g.count()
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -65,10 +66,16 @@ object ConnectedComponents {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val next = GraphOps.symmetrize(small)
         .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
-      done = next.except(g).isEmpty && g.except(next).isEmpty
+      // stability test in (usually) ONE action per round: both sides are
+      // DISTINCT sets, so |next| == |g| plus next ⊆ g implies equality —
+      // the second except() of round 2 was redundant, and while the sets
+      // are still shrinking the count alone decides (VERDICT r2 cosmetic)
+      val nextCount = next.count()
+      done = nextCount == gCount && next.except(g).isEmpty
       g.unpersist(blocking = false)
       small.unpersist(blocking = false)
       g = next
+      gCount = nextCount
     }
     // parent pointers: component min is each vertex's smallest neighbor
     val labels = g.groupBy(col("src").as("id"))

@@ -76,6 +76,21 @@ object LabelPropagation {
   private def resolvePacked(edges: DataFrame, packed: Option[Boolean]): Boolean =
     packed.getOrElse(packedBudgetOk(edges))
 
+  /** Weighted-path eligibility: the packed argmax compares per-(vertex,
+    * label) WEIGHT SUMS, so the count budget must bound the largest
+    * possible per-label weight sum — conservatively, the per-vertex total
+    * incident weight (gather groups by src) — not the raw degree. One
+    * aggregation job, mirroring [[packedBudgetOk]].
+    */
+  def packedBudgetOkWeighted(edges: DataFrame): Boolean = {
+    val row = edges.groupBy(col("src"))
+      .agg(sum(col("weight")).cast("long").as("wsum"), max(col("dst")).as("maxDst"))
+      .agg(max(col("wsum")).as("maxW"),
+        max(greatest(col("src"), col("maxDst"))).as("maxId"))
+      .first()
+    row.getLong(1) < (1L << PackLabelBits) && row.getLong(0) < (1L << 23)
+  }
+
   /** @param tieBreakSeed None = pinned MINIMUM label among the maxima (the
     *        engine's oracle-checked default). Some(seed) = deterministic
     *        HASHED tie-break: among max-count labels pick the one
@@ -171,20 +186,24 @@ object LabelPropagation {
     * reference parses and stores Pajek edge costs (`Graph.cu:442-447`) but
     * its LP counts occurrences only; this generalization uses the same
     * packed hash-aggregate argmax, so it costs exactly one extra column in
-    * the gather. Weights must be integral and per-label sums must fit the
-    * 23-bit budget for the packed path (`packedArgmax = false` otherwise).
+    * the gather. Weights must be integral; packed eligibility now demands
+    * per-vertex weight SUMS inside the 23-bit budget, auto-derived via
+    * [[packedBudgetOkWeighted]] when the caller does not assert it —
+    * heavy-weight graphs fall back to the unpacked argmax instead of
+    * silently electing wrong winners (ADVICE r2).
     *
     * @param edges (src, dst, weight) — weight is the message strength dst
     *        contributes to src's label vote
     */
   def superstepWeighted(edges: DataFrame, labels: DataFrame,
                         symmetric: Boolean = false,
-                        packedArgmax: Boolean = true): DataFrame = {
+                        packedArgmax: Option[Boolean] = None): DataFrame = {
     val msgs = edges.join(labels, edges("dst") === labels("id"))
       .select(edges("src").as("id"), labels("label"), edges("weight"))
     val counts = msgs.groupBy(col("id"), col("label"))
       .agg(sum(col("weight")).cast("long").as("cnt"))
-    val winners = argmaxFromCounts(counts, packedArgmax)
+    val winners = argmaxFromCounts(counts,
+      packedArgmax.getOrElse(packedBudgetOkWeighted(edges)))
     if (symmetric) winners
     else labels.join(winners.withColumnRenamed("label", "newLabel"), Seq("id"), "left")
       .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))

@@ -71,15 +71,22 @@ object Main {
 
     def runLp(): Unit = {
       val t0 = System.nanoTime()
-      // resume mid-convergence from the latest durable snapshot if present
-      val r = cp.latest("lp") match {
+      // resume mid-convergence from the latest VALIDATED durable snapshot
+      // (_SUCCESS marker + matching metrics entry) if present
+      val r = cp.validatedLatest("lp") match {
         case Some((iter, snapshot)) =>
           println(s"[graft] lp: resuming from checkpoint iter=$iter")
-          // stale snapshots beyond the resume point (from an interrupted
-          // farther-advanced run) would shadow the resumed run in latest()
+          // drop stale snapshots beyond the VALIDATED point — a torn,
+          // farther-advanced snapshot from a crashed run must neither be
+          // selected nor survive to shadow this run's progress (ADVICE r2)
           cp.pruneAbove("lp", iter)
           val packed = LabelPropagation.packedBudgetOk(edges)
           var it = iter
+          // maxIter is a TOTAL-run cap: the resumed invocation gets only
+          // the remaining budget (Superstep.run's maxIter counts additional
+          // iterations past startIter), so interrupt+resume never exceeds
+          // what a straight run with the same cap would do (ADVICE r2)
+          val capTotal = maxIter.getOrElse(graft.engine.Superstep.maxIterations(nNodes))
           graft.engine.Superstep.run("lp", snapshot,
             l => {
               it += 1
@@ -87,7 +94,7 @@ object Main {
                 packedArgmax = packed, tieBreakSeed = tieSeed.map(_ + it))
             },
             nNodes, checkpointer = Some(cp), checkpointEvery = 1,
-            maxIter = maxIter, startIter = iter,
+            maxIter = Some(math.max(capTotal - iter, 0)), startIter = iter,
             priorMetrics = cp.readMetrics("lp").filter(_.iteration <= iter))
         case None =>
           LabelPropagation.run(edges, nNodes, checkpointer = Some(cp),

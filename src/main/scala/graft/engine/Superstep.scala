@@ -48,7 +48,11 @@ object Superstep {
     *                      `startIter + 1` so a resumed run never renumbers
     *                      (and never overwrites) snapshots it did not write
     *                      — pair with [[Checkpointer.pruneAbove]] to drop
-    *                      stale post-crash snapshots first
+    *                      stale post-crash snapshots first. NOTE: `maxIter`
+    *                      counts iterations THIS invocation may run (cap =
+    *                      startIter + maxIter); a resuming caller that
+    *                      wants a total-run budget must pass the remainder
+    *                      (see [[graft.cli.Main]], ADVICE r2)
     * @param priorMetrics  metrics history of the interrupted run up to the
     *                      resume point; re-emitted in metrics.json (no
     *                      history loss) and used to seed the convergence
@@ -211,6 +215,20 @@ final class Convergence(earlyStop: Boolean, usePlateau: Boolean = true) {
   *   {dir}/{algorithm}/metrics.json            iteration metrics history
   */
 final class Checkpointer(val dir: String, spark: SparkSession) {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  // All side-channel I/O (metrics, prune, listing) goes through the
+  // session's Hadoop FileSystem so the checkpoint dir can live on HDFS/S3
+  // exactly like the label snapshots themselves — java.nio would silently
+  // no-op against a remote scheme (ADVICE/VERDICT r2).
+  private def fsFor(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def isFile(fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isFile
+
+  private def isDir(fs: FileSystem, p: Path): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
 
   def checkpoint(algorithm: String, iter: Int, labels: DataFrame): DataFrame = {
     val path = s"$dir/$algorithm/labels/iter=$iter"
@@ -231,9 +249,11 @@ final class Checkpointer(val dir: String, spark: SparkSession) {
         s""""changes":${m.changes},"communities":${m.communities},""" +
         s""""wallMillis":${m.wallMillis}}"""
     }.mkString("[", ",", "]")
-    val p = java.nio.file.Paths.get(s"$dir/$algorithm")
-    java.nio.file.Files.createDirectories(p)
-    java.nio.file.Files.writeString(p.resolve("metrics.json"), json)
+    val p = new Path(s"$dir/$algorithm/metrics.json")
+    val fs = fsFor(p)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Metrics history as last written by [[writeMetrics]] (empty if none).
@@ -241,14 +261,28 @@ final class Checkpointer(val dir: String, spark: SparkSession) {
     * the offline classpath beyond Spark's internals.
     */
   def readMetrics(algorithm: String): Seq[SuperstepMetrics] = {
-    val p = java.nio.file.Paths.get(s"$dir/$algorithm/metrics.json")
-    if (!java.nio.file.Files.isRegularFile(p)) return Nil
-    val txt = java.nio.file.Files.readString(p)
+    val p = new Path(s"$dir/$algorithm/metrics.json")
+    val fs = fsFor(p)
+    if (!isFile(fs, p)) return Nil
+    val in = fs.open(p)
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     val rec = """\{"algorithm":"([^"]+)","iteration":(\d+),"changes":(\d+),"communities":(\d+),"wallMillis":(\d+)\}""".r
     rec.findAllMatchIn(txt).map { m =>
       SuperstepMetrics(m.group(1), m.group(2).toInt, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong)
     }.toSeq
+  }
+
+  /** Iteration numbers with a durable label snapshot, ascending. */
+  private def snapshotIters(algorithm: String): Seq[Int] = {
+    val base = new Path(s"$dir/$algorithm/labels")
+    val fs = fsFor(base)
+    if (!isDir(fs, base)) return Nil
+    fs.listStatus(base).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("iter=") => n.stripPrefix("iter=").toInt }
+      .sorted
   }
 
   /** Delete label/lineage snapshots with iteration > `iter` — called
@@ -258,36 +292,37 @@ final class Checkpointer(val dir: String, spark: SparkSession) {
     */
   def pruneAbove(algorithm: String, iter: Int): Unit =
     Seq("labels", "lineage").foreach { kind =>
-      val base = java.nio.file.Paths.get(s"$dir/$algorithm/$kind")
-      if (java.nio.file.Files.isDirectory(base)) {
-        java.nio.file.Files.list(base).toArray.toSeq.map(_.toString).foreach { p =>
-          val name = p.substring(p.lastIndexOf('/') + 1)
-          if (name.startsWith("iter=") && name.stripPrefix("iter=").toInt > iter) {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm))
-              f.delete(); ()
-            }
-            rm(new java.io.File(p))
-          }
+      val base = new Path(s"$dir/$algorithm/$kind")
+      val fs = fsFor(base)
+      if (isDir(fs, base)) {
+        fs.listStatus(base).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("iter=") && name.stripPrefix("iter=").toInt > iter)
+            fs.delete(st.getPath, true)
         }
       }
     }
 
-  /** Latest durable snapshot for `algorithm`, if any — the resume point. */
-  def latest(algorithm: String): Option[(Int, DataFrame)] = {
-    val base = java.nio.file.Paths.get(s"$dir/$algorithm/labels")
-    if (!java.nio.file.Files.isDirectory(base)) return None
-    val iters = java.nio.file.Files.list(base).toArray.toSeq
-      .map(_.toString)
-      .flatMap { p =>
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        if (name.startsWith("iter=")) Some(name.stripPrefix("iter=").toInt)
-        else None
-      }
-    if (iters.isEmpty) None
-    else {
-      val it = iters.max
-      Some((it, spark.read.parquet(s"$dir/$algorithm/labels/iter=$it")))
+  /** Latest durable snapshot for `algorithm`, if any — no completeness
+    * check; prefer [[validatedLatest]] as the resume point.
+    */
+  def latest(algorithm: String): Option[(Int, DataFrame)] =
+    snapshotIters(algorithm).lastOption.map { it =>
+      (it, spark.read.parquet(s"$dir/$algorithm/labels/iter=$it"))
     }
+
+  /** Latest VALIDATED snapshot: the highest iteration whose parquet commit
+    * marker (_SUCCESS) exists AND whose iteration appears in the metrics
+    * history — a partially-written snapshot from a crashed farther-advanced
+    * run satisfies neither, so resuming from here (after
+    * `pruneAbove(_, iter)`) can never adopt torn state (ADVICE r2: pruning
+    * relative to `latest()` was a no-op by construction).
+    */
+  def validatedLatest(algorithm: String): Option[(Int, DataFrame)] = {
+    val metricIters = readMetrics(algorithm).map(_.iteration).toSet
+    snapshotIters(algorithm).reverse.find { it =>
+      val marker = new Path(s"$dir/$algorithm/labels/iter=$it/_SUCCESS")
+      metricIters.contains(it) && isFile(fsFor(marker), marker)
+    }.map(it => (it, spark.read.parquet(s"$dir/$algorithm/labels/iter=$it")))
   }
 }

@@ -138,7 +138,10 @@ object SimHashMd5 {
   }
 
   /** Shared by interpreted eval and generated code. Empty/null-only token
-    * arrays hash to 0 on both engines (no votes → no bits set).
+    * arrays hash to 0 (no votes → no bits set); the DuckDB oracle gets the
+    * same behavior via an explicit LEFT JOIN back to documents (unnest of
+    * an empty token list yields no rows there, so without the join a
+    * zero-token doc would simply vanish from the oracle output).
     */
   def ofTokens(arr: ArrayData): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -77,6 +77,37 @@ object GraphQueries {
     Seq(v).toDF(name)
   }
 
+  /** Reference-format fixtures for the reader gates: tiny, deterministic,
+    * and mirrored verbatim into the oracle SQL as VALUES literals.
+    * txt: a comment, a blank line, tab-separated pairs, one duplicated
+    * multi-edge (kept by the txt reader, `Graph.cu:234`).
+    */
+  private val TxtFixture =
+    "# demo fixture\nb\ta\na\tc\nb\tc\nb\tc\nc\td\n\n"
+
+  /** Pajek: header section, `*Edges` marker, space-separated `i j cost`,
+    * one duplicated pair with differing costs (dedup keeps min).
+    */
+  private val NetFixture =
+    "*Vertices 4\n1 \"n1\"\n2 \"n2\"\n3 \"n3\"\n4 \"n4\"\n" +
+      "*Edges\n1 2 1.5\n2 3 2.0\n1 2 0.5\n3 4 1.0\n"
+
+  /** Ground truth: comment, first-occurrence-wins duplicate for node a. */
+  private val GtFixture =
+    "# gt\na\tx\nb\ty\na\tz\nc\tx\nd\ty\n"
+
+  /** Write a reader fixture to a deterministic local temp path (driver-side
+    * test-input creation, not engine I/O).
+    */
+  private def writeFixture(relName: String, content: String): String = {
+    val dir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_fixtures")
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve(relName)
+    java.nio.file.Files.writeString(p, content)
+    p.toString
+  }
+
   /** Unrolled synchronous LP superstep SQL for `t` steps — the engine's
     * join/count/argmax plan transcribed to ANSI SQL, tie-break pinned to
     * (max count, min label) via the window ordering.
@@ -100,6 +131,108 @@ object GraphQueries {
        |s0 AS (SELECT id, id AS label FROM verts),
        |$steps
        |SELECT id, label FROM s$t""".stripMargin
+  }
+
+  /** Unrolled semi-synchronous (Gauss–Seidel class-sweep) LP SQL:
+    * `sweeps` sweeps over `k` modulo classes (`cls = id % k`), each
+    * sub-step updating only its class's vertices against the CURRENT
+    * labels — the schedule of [[graft.algo.SemiSyncLP.sweepByClasses]]
+    * with a class assignment both engines can express. Every state CTE is
+    * MATERIALIZED: it is referenced twice per sub-step (gather + merge),
+    * and DuckDB's default inlining would double the plan per sub-step —
+    * the same 2^n blow-up the engine avoids with eager checkpoints.
+    */
+  def semisyncSql(k: Int, sweeps: Int): String = {
+    val steps = (1 to k * sweeps).map { t =>
+      val cls = (t - 1) % k
+      s"""c$t AS (
+         |  SELECT e0.src AS id, p.label, count(*) AS cnt
+         |  FROM e0 JOIN s${t - 1} p ON e0.dst = p.id
+         |  WHERE e0.src % $k = $cls GROUP BY 1, 2
+         |), w$t AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$t) t WHERE rn = 1
+         |), s$t AS MATERIALIZED (
+         |  SELECT p.id, coalesce(w.label, p.label) AS label
+         |  FROM s${t - 1} p LEFT JOIN w$t w ON p.id = w.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $cte,
+       |s0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
+       |$steps
+       |SELECT id, label FROM s${k * sweeps}""".stripMargin
+  }
+
+  /** σ/δ unroll bound for the Brandes oracle, shared with the engine query
+    * (`Betweenness.run(maxDepth = BcUnrollDepth)`): both sides truncate
+    * the BFS DAG at the same level, so the gate compares identical
+    * semantics. The demo graph's eccentricity from the sampled sources is
+    * 7 at sf0.001 and 2 at sf0.01/0.1 (measured) — 12 is never binding.
+    */
+  val BcUnrollDepth = 12
+
+  /** Full Brandes betweenness oracle (closes round 2's only `no_oracle`
+    * row): shortest-path dists from the bounded recursive closure, then σ
+    * unrolled forward over levels (σ(v) = Σ σ(pred)) and δ unrolled
+    * backward (δ(u) = Σ σ(u)/σ(v)·(1+δ(v))), exactly Brandes' two passes
+    * (`algorithms.h:29-117`) with the per-level loop expanded to
+    * [[BcUnrollDepth]] CTEs. Level tables are MATERIALIZED — each is
+    * referenced by the next level AND the final union.
+    */
+  def bcSql: String = {
+    val d = BcUnrollDepth
+    val sigs = (1 to d).map { k =>
+      s"""sig$k AS MATERIALIZED (
+         |  SELECT p.source, p.v AS id, sum(s.sigma) AS sigma
+         |  FROM pred p JOIN sig${k - 1} s ON s.source = p.source AND s.id = p.u
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val sigUnion = (0 to d).map(k => s"SELECT * FROM sig$k").mkString("\n  UNION ALL ")
+    val dels = (d - 1 to 0 by -1).map { k =>
+      val tail =
+        if (k == d - 1) "" // topmost level has no deeper δ to pull from
+        else s"\n  LEFT JOIN del${k + 1} dd ON dd.source = p.source AND dd.id = p.v"
+      val deltaTerm = if (k == d - 1) "1" else "1 + coalesce(dd.delta, 0)"
+      s"""del$k AS MATERIALIZED (
+         |  SELECT p.source, p.u AS id,
+         |         sum(su.sigma / sv.sigma * ($deltaTerm)) AS delta
+         |  FROM pred p
+         |  JOIN sig su ON su.source = p.source AND su.id = p.u
+         |  JOIN sig sv ON sv.source = p.source AND sv.id = p.v$tail
+         |  WHERE p.lev = $k
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val delUnion = (0 until d).map(k => s"SELECT * FROM del$k").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $cte,
+       |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+       |reach(source, id, dist) AS (
+       |  SELECT id, id, 0 FROM srcs
+       |  UNION
+       |  SELECT r.source, e0.dst, r.dist + 1
+       |  FROM reach r JOIN e0 ON e0.src = r.id
+       |  WHERE r.dist < $d),
+       |dist AS MATERIALIZED (
+       |  SELECT source, id, min(dist) AS dist FROM reach GROUP BY 1, 2),
+       |pred AS MATERIALIZED (
+       |  SELECT du.source, du.id AS u, dv.id AS v, du.dist AS lev
+       |  FROM dist du JOIN e0 ON e0.src = du.id
+       |  JOIN dist dv ON dv.source = du.source AND dv.id = e0.dst
+       |  WHERE dv.dist = du.dist + 1),
+       |sig0 AS MATERIALIZED (
+       |  SELECT source, source AS id, CAST(1 AS DOUBLE) AS sigma
+       |  FROM (SELECT DISTINCT source FROM dist) s0),
+       |$sigs,
+       |sig AS MATERIALIZED (
+       |  $sigUnion),
+       |$dels,
+       |del AS MATERIALIZED (
+       |  $delUnion)
+       |SELECT d.id, CAST(ROUND(sum(coalesce(dl.delta, 0)) * 1000) AS BIGINT) AS bc_e3
+       |FROM dist d LEFT JOIN del dl ON dl.source = d.source AND dl.id = d.id
+       |WHERE d.source <> d.id
+       |GROUP BY d.id""".stripMargin
   }
 
   /** Unrolled PageRank SQL for `t` iterations (graph is symmetrized ⇒ no
@@ -206,15 +339,52 @@ object GraphQueries {
       GraphOps.degreeReorder(demoEdges(s, dir))
         .select(col("id"), col("newId").as("new_id"))),
 
-    // Brandes betweenness, sampled sources (rows-only check: the σ/δ
-    // accumulation has no tractable SQL oracle; validated against an
-    // in-memory Brandes in ScalaTest — the BFS machinery it builds on is
-    // driver-oracled via g_bfs_levels below)
+    // Brandes betweenness, sampled sources — full DuckDB oracle since
+    // round 3 ([[bcSql]]): σ/δ unrolled to the SHARED depth bound, so the
+    // engine runs with the same `maxDepth` the oracle unrolls to
     "g_bc_sampled" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
-      graft.algo.Betweenness.run(e, sources)
+      graft.algo.Betweenness.run(e, sources, maxDepth = BcUnrollDepth)
         .select(col("id"), round(col("bc") * 1000).cast("long").as("bc_e3"))
+    }),
+
+    // 3 fixed supersteps over the CSR-blocked adjacency form — gates
+    // [[LabelPropagation.superstepCsr]] (+ csrBlocks/cooFromCsr) against
+    // the SAME unrolled-superstep SQL as the COO plan: the storage form
+    // must not change the semantics
+    "g_lp_csr_t3" -> ((s, dir) => {
+      val blocks = GraphOps.csrBlocks(demoEdges(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = LabelPropagation.initLabels(blocks.select(col("id")))
+      var i = 0
+      while (i < 3) { i += 1; labels = LabelPropagation.superstepCsr(blocks, labels) }
+      labels
+    }),
+
+    // 3 fixed supersteps through the hot/cold skew plan (broadcast gather
+    // for high-in-degree vertices) — the engine's main custom physical
+    // routing, gated label-exact against the plain-plan oracle. The low
+    // threshold forces a real hot slice on the demo graph (avg degree ~50)
+    "g_lp_skew_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val plan = GraphOps.planSkew(e, threshold = 40, partitions = 8)
+      var labels = LabelPropagation.initLabels(GraphOps.vertices(e))
+      var i = 0
+      while (i < 3) { i += 1; labels = LabelPropagation.superstepSkewAware(plan, labels) }
+      labels
+    }),
+
+    // 2 Gauss–Seidel sweeps over 4 modulo classes — gates
+    // [[graft.algo.SemiSyncLP.sweepByClasses]], the schedule machinery
+    // shared by semi-sync LP and the async emulation, with a class
+    // assignment (id % 4) both engines can express ([[semisyncSql]])
+    "g_lp_semisync_t2" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val classes = GraphOps.vertices(e).select(col("id"), (col("id") % 4).as("cls"))
+      val n = GraphOps.vertices(e).count()
+      graft.algo.SemiSyncLP.sweepByClasses(e, classes, 4L, n,
+        maxSweeps = Some(2))._1
     }),
 
     // multi-source BFS shortest-path levels (the forward pass of Brandes,
@@ -223,6 +393,32 @@ object GraphQueries {
       val e = demoEdges(s, dir)
       val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
       graft.algo.Betweenness.bfsLevels(e, sources)
+    }),
+
+    // legacy reference-format reader gates: the query materializes a tiny
+    // deterministic fixture file, reads it back through GraphReaders, and
+    // the oracle recomputes from an inline VALUES literal of the same
+    // fixture — end-to-end coverage of the §2.1 scan+encode semantics
+    // (comments/blank lines skipped, undirected doubling, multi-edge keep
+    // for txt / dedup+min-cost for Pajek, lexicographic dictionary ids,
+    // first-wins ground truth)
+    "g_read_txt" -> ((s, dir) => {
+      val path = writeFixture("edges.txt", TxtFixture)
+      graft.sources.GraphReaders.readEdgeListTxt(s, path, directed = false)._1
+    }),
+
+    "g_read_net" -> ((s, dir) => {
+      val path = writeFixture("graph.net", NetFixture)
+      val (edges, _) = graft.sources.GraphReaders.readPajekNet(s, path)
+      edges.select(col("src"), col("dst"),
+        round(col("weight") * 1000).cast("long").as("w_e3"))
+    }),
+
+    "g_read_gt" -> ((s, dir) => {
+      val tpath = writeFixture("edges.txt", TxtFixture)
+      val gpath = writeFixture("gt.txt", GtFixture)
+      val (_, dict) = graft.sources.GraphReaders.readEdgeListTxt(s, tpath, directed = false)
+      graft.sources.GraphReaders.readGroundTruth(s, gpath, dict)
     }),
 
     "g_confusion" -> ((s, dir) => {
@@ -244,6 +440,15 @@ object GraphQueries {
     "g_cc" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
 
     "g_lp_t3" -> lpSql(3),
+
+    // same unrolled-superstep SQL: the CSR storage form and the skew-plan
+    // physical routing must be label-identical to the plain COO plan
+    "g_lp_csr_t3" -> lpSql(3),
+    "g_lp_skew_t3" -> lpSql(3),
+
+    "g_lp_semisync_t2" -> semisyncSql(4, 2),
+
+    "g_bc_sampled" -> bcSql,
 
     "g_lp_weighted_t2" ->
       s"""WITH rawp AS (
@@ -368,6 +573,8 @@ object GraphQueries {
       """SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id
         |FROM (SELECT DISTINCT c_mktsegment AS name FROM customer) n""".stripMargin,
 
+    // depth bound = Betweenness.DepthCap, the SAME constant the engine's
+    // bfsLevels truncates at (ADVICE r2: the bounds must not diverge)
     "g_bfs_levels" ->
       s"""WITH RECURSIVE $cte,
          |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
@@ -376,9 +583,60 @@ object GraphQueries {
          |  UNION
          |  SELECT r.source, e0.dst, r.dist + 1
          |  FROM reach r JOIN e0 ON e0.src = r.id
-         |  WHERE r.dist < 40)
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap})
          |SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
          |FROM reach GROUP BY 1, 2""".stripMargin,
+
+    "g_read_txt" ->
+      """WITH fx(sn, dn) AS (VALUES
+        |  ('b','a'), ('a','c'), ('b','c'), ('b','c'), ('c','d')),
+        |names AS (SELECT DISTINCT sn AS name FROM fx
+        |          UNION SELECT DISTINCT dn FROM fx),
+        |dict AS (SELECT name,
+        |           CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+        |         FROM names),
+        |ids AS (SELECT ds.id AS src, dd.id AS dst
+        |        FROM fx JOIN dict ds ON fx.sn = ds.name
+        |        JOIN dict dd ON fx.dn = dd.name)
+        |SELECT src, dst FROM ids
+        |UNION ALL SELECT dst, src FROM ids""".stripMargin,
+
+    "g_read_net" ->
+      """WITH fx(sn, dn, w) AS (VALUES
+        |  ('1','2',1.5), ('2','3',2.0), ('1','2',0.5), ('3','4',1.0)),
+        |names AS (SELECT DISTINCT sn AS name FROM fx
+        |          UNION SELECT DISTINCT dn FROM fx),
+        |dict AS (SELECT name,
+        |           CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+        |         FROM names),
+        |ids AS (SELECT ds.id AS src, dd.id AS dst, w
+        |        FROM fx JOIN dict ds ON fx.sn = ds.name
+        |        JOIN dict dd ON fx.dn = dd.name),
+        |sym AS (SELECT src, dst, w FROM ids
+        |        UNION ALL SELECT dst AS src, src AS dst, w FROM ids),
+        |agg AS (SELECT src, dst, min(w) AS w FROM sym GROUP BY 1, 2)
+        |SELECT src, dst, CAST(ROUND(w * 1000) AS BIGINT) AS w_e3 FROM agg""".stripMargin,
+
+    "g_read_gt" ->
+      """WITH gt(name, lab, ln) AS (VALUES
+        |  ('a','x',1), ('b','y',2), ('a','z',3), ('c','x',4), ('d','y',5)),
+        |fw AS (SELECT name, lab FROM (
+        |         SELECT name, lab,
+        |                row_number() OVER (PARTITION BY name ORDER BY ln) AS rn
+        |         FROM gt) t WHERE rn = 1),
+        |fx(sn, dn) AS (VALUES
+        |  ('b','a'), ('a','c'), ('b','c'), ('b','c'), ('c','d')),
+        |names AS (SELECT DISTINCT sn AS name FROM fx
+        |          UNION SELECT DISTINCT dn FROM fx),
+        |dict AS (SELECT name,
+        |           CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+        |         FROM names),
+        |ldict AS (SELECT lab,
+        |            CAST(row_number() OVER (ORDER BY lab) - 1 AS BIGINT) AS label
+        |          FROM (SELECT DISTINCT lab FROM fw) u)
+        |SELECT d.id, l.label
+        |FROM fw JOIN dict d ON fw.name = d.name
+        |JOIN ldict l ON fw.lab = l.lab""".stripMargin,
 
     "g_degree_reorder" ->
       s"""WITH $cte,

@@ -343,10 +343,12 @@ object PipelineQueries {
       |             sum(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
       |           FROM smh, (SELECT range AS b FROM range(60)) r
       |           GROUP BY 1, 2),
-      |sm AS (SELECT doc_id,
-      |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
-      |              AS BIGINT) AS simhash
-      |       FROM smbits GROUP BY doc_id)""".stripMargin
+      |sm0 AS (SELECT doc_id,
+      |          CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+      |               AS BIGINT) AS simhash
+      |        FROM smbits GROUP BY doc_id),
+      |sm AS (SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+      |       FROM documents d LEFT JOIN sm0 s ON d.doc_id = s.doc_id)""".stripMargin
 
   /** e_ann_lsh oracle: the same literal hyperplane coefficients the Spark
     * plan uses, embedded as list literals — generated from one source of
