@@ -349,7 +349,7 @@ object Bench {
     // SPARK_GRAFT_SCALE_CORES=8,32 to reproduce the contended upper pair.
     val Array(nCores, n4Cores) = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
       .split(",").map(_.trim.toInt)
-    val steps = 2
+    val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "2").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val headlineReps =
       if (scalingOnly) 0
@@ -403,10 +403,14 @@ object Bench {
     val headlineHashMatch = headlines.map(_.labelHash).distinct.size <= 1
 
     // Per-rep efficiency, each paired with the hw calibration sampled in
-    // ITS OWN window. The headline number is the best self-consistent rep
-    // (a rep is one clean-room N/4N pair, so this is min-of-reps applied
-    // to the pair); the full per-rep series is in the payload so a tenant
-    // spike is distinguishable from an engine regression.
+    // ITS OWN window; the full per-rep series goes into the payload so a
+    // tenant spike is distinguishable from an engine regression. The
+    // headline RAW efficiency uses the per-level minima across reps (the
+    // fastest genuine time at each level — the same noise-robust statistic
+    // as rounds 1-2, and NOT the best per-rep ratio, which a contended
+    // 2-core window would inflate). The NORMALIZED efficiency is per-rep:
+    // each rep's ratio divided by the hw ceiling measured in that rep's
+    // own windows, best rep reported.
     val sSlots = scaleReps.head.slots
     final case class RepEval(secN: Double, sec4N: Double, calN: Double,
                              cal4N: Double, hw: Double, eff: Double, effHw: Double)
@@ -416,12 +420,13 @@ object Bench {
       RepEval(sr.secN, sr.sec4N, sr.calN, sr.cal4N, hw, eff,
         math.min(eff / math.max(hw, 1e-9), 1.0))
     }
-    val best = evals.maxBy(_.eff)
     val bestHw = evals.maxBy(_.effHw)
     val s4Min = evals.map(_.sec4N).min
     val snMin = evals.map(_.secN).min
     val epsN = sSlots.toDouble * steps / snMin
     val eps4N = sSlots.toDouble * steps / s4Min
+    val effRaw = (snMin / s4Min) / (n4Cores.toDouble / nCores)
+    val hwMean = evals.map(_.hw).sum / evals.size
     val hashMatch = (scaleReps.map(_.hashN) ++ scaleReps.map(_.hash4N))
       .distinct.size == 1
 
@@ -441,9 +446,9 @@ object Bench {
         s""""cores_n":$nCores,"cores_4n":$n4Cores,""" +
         s""""n_edges_per_sec":${f(epsN)},""" +
         s""""4n_edges_per_sec":${f(eps4N)},""" +
-        s""""sec_n":${f(best.secN)},"sec_4n":${f(best.sec4N)},""" +
-        s""""efficiency_n_to_4n":${f(best.eff)},""" +
-        s""""hw_percore_factor_n_to_4n":${f(best.hw)},""" +
+        s""""sec_n":${f(snMin)},"sec_4n":${f(s4Min)},""" +
+        s""""efficiency_n_to_4n":${f(effRaw)},""" +
+        s""""hw_percore_factor_n_to_4n":${f(hwMean)},""" +
         s""""efficiency_hw_normalized":${f(bestHw.effHw)},""" +
         s""""reps":$repsJson,""" +
         s""""scaling_hash_match":$hashMatch}"""

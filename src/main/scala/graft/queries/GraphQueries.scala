@@ -421,6 +421,20 @@ object GraphQueries {
       graft.sources.GraphReaders.readGroundTruth(s, gpath, dict)
     }),
 
+    // adjacency test (reference getAij, set form): which of the probe
+    // pairs (i, i+1) are edges — a left-semi existence join
+    "g_adjacent" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val pairs = s.range(0, NodeSpace.toLong)
+        .select(col("id").as("src"), ((col("id") + 1) % NodeSpace).as("dst"))
+      GraphOps.adjacent(e, pairs)
+    }),
+
+    // neighborhood slice of one vertex (reference getEdgesEdpoints) — a
+    // pushed-down point lookup
+    "g_neighbors" -> ((s, dir) =>
+      GraphOps.neighbors(demoEdges(s, dir), 42L)),
+
     "g_confusion" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -586,6 +600,17 @@ object GraphQueries {
          |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap})
          |SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
          |FROM reach GROUP BY 1, 2""".stripMargin,
+
+    "g_adjacent" ->
+      s"""WITH $cte,
+         |probe AS (SELECT range AS src, (range + 1) % $NodeSpace AS dst
+         |          FROM range($NodeSpace))
+         |SELECT p.src, p.dst FROM probe p
+         |WHERE EXISTS (SELECT 1 FROM e0
+         |              WHERE e0.src = p.src AND e0.dst = p.dst)""".stripMargin,
+
+    "g_neighbors" ->
+      s"WITH $cte SELECT dst FROM e0 WHERE src = 42",
 
     "g_read_txt" ->
       """WITH fx(sn, dn) AS (VALUES
