@@ -349,7 +349,18 @@ object Bench {
     // SPARK_GRAFT_SCALE_CORES=8,32 to reproduce the contended upper pair.
     val Array(nCores, n4Cores) = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
       .split(",").map(_.trim.toInt)
-    val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "2").toInt
+    // 6 supersteps per measured run (round 3; was 2): the timed job has a
+    // per-RUN fixed component (whole-stage codegen JIT — the stage profile
+    // shows early supersteps cost 2-3x the CPU of late ones) that 2-step
+    // runs leave unamortized: per-superstep 4N throughput climbs
+    // 3.0→4.4→5.3M edges/s at 2→4→6 steps. Steady-state (many-superstep)
+    // throughput is what a real long-running job experiences. Note the
+    // EFFICIENCY ratio itself stays ~0.69-0.79 in quiet windows at every
+    // step count — the binding factor is per-core throughput degradation
+    // on one shared box (26% task-second inflation at 8 threads vs 2,
+    // profile-measured), which the in-window hw calibration corrects;
+    // full decomposition in BENCH/BASELINE.md round 3.
+    val steps = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "6").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val headlineReps =
       if (scalingOnly) 0

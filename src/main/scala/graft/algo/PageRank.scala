@@ -140,4 +140,70 @@ object PageRank {
     pending.dropRight(1).foreach(_.unpersist(blocking = false))
     ranks
   }
+
+  /** Personalized PageRank, fixed iterations: the teleport mass returns to
+    * the `sources` set (uniformly) instead of to all vertices — the
+    * related-pages / topic-sensitive ranking primitive:
+    *
+    *   rank'(v) = (1−d)·reset(v) + d·( Σ_{u→v} rank(u)/outdeg(u)
+    *                                   + D·reset(v) )
+    *
+    * with reset(v) = 1/|S| for v ∈ S, 0 otherwise, and D the dangling
+    * mass. Same two-shuffle skeleton as [[runFixed]]; the reset vector is
+    * a broadcast-able join against the (small, sampled) source set.
+    */
+  def runPersonalizedFixed(edges: DataFrame, sources: DataFrame,
+                           iterations: Int, damping: Double = 0.85,
+                           partitions: Int = 32): DataFrame = {
+    val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(edges("src"), edges("dst"), col("outdeg"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = verts.join(outDeg, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = dangling.count() > 0L
+
+    val nS = sources.count()
+    // reset(v): 1/|S| on the source set — carried as a column on the
+    // vertex table so every iteration is reset-aware without re-joining
+    val reset = verts
+      .join(sources.select(col("id"), lit(1.0 / nS).as("reset")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("reset"), lit(0.0)).as("reset"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    reset.count()
+
+    var ranks = reset.select(col("id"), col("reset").as("rank"))
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lastCkpt: DataFrame = null
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val dMass =
+        if (hasDangling)
+          dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
+        else 0.0
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      val sums = contribs.groupBy("id").agg(sum("c").as("s"))
+      ranks = reset.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          ((lit(1.0 - damping) + lit(damping) * lit(dMass)) * col("reset") +
+            lit(damping) * coalesce(col("s"), lit(0.0)))
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pending += ranks
+      if (hasDangling || (iter % 5 == 0 && iter < iterations)) {
+        ranks = ranks.localCheckpoint(eager = true)
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+        lastCkpt = ranks
+      }
+    }
+    pending.dropRight(1).foreach(_.unpersist(blocking = false))
+    ranks
+  }
 }

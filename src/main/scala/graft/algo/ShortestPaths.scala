@@ -1,0 +1,110 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Weighted single/multi-source shortest paths — distributed Bellman–Ford
+  * relaxation over the (src, dst, weight) edge table, the weighted
+  * counterpart of [[Betweenness.bfsLevels]] and the natural consumer of
+  * the Pajek costs the reference parses (`Graph.cu:442-447`) but never
+  * uses.
+  *
+  * One round relaxes every edge once:
+  *
+  *   d_t(v) = min( d_{t-1}(v), min_{u→v} d_{t-1}(u) + w(u,v) )
+  *
+  * expressed as one equi-join (edges pre-partitioned by src ⇒ co-located
+  * against the distance table), one partial-aggregated groupBy(dst) min,
+  * and one outer merge — the same two-shuffle skeleton as a LP superstep,
+  * so the 100 TB shape is identical: shuffle volume is bounded by the
+  * reached frontier, never by path enumeration. Distances are LONG sums
+  * of integer weights — exact, so the driver gate compares unrounded.
+  *
+  * The distance state is referenced twice per round (relax + merge), so
+  * each round eagerly truncates lineage — the Gauss–Seidel lesson: a lazy
+  * chain would double the plan per round.
+  */
+object ShortestPaths {
+
+  /** Fixed `rounds` Bellman–Ford relaxations from `sources` (a df with an
+    * `id` column). Returns (id, dist) for vertices reached within that
+    * many hops — after `rounds ≥ diameter` this is the exact SSSP table.
+    */
+  def runFixed(weightedEdges: DataFrame, sources: DataFrame,
+               rounds: Int): DataFrame = {
+    val e = weightedEdges.select(col("src"), col("dst"),
+        col("weight").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("id"), lit(0L).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val relaxed = e
+        .join(dist.select(col("id").as("rid"), col("dist").as("rdist")),
+          col("src") === col("rid"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("rdist") + col("w")).as("cand"))
+      val next = dist
+        .join(relaxed.select(col("id").as("nid"), col("cand")),
+          col("id") === col("nid"), "full")
+        .select(
+          coalesce(col("id"), col("nid")).as("id"),
+          least(
+            coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
+      dist.unpersist(blocking = false)
+      dist = next
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Relax until no distance improves (exact SSSP; at most `maxRounds`
+    * relaxation rounds — |V|−1 suffices for any non-negative weighting).
+    * Returns (distances, rounds run, converged).
+    */
+  def run(weightedEdges: DataFrame, sources: DataFrame,
+          maxRounds: Int = 10000): (DataFrame, Int, Boolean) = {
+    val e = weightedEdges.select(col("src"), col("dst"),
+        col("weight").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // `persisted` is the cache handle (unpersist must target the exact
+    // cached plan, not a projection of it); `dist` is its (id, dist) view
+    var persisted = sources.select(col("id"), lit(0L).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = persisted
+    var r = 0
+    var changed = true
+    while (changed && r < maxRounds) {
+      r += 1
+      val relaxed = e
+        .join(dist.select(col("id").as("rid"), col("dist").as("rdist")),
+          col("src") === col("rid"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("rdist") + col("w")).as("cand"))
+      val next = dist
+        .join(relaxed.select(col("id").as("nid"), col("cand")),
+          col("id") === col("nid"), "full")
+        .select(
+          coalesce(col("id"), col("nid")).as("id"),
+          least(
+            coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("dist"),
+          // an improvement is a new vertex or a strictly smaller distance
+          (col("id").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
+            .as("improved"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
+      changed = next.filter(col("improved")).limit(1).count() > 0L
+      persisted.unpersist(blocking = false)
+      persisted = next
+      dist = next.select(col("id"), col("dist"))
+    }
+    e.unpersist(blocking = false)
+    (dist, r, !changed)
+  }
+}

@@ -62,4 +62,27 @@ object TriangleCount {
       .union(t.select(col("c").as("id")))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Local clustering coefficient per vertex (Watts–Strogatz):
+    *
+    *   lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),  0 when deg(v) < 2
+    *
+    * over the canonical (deduplicated, undirected) adjacency — the wedge
+    * closure rate that separates organically-linked pages from link farms.
+    * Cost: [[perVertex]] plus one degree aggregation and a broadcast-able
+    * join; every vertex appears in the output.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val canon = GraphOps.canonical(edges)
+    val deg = canon
+      .select(col("src").as("id")).union(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(perVertex(edges).withColumnRenamed("triangles", "tri"),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - 1)))
+          .as("lcc"))
+  }
 }

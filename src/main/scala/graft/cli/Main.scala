@@ -13,7 +13,8 @@ import graft.sources.{PagesSynth, TextExtract}
   * a real spark-submit the master comes from the cluster manager.
   *
   * Usage:
-  *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|all>
+  *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
+  *               ppr|centrality|lcc|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -151,6 +152,42 @@ object Main {
         batches = 8, maxSweeps = maxIter, tieBreakSeed = tieSeed)
       report("lp-async", labels, sweeps, t0)
     }
+    // round-3 operators; sampled sources default to id % 100 == 0
+    def sampledSources() =
+      GraphOps.vertices(edges).filter(col("id") % 100 === 0)
+    def runSssp(): Unit = {
+      // unit weights unless the input carried a weight column upstream
+      val w = edges.withColumn("weight", lit(1L))
+      val (dist, rounds, conv) = graft.algo.ShortestPaths.run(w, sampledSources(),
+        maxRounds = maxIter.getOrElse(10000))
+      dist.write.mode("overwrite").parquet(s"$outDir/sssp")
+      println(s"[graft] sssp: rounds=$rounds converged=$conv " +
+        s"reached=${dist.count()}")
+    }
+    def runKcore(): Unit = {
+      val k = math.max(2L, nSlots / math.max(nNodes, 1L))
+      val (core, rounds, conv) = graft.algo.KCore.kCore(edges, k,
+        maxRounds = maxIter.getOrElse(10000))
+      core.write.mode("overwrite").parquet(s"$outDir/kcore")
+      println(s"[graft] kcore: k=$k rounds=$rounds converged=$conv " +
+        s"core_size=${core.count()}")
+    }
+    def runPpr(): Unit = {
+      val ranks = PageRank.runPersonalizedFixed(edges, sampledSources(),
+        iterations = maxIter.getOrElse(10), partitions = partitions)
+      ranks.write.mode("overwrite").parquet(s"$outDir/ppr")
+      println(s"[graft] ppr: iters=${maxIter.getOrElse(10)} rows=${ranks.count()}")
+    }
+    def runCentrality(): Unit = {
+      val c = graft.algo.Centrality.sampledCloseness(edges, sampledSources())
+      c.write.mode("overwrite").parquet(s"$outDir/centrality")
+      println(s"[graft] centrality: sources=${c.count()}")
+    }
+    def runLcc(): Unit = {
+      val l = TriangleCount.localClustering(edges)
+      l.write.mode("overwrite").parquet(s"$outDir/lcc")
+      println(s"[graft] lcc: rows=${l.count()}")
+    }
 
     algo match {
       case "lp"          => runLp()
@@ -159,6 +196,11 @@ object Main {
       case "cc"          => runCc()
       case "pagerank"    => runPr()
       case "triangles"   => runTri()
+      case "sssp"        => runSssp()
+      case "kcore"       => runKcore()
+      case "ppr"         => runPpr()
+      case "centrality"  => runCentrality()
+      case "lcc"         => runLcc()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

@@ -435,6 +435,56 @@ object GraphQueries {
     "g_neighbors" -> ((s, dir) =>
       GraphOps.neighbors(demoEdges(s, dir), 42L)),
 
+    // local clustering coefficient (Watts–Strogatz) — every vertex, 0 for
+    // degree < 2 or triangle-free
+    "g_lcc" -> ((s, dir) =>
+      graft.algo.TriangleCount.localClustering(demoEdges(s, dir))
+        .select(col("id"),
+          round(col("lcc") * 1000000).cast("long").as("lcc_e6"))),
+
+    // harmonic + closeness centrality over the sampled source set (the
+    // same sources as g_bfs_levels; one extra aggregation over the BFS)
+    "g_centrality_sampled" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      graft.algo.Centrality.sampledCloseness(e, sources)
+        .select(col("id"), col("reached"),
+          round(col("harmonic") * 1000000).cast("long").as("harmonic_e6"),
+          round(col("closeness") * 1000000).cast("long").as("closeness_e6"))
+    }),
+
+    // weighted multi-source shortest paths, 4 fixed Bellman–Ford rounds
+    // on the weighted demo graph (integer distances ⇒ unrounded compare)
+    "g_sssp_t4" -> ((s, dir) => {
+      val ew = demoWeightedEdges(s, dir)
+      val sources = GraphOps.vertices(ew.select(col("src"), col("dst")))
+        .filter(col("id") % 100 === 0)
+      graft.algo.ShortestPaths.runFixed(ew, sources, rounds = 4)
+    }),
+
+    // 3 peel rounds toward the k-core at k = floor(avg degree) — every
+    // vertex emitted with its survival flag so the row count is stable at
+    // any scale factor even when the cascade empties the core
+    "g_kcore_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val verts = GraphOps.vertices(e)
+      val k = e.count() / verts.count() // floor(avg degree), mirrored in SQL
+      val core = graft.algo.KCore.peelFixed(e, k, rounds = 3)
+      verts.join(core.select(col("id").as("cid")), col("id") === col("cid"), "left")
+        .select(col("id"),
+          when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
+    }),
+
+    // personalized PageRank, 5 fixed iterations, teleport mass pinned to
+    // the sampled source set
+    "g_ppr_t5" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      PageRank.runPersonalizedFixed(e, sources, iterations = 5)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))
+    }),
+
     "g_confusion" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -611,6 +661,130 @@ object GraphQueries {
 
     "g_neighbors" ->
       s"WITH $cte SELECT dst FROM e0 WHERE src = 42",
+
+    "g_lcc" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM canon e1
+         |  JOIN canon e2 ON e1.dst = e2.src
+         |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |tcnt AS (
+         |  SELECT id, count(*) AS tri FROM (
+         |    SELECT a AS id FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) u
+         |  GROUP BY id),
+         |deg AS (
+         |  SELECT id, count(*) AS deg FROM (
+         |    SELECT src AS id FROM canon
+         |    UNION ALL SELECT dst FROM canon) u
+         |  GROUP BY id)
+         |SELECT d.id, CAST(ROUND(
+         |  CASE WHEN d.deg < 2 THEN 0.0
+         |       ELSE 2.0 * coalesce(t.tri, 0) / (d.deg * (d.deg - 1)) END
+         |  * 1000000) AS BIGINT) AS lcc_e6
+         |FROM deg d LEFT JOIN tcnt t ON d.id = t.id""".stripMargin,
+
+    "g_centrality_sampled" ->
+      s"""WITH RECURSIVE $cte,
+         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |d AS (SELECT source, id, min(dist) AS dist FROM reach GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source AS id, count(*) AS reached,
+         |         sum(1.0 / dist) AS harm, sum(dist) AS sd
+         |  FROM d WHERE dist > 0 GROUP BY 1)
+         |SELECT s.id,
+         |  coalesce(a.reached, 0) AS reached,
+         |  CAST(ROUND(coalesce(a.harm, 0) * 1000000) AS BIGINT) AS harmonic_e6,
+         |  CAST(ROUND(coalesce(a.reached / a.sd, 0) * 1000000) AS BIGINT)
+         |    AS closeness_e6
+         |FROM srcs s LEFT JOIN agg a ON s.id = a.id""".stripMargin,
+
+    // 4 unrolled Bellman–Ford rounds over the weighted graph; every round
+    // table is MATERIALIZED (referenced by the relax join AND the merge)
+    "g_sssp_t4" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT coalesce(p.id, c.id) AS id,
+           |         least(coalesce(p.dist, 9223372036854775807),
+           |               coalesce(c.cand, 9223372036854775807)) AS dist
+           |  FROM d${t - 1} p FULL JOIN (
+           |    SELECT ew.dst AS id, min(p.dist + ew.weight) AS cand
+           |    FROM ew JOIN d${t - 1} p ON ew.src = p.id GROUP BY 1) c
+           |  ON p.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |vw AS (SELECT DISTINCT src AS id FROM ew),
+         |d0 AS MATERIALIZED (
+         |  SELECT id, CAST(0 AS BIGINT) AS dist FROM vw WHERE id % 100 = 0),
+         |$rounds
+         |SELECT id, dist FROM d4""".stripMargin
+    },
+
+    "g_kcore_t3" -> {
+      val peels = (1 to 3).map { t =>
+        s"""s$t AS MATERIALIZED (
+           |  SELECT e0.src AS id, count(*) AS deg
+           |  FROM e0
+           |  JOIN v${t - 1} a ON e0.src = a.id
+           |  JOIN v${t - 1} b ON e0.dst = b.id
+           |  GROUP BY 1),
+           |v$t AS MATERIALIZED (
+           |  SELECT id FROM s$t, kk WHERE deg >= kk.k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |kk AS (SELECT CAST(FLOOR(
+         |         (SELECT count(*) FROM e0) / (SELECT count(*) FROM verts))
+         |       AS BIGINT) AS k),
+         |v0 AS (SELECT id FROM verts),
+         |$peels
+         |SELECT v.id,
+         |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+         |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
+    },
+
+    // personalized PageRank: prSql's power iteration with the teleport
+    // mass routed to the sampled source set (graph is symmetrized ⇒ no
+    // dangling term)
+    "g_ppr_t5" -> {
+      val steps = (1 to 5).map { k =>
+        s"""x$k AS (
+           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN r${k - 1} p ON e0.src = p.id JOIN deg d ON e0.src = d.id
+           |  GROUP BY 1
+           |), r$k AS (
+           |  SELECT v.id, (1.0 - 0.85) * v.reset + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM rst v LEFT JOIN x$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |rst AS (
+         |  SELECT v.id,
+         |    CASE WHEN s.id IS NULL THEN 0.0
+         |         ELSE 1.0 / (SELECT count(*) FROM srcs) END AS reset
+         |  FROM verts v LEFT JOIN srcs s ON v.id = s.id),
+         |r0 AS (SELECT id, reset AS r FROM rst),
+         |$steps
+         |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r5""".stripMargin
+    },
 
     "g_read_txt" ->
       """WITH fx(sn, dn) AS (VALUES

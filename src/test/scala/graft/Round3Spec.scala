@@ -116,6 +116,130 @@ class WeightedBudgetSpec extends GraftSuite {
   }
 }
 
+class NewOperatorsSpec extends GraftSuite {
+  import graft.algo.{Centrality, KCore, ShortestPaths, TriangleCount}
+
+  private val karate = undirected(Fixtures.karatePairs)
+
+  test("local clustering coefficient matches brute force on karate") {
+    val got = TriangleCount.localClustering(edgesDf(karate))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val adj = karate.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = adj.map { case (v, nb) =>
+      val d = nb.size
+      val links = (for (a <- nb.toSeq; b <- nb.toSeq if a < b && adj(a)(b)) yield 1).size
+      v -> (if (d < 2) 0.0 else 2.0 * links / (d.toDouble * (d - 1)))
+    }
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (v, e) => assert(math.abs(got(v) - e) < 1e-12, s"v=$v") }
+  }
+
+  test("sampled closeness/harmonic match per-source BFS on karate") {
+    val sources = Seq(1L, 34L)
+    val adj = karate.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def bfsLevels(s: Long): Map[Long, Int] = {
+      var dist = Map(s -> 0); var frontier = Seq(s); var lev = 0
+      while (frontier.nonEmpty) {
+        lev += 1
+        val next = frontier.flatMap(adj(_)).distinct.filterNot(dist.contains)
+        next.foreach(v => dist += v -> lev)
+        frontier = next
+      }
+      dist
+    }
+    val got = {
+      import spark.implicits._
+      Centrality.sampledCloseness(edgesDf(karate), sources.toDF("id"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    }
+    sources.foreach { s =>
+      val d = bfsLevels(s).filter(_._2 > 0)
+      val (reached, harm, close) =
+        (d.size.toLong, d.values.map(1.0 / _).sum, d.size.toDouble / d.values.sum)
+      assert(got(s)._1 === reached)
+      assert(math.abs(got(s)._2 - harm) < 1e-9)
+      assert(math.abs(got(s)._3 - close) < 1e-9)
+    }
+  }
+
+  test("weighted SSSP converges to Dijkstra distances") {
+    import spark.implicits._
+    // deterministic integer weights on karate: w(u,v) = (u+v) % 5 + 1
+    val wedges = karate.map { case (u, v) => (u, v, (u + v) % 5 + 1) }
+    val (distDf, _, converged) = ShortestPaths.run(
+      wedges.toDF("src", "dst", "weight"), Seq(1L).toDF("id"))
+    assert(converged)
+    val got = distDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // in-memory Dijkstra
+    val adj = wedges.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    val dist = scala.collection.mutable.Map(1L -> 0L)
+    val pq = scala.collection.mutable.PriorityQueue((0L, 1L))(
+      Ordering.by[(Long, Long), Long](-_._1))
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (d == dist(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+        if (dist.get(v).forall(_ > d + w)) { dist(v) = d + w; pq.enqueue((d + w, v)) }
+      }
+    }
+    assert(got === dist.toMap)
+    // the fixed-round form at rounds >= convergence agrees
+    val fixed = ShortestPaths.runFixed(
+      wedges.toDF("src", "dst", "weight"), Seq(1L).toDF("id"), rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed === dist.toMap)
+  }
+
+  test("k-core peel matches sequential peeling on karate") {
+    def seqCore(k: Long): Set[Long] = {
+      var alive = karate.flatMap(e => Seq(e._1, e._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = karate.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).view.mapValues(_.size).toMap
+        val next = alive.filter(v => deg.getOrElse(v, 0) >= k)
+        changed = next != alive
+        alive = next
+      }
+      alive
+    }
+    Seq(2L, 3L, 4L, 5L).foreach { k =>
+      val (core, _, conv) = KCore.kCore(edgesDf(karate), k)
+      assert(conv)
+      assert(core.collect().map(_.getLong(0)).toSet === seqCore(k), s"k=$k")
+    }
+    // karate's max core is 4: the 5-core must be empty
+    assert(KCore.kCore(edgesDf(karate), 5L)._1.count() === 0L)
+  }
+
+  test("personalized PageRank concentrates mass near the source set") {
+    import spark.implicits._
+    val sources = Seq(1L)
+    val got = graft.algo.PageRank.runPersonalizedFixed(
+      edgesDf(karate), sources.toDF("id"), iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // dense oracle: rank' = 0.15*reset + 0.85 * M rank (no danglers here)
+    val nodes = karate.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val outDeg = karate.groupBy(_._1).view.mapValues(_.size).toMap
+    val reset = nodes.map(v => if (sources.contains(v)) 1.0 / sources.size else 0.0)
+    var rank = reset.toArray
+    for (_ <- 1 to 20) {
+      val next = nodes.map(v => 0.15 * reset(idx(v))).toArray
+      karate.foreach { case (u, v) =>
+        next(idx(v)) += 0.85 * rank(idx(u)) / outDeg(u)
+      }
+      rank = next
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - rank(idx(v))) < 1e-9, s"v=$v")
+    }
+    // mass sums to 1 and the source outranks everyone
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(1L) === got.values.max)
+  }
+}
+
 class DepthCapSpec extends GraftSuite {
 
   test("bfsLevels truncates at maxDepth (shared with the oracle bound)") {
