@@ -27,33 +27,44 @@ import org.apache.spark.storage.StorageLevel
   */
 object ShortestPaths {
 
+  /** One Bellman–Ford relaxation round: relax every edge against the
+    * current (id, dist) table and merge (exposed for the plan gate —
+    * the public entry points checkpoint each round, which hides the
+    * round's plan behind an RDD scan).
+    */
+  private[graft] def relaxOnce(e: DataFrame, dist: DataFrame): DataFrame = {
+    val relaxed = e
+      .join(dist.select(col("id").as("rid"), col("dist").as("rdist")),
+        col("src") === col("rid"))
+      .groupBy(col("dst").as("id"))
+      .agg(min(col("rdist") + col("w")).as("cand"))
+    dist
+      .join(relaxed.select(col("id").as("nid"), col("cand")),
+        col("id") === col("nid"), "full")
+      .select(
+        coalesce(col("id"), col("nid")).as("id"),
+        least(
+          coalesce(col("dist"), lit(Long.MaxValue)),
+          coalesce(col("cand"), lit(Long.MaxValue))).as("dist"))
+  }
+
+  private[graft] def weighted(weightedEdges: DataFrame): DataFrame =
+    weightedEdges.select(col("src"), col("dst"),
+      col("weight").cast("long").as("w"))
+
   /** Fixed `rounds` Bellman–Ford relaxations from `sources` (a df with an
     * `id` column). Returns (id, dist) for vertices reached within that
     * many hops — after `rounds ≥ diameter` this is the exact SSSP table.
     */
   def runFixed(weightedEdges: DataFrame, sources: DataFrame,
                rounds: Int): DataFrame = {
-    val e = weightedEdges.select(col("src"), col("dst"),
-        col("weight").cast("long").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = weighted(weightedEdges).persist(StorageLevel.MEMORY_AND_DISK)
     var dist = sources.select(col("id"), lit(0L).as("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var r = 0
     while (r < rounds) {
       r += 1
-      val relaxed = e
-        .join(dist.select(col("id").as("rid"), col("dist").as("rdist")),
-          col("src") === col("rid"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("rdist") + col("w")).as("cand"))
-      val next = dist
-        .join(relaxed.select(col("id").as("nid"), col("cand")),
-          col("id") === col("nid"), "full")
-        .select(
-          coalesce(col("id"), col("nid")).as("id"),
-          least(
-            coalesce(col("dist"), lit(Long.MaxValue)),
-            coalesce(col("cand"), lit(Long.MaxValue))).as("dist"))
+      val next = relaxOnce(e, dist)
         .persist(StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
       dist.unpersist(blocking = false)

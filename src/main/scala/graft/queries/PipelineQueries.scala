@@ -237,6 +237,14 @@ object PipelineQueries {
         .runStreamOnce(s, s"$dir/events.parquet", "graft_verify_stream")
         .select("hour_epoch", "event_type", "n", "sum_value_e3")),
 
+    // streaming link-graph ingestion: degree maintenance over the
+    // event-derived edge stream (state store carries per-source counts);
+    // the oracle recomputes the same degrees batch-wise
+    "ev_stream_degrees" -> ((s, dir) =>
+      graft.streaming.EdgeStreams
+        .runDegreeStreamOnce(s, s"$dir/events.parquet", "graft_verify_edges")
+        .select("src", "out_degree")),
+
     // 60-bit MD5 SimHash via the native Catalyst expression (the
     // DuckDB-verifiable variant; Murmur3 simhash64 is the throughput
     // path, exercised in ScalaTest)
@@ -599,5 +607,11 @@ object PipelineQueries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |event_type, count(*) AS n,
         |CAST(ROUND(sum(value) * 1000) AS BIGINT) AS sum_value_e3
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_stream_degrees" ->
+      """SELECT user_id % 300 AS src, count(*) AS out_degree
+        |FROM events
+        |WHERE user_id % 300 <> event_id % 300
+        |GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming link-graph ingestion — the seam a 100 TB pipeline feeds
+  * through: crawl/event deltas arrive as micro-batches, the edge table
+  * grows append-only, and cheap graph summaries (degrees) are maintained
+  * incrementally instead of recomputed from the full table.
+  *
+  * The reference engine has no streaming surface (SURVEY.md §2.9); these
+  * operators extend the engine's EventStreams batch/stream-parity pattern
+  * to the GRAPH side: one plan definition serves `read` and `readStream`
+  * inputs, and the driver gate (`ev_stream_degrees`) checks the streaming
+  * result against a batch DuckDB oracle.
+  */
+object EdgeStreams {
+
+  /** Deterministic edge stream derived from the events table (the same
+    * bounded-id-space trick as the demo graph: actor → touched entity,
+    * folded into 300 ids so iterative oracles stay tractable at any SF).
+    * Works on batch and streaming inputs alike.
+    */
+  def eventEdges(events: DataFrame): DataFrame =
+    events.select(
+        (col("user_id") % 300).as("src"),
+        (col("event_id") % 300).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  /** Multigraph out-degree maintenance — a streaming-safe aggregation
+    * (running count per source; in update/complete mode the state store
+    * carries the counts across micro-batches).
+    */
+  def degreeCounts(edges: DataFrame): DataFrame =
+    edges.groupBy("src").agg(count(lit(1)).as("out_degree"))
+
+  /** One-shot streaming run of the degree maintenance over a parquet
+    * directory (memory sink, complete mode — a single finite batch).
+    */
+  def runDegreeStreamOnce(spark: SparkSession, path: String,
+                          name: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val dir = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-edge-stream")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        d.toString
+      }
+    }
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = degreeCounts(eventEdges(stream))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Incremental ingestion via foreachBatch: every micro-batch of events
+    * appends its edges to `targetDir/edges` (append-only parquet — the
+    * Iceberg-append seam) and merges its degree deltas into
+    * `targetDir/degrees` (read summary + union + re-aggregate + atomic
+    * swap — state proportional to the VERTEX set, never the edge set,
+    * which is what makes the summary maintainable at 10^12 edges).
+    * Returns the streaming query's batch count.
+    */
+  def ingestOnce(spark: SparkSession, srcPath: String,
+                 targetDir: String): Long = {
+    val schema = spark.read.parquet(srcPath).schema
+    // the streaming file source lists a DIRECTORY; wrap a bare file
+    val srcDir = {
+      val f = new java.io.File(srcPath)
+      if (f.isDirectory) srcPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+        d.toString
+      }
+    }
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    var batches = 0L
+    val q = eventEdges(stream).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        batch.write.mode("append").parquet(s"$targetDir/edges")
+        val delta = degreeCounts(batch)
+        val degPath = s"$targetDir/degrees"
+        val merged =
+          if (new java.io.File(degPath).exists())
+            spark.read.parquet(degPath).union(delta)
+              .groupBy("src").agg(sum("out_degree").cast("long").as("out_degree"))
+          else delta
+        // write-new-then-swap: the summary read above must complete before
+        // its directory is replaced
+        val tmp = s"$targetDir/degrees_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(degPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches
+  }
+}

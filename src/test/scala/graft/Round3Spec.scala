@@ -240,6 +240,80 @@ class NewOperatorsSpec extends GraftSuite {
   }
 }
 
+class EdgeStreamsSpec extends GraftSuite {
+  import graft.streaming.EdgeStreams
+
+  private val events = "/root/testdata/sf0.001/events.parquet"
+
+  test("streaming degree maintenance equals the batch plan") {
+    val streamed = EdgeStreams
+      .runDegreeStreamOnce(spark, events, "edge_stream_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = EdgeStreams.degreeCounts(
+        EdgeStreams.eventEdges(spark.read.parquet(events)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("foreachBatch ingestion appends edges and maintains the degree summary") {
+    val target = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val batches = EdgeStreams.ingestOnce(spark, events, target)
+    assert(batches >= 1L)
+    val ingested = spark.read.parquet(s"$target/edges")
+    val direct = EdgeStreams.eventEdges(spark.read.parquet(events))
+    assert(ingested.count() === direct.count())
+    // the maintained summary equals a from-scratch recompute
+    val summary = spark.read.parquet(s"$target/degrees")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recomputed = EdgeStreams.degreeCounts(direct)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summary === recomputed)
+  }
+}
+
+/** 100 TB plan gates for the round-3 operators: every join is an
+  * equi-join (no cartesian anywhere), aggregations stay in HashAggregate.
+  */
+class NewOperatorsPlanSpec extends GraftSuite {
+  import graft.algo.{Centrality, KCore, ShortestPaths, TriangleCount}
+
+  private val karate = undirected(Fixtures.karatePairs)
+
+  private def assertNoCross(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), s"$name plans a cross product:\n$plan")
+  }
+
+  test("lcc / sssp / kcore / ppr / centrality plan no cartesian products") {
+    import spark.implicits._
+    val e = edgesDf(karate)
+    assertNoCross(TriangleCount.localClustering(e), "lcc")
+    val w = karate.map { case (u, v) => (u, v, 1L) }.toDF("src", "dst", "weight")
+    assertNoCross(ShortestPaths.runFixed(w, Seq(1L).toDF("id"), 3), "sssp")
+    assertNoCross(KCore.peelFixed(e, 3L, 2), "kcore")
+    assertNoCross(graft.algo.PageRank.runPersonalizedFixed(
+      e, Seq(1L).toDF("id"), 3), "ppr")
+    assertNoCross(Centrality.sampledCloseness(e, Seq(1L, 34L).toDF("id")),
+      "centrality")
+  }
+
+  test("SSSP relaxation aggregates in HashAggregate (no sort in the hot loop)") {
+    import spark.implicits._
+    val w = ShortestPaths.weighted(
+      karate.map { case (u, v) => (u, v, 1L) }.toDF("src", "dst", "weight"))
+    val dist = Seq(1L).toDF("id").select(col("id"), lit(0L).as("dist"))
+    // the public entry points checkpoint each round (plan shows an RDD
+    // scan); gate the round's own plan via the shared relaxation unit
+    val df = ShortestPaths.relaxOnce(w, dist)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortAggregate"), s"min relax fell to sort agg:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash agg:\n$plan")
+  }
+}
+
 class DepthCapSpec extends GraftSuite {
 
   test("bfsLevels truncates at maxDepth (shared with the oracle bound)") {
