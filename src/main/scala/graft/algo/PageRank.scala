@@ -141,6 +141,68 @@ object PageRank {
     ranks
   }
 
+  /** Weighted PageRank, fixed iterations — the rank a vertex passes along
+    * an edge is proportional to the edge's weight share of its total
+    * out-weight (the natural ranking over a link graph whose edges carry
+    * multiplicities or costs; completes the engine's weighted family next
+    * to weighted LP, weighted modularity, and weighted SSSP):
+    *
+    *   rank'(v) = (1−d)/N + d·( Σ_{u→v} rank(u)·w(u,v)/wout(u) + D/N )
+    *
+    * Same two-shuffle skeleton as [[runFixed]]; each edge carries its
+    * source's out-weight after a single setup join.
+    */
+  def runFixedWeighted(weightedEdges: DataFrame, iterations: Int,
+                       damping: Double = 0.85,
+                       partitions: Int = 32): DataFrame = {
+    val plain = weightedEdges.select(col("src"), col("dst"))
+    val verts = GraphOps.vertices(plain).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val wOut = weightedEdges.groupBy(col("src").as("id"))
+      .agg(sum(col("weight")).cast("long").as("wout"))
+    val edgesW = weightedEdges.join(wOut, weightedEdges("src") === wOut("id"))
+      .select(weightedEdges("src"), weightedEdges("dst"),
+        weightedEdges("weight"), col("wout"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = verts.join(wOut, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = dangling.count() > 0L
+
+    var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lastCkpt: DataFrame = null
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val dMass =
+        if (hasDangling)
+          dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
+        else 0.0
+      val contribs = edgesW
+        .join(ranks, edgesW("src") === ranks("id"))
+        .select(edgesW("dst").as("id"),
+          (col("rank") * col("weight") / col("wout")).as("c"))
+      val sums = contribs.groupBy("id").agg(sum("c").as("s"))
+      ranks = verts.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pending += ranks
+      if (hasDangling || (iter % 5 == 0 && iter < iterations)) {
+        ranks = ranks.localCheckpoint(eager = true)
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+        lastCkpt = ranks
+      }
+    }
+    pending.dropRight(1).foreach(_.unpersist(blocking = false))
+    ranks
+  }
+
   /** Personalized PageRank, fixed iterations: the teleport mass returns to
     * the `sources` set (uniformly) instead of to all vertices — the
     * related-pages / topic-sensitive ranking primitive:

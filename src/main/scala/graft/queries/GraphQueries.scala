@@ -475,6 +475,13 @@ object GraphQueries {
           when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
     }),
 
+    // weighted PageRank, 3 fixed iterations over the weighted demo graph
+    // (rank flows proportionally to edge-weight share of out-weight)
+    "g_pagerank_w_t3" -> ((s, dir) =>
+      PageRank.runFixedWeighted(demoWeightedEdges(s, dir), iterations = 3)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))),
+
     // personalized PageRank, 5 fixed iterations, teleport mass pinned to
     // the sampled source set
     "g_ppr_t5" -> ((s, dir) => {
@@ -757,6 +764,40 @@ object GraphQueries {
          |SELECT v.id,
          |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
          |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
+    },
+
+    // weighted PageRank: prSql's power iteration with rank split by
+    // weight share of out-weight (symmetrized weighted graph ⇒ no
+    // dangling term); arithmetic order mirrors the engine exactly
+    "g_pagerank_w_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""x$k AS (
+           |  SELECT ew.dst AS id, sum(p.r * ew.weight / d.wout) AS s
+           |  FROM ew JOIN r${k - 1} p ON ew.src = p.id
+           |  JOIN wout d ON ew.src = d.id
+           |  GROUP BY 1
+           |), r$k AS (
+           |  SELECT v.id, 0.15 / (SELECT count(*) FROM vw)
+           |         + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM vw v LEFT JOIN x$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |vw AS (SELECT DISTINCT src AS id FROM ew),
+         |wout AS (SELECT src AS id, CAST(sum(weight) AS BIGINT) AS wout
+         |         FROM ew GROUP BY 1),
+         |r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM vw) AS r FROM vw),
+         |$steps
+         |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r3""".stripMargin
     },
 
     // personalized PageRank: prSql's power iteration with the teleport

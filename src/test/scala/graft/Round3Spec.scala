@@ -212,6 +212,36 @@ class NewOperatorsSpec extends GraftSuite {
     assert(KCore.kCore(edgesDf(karate), 5L)._1.count() === 0L)
   }
 
+  test("weighted PageRank matches the dense weighted power iteration") {
+    import spark.implicits._
+    val wedges = karate.map { case (u, v) => (u, v, (u + v) % 5 + 1) }
+    val got = graft.algo.PageRank.runFixedWeighted(
+      wedges.toDF("src", "dst", "weight"), iterations = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nodes = karate.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val idx = nodes.zipWithIndex.toMap
+    val wout = wedges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var rank = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to 15) {
+      val next = Array.fill(n)(0.15 / n)
+      wedges.foreach { case (u, v, w) =>
+        next(idx(v)) += 0.85 * rank(idx(u)) * w / wout(u)
+      }
+      rank = next
+    }
+    nodes.foreach(v => assert(math.abs(got(v) - rank(idx(v))) < 1e-9, s"v=$v"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // unit weights reduce exactly to the unweighted runFixed
+    val unit = karate.map { case (u, v) => (u, v, 1L) }
+    val w1 = graft.algo.PageRank.runFixedWeighted(
+      unit.toDF("src", "dst", "weight"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = graft.algo.PageRank.runFixed(edgesDf(karate), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach(v => assert(math.abs(w1(v) - plain(v)) < 1e-12, s"v=$v"))
+  }
+
   test("personalized PageRank concentrates mass near the source set") {
     import spark.implicits._
     val sources = Seq(1L)
