@@ -14,7 +14,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *
   * Usage:
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
-  *               ppr|centrality|lcc|all>
+  *               ppr|centrality|lcc|hits|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -188,6 +188,14 @@ object Main {
       l.write.mode("overwrite").parquet(s"$outDir/lcc")
       println(s"[graft] lcc: rows=${l.count()}")
     }
+    def runHits(): Unit = {
+      // HITS runs on the DIRECTED edge set (pre-symmetrization)
+      val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
+      val h = graft.algo.Hits.runFixed(directed,
+        iterations = maxIter.getOrElse(20), partitions = partitions)
+      h.write.mode("overwrite").parquet(s"$outDir/hits")
+      println(s"[graft] hits: iters=${maxIter.getOrElse(20)} rows=${h.count()}")
+    }
 
     algo match {
       case "lp"          => runLp()
@@ -201,6 +209,7 @@ object Main {
       case "ppr"         => runPpr()
       case "centrality"  => runCentrality()
       case "lcc"         => runLcc()
+      case "hits"        => runHits()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

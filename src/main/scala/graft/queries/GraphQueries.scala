@@ -475,6 +475,22 @@ object GraphQueries {
           when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
     }),
 
+    // HITS hubs/authorities, 3 fixed iterations — the one gate that runs
+    // on the raw DIRECTED edge set (hub and authority collapse to the
+    // same vector on a symmetrized graph)
+    "g_hits_t3" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.Hits.runFixed(directed, iterations = 3)
+        .select(col("id"),
+          round(col("auth") * 1000000).cast("long").as("auth_e6"),
+          round(col("hub") * 1000000).cast("long").as("hub_e6"))
+    }),
+
     // weighted PageRank, 3 fixed iterations over the weighted demo graph
     // (rank flows proportionally to edge-weight share of out-weight)
     "g_pagerank_w_t3" -> ((s, dir) =>
@@ -764,6 +780,46 @@ object GraphQueries {
          |SELECT v.id,
          |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
          |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
+    },
+
+    // HITS: unrolled alternating hub/authority aggregations over the
+    // directed edge set, L1-normalized per half-step via scalar
+    // subqueries; every state CTE MATERIALIZED (referenced by the next
+    // half-step AND its own normalizer)
+    "g_hits_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""ar$k AS (
+           |  SELECT r.dst AS id, sum(p.hub) AS a
+           |  FROM rawd r JOIN s${k - 1} p ON r.src = p.id GROUP BY 1),
+           |aj$k AS MATERIALIZED (
+           |  SELECT v.id, coalesce(ar.a, 0) AS a
+           |  FROM vd v LEFT JOIN ar$k ar ON v.id = ar.id),
+           |an$k AS MATERIALIZED (
+           |  SELECT id, a / (SELECT sum(a) FROM aj$k) AS auth FROM aj$k),
+           |hr$k AS (
+           |  SELECT r.src AS id, sum(an.auth) AS h
+           |  FROM rawd r JOIN an$k an ON r.dst = an.id GROUP BY 1),
+           |hj$k AS MATERIALIZED (
+           |  SELECT v.id, coalesce(hr.h, 0) AS h
+           |  FROM vd v LEFT JOIN hr$k hr ON v.id = hr.id),
+           |s$k AS MATERIALIZED (
+           |  SELECT an.id, an.auth, hj.h / (SELECT sum(h) FROM hj$k) AS hub
+           |  FROM an$k an JOIN hj$k hj ON an.id = hj.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |s0 AS MATERIALIZED (
+         |  SELECT id, 1.0 / (SELECT count(*) FROM vd) AS auth,
+         |         1.0 / (SELECT count(*) FROM vd) AS hub FROM vd),
+         |$steps
+         |SELECT id, CAST(ROUND(auth * 1000000) AS BIGINT) AS auth_e6,
+         |       CAST(ROUND(hub * 1000000) AS BIGINT) AS hub_e6
+         |FROM s3""".stripMargin
     },
 
     // weighted PageRank: prSql's power iteration with rank split by

@@ -212,6 +212,35 @@ class NewOperatorsSpec extends GraftSuite {
     assert(KCore.kCore(edgesDf(karate), 5L)._1.count() === 0L)
   }
 
+  test("HITS matches the dense alternating iteration on the directed karate graph") {
+    // directed: the fixture pairs as given (low id → high id)
+    val directed = Fixtures.karatePairs
+    val got = graft.algo.Hits.runFixed(edgesDf(directed), iterations = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val nodes = directed.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    var auth = Array.fill(nodes.size)(1.0 / nodes.size)
+    var hub = Array.fill(nodes.size)(1.0 / nodes.size)
+    for (_ <- 1 to 10) {
+      val a = Array.fill(nodes.size)(0.0)
+      directed.foreach { case (u, v) => a(idx(v)) += hub(idx(u)) }
+      val as = a.sum
+      auth = a.map(_ / as)
+      val h = Array.fill(nodes.size)(0.0)
+      directed.foreach { case (u, v) => h(idx(u)) += auth(idx(v)) }
+      val hs = h.sum
+      hub = h.map(_ / hs)
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - auth(idx(v))) < 1e-9, s"auth v=$v")
+      assert(math.abs(got(v)._2 - hub(idx(v))) < 1e-9, s"hub v=$v")
+    }
+    // L1-normalized and genuinely directed: hub != auth somewhere
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    assert(nodes.exists(v => math.abs(got(v)._1 - got(v)._2) > 1e-6))
+  }
+
   test("weighted PageRank matches the dense weighted power iteration") {
     import spark.implicits._
     val wedges = karate.map { case (u, v) => (u, v, (u + v) % 5 + 1) }
