@@ -475,6 +475,18 @@ object GraphQueries {
           when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
     }),
 
+    // link-prediction scores (common neighbors + Adamic–Adar) for the
+    // probe pairs (i, i+2) — every pair emitted, zero for disjoint
+    // neighborhoods
+    "g_linkpred" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val pairs = s.range(0, NodeSpace.toLong)
+        .select(col("id").as("src"), ((col("id") + 2) % NodeSpace).as("dst"))
+      graft.algo.LinkPrediction.scores(e, pairs)
+        .select(col("src"), col("dst"), col("common"),
+          round(col("aa") * 1000000).cast("long").as("aa_e6"))
+    }),
+
     // HITS hubs/authorities, 3 fixed iterations — the one gate that runs
     // on the raw DIRECTED edge set (hub and authority collapse to the
     // same vector on a symmetrized graph)
@@ -781,6 +793,23 @@ object GraphQueries {
          |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
          |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
     },
+
+    "g_linkpred" ->
+      s"""WITH $cte,
+         |probe AS (SELECT range AS u, (range + 2) % $NodeSpace AS v
+         |          FROM range($NodeSpace)),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |ov AS (
+         |  SELECT p.u, p.v, count(*) AS cn, sum(1.0 / ln(d.degree)) AS aa
+         |  FROM probe p
+         |  JOIN e0 a ON a.src = p.u
+         |  JOIN e0 b ON b.src = p.v AND b.dst = a.dst
+         |  JOIN deg d ON d.id = a.dst
+         |  GROUP BY 1, 2)
+         |SELECT p.u AS src, p.v AS dst,
+         |  coalesce(ov.cn, 0) AS common,
+         |  CAST(ROUND(coalesce(ov.aa, 0) * 1000000) AS BIGINT) AS aa_e6
+         |FROM probe p LEFT JOIN ov ON ov.u = p.u AND ov.v = p.v""".stripMargin,
 
     // HITS: unrolled alternating hub/authority aggregations over the
     // directed edge set, L1-normalized per half-step via scalar

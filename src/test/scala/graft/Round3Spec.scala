@@ -212,6 +212,27 @@ class NewOperatorsSpec extends GraftSuite {
     assert(KCore.kCore(edgesDf(karate), 5L)._1.count() === 0L)
   }
 
+  test("link-prediction scores match brute force on karate") {
+    import spark.implicits._
+    val adj = karate.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adj.view.mapValues(_.size).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val probe = for (u <- nodes; v <- nodes if u < v) yield (u, v)
+    val got = graft.algo.LinkPrediction.scores(
+        edgesDf(karate), probe.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === probe.size) // every pair emitted
+    probe.foreach { case (u, v) =>
+      val common = adj(u) intersect adj(v)
+      assert(got((u, v))._1 === common.size.toLong, s"cn ($u,$v)")
+      val aa = common.toSeq.map(z => 1.0 / math.log(deg(z))).sum
+      assert(math.abs(got((u, v))._2 - aa) < 1e-9, s"aa ($u,$v)")
+    }
+    // sanity: tightly-knit hub pair scores above a cross-community pair
+    assert(got((1L, 2L))._2 > got((1L, 34L))._2)
+  }
+
   test("HITS matches the dense alternating iteration on the directed karate graph") {
     // directed: the fixture pairs as given (low id → high id)
     val directed = Fixtures.karatePairs
