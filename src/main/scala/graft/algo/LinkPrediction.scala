@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.graph.GraphOps
 
 /** Link-prediction scores over candidate pairs — the neighborhood-overlap
-  * primitives (common neighbors, Adamic–Adar) used to propose missing or
-  * future edges in a link graph:
+  * primitives used to propose missing or future edges in a link graph:
   *
-  *   cn(u,v) = |N(u) ∩ N(v)|
-  *   aa(u,v) = Σ_{z ∈ N(u) ∩ N(v)} 1 / ln(deg(z))
+  *   cn(u,v)      = |N(u) ∩ N(v)|                      (common neighbors)
+  *   aa(u,v)      = Σ_{z ∈ N(u) ∩ N(v)} 1 / ln(deg(z)) (Adamic–Adar)
+  *   jaccard(u,v) = cn / (deg(u) + deg(v) − cn)        (neighborhood Jaccard)
+  *   pa(u,v)      = deg(u) · deg(v)                    (preferential attachment)
   *
   * Scored for an explicit `pairs` table, NOT all pairs: at web scale the
   * candidate set comes from a blocking stage (LSH buckets, same-domain
@@ -39,8 +40,21 @@ object LinkPrediction {
       .join(overlaps.select(col("u").as("src"), col("v").as("dst"),
           col("cn"), col("aaRaw")),
         Seq("src", "dst"), "left")
+      .join(deg.select(col("id").as("src"), col("degree").as("degU")),
+        Seq("src"), "left")
+      .join(deg.select(col("id").as("dst"), col("degree").as("degV")),
+        Seq("dst"), "left")
       .select(col("src"), col("dst"),
         coalesce(col("cn"), lit(0L)).as("common"),
-        coalesce(col("aaRaw"), lit(0.0)).as("aa"))
+        coalesce(col("aaRaw"), lit(0.0)).as("aa"),
+        {
+          val c = coalesce(col("cn"), lit(0L))
+          val union = coalesce(col("degU"), lit(0L)) +
+            coalesce(col("degV"), lit(0L)) - c
+          when(union > 0, c.cast("double") / union).otherwise(lit(0.0))
+            .as("jaccard")
+        },
+        (coalesce(col("degU"), lit(0L)) * coalesce(col("degV"), lit(0L)))
+          .as("pa"))
   }
 }

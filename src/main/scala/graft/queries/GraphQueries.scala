@@ -484,7 +484,9 @@ object GraphQueries {
         .select(col("id").as("src"), ((col("id") + 2) % NodeSpace).as("dst"))
       graft.algo.LinkPrediction.scores(e, pairs)
         .select(col("src"), col("dst"), col("common"),
-          round(col("aa") * 1000000).cast("long").as("aa_e6"))
+          round(col("aa") * 1000000).cast("long").as("aa_e6"),
+          round(col("jaccard") * 1000000).cast("long").as("jaccard_e6"),
+          col("pa"))
     }),
 
     // HITS hubs/authorities, 3 fixed iterations — the one gate that runs
@@ -808,8 +810,19 @@ object GraphQueries {
          |  GROUP BY 1, 2)
          |SELECT p.u AS src, p.v AS dst,
          |  coalesce(ov.cn, 0) AS common,
-         |  CAST(ROUND(coalesce(ov.aa, 0) * 1000000) AS BIGINT) AS aa_e6
-         |FROM probe p LEFT JOIN ov ON ov.u = p.u AND ov.v = p.v""".stripMargin,
+         |  CAST(ROUND(coalesce(ov.aa, 0) * 1000000) AS BIGINT) AS aa_e6,
+         |  CAST(ROUND(CASE
+         |    WHEN coalesce(du.degree, 0) + coalesce(dv.degree, 0)
+         |         - coalesce(ov.cn, 0) > 0
+         |    THEN CAST(coalesce(ov.cn, 0) AS DOUBLE)
+         |         / (coalesce(du.degree, 0) + coalesce(dv.degree, 0)
+         |            - coalesce(ov.cn, 0))
+         |    ELSE 0.0 END * 1000000) AS BIGINT) AS jaccard_e6,
+         |  coalesce(du.degree, 0) * coalesce(dv.degree, 0) AS pa
+         |FROM probe p
+         |LEFT JOIN ov ON ov.u = p.u AND ov.v = p.v
+         |LEFT JOIN deg du ON du.id = p.u
+         |LEFT JOIN deg dv ON dv.id = p.v""".stripMargin,
 
     // HITS: unrolled alternating hub/authority aggregations over the
     // directed edge set, L1-normalized per half-step via scalar

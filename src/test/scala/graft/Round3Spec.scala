@@ -221,13 +221,17 @@ class NewOperatorsSpec extends GraftSuite {
     val got = graft.algo.LinkPrediction.scores(
         edgesDf(karate), probe.toDF("src", "dst"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getDouble(3)))).toMap
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
     assert(got.size === probe.size) // every pair emitted
     probe.foreach { case (u, v) =>
       val common = adj(u) intersect adj(v)
       assert(got((u, v))._1 === common.size.toLong, s"cn ($u,$v)")
       val aa = common.toSeq.map(z => 1.0 / math.log(deg(z))).sum
       assert(math.abs(got((u, v))._2 - aa) < 1e-9, s"aa ($u,$v)")
+      val jac = if (adj(u).union(adj(v)).nonEmpty)
+        common.size.toDouble / adj(u).union(adj(v)).size else 0.0
+      assert(math.abs(got((u, v))._3 - jac) < 1e-9, s"jaccard ($u,$v)")
+      assert(got((u, v))._4 === deg(u).toLong * deg(v), s"pa ($u,$v)")
     }
     // sanity: tightly-knit hub pair scores above a cross-community pair
     assert(got((1L, 2L))._2 > got((1L, 34L))._2)
