@@ -151,4 +151,34 @@ object Measures {
       if (den == 0.0) 1.0 else -2.0 * num / den
     } finally cm.unpersist()
   }
+
+  /** Degree assortativity (Newman): Pearson correlation of endpoint
+    * degrees over the directed edge slots — do high-degree pages link to
+    * other hubs (r > 0, social-network-like) or to leaves (r < 0,
+    * web-like)?
+    *
+    * Computed from EXACT integer sums (degrees and their products are
+    * longs; the demo id space bounds every sum far below 2^63) with one
+    * double division at the end, so the driver-gate oracle reproduces the
+    * value bit-for-bit. One degree aggregation, two broadcast-able joins,
+    * one scalar aggregate — no per-vertex state survives the query.
+    */
+  def degreeAssortativity(edges: DataFrame): Double = {
+    val deg = graft.graph.GraphOps.degrees(edges)
+    val j = edges
+      .join(deg.select(col("id").as("src"), col("degree").as("x")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("y")), "dst")
+    val r = j.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy")).first()
+    val m = r.getLong(0)
+    val (sx, sy, sxy, sxx, syy) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val dx = m * sxx - sx * sx
+    val dy = m * syy - sy * sy
+    if (dx == 0L || dy == 0L) 0.0
+    else (m * sxy - sx * sy) / math.sqrt(dx.toDouble * dy.toDouble)
+  }
 }

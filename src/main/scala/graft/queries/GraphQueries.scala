@@ -475,6 +475,12 @@ object GraphQueries {
           when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
     }),
 
+    // degree assortativity (Newman) of the demo graph — exact integer
+    // sums, one final double division, bit-reproducible in the oracle
+    "g_assortativity" -> ((s, dir) =>
+      oneRow(s, "r_e6", math.round(
+        Measures.degreeAssortativity(demoEdges(s, dir)) * 1000000))),
+
     // link-prediction scores (common neighbors + Adamic–Adar) for the
     // probe pairs (i, i+2) — every pair emitted, zero for disjoint
     // neighborhoods
@@ -795,6 +801,25 @@ object GraphQueries {
          |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
          |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
     },
+
+    "g_assortativity" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |jn AS (SELECT dx.degree AS x, dy.degree AS y FROM e0
+         |       JOIN deg dx ON e0.src = dx.id
+         |       JOIN deg dy ON e0.dst = dy.id),
+         |s AS (SELECT count(*) AS m,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM jn)
+         |SELECT CAST(ROUND(CASE
+         |  WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 THEN 0.0
+         |  ELSE (m * sxy - sx * sy)
+         |       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * (m * syy - sy * sy))
+         |  END * 1000000) AS BIGINT) AS r_e6
+         |FROM s""".stripMargin,
 
     "g_linkpred" ->
       s"""WITH $cte,

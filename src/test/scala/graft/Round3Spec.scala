@@ -212,6 +212,21 @@ class NewOperatorsSpec extends GraftSuite {
     assert(KCore.kCore(edgesDf(karate), 5L)._1.count() === 0L)
   }
 
+  test("degree assortativity matches the direct Pearson computation on karate") {
+    val got = graft.measures.Measures.degreeAssortativity(edgesDf(karate))
+    val deg = karate.groupBy(_._1).view.mapValues(_.size).toMap
+    val xs = karate.map(e => deg(e._1).toDouble)
+    val ys = karate.map(e => deg(e._2).toDouble)
+    val m = xs.size
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = m * (xs, ys).zipped.map(_ * _).sum - sx * sy
+    val den = math.sqrt((m * xs.map(x => x * x).sum - sx * sx) *
+      (m * ys.map(y => y * y).sum - sy * sy))
+    assert(math.abs(got - num / den) < 1e-12)
+    // Zachary's karate club is famously disassortative (~ -0.4756)
+    assert(math.abs(got - (-0.4756)) < 0.001)
+  }
+
   test("link-prediction scores match brute force on karate") {
     import spark.implicits._
     val adj = karate.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
