@@ -1,0 +1,70 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Deterministic random-walk generation — the corpus builder for
+  * graph-embedding training (DeepWalk / node2vec consume exactly this:
+  * one "sentence" of vertex ids per walk). A genuinely random walk is
+  * irreproducible across engines and runs; this generator drives each
+  * step with an LCG-style mix of (current vertex, walk id, step) reduced
+  * modulo the current vertex's degree, so walks are uniform-ish over
+  * neighbors yet bit-identical everywhere — the same trick as the
+  * engine's hashed LP tie-break, chosen over xxhash because the driver
+  * oracle (DuckDB) must replay it.
+  *
+  * Plan shape: the adjacency is indexed ONCE (row_number per source over
+  * dst order — a partitioned window, no global sort) and each step is
+  * two equi-joins on the walk state (degree lookup, then (vertex, idx)
+  * neighbor lookup). State is one row per active walk; at 10^9 walks the
+  * step cost is walks ⋈ adjacency, partition-pruned by the join keys.
+  */
+object RandomWalks {
+
+  /** (src, dst, idx) with idx = 0-based position of dst among src's
+    * neighbors in ascending dst order.
+    */
+  def indexedAdjacency(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .withColumn("idx",
+        (row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+          .cast("long"))
+
+  /** One walk per row of `starts` (walk_id = start id), `length` steps.
+    * Returns (walk_id, step, vertex) for steps 0..length — a walk stops
+    * early only at a sink (impossible on a symmetrized graph).
+    */
+  def walks(edges: DataFrame, starts: DataFrame, length: Int): DataFrame = {
+    val adj = indexedAdjacency(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var state = starts.select(col("id").as("walk_id"),
+        lit(0L).as("step"), col("id").as("cur"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](state)
+    var t = 0
+    while (t < length) {
+      t += 1
+      val next = state
+        .join(deg.select(col("id").as("did"), col("d")), col("cur") === col("did"))
+        .join(adj.select(col("src").as("asrc"), col("dst").as("adst"), col("idx")),
+          col("cur") === col("asrc") &&
+            col("idx") === (col("cur") * 1103515245L + col("walk_id") * 12345L
+              + lit(t.toLong)) % col("d"))
+        .select(col("walk_id"), lit(t.toLong).as("step"), col("adst").as("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
+      frames += next
+      state = next
+    }
+    val out = frames.reduce(_ union _)
+      .select(col("walk_id"), col("step"), col("cur").as("vertex"))
+    adj.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+}

@@ -475,6 +475,15 @@ object GraphQueries {
           when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
     }),
 
+    // deterministic random walks (DeepWalk-corpus shape), 4 steps from
+    // the sampled starts; step choice = LCG mix mod degree, replayable
+    // by the oracle
+    "g_walks_l4" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val starts = GraphOps.vertices(e).filter(col("id") % 100 === 0)
+      graft.algo.RandomWalks.walks(e, starts, length = 4)
+    }),
+
     // degree assortativity (Newman) of the demo graph — exact integer
     // sums, one final double division, bit-reproducible in the oracle
     "g_assortativity" -> ((s, dir) =>
@@ -800,6 +809,29 @@ object GraphQueries {
          |SELECT v.id,
          |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
          |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
+    },
+
+    "g_walks_l4" -> {
+      val steps = (1 to 4).map { t =>
+        s"""w$t AS (
+           |  SELECT w.walk_id, CAST($t AS BIGINT) AS step, n.dst AS cur
+           |  FROM w${t - 1} w
+           |  JOIN dg d ON w.cur = d.id
+           |  JOIN nbr n ON n.src = w.cur
+           |   AND n.idx = (w.cur * 1103515245 + w.walk_id * 12345 + $t) % d.d)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to 4).map(t => s"SELECT * FROM w$t").mkString("\n  UNION ALL ")
+      s"""WITH $cte,
+         |dg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |nbr AS (SELECT src, dst,
+         |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |               AS BIGINT) AS idx
+         |        FROM e0),
+         |w0 AS (SELECT id AS walk_id, CAST(0 AS BIGINT) AS step, id AS cur
+         |       FROM verts WHERE id % 100 = 0),
+         |$steps
+         |SELECT walk_id, step, cur AS vertex FROM (
+         |  $union) u""".stripMargin
     },
 
     "g_assortativity" ->

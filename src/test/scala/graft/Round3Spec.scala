@@ -212,6 +212,34 @@ class NewOperatorsSpec extends GraftSuite {
     assert(KCore.kCore(edgesDf(karate), 5L)._1.count() === 0L)
   }
 
+  test("deterministic walks replay the LCG schedule and follow real edges") {
+    import spark.implicits._
+    val starts = Seq(1L, 34L)
+    val length = 6
+    val got = graft.algo.RandomWalks.walks(
+        edgesDf(karate), starts.toDF("id"), length)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // in-memory replay: neighbors in ascending order, same LCG step choice
+    val nbrs = karate.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    starts.foreach { w =>
+      var cur = w
+      assert(got((w, 0L)) === w)
+      (1 to length).foreach { t =>
+        val ns = nbrs(cur)
+        cur = ns(((cur * 1103515245L + w * 12345L + t) % ns.size).toInt)
+        assert(got((w, t.toLong)) === cur, s"walk $w step $t")
+      }
+    }
+    assert(got.size === starts.size * (length + 1))
+    // every transition is a real edge
+    val edgeSet = karate.toSet
+    starts.foreach { w =>
+      (1 to length).foreach { t =>
+        assert(edgeSet.contains((got((w, t - 1L)), got((w, t.toLong)))))
+      }
+    }
+  }
+
   test("degree assortativity matches the direct Pearson computation on karate") {
     val got = graft.measures.Measures.degreeAssortativity(edgesDf(karate))
     val deg = karate.groupBy(_._1).view.mapValues(_.size).toMap
