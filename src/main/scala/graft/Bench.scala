@@ -207,9 +207,11 @@ object Bench {
         (slots.toLong, sec.toDouble, hash.toLong,
           (calPre.toDouble + calPost.toDouble) / 2.0)
       case None =>
-        val calPre = calibratePerCore(cores)
+        // same 2000 ms sampling window as the forked child, so fallback
+        // reps stay comparable with forked reps in the per-rep series
+        val calPre = calibratePerCore(cores, 2000L)
         val (slots, sec, hash) = scalingRunAt(cores, nVerts, supersteps)
-        val calPost = calibratePerCore(cores)
+        val calPost = calibratePerCore(cores, 2000L)
         (slots, sec, hash, (calPre + calPost) / 2.0)
     }
 

@@ -73,7 +73,6 @@ object Hits {
         .join(hJoined.select(col("id").as("hid2"), (col("h") / hSum).as("hub")),
           col("id") === col("hid2"))
         .select(col("id"), col("auth"), col("hub"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
       aJoined.unpersist(blocking = false)
       hJoined.unpersist(blocking = false)
@@ -82,6 +81,7 @@ object Hits {
     }
     eSrc.unpersist(blocking = false)
     eDst.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
     scores
   }
 }

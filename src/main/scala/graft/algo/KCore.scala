@@ -45,7 +45,6 @@ object KCore {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
       alive.unpersist(blocking = false)
       alive = next
@@ -75,7 +74,6 @@ object KCore {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
       val m = next.count()
       // an unchanged survivor set is the fixed point — and so is an empty

@@ -64,7 +64,8 @@ object PageRank {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
             .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // eager checkpoint only — a persist before it would register a
+        // cache entry the returned wrapper can never release
         .localCheckpoint(eager = true)
       val delta = next.join(ranks.withColumnRenamed("rank", "prev"), "id")
         .agg(max(abs(col("rank") - col("prev")))).first().getDouble(0)
@@ -100,7 +101,6 @@ object PageRank {
     // (Round 2 never freed them and 10 iterations kept 10 rank tables
     // cached, evicting the edge table at scale — VERDICT r2.)
     val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastCkpt: DataFrame = null // superseded once a newer one materializes
     var iter = 0
     while (iter < iterations) {
       iter += 1
@@ -126,13 +126,12 @@ object PageRank {
       pending += ranks
       if (hasDangling || (iter % 5 == 0 && iter < iterations)) {
         ranks = ranks.localCheckpoint(eager = true)
-        // the new checkpoint holds the data; everything persisted before
-        // it — lazy chain members AND the previous checkpoint — is dead
-        // weight now, free it
+        // the new checkpoint holds the data; the lazy chain members cached
+        // before it are dead weight — free their cache entries (superseded
+        // checkpoint BLOCKS have no cache entry to free; the ContextCleaner
+        // releases them once the wrapper is unreferenced)
         pending.foreach(_.unpersist(blocking = false))
         pending.clear()
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = ranks
       }
     }
     // intermediates above the last truncation cache nothing the caller
@@ -171,7 +170,6 @@ object PageRank {
 
     var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
     val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastCkpt: DataFrame = null
     var iter = 0
     while (iter < iterations) {
       iter += 1
@@ -193,10 +191,12 @@ object PageRank {
       pending += ranks
       if (hasDangling || (iter % 5 == 0 && iter < iterations)) {
         ranks = ranks.localCheckpoint(eager = true)
+        // the new checkpoint holds the data; the lazy chain members cached
+        // before it are dead weight — free their cache entries (superseded
+        // checkpoint BLOCKS have no cache entry to free; the ContextCleaner
+        // releases them once the wrapper is unreferenced)
         pending.foreach(_.unpersist(blocking = false))
         pending.clear()
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = ranks
       }
     }
     pending.dropRight(1).foreach(_.unpersist(blocking = false))
@@ -238,7 +238,6 @@ object PageRank {
 
     var ranks = reset.select(col("id"), col("reset").as("rank"))
     val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var lastCkpt: DataFrame = null
     var iter = 0
     while (iter < iterations) {
       iter += 1
@@ -259,10 +258,12 @@ object PageRank {
       pending += ranks
       if (hasDangling || (iter % 5 == 0 && iter < iterations)) {
         ranks = ranks.localCheckpoint(eager = true)
+        // the new checkpoint holds the data; the lazy chain members cached
+        // before it are dead weight — free their cache entries (superseded
+        // checkpoint BLOCKS have no cache entry to free; the ContextCleaner
+        // releases them once the wrapper is unreferenced)
         pending.foreach(_.unpersist(blocking = false))
         pending.clear()
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = ranks
       }
     }
     pending.dropRight(1).foreach(_.unpersist(blocking = false))

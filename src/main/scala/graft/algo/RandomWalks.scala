@@ -56,7 +56,6 @@ object RandomWalks {
             col("idx") === (col("cur") * 1103515245L + col("walk_id") * 12345L
               + lit(t.toLong)) % col("d"))
         .select(col("walk_id"), lit(t.toLong).as("step"), col("adst").as("cur"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
       frames += next
       state = next

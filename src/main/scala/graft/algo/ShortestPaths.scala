@@ -65,7 +65,6 @@ object ShortestPaths {
     while (r < rounds) {
       r += 1
       val next = relaxOnce(e, dist)
-        .persist(StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
       dist.unpersist(blocking = false)
       dist = next
@@ -83,8 +82,12 @@ object ShortestPaths {
     val e = weightedEdges.select(col("src"), col("dst"),
         col("weight").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // `persisted` is the cache handle (unpersist must target the exact
-    // cached plan, not a projection of it); `dist` is its (id, dist) view
+    // `persisted` tracks the handle whose storage the next round
+    // supersedes: the round-0 cache entry first (unpersist must target
+    // the exact cached plan, not a projection), then each round's
+    // checkpointed frame (whose blocks the ContextCleaner frees once
+    // unreferenced — the unpersist is a no-op there, kept for the round-0
+    // case); `dist` is the (id, dist) view
     var persisted = sources.select(col("id"), lit(0L).as("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var dist = persisted
@@ -108,7 +111,6 @@ object ShortestPaths {
           // an improvement is a new vertex or a strictly smaller distance
           (col("id").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
             .as("improved"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
         .localCheckpoint(eager = true)
       changed = next.filter(col("improved")).limit(1).count() > 0L
       persisted.unpersist(blocking = false)

@@ -153,11 +153,29 @@ object Main {
       report("lp-async", labels, sweeps, t0)
     }
     // round-3 operators; sampled sources default to id % 100 == 0
-    def sampledSources() =
-      GraphOps.vertices(edges).filter(col("id") % 100 === 0)
+    def sampledSources() = {
+      val s = GraphOps.vertices(edges).filter(col("id") % 100 === 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      require(s.limit(1).count() > 0L,
+        "no vertex id is divisible by 100 — pass an input whose id space " +
+          "covers the sampled-source rule, or adjust the sampling")
+      s
+    }
     def runSssp(): Unit = {
-      // unit weights unless the input carried a weight column upstream
-      val w = edges.withColumn("weight", lit(1L))
+      // an edges: parquet with a weight column runs WEIGHTED shortest
+      // paths (symmetrized, parallel edges keep the min weight — Pajek
+      // dedup parity); synthesized/pages graphs get unit weights
+      val w = input.split(":", 2) match {
+        case Array("edges", path)
+            if spark.read.parquet(path).columns.contains("weight") =>
+          val raw = spark.read.parquet(path)
+            .select(col("src"), col("dst"), col("weight"))
+            .filter(col("src") =!= col("dst"))
+          raw.union(raw.select(col("dst").as("src"), col("src").as("dst"),
+              col("weight")))
+            .groupBy("src", "dst").agg(min("weight").as("weight"))
+        case _ => edges.withColumn("weight", lit(1L))
+      }
       val (dist, rounds, conv) = graft.algo.ShortestPaths.run(w, sampledSources(),
         maxRounds = maxIter.getOrElse(10000))
       dist.write.mode("overwrite").parquet(s"$outDir/sssp")

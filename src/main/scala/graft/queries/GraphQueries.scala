@@ -276,10 +276,13 @@ object GraphQueries {
       val e = demoWeightedEdges(s, dir)
       var labels = LabelPropagation.initLabels(
         GraphOps.vertices(e.select(col("src"), col("dst"))))
+      // derive the weighted packed-argmax budget ONCE, not per superstep
+      val packed = Some(LabelPropagation.packedBudgetOkWeighted(e))
       var i = 0
       while (i < 2) {
         i += 1
-        labels = LabelPropagation.superstepWeighted(e, labels, symmetric = true)
+        labels = LabelPropagation.superstepWeighted(e, labels, symmetric = true,
+          packedArgmax = packed)
       }
       labels
     }),
@@ -357,8 +360,13 @@ object GraphQueries {
       val blocks = GraphOps.csrBlocks(demoEdges(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = LabelPropagation.initLabels(blocks.select(col("id")))
+      // derive the packed-argmax budget ONCE, not per superstep
+      val packed = Some(LabelPropagation.packedBudgetOk(GraphOps.cooFromCsr(blocks)))
       var i = 0
-      while (i < 3) { i += 1; labels = LabelPropagation.superstepCsr(blocks, labels) }
+      while (i < 3) {
+        i += 1
+        labels = LabelPropagation.superstepCsr(blocks, labels, packedArgmax = packed)
+      }
       labels
     }),
 

@@ -35,22 +35,27 @@ object EdgeStreams {
   def degreeCounts(edges: DataFrame): DataFrame =
     edges.groupBy("src").agg(count(lit(1)).as("out_degree"))
 
+  /** The streaming file source lists a DIRECTORY; wrap a bare LOCAL file
+    * in a temp dir (harness convenience for the single-file test fixtures
+    * — remote paths are expected to already be directories).
+    */
+  private def wrapIfBareFile(path: String): String = {
+    val f = new java.io.File(path)
+    if (!f.isFile) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft-edge-stream")
+      java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+      d.toString
+    }
+  }
+
   /** One-shot streaming run of the degree maintenance over a parquet
     * directory (memory sink, complete mode — a single finite batch).
     */
   def runDegreeStreamOnce(spark: SparkSession, path: String,
                           name: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val dir = {
-      val f = new java.io.File(path)
-      if (f.isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-edge-stream")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
-        d.toString
-      }
-    }
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(wrapIfBareFile(path))
     val q = degreeCounts(eventEdges(stream))
       .writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName(name)
@@ -71,17 +76,7 @@ object EdgeStreams {
   def ingestOnce(spark: SparkSession, srcPath: String,
                  targetDir: String): Long = {
     val schema = spark.read.parquet(srcPath).schema
-    // the streaming file source lists a DIRECTORY; wrap a bare file
-    val srcDir = {
-      val f = new java.io.File(srcPath)
-      if (f.isDirectory) srcPath
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-ingest-src")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
-        d.toString
-      }
-    }
-    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val stream = spark.readStream.schema(schema).parquet(wrapIfBareFile(srcPath))
     var batches = 0L
     val q = eventEdges(stream).writeStream
       .outputMode(OutputMode.Append)
@@ -90,20 +85,24 @@ object EdgeStreams {
         batch.write.mode("append").parquet(s"$targetDir/edges")
         val delta = degreeCounts(batch)
         val degPath = s"$targetDir/degrees"
+        // ALL summary side-channel I/O goes through the Hadoop FileSystem
+        // resolved from the path's own scheme, so an hdfs:// or s3a://
+        // target merges correctly (a java.io existence check would be
+        // always-false there and silently drop every prior batch — the
+        // Checkpointer lesson from round 2)
+        val dst = new org.apache.hadoop.fs.Path(degPath)
+        val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(degPath).exists())
+          if (fs.exists(dst))
             spark.read.parquet(degPath).union(delta)
               .groupBy("src").agg(sum("out_degree").cast("long").as("out_degree"))
           else delta
         // write-new-then-swap: the summary read above must complete before
         // its directory is replaced
-        val tmp = s"$targetDir/degrees_next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(degPath)
+        val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
         fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        fs.rename(tmp, dst)
         ()
       }
       .start()
