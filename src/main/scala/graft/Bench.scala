@@ -85,9 +85,13 @@ object Bench {
           .agg(bit_xor(xxhash64(col("id"), col("label")))).first().getLong(0)
       }
 
-      // Convergence run: iterations-to-convergence metric.
+      // Convergence run: iterations-to-convergence metric. symmetric=true
+      // (the edges ARE symmetrized — same contract the CLI asserts): skips
+      // the keep-previous fallback join, so each superstep references the
+      // previous labels exactly once and the lazy-checkpoint Superstep loop
+      // runs one job per superstep.
       val (lpConv, lpConvSec) = time {
-        LabelPropagation.run(edges, nNodes, earlyStop = true)
+        LabelPropagation.run(edges, nNodes, earlyStop = true, symmetric = true)
       }
       val (cc, ccSec) = time { ConnectedComponents.run(edges, nNodes) }
       val (_, prSec) = time {

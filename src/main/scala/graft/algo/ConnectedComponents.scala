@@ -95,18 +95,52 @@ object ConnectedComponents {
         least(col("label"), coalesce(col("nbMin"), col("label"))).as("label"))
   }
 
+  /** Skew-aware min-propagation superstep — the LP hot/cold routing
+    * ([[LabelPropagation.superstepSkewAware]]) with min replacing the
+    * mode-argmax: cold edges gather via the ordinary shuffle join, hot
+    * (high-in-degree dst) edges via a broadcast of the hot vertices'
+    * labels. min is routing-invariant, so labels match [[superstep]]
+    * exactly.
+    */
+  def superstepSkewAware(plan: GraphOps.SkewPlan, labels: DataFrame): DataFrame = {
+    val hotLabels = labels.join(broadcast(plan.hotIds), Seq("id"), "left_semi")
+    val coldMsgs = plan.coldEdges.join(labels, plan.coldEdges("dst") === labels("id"))
+      .select(plan.coldEdges("src").as("id"), labels("label"))
+    val hotMsgs = plan.hotEdges
+      .join(broadcast(hotLabels), plan.hotEdges("dst") === hotLabels("id"))
+      .select(plan.hotEdges("src").as("id"), hotLabels("label"))
+    val neighborMin = coldMsgs.union(hotMsgs)
+      .groupBy("id").agg(min(col("label")).as("nbMin"))
+    labels.join(neighborMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("label"), coalesce(col("nbMin"), col("label"))).as("label"))
+  }
+
+  /** @param autoSkew as in [[LabelPropagation.run]]: derive the hot-vertex
+    *        threshold from the in-degree distribution and route through
+    *        the broadcast hot/cold split when a hot set exists.
+    */
   def run(
       edges: DataFrame,
       nNodes: Long,
       checkpointer: Option[Checkpointer] = None,
       checkpointEvery: Int = 5,
-      maxIter: Option[Int] = None): Superstep.Result = {
+      maxIter: Option[Int] = None,
+      autoSkew: Boolean = true): Superstep.Result = {
     val init = LabelPropagation.initLabels(GraphOps.vertices(edges))
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val derivedPlan =
+      if (autoSkew) GraphOps.planSkewAuto(edges, parts) else None
+    val step: DataFrame => DataFrame = derivedPlan match {
+      case Some(p) => labels => superstepSkewAware(p, labels)
+      case None    => labels => superstep(edges, labels)
+    }
     // Early-stop/plateau heuristics are for LP's noisy community curve; CC
     // is monotone so only the exact changes==0 rule applies.
-    Superstep.run("cc", init, labels => superstep(edges, labels), nNodes,
+    try Superstep.run("cc", init, step, nNodes,
       earlyStop = false, plateau = false,
       checkpointer = checkpointer, checkpointEvery = checkpointEvery,
       maxIter = maxIter)
+    finally derivedPlan.foreach(GraphOps.unpersistSkew)
   }
 }

@@ -27,10 +27,23 @@ import graft.graph.GraphOps
   */
 object KCore {
 
+  /** k must be ≥ 1: vertices whose surviving degree drops to 0 vanish
+    * from the degree groupBy and are peeled unconditionally, so k ≤ 0
+    * would silently return the 1-core instead of "all vertices" (and
+    * isolated vertices are never in the vertex set to begin with —
+    * vertices are edge endpoints). Guarded rather than patched: the
+    * 0-core of an edge-defined graph is just `vertices(edges)`
+    * (ADVICE r3).
+    */
+  private def requireValidK(k: Long): Unit =
+    require(k >= 1, s"k-core requires k >= 1 (got $k); the 0-core is " +
+      "GraphOps.vertices(edges) by definition")
+
   /** Exactly `rounds` peel rounds — the gate-able fixed-schedule form
     * (after convergence it equals the true k-core).
     */
   def peelFixed(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    requireValidK(k)
     val e = GraphOps.symmetrize(edges.select("src", "dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var alive = GraphOps.vertices(e)
@@ -58,6 +71,7 @@ object KCore {
     */
   def kCore(edges: DataFrame, k: Long,
             maxRounds: Int = 10000): (DataFrame, Int, Boolean) = {
+    requireValidK(k)
     val e = GraphOps.symmetrize(edges.select("src", "dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var alive = GraphOps.vertices(e)

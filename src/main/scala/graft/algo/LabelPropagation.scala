@@ -304,6 +304,18 @@ object LabelPropagation {
 
   /** Run to convergence. `edges` should be symmetrized for undirected
     * semantics and pre-partitioned via [[GraphOps.prepareForGather]].
+    *
+    * @param autoSkew with no explicit `skewPlan`, derive the hot-vertex
+    *        threshold from the in-degree distribution (p99.9 with a mean
+    *        floor, [[GraphOps.planSkewAuto]]) and route supersteps through
+    *        the broadcast hot/cold split when a hot set exists — the
+    *        SURVEY §7.4 default. One extra aggregation job at setup; a
+    *        near-uniform graph (or one whose max in-degree is below a
+    *        reducer's fair share) derives no plan and runs the plain
+    *        superstep. Skipped when a hashed tie-break seed is requested
+    *        (the skew-aware path is pinned-tie-break only). Labels are
+    *        plan-routing-invariant — gated label-exact against the plain
+    *        plan (`g_lp_skew_t3` / `g_lp_autoskew_t3`).
     */
   def run(
       edges: DataFrame,
@@ -314,19 +326,26 @@ object LabelPropagation {
       skewPlan: Option[GraphOps.SkewPlan] = None,
       earlyStop: Boolean = true,
       symmetric: Boolean = false,
-      tieBreakSeed: Option[Long] = None): Superstep.Result = {
+      tieBreakSeed: Option[Long] = None,
+      autoSkew: Boolean = true): Superstep.Result = {
     val init = initLabels(GraphOps.vertices(edges))
     val packed = packedBudgetOk(edges)
+    val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val derivedPlan =
+      if (skewPlan.isEmpty && autoSkew && tieBreakSeed.isEmpty)
+        GraphOps.planSkewAuto(edges, parts)
+      else None
     // hashed tie-break re-seeds per iteration (the reference re-draws
     // rand() every call; a fixed per-(id,label) choice can 2-cycle)
     var it = 0
     def seedNow(): Option[Long] = { it += 1; tieBreakSeed.map(_ + it) }
-    val step: DataFrame => DataFrame = skewPlan match {
+    val step: DataFrame => DataFrame = skewPlan.orElse(derivedPlan) match {
       case Some(p) => labels => superstepSkewAware(p, labels, packed)
       case None    => labels => superstep(edges, labels, symmetric, packed, seedNow())
     }
-    Superstep.run("lp", init, step, nNodes,
+    try Superstep.run("lp", init, step, nNodes,
       earlyStop = earlyStop, checkpointer = checkpointer,
       checkpointEvery = checkpointEvery, maxIter = maxIter)
+    finally derivedPlan.foreach(GraphOps.unpersistSkew) // auto plan is run-scoped
   }
 }

@@ -16,9 +16,13 @@ import graft.graph.GraphOps
   * candidate set comes from a blocking stage (LSH buckets, same-domain
   * pairs, top-k ANN), so the operator is pairs ⋈ adjacency ⋈ adjacency ⋈
   * degrees — three equi-joins and one partial-aggregated groupBy, cost
-  * bounded by Σ_{(u,v)} deg(u), never by n². A common neighbor z is
-  * adjacent to both endpoints, so deg(z) ≥ 2 and ln(deg(z)) > 0 — the
-  * Adamic–Adar term is always finite.
+  * bounded by Σ_{(u,v)} deg(u), never by n². On a symmetrized,
+  * self-pair-free input a common neighbor z is adjacent to two DISTINCT
+  * endpoints so deg(z) ≥ 2 and ln(deg(z)) > 0; but a caller-supplied
+  * self-pair (u,u), or a directed edge table where z's only out-edge is
+  * the common one, yields deg(z) = 1 and 1/ln(1) = ∞ — such degree-1
+  * witnesses contribute 0 to Adamic–Adar instead (the standard
+  * convention; ADVICE r3), keeping every score finite on any input.
   *
   * Every input pair is emitted (zero scores for disjoint neighborhoods),
   * keeping the output row count equal to the candidate count.
@@ -35,7 +39,8 @@ object LinkPrediction {
       .join(deg.select(col("id").as("zd"), col("degree")), col("z") === col("zd"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"),
-        sum(lit(1.0) / log(col("degree"))).as("aaRaw"))
+        sum(when(col("degree") > 1, lit(1.0) / log(col("degree")))
+          .otherwise(lit(0.0))).as("aaRaw"))
     pairs.select(col("src"), col("dst"))
       .join(overlaps.select(col("u").as("src"), col("v").as("dst"),
           col("cn"), col("aaRaw")),

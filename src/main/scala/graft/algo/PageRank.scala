@@ -24,12 +24,24 @@ object PageRank {
   final case class Result(ranks: DataFrame, iterations: Int, converged: Boolean,
                           l1History: Seq[Double])
 
+  /** @param autoSkew derive an OUT-degree hot-vertex threshold
+    *        ([[GraphOps.planSkewAuto]] keyed on `src` — PageRank's
+    *        per-iteration join keys on the rank SOURCE, so the skewed key
+    *        is out-degree, unlike LP/CC's in-degree gather; on a
+    *        symmetrized graph the two coincide) and, when a hot set
+    *        exists, route hot-source edges through a broadcast of the hot
+    *        vertices' ranks with the hot slice spread by dst. The dst
+    *        aggregation needs no skew defense: partial (map-side)
+    *        aggregation compresses any in-degree hot spot to one row per
+    *        partition.
+    */
   def run(
       edges: DataFrame,
       damping: Double = 0.85,
       eps: Double = 1e-10,
       maxIter: Int = 100,
-      partitions: Int = 32): Result = {
+      partitions: Int = 32,
+      autoSkew: Boolean = true): Result = {
     val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
@@ -41,6 +53,9 @@ object PageRank {
     val dangling = verts.join(outDeg, Seq("id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hasDangling = dangling.count() > 0L
+    val skewPlan =
+      if (autoSkew) GraphOps.planSkewAuto(edgesDeg, partitions, key = "src")
+      else None
 
     var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -55,9 +70,21 @@ object PageRank {
         if (hasDangling)
           dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
         else 0.0
-      val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("id"))
-        .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      val contribs = skewPlan match {
+        case Some(p) =>
+          val hotRanks = ranks.join(broadcast(p.hotIds), Seq("id"), "left_semi")
+          p.coldEdges.join(ranks, p.coldEdges("src") === ranks("id"))
+            .select(p.coldEdges("dst").as("id"),
+              (col("rank") / col("outdeg")).as("c"))
+            .union(p.hotEdges
+              .join(broadcast(hotRanks), p.hotEdges("src") === hotRanks("id"))
+              .select(p.hotEdges("dst").as("id"),
+                (hotRanks("rank") / p.hotEdges("outdeg")).as("c")))
+        case None =>
+          edgesDeg
+            .join(ranks, edgesDeg("src") === ranks("id"))
+            .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
+      }
       val sums = contribs.groupBy("id").agg(sum("c").as("s"))
       val next = verts.join(sums, Seq("id"), "left")
         .select(col("id"),
@@ -74,6 +101,7 @@ object PageRank {
       ranks = next
       converged = delta < eps
     }
+    skewPlan.foreach(GraphOps.unpersistSkew)
     Result(ranks, iter, converged, hist.toSeq)
   }
 

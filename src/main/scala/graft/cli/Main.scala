@@ -82,21 +82,31 @@ object Main {
           // selected nor survive to shadow this run's progress (ADVICE r2)
           cp.pruneAbove("lp", iter)
           val packed = LabelPropagation.packedBudgetOk(edges)
+          // same default-path skew defense as the fresh run: auto-derived
+          // threshold, broadcast hot/cold routing when a hot set exists
+          // (pinned tie-break only — the skew path has no hashed mode)
+          val skew =
+            if (tieSeed.isEmpty) GraphOps.planSkewAuto(edges, partitions)
+            else None
           var it = iter
           // maxIter is a TOTAL-run cap: the resumed invocation gets only
           // the remaining budget (Superstep.run's maxIter counts additional
           // iterations past startIter), so interrupt+resume never exceeds
           // what a straight run with the same cap would do (ADVICE r2)
           val capTotal = maxIter.getOrElse(graft.engine.Superstep.maxIterations(nNodes))
-          graft.engine.Superstep.run("lp", snapshot,
-            l => {
-              it += 1
-              LabelPropagation.superstep(edges, l, symmetric = true,
-                packedArgmax = packed, tieBreakSeed = tieSeed.map(_ + it))
+          try graft.engine.Superstep.run("lp", snapshot,
+            l => skew match {
+              case Some(p) =>
+                LabelPropagation.superstepSkewAware(p, l, packed)
+              case None =>
+                it += 1
+                LabelPropagation.superstep(edges, l, symmetric = true,
+                  packedArgmax = packed, tieBreakSeed = tieSeed.map(_ + it))
             },
             nNodes, checkpointer = Some(cp), checkpointEvery = 1,
             maxIter = Some(math.max(capTotal - iter, 0)), startIter = iter,
             priorMetrics = cp.readMetrics("lp").filter(_.iteration <= iter))
+          finally skew.foreach(GraphOps.unpersistSkew)
         case None =>
           LabelPropagation.run(edges, nNodes, checkpointer = Some(cp),
             checkpointEvery = 1, maxIter = maxIter, symmetric = true,

@@ -90,12 +90,20 @@ object Superstep {
         .select(col("id"), col("label"))
 
       // Lineage truncation: durable checkpoint every K supersteps (also the
-      // resume point), cheap local checkpoint otherwise.
+      // resume point), LAZY local checkpoint otherwise — the convergence
+      // aggregation below is then the ONE job per superstep, and running it
+      // materializes + caches the new labels and truncates their lineage as
+      // a side effect. The Jacobi update references `prev` exactly once, so
+      // nothing is computed twice. (Round 3 ran `persist +
+      // localCheckpoint(eager = true)` here — a full extra job per
+      // superstep before the convergence job over the same data — which
+      // regressed lp_converge 15.5→26.9 s; same lesson as runFixed's
+      // round-1 5× regression, VERDICT r3 #2.)
       next = checkpointer match {
         case Some(cp) if iter % checkpointEvery == 0 =>
           cp.checkpoint(algorithm, iter, next)
         case _ =>
-          next.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+          next.localCheckpoint(eager = false)
       }
 
       // Convergence scalars — the only data that crosses to the driver

@@ -122,19 +122,88 @@ object GraphOps {
       coldEdges: DataFrame,  // remaining edges (persisted, dst-partitioned)
       hotIds: DataFrame)     // one column `id` — small, broadcastable
 
-  def planSkew(edges: DataFrame, threshold: Long, partitions: Int): SkewPlan = {
-    val inDeg = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
-    val hotIds = inDeg.filter(col("indeg") > threshold).select("id")
+  def planSkew(edges: DataFrame, threshold: Long, partitions: Int): SkewPlan =
+    planSkewBy(edges, "dst", threshold, partitions)
+
+  /** [[planSkew]] generalized over the skew key: `dst` for the gather
+    * joins of LP/CC (in-degree skew), `src` for PageRank's rank-split
+    * join (out-degree skew). The hot slice is re-partitioned by the
+    * OPPOSITE key so a hot vertex's edges spread across partitions while
+    * its (broadcast) state needs no shuffle at all.
+    */
+  def planSkewBy(edges: DataFrame, key: String, threshold: Long,
+                 partitions: Int): SkewPlan = {
+    val other = if (key == "dst") "src" else "dst"
+    val deg = edges.groupBy(col(key).as("id")).agg(count(lit(1)).as("deg"))
+    val hotIds = deg.filter(col("deg") > threshold).select("id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     hotIds.count() // materialize so both slices below see a stable set
-    val hot = edges.join(broadcast(hotIds), edges("dst") === hotIds("id"), "left_semi")
-      .repartition(partitions, col("src"))
+    val hot = edges.join(broadcast(hotIds), edges(key) === hotIds("id"), "left_semi")
+      .repartition(partitions, col(other))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cold = edges.join(broadcast(hotIds), edges("dst") === hotIds("id"), "left_anti")
-      .repartition(partitions, col("dst"))
+    val cold = edges.join(broadcast(hotIds), edges(key) === hotIds("id"), "left_anti")
+      .repartition(partitions, col(key))
       .persist(StorageLevel.MEMORY_AND_DISK)
     SkewPlan(hot, cold, hotIds)
   }
+
+  /** Release a [[SkewPlan]]'s cached slices (they are persisted at build
+    * time so both slices see a stable hot set).
+    */
+  def unpersistSkew(plan: SkewPlan): Unit = {
+    plan.hotEdges.unpersist(blocking = false)
+    plan.coldEdges.unpersist(blocking = false)
+    plan.hotIds.unpersist(blocking = false)
+  }
+
+  /** Automatic skew-threshold derivation (SURVEY.md §7.4: "computed from
+    * the degree distribution at load (p99.9)") — ONE aggregation job over
+    * the keyed degree distribution.
+    *
+    * threshold = max( p`quantile` of the degree distribution,
+    *                  `floorFactor` × mean degree )
+    *
+    * The p99.9 quantile adapts to the power-law tail; the mean floor keeps
+    * near-uniform graphs (where p99.9 ≈ mean) from flagging ordinary
+    * vertices. The plan ENGAGES only when the max degree also exceeds a
+    * reducer's fair share (|E| / partitions): below that, even the hottest
+    * key fits comfortably in one task and the broadcast routing would be
+    * pure overhead — skew is a property of the degree distribution
+    * RELATIVE to the parallelism, not of the distribution alone.
+    *
+    * @return Some(threshold) iff a hot set exists under that criterion
+    */
+  def deriveSkewThreshold(edges: DataFrame, partitions: Int,
+                          key: String = "dst", quantile: Double = 0.999,
+                          floorFactor: Double = 8.0): Option[Long] = {
+    val row = edges.groupBy(col(key)).agg(count(lit(1)).as("deg"))
+      .agg(percentile_approx(col("deg"), lit(quantile), lit(10000)).as("q"),
+        avg(col("deg")).as("mean"), max(col("deg")).as("mx"),
+        sum(col("deg")).as("total"))
+      .first()
+    val threshold = math.max(row.getLong(0),
+      math.ceil(row.getDouble(1) * floorFactor).toLong)
+    val fairShare = math.max(row.getLong(3) / math.max(partitions, 1), 1L)
+    if (row.getLong(2) > math.max(threshold, fairShare)) Some(threshold) else None
+  }
+
+  /** Derive-then-build: the default-path skew defense. Returns None when
+    * no hot set exists (near-uniform graph, or max degree below a
+    * reducer's fair share) or when the derived hot set is too large to
+    * broadcast (`maxHotIds` — a quantile can flag 0.1% of a 10^12-vertex
+    * graph, which is NOT broadcastable; such graphs keep the AQE skew-join
+    * backstop instead).
+    */
+  def planSkewAuto(edges: DataFrame, partitions: Int,
+                   key: String = "dst", quantile: Double = 0.999,
+                   floorFactor: Double = 8.0,
+                   maxHotIds: Long = 1000000L): Option[SkewPlan] =
+    deriveSkewThreshold(edges, partitions, key, quantile, floorFactor).flatMap {
+      threshold =>
+        val plan = planSkewBy(edges, key, threshold, partitions)
+        if (plan.hotIds.count() <= maxHotIds) Some(plan)
+        else { unpersistSkew(plan); None }
+    }
 
   /** Neighborhood slice of one vertex (reference `getEdgesEdpoints`,
     * `Graph.cu:534-553`) — a point lookup, pushed down to the scan.

@@ -96,6 +96,68 @@ object GraphQueries {
   private val GtFixture =
     "# gt\na\tx\nb\ty\na\tz\nc\tx\nd\ty\n"
 
+  /** Fixture graph for the COLORED semisync gate (`g_lp_semisync_colored`)
+    * — SF-independent (like the reader fixtures) because the oracle embeds
+    * a literal transcription of the Jones–Plassmann coloring, which is a
+    * per-graph artifact: two overlapping 4-cliques sharing vertex 3, a
+    * 6-ring through 0, and two chords, 11 vertices / 15 undirected pairs.
+    */
+  private[graft] val ColorFixturePairs: Seq[(Int, Int)] = Seq(
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6),
+    (6, 7), (7, 8), (8, 9), (9, 10), (10, 0),
+    (2, 8), (4, 9))
+
+  /** The engine's Jones–Plassmann coloring of [[ColorFixturePairs]]
+    * (id-priority, mex assignment — [[graft.algo.SemiSyncLP.greedyColoring]]),
+    * transcribed as data so the DuckDB oracle can replay the SAME class
+    * schedule. The gate recomputes the coloring with the real operator and
+    * hard-fails if it diverges from this transcription, so the driver row
+    * covers the actual coloring, not a stand-in (VERDICT r3 task 5).
+    */
+  private[graft] val ColorFixtureColoring: Seq[(Int, Int)] = Seq(
+    (0, 0), (1, 1), (2, 2), (3, 3), (4, 0), (5, 1),
+    (6, 2), (7, 0), (8, 1), (9, 2), (10, 1))
+
+  /** Unrolled semisync LP over the color fixture: same machinery as
+    * [[semisyncSql]] with the edge list and the class table inlined as
+    * VALUES literals (BIGINT-cast to match the Spark schema).
+    */
+  def semisyncColoredSql(sweeps: Int): String = {
+    val k = ColorFixtureColoring.map(_._2).max + 1
+    val pairVals = ColorFixturePairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+    val clsVals = ColorFixtureColoring.map { case (v, c) => s"($v, $c)" }.mkString(", ")
+    val steps = (1 to k * sweeps).map { t =>
+      val cls = (t - 1) % k
+      s"""c$t AS (
+         |  SELECT e0.src AS id, p.label, count(*) AS cnt
+         |  FROM e0 JOIN s${t - 1} p ON e0.dst = p.id
+         |  JOIN cls cl ON cl.id = e0.src AND cl.cls = $cls
+         |  GROUP BY 1, 2
+         |), w$t AS (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |           row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+         |    FROM c$t) t WHERE rn = 1
+         |), s$t AS MATERIALIZED (
+         |  SELECT p.id, coalesce(w.label, p.label) AS label
+         |  FROM s${t - 1} p LEFT JOIN w$t w ON p.id = w.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs(sa, sb) AS (VALUES $pairVals),
+       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT CAST(sa AS BIGINT) AS src, CAST(sb AS BIGINT) AS dst
+       |  FROM pairs WHERE sa <> sb
+       |  UNION ALL
+       |  SELECT CAST(sb AS BIGINT), CAST(sa AS BIGINT)
+       |  FROM pairs WHERE sa <> sb) u),
+       |verts AS (SELECT DISTINCT src AS id FROM e0),
+       |cls(id, cls) AS (VALUES $clsVals),
+       |s0 AS MATERIALIZED (SELECT id, id AS label FROM verts),
+       |$steps
+       |SELECT id, label FROM s${k * sweeps}""".stripMargin
+  }
+
   /** Write a reader fixture to a deterministic local temp path (driver-side
     * test-input creation, not engine I/O).
     */
@@ -383,6 +445,33 @@ object GraphQueries {
       labels
     }),
 
+    // 3 fixed supersteps through the AUTO-DERIVED skew plan (threshold
+    // from the in-degree distribution, GraphOps.planSkewAuto — SURVEY
+    // §7.4's "computed from the degree distribution at load"): lenient
+    // quantile/floor + high partition count so the near-uniform demo
+    // graph still derives a real hot slice at every SF; labels must be
+    // routing-invariant, so the oracle is the same plain-plan lpSql(3).
+    // If no hot set derives (tiny SF), the fallback is the plain
+    // superstep — same labels either way, which is exactly the contract
+    // under test.
+    "g_lp_autoskew_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val plan = GraphOps.planSkewAuto(e, partitions = 256,
+        quantile = 0.6, floorFactor = 1.0)
+      var labels = LabelPropagation.initLabels(GraphOps.vertices(e))
+      var i = 0
+      plan match {
+        case Some(p) =>
+          while (i < 3) { i += 1
+            labels = LabelPropagation.superstepSkewAware(p, labels) }
+        case None =>
+          while (i < 3) { i += 1
+            labels = LabelPropagation.superstep(e, labels, symmetric = true) }
+      }
+      plan.foreach(GraphOps.unpersistSkew)
+      labels
+    }),
+
     // 2 Gauss–Seidel sweeps over 4 modulo classes — gates
     // [[graft.algo.SemiSyncLP.sweepByClasses]], the schedule machinery
     // shared by semi-sync LP and the async emulation, with a class
@@ -427,6 +516,47 @@ object GraphQueries {
       val gpath = writeFixture("gt.txt", GtFixture)
       val (_, dict) = graft.sources.GraphReaders.readEdgeListTxt(s, tpath, directed = false)
       graft.sources.GraphReaders.readGroundTruth(s, gpath, dict)
+    }),
+
+    // communities sink (reference saveCommunitiesinFile, Graph.cu:175-194):
+    // write the ground-truth labels through the name\tlabel sink and read
+    // them back — closes the last §2.1 operator without a driver gate
+    // (VERDICT r3 task 6); oracled by the same VALUES dictionary as
+    // g_read_gt, emitting names instead of ids
+    "g_write_comm" -> ((s, dir) => {
+      val tpath = writeFixture("edges.txt", TxtFixture)
+      val gpath = writeFixture("gt.txt", GtFixture)
+      val (_, dict) = graft.sources.GraphReaders.readEdgeListTxt(s, tpath, directed = false)
+      val labels = graft.sources.GraphReaders.readGroundTruth(s, gpath, dict)
+      val sink = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_fixtures", "comm_sink").toString
+      graft.sources.GraphReaders.writeCommunities(labels, dict, sink)
+      s.read.option("sep", "\t").schema("name STRING, label BIGINT").csv(sink)
+    }),
+
+    // semi-sync LP driven by the REAL Jones–Plassmann coloring (not the
+    // modulo stand-in of g_lp_semisync_t2): the oracle replays a literal
+    // transcription of the coloring, and the query hard-fails if the
+    // computed coloring ever diverges from it — so a green row certifies
+    // the actual coloring schedule (VERDICT r3 task 5). Fixture graph,
+    // SF-independent (a transcription cannot track per-SF demo graphs).
+    "g_lp_semisync_colored" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = ColorFixturePairs.map { case (a, b) => (a.toLong, b.toLong) }
+        .toDF("src", "dst")
+      val e = GraphOps.symmetrize(GraphOps.dropSelfLoops(pairs))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val colors = graft.algo.SemiSyncLP.greedyColoring(e)
+      val got = colors.collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+      require(got == ColorFixtureColoring.toMap,
+        s"Jones–Plassmann coloring diverged from the oracle transcription: $got")
+      val cls = colors.select(col("id"), col("color").cast("long").as("cls"))
+      val n = GraphOps.vertices(e).count()
+      val k = ColorFixtureColoring.map(_._2).max + 1
+      val out = graft.algo.SemiSyncLP.sweepByClasses(e, cls, k.toLong, n,
+        maxSweeps = Some(2))._1
+      e.unpersist(blocking = false)
+      out
     }),
 
     // adjacency test (reference getAij, set form): which of the probe
@@ -569,8 +699,10 @@ object GraphQueries {
     // physical routing must be label-identical to the plain COO plan
     "g_lp_csr_t3" -> lpSql(3),
     "g_lp_skew_t3" -> lpSql(3),
+    "g_lp_autoskew_t3" -> lpSql(3),
 
     "g_lp_semisync_t2" -> semisyncSql(4, 2),
+    "g_lp_semisync_colored" -> semisyncColoredSql(sweeps = 2),
 
     "g_bc_sampled" -> bcSql,
 
@@ -819,6 +951,9 @@ object GraphQueries {
          |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
     },
 
+    // step-mix constants mirror RandomWalks.StepMixA/B exactly — small
+    // enough that the mix never overflows signed 64-bit inside the 2^40-id
+    // envelope on either engine (VERDICT r3 #1)
     "g_walks_l4" -> {
       val steps = (1 to 4).map { t =>
         s"""w$t AS (
@@ -826,7 +961,9 @@ object GraphQueries {
            |  FROM w${t - 1} w
            |  JOIN dg d ON w.cur = d.id
            |  JOIN nbr n ON n.src = w.cur
-           |   AND n.idx = (w.cur * 1103515245 + w.walk_id * 12345 + $t) % d.d)""".stripMargin
+           |   AND n.idx = (w.cur * ${graft.algo.RandomWalks.StepMixA}
+           |                + w.walk_id * ${graft.algo.RandomWalks.StepMixB}
+           |                + $t) % d.d)""".stripMargin
       }.mkString(",\n")
       val union = (0 to 4).map(t => s"SELECT * FROM w$t").mkString("\n  UNION ALL ")
       s"""WITH $cte,
@@ -1038,6 +1175,29 @@ object GraphQueries {
         |            CAST(row_number() OVER (ORDER BY lab) - 1 AS BIGINT) AS label
         |          FROM (SELECT DISTINCT lab FROM fw) u)
         |SELECT d.id, l.label
+        |FROM fw JOIN dict d ON fw.name = d.name
+        |JOIN ldict l ON fw.lab = l.lab""".stripMargin,
+
+    // same VALUES machinery as g_read_gt, but emitting the NAME column —
+    // exactly what the communities sink writes per vertex
+    "g_write_comm" ->
+      """WITH gt(name, lab, ln) AS (VALUES
+        |  ('a','x',1), ('b','y',2), ('a','z',3), ('c','x',4), ('d','y',5)),
+        |fw AS (SELECT name, lab FROM (
+        |         SELECT name, lab,
+        |                row_number() OVER (PARTITION BY name ORDER BY ln) AS rn
+        |         FROM gt) t WHERE rn = 1),
+        |fx(sn, dn) AS (VALUES
+        |  ('b','a'), ('a','c'), ('b','c'), ('b','c'), ('c','d')),
+        |names AS (SELECT DISTINCT sn AS name FROM fx
+        |          UNION SELECT DISTINCT dn FROM fx),
+        |dict AS (SELECT name,
+        |           CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id
+        |         FROM names),
+        |ldict AS (SELECT lab,
+        |            CAST(row_number() OVER (ORDER BY lab) - 1 AS BIGINT) AS label
+        |          FROM (SELECT DISTINCT lab FROM fw) u)
+        |SELECT d.name, l.label
         |FROM fw JOIN dict d ON fw.name = d.name
         |JOIN ldict l ON fw.lab = l.lab""".stripMargin,
 

@@ -103,11 +103,14 @@ object GraphReaders {
   }
 
   /** Communities sink (reference `saveCommunitiesinFile`,
-    * `Graph.cu:175-194`): `name\tlabel` per vertex.
+    * `Graph.cu:175-194`): `name\tlabel` per vertex. Alias-qualified join:
+    * `labels` often CONTAINS `dict` in its lineage (ground-truth labels,
+    * the flagship pipeline), and dataset-attached column refs would trip
+    * the ambiguous-self-join detector.
     */
   def writeCommunities(labels: DataFrame, dict: DataFrame, path: String): Unit =
-    labels.join(dict, labels("id") === dict("id"))
-      .select(dict("name"), labels("label"))
+    labels.alias("lab").join(dict.alias("dic"), col("lab.id") === col("dic.id"))
+      .select(col("dic.name"), col("lab.label"))
       .write.mode("overwrite").option("sep", "\t").csv(path)
 
   private def encodePairs(pairs: DataFrame, directed: Boolean, dedup: Boolean)

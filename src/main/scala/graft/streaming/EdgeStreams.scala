@@ -68,46 +68,100 @@ object EdgeStreams {
   /** Incremental ingestion via foreachBatch: every micro-batch of events
     * appends its edges to `targetDir/edges` (append-only parquet — the
     * Iceberg-append seam) and merges its degree deltas into
-    * `targetDir/degrees` (read summary + union + re-aggregate + atomic
-    * swap — state proportional to the VERTEX set, never the edge set,
-    * which is what makes the summary maintainable at 10^12 edges).
-    * Returns the streaming query's batch count.
+    * `targetDir/degrees` (read summary + union + re-aggregate + promote —
+    * state proportional to the VERTEX set, never the edge set, which is
+    * what makes the summary maintainable at 10^12 edges). Returns the
+    * number of micro-batches APPLIED by this invocation.
+    *
+    * Durability (ADVICE r3):
+    *   - the source runs with a checkpointLocation (default
+    *     `targetDir/_checkpoint`), so re-running against the same target
+    *     resumes from the processed-file log instead of re-reading every
+    *     source file and double-counting;
+    *   - the applied micro-batch id is written INSIDE the new summary
+    *     directory (`_applied_batch`, an `_`-prefixed file parquet scans
+    *     ignore) BEFORE promotion, so "which batches are in this summary"
+    *     travels atomically with the summary and a replayed batch
+    *     (restart after a crash mid-commit) is detected and skipped
+    *     rather than double-merged;
+    *   - promotion is backup-then-swap (current → `degrees_prev`, next →
+    *     `degrees`, drop backup; restore on failure) — a crash between
+    *     the two renames leaves `degrees_prev` intact instead of losing
+    *     the summary to the round-3 delete-then-rename window.
+    * Residual window, documented: a crash after the edges append but
+    * before the summary promote replays the batch on restart and appends
+    * its edges twice — closing it needs a transactional table format
+    * (the engine's Iceberg seam, SURVEY §7.5).
+    *
+    * @param maxFilesPerTrigger bound source files per micro-batch (e.g. 1
+    *        to force one batch per input file — the multi-batch test path)
     */
   def ingestOnce(spark: SparkSession, srcPath: String,
-                 targetDir: String): Long = {
+                 targetDir: String,
+                 maxFilesPerTrigger: Option[Int] = None,
+                 checkpointLocation: Option[String] = None): Long = {
     val schema = spark.read.parquet(srcPath).schema
-    val stream = spark.readStream.schema(schema).parquet(wrapIfBareFile(srcPath))
-    var batches = 0L
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(wrapIfBareFile(srcPath))
+    var applied = 0L
     val q = eventEdges(stream).writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batches += 1
-        batch.write.mode("append").parquet(s"$targetDir/edges")
-        val delta = degreeCounts(batch)
-        val degPath = s"$targetDir/degrees"
+      .option("checkpointLocation",
+        checkpointLocation.getOrElse(s"$targetDir/_checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ALL summary side-channel I/O goes through the Hadoop FileSystem
         // resolved from the path's own scheme, so an hdfs:// or s3a://
         // target merges correctly (a java.io existence check would be
         // always-false there and silently drop every prior batch — the
         // Checkpointer lesson from round 2)
+        val degPath = s"$targetDir/degrees"
         val dst = new org.apache.hadoop.fs.Path(degPath)
         val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(dst))
-            spark.read.parquet(degPath).union(delta)
-              .groupBy("src").agg(sum("out_degree").cast("long").as("out_degree"))
-          else delta
-        // write-new-then-swap: the summary read above must complete before
-        // its directory is replaced
-        val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_next")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(dst, true)
-        fs.rename(tmp, dst)
+        val markerName = "_applied_batch"
+        def appliedBatchIn(dir: org.apache.hadoop.fs.Path): Long = {
+          val m = new org.apache.hadoop.fs.Path(dir, markerName)
+          if (!fs.exists(m)) -1L
+          else {
+            val in = fs.open(m)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          }
+        }
+        if (fs.exists(dst) && batchId <= appliedBatchIn(dst)) ()
+        else {
+          applied += 1
+          batch.write.mode("append").parquet(s"$targetDir/edges")
+          val delta = degreeCounts(batch)
+          val merged =
+            if (fs.exists(dst))
+              spark.read.parquet(degPath).union(delta)
+                .groupBy("src").agg(sum("out_degree").cast("long").as("out_degree"))
+            else delta
+          // write-new-then-promote: the summary read above must complete
+          // before its directory is replaced
+          val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_next")
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          val marker = fs.create(new org.apache.hadoop.fs.Path(tmp, markerName), true)
+          try marker.write(batchId.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally marker.close()
+          val prev = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_prev")
+          if (fs.exists(prev)) fs.delete(prev, true)
+          val hadOld = fs.exists(dst)
+          if (hadOld) fs.rename(dst, prev)
+          if (!fs.rename(tmp, dst)) {
+            if (hadOld) fs.rename(prev, dst) // restore the backup
+            sys.error(s"could not promote $tmp to $dst")
+          }
+          if (hadOld) fs.delete(prev, true)
+        }
         ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
-    batches
+    applied
   }
 }
