@@ -14,7 +14,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *
   * Usage:
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
-  *               ppr|centrality|lcc|hits|all>
+  *               ppr|centrality|lcc|hits|louvain|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -216,6 +216,19 @@ object Main {
       l.write.mode("overwrite").parquet(s"$outDir/lcc")
       println(s"[graft] lcc: rows=${l.count()}")
     }
+    def runLouvain(): Unit = {
+      val t0 = System.nanoTime()
+      val (assign, levels) = graft.algo.Louvain.run(
+        edges.withColumn("weight", lit(1L)),
+        maxLevels = 5, maxRoundsPerLevel = maxIter.getOrElse(15))
+      val labels = assign.withColumnRenamed("com", "label")
+      labels.write.mode("overwrite").parquet(s"$outDir/louvain_labels")
+      val q = Measures.modularity(edges, labels)
+      val c = Measures.communityCount(labels)
+      println(s"[graft] louvain: levels=$levels communities=$c modularity=$q")
+      println(Measures.referenceRow(nNodes, nSlots / 2, c, q, nmi = -1.0,
+        timeSec = (System.nanoTime() - t0) / 1e9))
+    }
     def runHits(): Unit = {
       // HITS runs on the DIRECTED edge set (pre-symmetrization)
       val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
@@ -238,6 +251,7 @@ object Main {
       case "centrality"  => runCentrality()
       case "lcc"         => runLcc()
       case "hits"        => runHits()
+      case "louvain"     => runLouvain()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

@@ -205,6 +205,15 @@ object GraphOps {
         else { unpersistSkew(plan); None }
     }
 
+  /** Degree-distribution histogram — the summary [[deriveSkewThreshold]]
+    * derives from, exposed as its own operator (the first thing a user
+    * profiles on a new link graph). Two partial-aggregated groupBys;
+    * output size = number of distinct degree values, tiny at any scale.
+    */
+  def degreeHistogram(edges: DataFrame, key: String = "src"): DataFrame =
+    edges.groupBy(col(key)).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
+
   /** Neighborhood slice of one vertex (reference `getEdgesEdpoints`,
     * `Graph.cu:534-553`) — a point lookup, pushed down to the scan.
     */

@@ -675,6 +675,20 @@ object GraphQueries {
           round(col("rank") * 1000000).cast("long").as("rank_e6"))
     }),
 
+    // 2 synchronous Louvain move rounds (modularity-ascent community
+    // detection) on the unit-weight demo graph — the gain argmax is exact
+    // integer arithmetic (2m·k_id − k_i·Σtot') with the pinned move rules
+    // (strict improvement, direction alternation by round parity, min
+    // community id), so the oracle replays it bit-for-bit
+    "g_louvain_t2" -> ((s, dir) =>
+      graft.algo.Louvain.moveFixed(
+        demoEdges(s, dir).withColumn("weight", lit(1L)), rounds = 2)),
+
+    // degree-distribution histogram — the summary the auto-skew threshold
+    // derives from, as a user-facing operator
+    "g_degree_hist" -> ((s, dir) =>
+      GraphOps.degreeHistogram(demoEdges(s, dir))),
+
     "g_confusion" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -1177,6 +1191,53 @@ object GraphQueries {
         |SELECT d.id, l.label
         |FROM fw JOIN dict d ON fw.name = d.name
         |JOIN ldict l ON fw.lab = l.lab""".stripMargin,
+
+    // unrolled synchronous Louvain move rounds: per round Σtot per
+    // community, k_{i,d} gather, candidate set = neighbor communities ∪
+    // own, exact-integer score argmax with (score DESC, com ASC) pinning —
+    // the engine's moveRound transcribed
+    "g_louvain_t2" -> {
+      val steps = (1 to 2).map { t =>
+        val dir = if (t % 2 == 1) "com < own" else "com > own"
+        s"""tot$t AS (SELECT a.com, CAST(sum(d.k) AS BIGINT) AS tot
+           |  FROM a${t - 1} a JOIN deg d ON a.id = d.id GROUP BY 1),
+           |kid$t AS (SELECT e0.src AS id, a.com, CAST(count(*) AS BIGINT) AS kid
+           |  FROM e0 JOIN a${t - 1} a ON e0.dst = a.id
+           |  WHERE e0.src <> e0.dst GROUP BY 1, 2),
+           |cand$t AS (SELECT id, com, CAST(sum(kid) AS BIGINT) AS kid FROM (
+           |    SELECT id, com, kid FROM kid$t
+           |    UNION ALL SELECT id, com, CAST(0 AS BIGINT) FROM a${t - 1}) u
+           |  GROUP BY 1, 2),
+           |sc$t AS (SELECT c.id, c.com, a.com AS own,
+           |    mm.m2 * c.kid
+           |      - d.k * (CASE WHEN c.com = a.com THEN t.tot - d.k
+           |               ELSE t.tot END) AS score
+           |  FROM cand$t c
+           |  JOIN tot$t t ON c.com = t.com
+           |  JOIN deg d ON c.id = d.id
+           |  JOIN a${t - 1} a ON c.id = a.id, mm),
+           |adm$t AS (SELECT * FROM sc$t WHERE com = own OR $dir),
+           |a$t AS MATERIALIZED (SELECT id, com FROM (
+           |    SELECT id, com,
+           |           row_number() OVER (PARTITION BY id
+           |             ORDER BY score DESC,
+           |                      CASE WHEN com = own THEN 0 ELSE 1 END,
+           |                      com ASC) AS rn
+           |    FROM adm$t) x WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS k
+         |        FROM e0 GROUP BY 1),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e0),
+         |a0 AS MATERIALIZED (SELECT id, id AS com FROM verts),
+         |$steps
+         |SELECT id, com FROM a2""".stripMargin
+    },
+
+    "g_degree_hist" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1)
+         |SELECT degree, count(*) AS n_vertices FROM deg GROUP BY 1""".stripMargin,
 
     // same VALUES machinery as g_read_gt, but emitting the NAME column —
     // exactly what the communities sink writes per vertex

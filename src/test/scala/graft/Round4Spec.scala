@@ -181,6 +181,46 @@ class GuardsSpec extends GraftSuite {
   }
 }
 
+class LouvainSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.algo.Louvain
+
+  private def weighted(pairs: Seq[(Long, Long)]) =
+    edgesDf(undirected(pairs)).withColumn("weight", lit(1L))
+
+  test("two cliques with a bridge resolve to the two cliques") {
+    val (assign, levels) = Louvain.run(weighted(Fixtures.twoCliquesBridge))
+    val m = labelsMap(assign)
+    assert(Set(0L, 1L, 2L, 3L).map(m).size === 1, s"clique A split: $m")
+    assert(Set(10L, 11L, 12L, 13L).map(m).size === 1, s"clique B split: $m")
+    assert(m(0L) !== m(10L), s"cliques merged: $m")
+    assert(levels >= 1)
+  }
+
+  test("move rounds are deterministic; full run reaches real karate modularity") {
+    val e = weighted(Fixtures.karatePairs)
+    assert(labelsMap(Louvain.moveFixed(e, 2)) ===
+      labelsMap(Louvain.moveFixed(e, 2)))
+    val (assign, _) = Louvain.run(e)
+    val q = graft.measures.Measures.modularity(
+      edgesDf(undirected(Fixtures.karatePairs)),
+      assign.withColumnRenamed("com", "label"))
+    // published Louvain karate modularity is ~0.41-0.42; the deterministic
+    // synchronous relaxation should land in the same neighborhood
+    assert(q > 0.3, s"karate Louvain modularity $q")
+  }
+
+  test("contraction preserves total weight and shrinks the vertex set") {
+    val e = weighted(Fixtures.karatePairs)
+    val assign = Louvain.moveFixed(e, 3)
+    val agg = Louvain.aggregateGraph(e, assign)
+    assert(agg.agg(sum("weight")).first().getLong(0) ===
+      e.agg(sum("weight")).first().getLong(0))
+    assert(GraphOps.vertices(agg.select("src", "dst")).count() <
+      GraphOps.vertices(e.select("src", "dst")).count())
+  }
+}
+
 class StreamingIngestRound4Spec extends GraftSuite {
 
   private val events = "/root/testdata/sf0.001/events.parquet"
