@@ -94,8 +94,11 @@ object Bench {
         LabelPropagation.run(edges, nNodes, earlyStop = true, symmetric = true)
       }
       val (cc, ccSec) = time { ConnectedComponents.run(edges, nNodes) }
+      // symmetric=true: the edges are symmetrized, so the keep-alive left
+      // join per iteration and the dangling scan are provably no-ops
       val (_, prSec) = time {
-        PageRank.runFixed(edges, iterations = 10, partitions = cores).count()
+        PageRank.runFixed(edges, iterations = 10, partitions = cores,
+          symmetric = true).count()
       }
       val (tri, triSec) = time { TriangleCount.countTriangles(edges) }
 

@@ -108,9 +108,18 @@ object PageRank {
   /** Fixed-iteration variant (no convergence actions between steps) —
     * used by the oracle-checked query and the benchmark, where the
     * iteration count must be identical across engines/parallelism levels.
+    *
+    * @param symmetric caller guarantees the edge table is symmetrized, so
+    *        every vertex has BOTH in-edges (the per-iteration keep-alive
+    *        left join against the vertex table is skipped — one fewer
+    *        vertex-sized shuffle join per iteration) and out-edges (no
+    *        dangling mass; the setup dangling scan is skipped too). Rank
+    *        values are identical — the skipped join only re-attaches
+    *        vertices that receive no contributions, which cannot exist
+    *        on a symmetrized graph.
     */
   def runFixed(edges: DataFrame, iterations: Int, damping: Double = 0.85,
-               partitions: Int = 32): DataFrame = {
+               partitions: Int = 32, symmetric: Boolean = false): DataFrame = {
     val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
@@ -118,9 +127,11 @@ object PageRank {
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dangling = verts.join(outDeg, Seq("id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hasDangling = dangling.count() > 0L
+    val dangling =
+      if (symmetric) verts.limit(0)
+      else verts.join(outDeg, Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = !symmetric && dangling.count() > 0L
 
     var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
     // superseded rank tables pending release: safe to free only once an
@@ -145,11 +156,16 @@ object PageRank {
         .join(ranks, edgesDeg("src") === ranks("id"))
         .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
       val sums = contribs.groupBy("id").agg(sum("c").as("s"))
-      ranks = verts.join(sums, Seq("id"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
-            .as("rank"))
+      ranks = (if (symmetric)
+          sums.select(col("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
+              .as("rank"))
+        else verts.join(sums, Seq("id"), "left")
+          .select(col("id"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("s"), lit(0.0)) + lit(dMass / n)))
+              .as("rank")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       pending += ranks
       if (hasDangling || (iter % 5 == 0 && iter < iterations)) {

@@ -161,6 +161,18 @@ class GuardsSpec extends GraftSuite {
     intercept[IllegalArgumentException](KCore.peelFixed(e, -3L, 2))
   }
 
+  test("PageRank runFixed symmetric fast path matches the general path exactly") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val fast = graft.algo.PageRank.runFixed(e, iterations = 7, partitions = 4,
+        symmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val general = graft.algo.PageRank.runFixed(e, iterations = 7, partitions = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet === general.keySet)
+    fast.foreach { case (id, v) =>
+      assert(math.abs(v - general(id)) < 1e-15, s"vertex $id") }
+  }
+
   test("Adamic–Adar stays finite for degree-1 witnesses and self-pairs") {
     // DIRECTED input: z = 99's only out-edge is the common neighbor edge…
     // actually z is the common neighbor: u→z and v→z give cn(u,v) ≥ 1 with
