@@ -14,7 +14,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *
   * Usage:
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
-  *               ppr|centrality|lcc|hits|louvain|all>
+  *               ppr|centrality|lcc|hits|louvain|scc|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -216,6 +216,15 @@ object Main {
       l.write.mode("overwrite").parquet(s"$outDir/lcc")
       println(s"[graft] lcc: rows=${l.count()}")
     }
+    def runScc(): Unit = {
+      // SCC runs on the DIRECTED edge set (pre-symmetrization) — the
+      // bow-tie decomposition is meaningless on a symmetrized graph
+      val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
+      val (scc, rounds) = graft.algo.StronglyConnected.run(directed)
+      scc.write.mode("overwrite").parquet(s"$outDir/scc")
+      println(s"[graft] scc: rounds=$rounds " +
+        s"components=${scc.select("scc").distinct().count()}")
+    }
     def runLouvain(): Unit = {
       val t0 = System.nanoTime()
       val (assign, levels) = graft.algo.Louvain.run(
@@ -252,6 +261,7 @@ object Main {
       case "lcc"         => runLcc()
       case "hits"        => runHits()
       case "louvain"     => runLouvain()
+      case "scc"         => runScc()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

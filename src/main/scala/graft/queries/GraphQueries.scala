@@ -689,6 +689,19 @@ object GraphQueries {
     "g_degree_hist" -> ((s, dir) =>
       GraphOps.degreeHistogram(demoEdges(s, dir))),
 
+    // strongly connected components of the DIRECTED demo graph (the same
+    // directed table as g_hits_t3) — canonical min-member labels, so the
+    // peeling-order-free oracle is plain mutual reachability
+    "g_scc" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.StronglyConnected.run(directed)._1
+    }),
+
     "g_confusion" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -1233,6 +1246,25 @@ object GraphQueries {
          |$steps
          |SELECT id, com FROM a2""".stripMargin
     },
+
+    // mutual-reachability SCC oracle: v and w strongly connected iff both
+    // (v,w) and (w,v) are in the reflexive-transitive closure; label =
+    // min of the mutual set (reach includes (v,v), so every vertex labels)
+    "g_scc" ->
+      s"""WITH RECURSIVE rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM vd
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN rawd e ON e.src = r.dst)
+         |SELECT a.src AS id, CAST(min(a.dst) AS BIGINT) AS scc
+         |FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+         |GROUP BY 1""".stripMargin,
 
     "g_degree_hist" ->
       s"""WITH $cte,

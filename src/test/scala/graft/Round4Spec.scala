@@ -233,6 +233,65 @@ class LouvainSpec extends GraftSuite {
   }
 }
 
+class SccSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.algo.StronglyConnected
+
+  /** Recursive Tarjan oracle (fine at test depths). */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var counter = 0
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    def strong(v: Long): Unit = {
+      index(v) = counter; low(v) = counter; counter += 1
+      stack.push(v); onStack += v
+      adj.getOrElse(v, Nil).foreach { w =>
+        if (!index.contains(w)) { strong(w); low(v) = math.min(low(v), low(w)) }
+        else if (onStack(w)) low(v) = math.min(low(v), index(w))
+      }
+      if (low(v) == index(v)) {
+        val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; members += w; w != v }) ()
+        val label = members.min
+        members.foreach(comp(_) = label)
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strong(v))
+    comp.toMap
+  }
+
+  test("three cycles with tendrils resolve to the exact SCCs") {
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),           // cycle A
+      (2L, 3L),                                // bridge A→B
+      (3L, 4L), (4L, 5L), (5L, 3L),            // cycle B
+      (5L, 6L),                                // tendril → trivial SCC
+      (7L, 8L), (8L, 9L), (9L, 7L), (9L, 0L))  // cycle C → A
+    val (scc, rounds) = StronglyConnected.run(edges.toDF("src", "dst"))
+    val got = labelsMap(scc)
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 6L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+    assert(rounds >= 1)
+  }
+
+  test("SCC labels match the Tarjan oracle on a dense pseudo-random digraph") {
+    // deterministic digraph: 40 vertices, hash-selected edges (~15% density)
+    val edges = (for {
+      i <- 0L until 40L; j <- 0L until 40L
+      if i != j && (i * 131 + j * 37) % 7 == 0
+    } yield (i, j)).toSeq
+    val got = labelsMap(StronglyConnected.run(edges.toDF("src", "dst"))._1)
+    assert(got === tarjan(edges))
+  }
+}
+
 class StreamingIngestRound4Spec extends GraftSuite {
 
   private val events = "/root/testdata/sf0.001/events.parquet"
