@@ -330,6 +330,13 @@ object GraphQueries {
       ConnectedComponents.run(e, n).labels
     }),
 
+    // the O(log n) large-star/small-star contraction path — labels equal
+    // the component minimum at convergence, identical contract to g_cc's
+    // min-propagation, so the same recursive-closure oracle gates BOTH
+    // algorithms (the alternating path was sbt-only through round 3)
+    "g_cc_star" -> ((s, dir) =>
+      ConnectedComponents.runAlternating(demoEdges(s, dir))),
+
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
 
     // weighted LP (argmax over summed incident edge weights per label),
@@ -719,6 +726,7 @@ object GraphQueries {
       s"WITH $cte SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1",
 
     "g_cc" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
+    "g_cc_star" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
 
     "g_lp_t3" -> lpSql(3),
 
