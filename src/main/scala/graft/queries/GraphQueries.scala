@@ -72,6 +72,41 @@ object GraphQueries {
     GraphOps.symmetrize(GraphOps.dropSelfLoops(raw))
   }
 
+  /** Deterministic url-level link pairs for the host-graph gates: urls
+    * built from lineitem keys by pure string concatenation and mirrored
+    * verbatim in the oracle SQL (mixed-case scheme/host and a fragment on
+    * the target side exercise [[HostGraph.hostOf]]'s normalization). src
+    * hosts span host0..host88, dst hosts host0..host96 — hosts 89..96 are
+    * link-targets only, i.e. DANGLING vertices in the PageRank gate.
+    */
+  def hostPairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.select(
+      concat(lit("https://host"), (col("l_orderkey") % 89).cast("string"),
+        lit(".example/o/"), col("l_orderkey").cast("string")).as("src_url"),
+      concat(lit("HTTPS://HOST"), (col("l_partkey") % 97).cast("string"),
+        lit(".EXAMPLE/p/"), col("l_partkey").cast("string"), lit("#ref"))
+        .as("dst_url"))
+  }
+
+  /** Oracle CTE replaying [[hostPairs]] ∘ [[HostGraph.contract]]. */
+  val hostCte: String =
+    """hp AS (
+      |  SELECT
+      |    lower(regexp_extract(
+      |      'https://host' || CAST(l_orderkey % 89 AS VARCHAR)
+      |        || '.example/o/' || CAST(l_orderkey AS VARCHAR),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)', 1)) AS sh,
+      |    lower(regexp_extract(
+      |      'HTTPS://HOST' || CAST(l_partkey % 97 AS VARCHAR)
+      |        || '.EXAMPLE/p/' || CAST(l_partkey AS VARCHAR) || '#ref',
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)', 1)) AS dh
+      |  FROM lineitem
+      |), he AS (
+      |  SELECT sh AS src_host, dh AS dst_host, count(*) AS weight
+      |  FROM hp WHERE sh <> dh AND sh <> '' AND dh <> ''
+      |  GROUP BY 1, 2)""".stripMargin
+
   private def oneRow(spark: SparkSession, name: String, v: Long): DataFrame = {
     import spark.implicits._
     Seq(v).toDF(name)
@@ -709,6 +744,22 @@ object GraphQueries {
       graft.algo.StronglyConnected.run(directed)._1
     }),
 
+    // host-graph contraction of a deterministic url-level link table —
+    // the weighted DIRECTED host graph (intra-host links dropped, hosts
+    // normalized: lowercased, port/path/fragment stripped)
+    "g_host_edges" -> ((s, dir) =>
+      graft.sources.HostGraph.contract(hostPairs(s, dir))),
+
+    // host-level weighted PageRank, 3 fixed iterations, over the directed
+    // host graph — hosts 89..96 are link-targets only, so the gate
+    // exercises the dangling-mass redistribution path with STRING vertex
+    // ids (no dictionary pass at the contracted scale)
+    "g_host_pagerank_t3" -> ((s, dir) =>
+      graft.sources.HostGraph.hostPageRank(
+          graft.sources.HostGraph.contract(hostPairs(s, dir)), iterations = 3)
+        .select(col("host"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))),
+
     "g_confusion" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -765,6 +816,41 @@ object GraphQueries {
          |         SELECT id, label, row_number() OVER (PARTITION BY id
          |           ORDER BY cnt DESC, label ASC) AS rn FROM k2) t WHERE rn = 1)
          |SELECT id, label FROM x2""".stripMargin,
+
+    "g_host_edges" -> s"WITH $hostCte\nSELECT src_host, dst_host, weight FROM he",
+
+    // weighted power iteration over the host graph with the per-step
+    // dangling-mass scalar (hosts never seen as a link SOURCE), mirroring
+    // PageRank.runFixedWeighted's arithmetic order exactly
+    "g_host_pagerank_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""dm$k AS (
+           |  SELECT coalesce(sum(r), 0) AS dm FROM r${k - 1}
+           |  WHERE id NOT IN (SELECT id FROM wout)
+           |), x$k AS (
+           |  SELECT he.dst_host AS id, sum(p.r * he.weight / w.wout) AS s
+           |  FROM he JOIN r${k - 1} p ON he.src_host = p.id
+           |  JOIN wout w ON he.src_host = w.id
+           |  GROUP BY 1
+           |), r$k AS (
+           |  SELECT v.id, 0.15 / (SELECT count(*) FROM vh)
+           |    + 0.85 * (coalesce(x.s, 0)
+           |              + (SELECT dm FROM dm$k) / (SELECT count(*) FROM vh)) AS r
+           |  FROM vh v LEFT JOIN x$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      // assembled by concatenation: an outer stripMargin would also strip
+      // the first `|` of `||` concatenations at line starts inside the
+      // interpolated hostCte
+      val setup =
+        """vh AS (SELECT src_host AS id FROM he
+          |       UNION SELECT dst_host FROM he),
+          |wout AS (SELECT src_host AS id, CAST(sum(weight) AS BIGINT) AS wout
+          |         FROM he GROUP BY 1),
+          |r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM vh) AS r FROM vh),""".stripMargin
+      s"WITH $hostCte,\n$setup\n$steps\n" +
+        "SELECT id AS host, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r3"
+    },
 
     "g_pagerank_t5" -> prSql(5),
 

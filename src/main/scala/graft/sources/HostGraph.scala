@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-graph contraction: collapse the url-level link graph to the
+  * weighted host graph (one vertex per host, edge weight = number of
+  * url-level links between the hosts). The standard first reduction of a
+  * web-scale link graph — Common-Crawl-style corpora publish exactly this
+  * artifact next to the url-level edges — and the natural input for
+  * host-level PageRank / community detection: it shrinks a 10^12-edge url
+  * graph by orders of magnitude while preserving the inter-site link
+  * structure.
+  *
+  * Scale shape: one codegen'd projection (regexp host extraction — no
+  * UDFs) followed by a single partial-aggregated groupBy(src_host,
+  * dst_host). Shuffle volume is bounded by the number of DISTINCT host
+  * pairs per partition, not by the edge count, because map-side combine
+  * collapses repeated pairs before the exchange — the contraction gets
+  * CHEAPER per edge the more the corpus concentrates on popular sites.
+  * No reference counterpart (the reference ingests pre-built edge lists);
+  * SURVEY.md §2.9 web-pipeline family.
+  */
+object HostGraph {
+
+  /** Host component of a url: the authority lowercased, with userinfo,
+    * port, path, query and fragment stripped. Mirrors the scheme grammar
+    * of [[TextExtract.normalizeUrl]]; pure built-in regexp, codegen'd.
+    */
+  def hostOf(u: Column): Column =
+    lower(regexp_extract(u,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]*)", 1))
+
+  /** Contract url-level link pairs (`src_url`, `dst_url` — the
+    * [[TextExtract.linkPairs]] schema) to the weighted DIRECTED host
+    * graph. Intra-host links and urls with no extractable host (relative
+    * links, mailto:, malformed) are dropped.
+    *
+    * @return (src_host, dst_host, weight) with weight = url-level link
+    *         count for the pair
+    */
+  def contract(pairs: DataFrame): DataFrame =
+    pairs.select(
+        hostOf(col("src_url")).as("src_host"),
+        hostOf(col("dst_url")).as("dst_host"))
+      .filter(col("src_host") =!= col("dst_host") &&
+        col("src_host") =!= "" && col("dst_host") =!= "")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("weight"))
+
+  /** Host graph straight from the pages table (input_hint schema). */
+  def fromPages(pages: DataFrame): DataFrame =
+    contract(TextExtract.linkPairs(pages))
+
+  /** Host-level weighted PageRank over the directed host graph: rank flows
+    * proportionally to the url-link multiplicity between hosts; hosts that
+    * are only ever linked TO (no crawled outlinks) contribute dangling
+    * mass, redistributed uniformly by [[graft.algo.PageRank.runFixedWeighted]].
+    * String host names are used as vertex ids directly — every join and
+    * aggregation in the PageRank skeleton is type-agnostic, so no
+    * dictionary pass is needed at this (already contracted) scale.
+    *
+    * @return (host, rank)
+    */
+  def hostPageRank(hostEdges: DataFrame, iterations: Int,
+                   damping: Double = 0.85): DataFrame =
+    graft.algo.PageRank.runFixedWeighted(
+        hostEdges.select(
+          col("src_host").as("src"), col("dst_host").as("dst"), col("weight")),
+        iterations = iterations, damping = damping)
+      .select(col("id").as("host"), col("rank"))
+}

@@ -362,3 +362,75 @@ class StreamingIngestRound4Spec extends GraftSuite {
       EdgeStreams.eventEdges(spark.read.parquet(full)).count())
   }
 }
+
+class HostGraphSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.sources.{HostGraph, PagesSynth}
+
+  test("hostOf normalizes scheme case, userinfo, port, path, query, fragment") {
+    val in = Seq(
+      "https://Example.COM/a/b?q=1#f",
+      "HTTP://user:pw@Sub.Example.com:8080/x",
+      "ftp://files.example.net",
+      "/relative/path",           // no scheme -> no host
+      "mailto:someone@example.com" // no ://   -> no host
+    ).toDF("u")
+    val got = in.select(HostGraph.hostOf(org.apache.spark.sql.functions.col("u")))
+      .as[String].collect().toSeq
+    assert(got === Seq("example.com", "sub.example.com", "files.example.net", "", ""))
+  }
+
+  test("contract drops intra-host and hostless links, counts multiplicity") {
+    val pairs = Seq(
+      ("https://a.example/1", "https://b.example/x"),
+      ("https://a.example/2", "https://B.EXAMPLE/y"), // same host pair after norm
+      ("https://a.example/3", "https://a.example/4"), // intra-host
+      ("https://a.example/5", "/relative"),           // hostless target
+      ("https://b.example/1", "https://a.example/9")
+    ).toDF("src_url", "dst_url")
+    val got = HostGraph.contract(pairs)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a.example", "b.example", 2L), ("b.example", "a.example", 1L)))
+  }
+
+  test("fromPages contracts the synthetic corpus to its 97-host graph") {
+    val pages = PagesSynth.pages(spark, 400)
+    val he = HostGraph.fromPages(pages).cache()
+    val hosts = he.select("src_host").union(he.select("dst_host"))
+      .distinct().as[String].collect().toSet
+    assert(hosts.forall(h => h.matches("host\\d+\\.example")))
+    assert(hosts.forall(h => h.stripPrefix("host").stripSuffix(".example").toInt < PagesSynth.Hosts))
+    // total weight = url-level inter-host links (contraction loses nothing)
+    val pairs = graft.sources.TextExtract.linkPairs(pages)
+    val interHost = pairs.filter(
+      HostGraph.hostOf($"src_url") =!= HostGraph.hostOf($"dst_url")).count()
+    val totalW = he.agg(org.apache.spark.sql.functions.sum("weight"))
+      .first().getLong(0)
+    assert(totalW === interHost)
+    he.unpersist()
+  }
+
+  test("hostPageRank matches a dense oracle with dangling hosts, mass sums to 1") {
+    // c has no outlinks -> dangling; a splits 2:1 between b and c
+    val he = Seq(
+      ("a.example", "b.example", 2L),
+      ("a.example", "c.example", 1L),
+      ("b.example", "a.example", 1L)
+    ).toDF("src_host", "dst_host", "weight")
+    val got = HostGraph.hostPageRank(he, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    // dense replay
+    var r = Map("a.example" -> 1.0 / 3, "b.example" -> 1.0 / 3, "c.example" -> 1.0 / 3)
+    for (_ <- 1 to 3) {
+      val dm = r("c.example")
+      val next = Map(
+        "a.example" -> r("b.example") * 1.0,
+        "b.example" -> r("a.example") * 2.0 / 3.0,
+        "c.example" -> r("a.example") * 1.0 / 3.0)
+      r = r.keys.map(k => k -> (0.15 / 3 + 0.85 * (next(k) + dm / 3))).toMap
+    }
+    assert(got.keySet === r.keySet)
+    r.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"$k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+}
