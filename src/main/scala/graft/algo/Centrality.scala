@@ -43,4 +43,47 @@ object Centrality {
           (col("reached").cast("double")) / col("sumDist"), lit(0.0))
           .as("closeness"))
   }
+
+  /** Distance histogram over sampled BFS levels (`(source, id, dist)` —
+    * the [[Betweenness.bfsLevels]] schema): one row per positive distance
+    * with the number of reached ordered (source, vertex) pairs. Self-pairs
+    * (dist 0) are excluded — diameter statistics are about distinct pairs.
+    * One partial-aggregated groupBy; output size ≤ the BFS depth cap.
+    */
+  def distanceHistogram(levels: DataFrame): DataFrame =
+    levels.filter(col("dist") > 0)
+      .groupBy("dist").agg(count(lit(1)).as("pairs"))
+
+  /** q-effective diameter from sampled BFS — the standard web-graph
+    * diagnostic (the "N degrees of separation" statistic of the ANF /
+    * HyperANF literature, computed here from exact sampled BFS rather
+    * than probabilistic counters): the smallest distance d whose
+    * cumulative reached-pair count covers q of all reached pairs, plus
+    * the pair total and the mean distance.
+    *
+    * q is the rational qNum/qDen so the threshold rule is pure integer
+    * arithmetic (`cum·qDen ≥ total·qNum`) — no float compare at the
+    * boundary, hence bit-replayable by the driver oracle. Integer rule,
+    * no interpolation. The cumulative window runs over the ≤ depth-cap-row
+    * HISTOGRAM, never over the data, so the single-partition window is
+    * constant-size at any graph scale.
+    *
+    * @return one row: (eff_diameter, reached_pairs, mean_dist)
+    */
+  def effectiveDiameter(levels: DataFrame, qNum: Long = 9,
+                        qDen: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = distanceHistogram(levels)
+    val tot = hist.agg(
+      sum(col("pairs")).cast("long").as("total"),
+      sum(col("dist") * col("pairs")).cast("long").as("distsum"))
+    val cum = hist.select(col("dist"),
+      sum(col("pairs")).over(Window.orderBy(col("dist"))).cast("long").as("cum"))
+    cum.crossJoin(tot)
+      .filter(col("cum") * lit(qDen) >= col("total") * lit(qNum))
+      .orderBy(col("dist")).limit(1)
+      .select(col("dist").as("eff_diameter"),
+        col("total").as("reached_pairs"),
+        (col("distsum").cast("double") / col("total")).as("mean_dist"))
+  }
 }

@@ -744,6 +744,26 @@ object GraphQueries {
       graft.algo.StronglyConnected.run(directed)._1
     }),
 
+    // distance histogram over the sampled BFS (same sources as
+    // g_bfs_levels): reached ordered pairs per positive distance
+    "g_dist_hist" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      graft.algo.Centrality.distanceHistogram(
+        graft.algo.Betweenness.bfsLevels(e, sources))
+    }),
+
+    // 0.9-effective diameter + mean distance from the same sampled BFS —
+    // the integer threshold rule (cum·10 ≥ total·9) replays bit-for-bit
+    "g_eff_diameter" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      graft.algo.Centrality.effectiveDiameter(
+          graft.algo.Betweenness.bfsLevels(e, sources))
+        .select(col("eff_diameter"), col("reached_pairs"),
+          round(col("mean_dist") * 1000000).cast("long").as("mean_dist_e6"))
+    }),
+
     // host-graph contraction of a deterministic url-level link table —
     // the weighted DIRECTED host graph (intra-host links dropped, hosts
     // normalized: lowercased, port/path/fragment stripped)
@@ -963,6 +983,44 @@ object GraphQueries {
          |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap})
          |SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
          |FROM reach GROUP BY 1, 2""".stripMargin,
+
+    "g_dist_hist" ->
+      s"""WITH RECURSIVE $cte,
+         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |d AS (SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
+         |      FROM reach GROUP BY 1, 2)
+         |SELECT dist, count(*) AS pairs FROM d WHERE dist > 0
+         |GROUP BY 1""".stripMargin,
+
+    "g_eff_diameter" ->
+      s"""WITH RECURSIVE $cte,
+         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |d AS (SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
+         |      FROM reach GROUP BY 1, 2),
+         |h AS (SELECT dist, count(*) AS pairs FROM d WHERE dist > 0
+         |      GROUP BY 1),
+         |tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total,
+         |               CAST(sum(dist * pairs) AS BIGINT) AS distsum FROM h),
+         |c AS (SELECT dist,
+         |             CAST(sum(pairs) OVER (ORDER BY dist) AS BIGINT) AS cum
+         |      FROM h)
+         |SELECT c.dist AS eff_diameter, t.total AS reached_pairs,
+         |       CAST(ROUND(CAST(t.distsum AS DOUBLE) / t.total * 1000000)
+         |         AS BIGINT) AS mean_dist_e6
+         |FROM c, tot t WHERE c.cum * 10 >= t.total * 9
+         |ORDER BY c.dist LIMIT 1""".stripMargin,
 
     "g_adjacent" ->
       s"""WITH $cte,

@@ -434,3 +434,33 @@ class HostGraphSpec extends GraftSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 }
+
+class EffectiveDiameterSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  import graft.algo.{Betweenness, Centrality}
+
+  test("path graph: histogram and 0.9-effective diameter match hand counts") {
+    // path 0-1-...-9, all vertices as sources; ordered pairs at distance d
+    // number 2*(10-d), total 90; cum at d=7 is 84 >= 81 = 0.9*90
+    val e = edgesDf(undirected((0L to 8L).map(i => (i, i + 1))))
+    val sources = e.select(col("src").as("id")).distinct()
+    val lev = Betweenness.bfsLevels(e, sources)
+    val hist = Centrality.distanceHistogram(lev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === (1L to 9L).map(d => d -> 2L * (10 - d)).toMap)
+    val row = Centrality.effectiveDiameter(lev).collect().head
+    assert(row.getLong(0) === 7L)           // eff_diameter
+    assert(row.getLong(1) === 90L)          // reached_pairs
+    assert(math.abs(row.getDouble(2) - 330.0 / 90.0) < 1e-12) // mean_dist
+  }
+
+  test("median (q=1/2) of a star graph is 2: leaves pair at distance 2") {
+    // star center 0 with 8 leaves: 16 ordered pairs at d=1 (center<->leaf),
+    // 56 at d=2 (leaf<->leaf); cum(1)=16 < 36 = 72/2, cum(2)=72
+    val e = edgesDf(undirected((1L to 8L).map(i => (0L, i))))
+    val sources = e.select(col("src").as("id")).distinct()
+    val row = Centrality.effectiveDiameter(
+      Betweenness.bfsLevels(e, sources), qNum = 1, qDen = 2).collect().head
+    assert(row.getLong(0) === 2L && row.getLong(1) === 72L)
+  }
+}
