@@ -72,6 +72,43 @@ object TriangleCount {
     * Cost: [[perVertex]] plus one degree aggregation and a broadcast-able
     * join; every vertex appears in the output.
     */
+  /** Global motif census over the symmetrized edge slots: wedges
+    * (length-2 paths), triangles, squares (4-cycles), and global
+    * transitivity 3·triangles/wedges — the link-farm / bipartite-core
+    * diagnostics of the web-graph literature (squares dominate on link
+    * exchanges; transitivity separates organic clustering from random
+    * graphs of equal density).
+    *
+    * Exact integer counts: wedges = Σ_v C(deg v, 2);
+    * squares = ½ Σ_{u<w} C(codeg(u,w), 2) — every 4-cycle is counted by
+    * exactly its two diagonal pairs, and the sum is therefore always even.
+    *
+    * Scale shape: wedges is degree-table arithmetic; triangles reuse the
+    * degree-oriented join. The square count enumerates wedges through
+    * their CENTER (cost Σ_v C(deg v, 2) rows before the partial-aggregated
+    * codeg groupBy) — the degree-orientation cap does not apply, because
+    * codeg needs every common-neighbor pair once per common neighbor. On
+    * a hub-heavy raw web graph run the census after host contraction or
+    * hot-vertex removal; all three aggregates are single-row map-side
+    * combines.
+    */
+  def motifCensus(edges: DataFrame): DataFrame = {
+    val wedges = GraphOps.degrees(edges)
+      .agg(sum(expr("degree * (degree - 1) div 2")).cast("long").as("wedges"))
+    val tris = triangles(edges).agg(count(lit(1)).as("triangles"))
+    val a = edges.select(col("src").as("u"), col("dst").as("v"))
+    val b = edges.select(col("src").as("w"), col("dst").as("v2"))
+    val squares = a.join(b, col("v") === col("v2") && col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("sq2"))
+      .select(expr("sq2 div 2").cast("long").as("squares"))
+    wedges.crossJoin(tris).crossJoin(squares)
+      .select(col("wedges"), col("triangles"), col("squares"),
+        when(col("wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("triangles") / col("wedges"))
+          .as("transitivity"))
+  }
+
   def localClustering(edges: DataFrame): DataFrame = {
     val canon = GraphOps.canonical(edges)
     val deg = canon

@@ -401,6 +401,15 @@ object GraphQueries {
 
     "g_tri_per_vertex" -> ((s, dir) => TriangleCount.perVertex(demoEdges(s, dir))),
 
+    // global motif census — wedges / triangles / squares (4-cycles) /
+    // transitivity; exact integer counts (each 4-cycle counted via its
+    // two diagonal common-neighbor pairs, sum provably even)
+    "g_motifs" -> ((s, dir) =>
+      TriangleCount.motifCensus(demoEdges(s, dir))
+        .select(col("wedges"), col("triangles"), col("squares"),
+          round(col("transitivity") * 1000000).cast("long")
+            .as("transitivity_e6"))),
+
     "g_modularity" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -880,6 +889,26 @@ object GraphQueries {
          |FROM canon e1
          |JOIN canon e2 ON e1.dst = e2.src
          |JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+
+    "g_motifs" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |wed AS (SELECT CAST(sum(degree * (degree - 1) // 2) AS BIGINT)
+         |          AS wedges FROM deg),
+         |canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (SELECT count(*) AS triangles
+         |        FROM canon e1
+         |        JOIN canon e2 ON e1.dst = e2.src
+         |        JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |cn AS (SELECT a.src AS u, b.src AS w, count(*) AS c
+         |       FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+         |       GROUP BY 1, 2),
+         |sq AS (SELECT CAST(sum(c * (c - 1) // 2) // 2 AS BIGINT)
+         |         AS squares FROM cn)
+         |SELECT w.wedges, t.triangles, s.squares,
+         |  CAST(ROUND(3.0 * t.triangles / w.wedges * 1000000) AS BIGINT)
+         |    AS transitivity_e6
+         |FROM wed w, tri t, sq s""".stripMargin,
 
     "g_tri_per_vertex" ->
       s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),

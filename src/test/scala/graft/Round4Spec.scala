@@ -464,3 +464,25 @@ class EffectiveDiameterSpec extends GraftSuite {
     assert(row.getLong(0) === 2L && row.getLong(1) === 72L)
   }
 }
+
+class MotifCensusSpec extends GraftSuite {
+  import graft.algo.TriangleCount
+
+  private def census(pairs: Seq[(Long, Long)]) = {
+    val r = TriangleCount.motifCensus(edgesDf(undirected(pairs))).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("4-cycle: 4 wedges, no triangles, one square") {
+    assert(census(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) === ((4L, 0L, 1L, 0.0)))
+  }
+
+  test("K4: 12 wedges, 4 triangles, 3 squares, transitivity 1") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(census(k4) === ((12L, 4L, 3L, 1.0)))
+  }
+
+  test("star: wedges only") {
+    assert(census((1L to 8L).map(i => (0L, i))) === ((28L, 0L, 0L, 0.0)))
+  }
+}
