@@ -1,0 +1,104 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphOps
+
+/** k-truss decomposition: the maximal subgraph whose every edge closes at
+  * least k−2 triangles WITHIN the subgraph — the edge-analog of k-core and
+  * the standard cohesive-community / spam-farm extractor on link graphs
+  * (a k-truss is always a subgraph of the (k−1)-core, but far denser).
+  *
+  * Peeling loop: compute per-edge triangle support over the CURRENT edge
+  * set, drop edges with support < k−2, repeat until stable. Each round's
+  * support pass reuses the degree-oriented triangle enumeration
+  * ([[TriangleCount.triangles]]), so the wedge blow-up stays capped at
+  * O(√E) out-degree per vertex on any graph; the edge set shrinks
+  * monotonically, so rounds get cheaper as they proceed.
+  *
+  * The working set is referenced three times per round (the triangle
+  * join's three legs), so every round materializes via an eager local
+  * checkpoint — the Gauss–Seidel lesson: a lazy chain would triple the
+  * plan per round.
+  */
+object Truss {
+
+  /** Triangle support per canonical (src<dst) edge; edges in no triangle
+    * are absent (callers coalesce to 0). `oriented` is the degree-ordered
+    * orientation of the SAME edge set — passed in so the caller controls
+    * its persistence across the three join legs.
+    */
+  private def supportFrom(oriented: DataFrame): DataFrame = {
+    val e1 = oriented.select(col("u").as("a"), col("v").as("b"))
+    val e2 = oriented.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = oriented.select(col("u").as("a3"), col("v").as("c3"))
+    val t = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+    val pairs = t
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
+      .union(t.select(least(col("b"), col("c")).as("src"),
+        greatest(col("b"), col("c")).as("dst")))
+      .union(t.select(least(col("a"), col("c")).as("src"),
+        greatest(col("a"), col("c")).as("dst")))
+    pairs.groupBy("src", "dst").agg(count(lit(1)).as("support"))
+  }
+
+  /** Per-edge triangle support of the canonical edge set. */
+  def edgeSupport(canon: DataFrame): DataFrame =
+    supportFrom(TriangleCount.oriented(canon))
+
+  /** One support-and-filter peel round, materialized eagerly; the oriented
+    * copy backing the three triangle legs is freed once the round lands.
+    */
+  private def peelOnce(canon: DataFrame, k: Int): DataFrame = {
+    val o = TriangleCount.oriented(canon).persist(StorageLevel.MEMORY_AND_DISK)
+    val next = canon.join(supportFrom(o), Seq("src", "dst"), "left")
+      .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+      .select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    o.unpersist(blocking = false)
+    next
+  }
+
+  /** Fixed peel rounds (driver-oracle shape: the iteration count must be
+    * identical across engines). Returns the surviving canonical edges.
+    */
+  def peelFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var canon = GraphOps.canonical(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val next = peelOnce(canon, k)
+      canon.unpersist(blocking = false)
+      canon = next
+    }
+    canon
+  }
+
+  /** Peel to convergence: the k-truss. An empty survivor set converges
+    * (count stable at 0), mirroring [[KCore.kCore]]'s empty-core rule.
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var canon = GraphOps.canonical(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    var size = canon.count()
+    var r = 0
+    var done = false
+    while (!done && r < maxRounds) {
+      r += 1
+      val next = peelOnce(canon, k)
+      val nextSize = next.count()
+      canon.unpersist(blocking = false)
+      canon = next
+      done = nextSize == size
+      size = nextSize
+    }
+    canon
+  }
+}

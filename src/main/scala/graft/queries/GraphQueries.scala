@@ -401,6 +401,17 @@ object GraphQueries {
 
     "g_tri_per_vertex" -> ((s, dir) => TriangleCount.perVertex(demoEdges(s, dir))),
 
+    // 4-truss, 2 fixed peel rounds: every original canonical edge with a
+    // flag for surviving both support>=2 filters
+    "g_truss_t2" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val surv = graft.algo.Truss.peelFixed(e, k = 4, rounds = 2)
+        .withColumn("in_truss", lit(1L))
+      GraphOps.canonical(e).join(surv, Seq("src", "dst"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("in_truss"), lit(0L)).as("in_truss"))
+    }),
+
     // global motif census — wedges / triangles / squares (4-cycles) /
     // transitivity; exact integer counts (each 4-cycle counted via its
     // two diagonal common-neighbor pairs, sum provably even)
@@ -889,6 +900,31 @@ object GraphQueries {
          |FROM canon e1
          |JOIN canon e2 ON e1.dst = e2.src
          |JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+
+    // 2 unrolled 4-truss peel rounds: per-round triangle enumeration over
+    // the surviving canonical edges, support grouped per edge, filter at
+    // support >= k-2 = 2
+    "g_truss_t2" -> {
+      val rounds = (1 to 2).map { r =>
+        s"""t$r AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+           |       FROM c${r - 1} e1 JOIN c${r - 1} e2 ON e1.dst = e2.src
+           |       JOIN c${r - 1} e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+           |s$r AS (SELECT src, dst, count(*) AS s FROM (
+           |         SELECT a AS src, b AS dst FROM t$r
+           |         UNION ALL SELECT b, c FROM t$r
+           |         UNION ALL SELECT a, c FROM t$r) u GROUP BY 1, 2),
+           |c$r AS (SELECT c.src, c.dst FROM c${r - 1} c
+           |       JOIN s$r s ON s.src = c.src AND s.dst = c.dst
+           |       WHERE s.s >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |c0 AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |$rounds
+         |SELECT c0.src, c0.dst,
+         |  CAST(CASE WHEN c2.src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS in_truss
+         |FROM c0 LEFT JOIN c2 ON c0.src = c2.src AND c0.dst = c2.dst""".stripMargin
+    },
 
     "g_motifs" ->
       s"""WITH $cte,

@@ -486,3 +486,52 @@ class MotifCensusSpec extends GraftSuite {
     assert(census((1L to 8L).map(i => (0L, i))) === ((28L, 0L, 0L, 0.0)))
   }
 }
+
+class TrussSpec extends GraftSuite {
+  import graft.algo.Truss
+
+  private def trussSet(pairs: Seq[(Long, Long)], k: Int): Set[(Long, Long)] =
+    Truss.kTruss(edgesDf(undirected(pairs)), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Sequential oracle: repeatedly drop canonical edges whose triangle
+    * support (within the survivors) is below k-2. */
+  private def bruteTruss(pairs: Seq[(Long, Long)], k: Int): Set[(Long, Long)] = {
+    var es = pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    var changed = true
+    while (changed) {
+      def nbrs(v: Long) = es.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }
+      val support = es.map { case (u, v) =>
+        (u, v) -> (nbrs(u).toSet & nbrs(v).toSet).size
+      }.toMap
+      val next = es.filter(e => support(e) >= k - 2)
+      changed = next != es
+      es = next
+    }
+    es
+  }
+
+  test("two triangles sharing an edge: 4-truss empty, 3-truss keeps all") {
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+    assert(trussSet(g, 4) === Set.empty)
+    assert(trussSet(g, 3) === g.toSet)
+  }
+
+  test("K4 is its own 4-truss; pendant edges peel off") {
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)).toSeq
+    val g = k4 ++ Seq((3L, 9L), (9L, 10L)) // tail hanging off the clique
+    assert(trussSet(g, 4) === k4.toSet)
+    assert(trussSet(g, 4) === bruteTruss(g, 4))
+  }
+
+  test("random graph matches the sequential peel at several k") {
+    val rnd = new scala.util.Random(7)
+    val g = Seq.fill(60)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter(p => p._1 != p._2).distinct
+    for (k <- 3 to 5)
+      assert(trussSet(g, k) === bruteTruss(g, k), s"k=$k")
+  }
+}
