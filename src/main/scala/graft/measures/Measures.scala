@@ -181,4 +181,59 @@ object Measures {
     if (dx == 0L || dy == 0L) 0.0
     else (m * sxy - sx * sy) / math.sqrt(dx.toDouble * dy.toDouble)
   }
+
+  /** Directed-edge reciprocity: the fraction of (deduplicated, loop-free)
+    * directed edges whose reverse edge also exists — the classic
+    * crawled-web statistic separating mutual-link neighborhoods from
+    * citation-style linking. One self-equi-join on the reversed key pair
+    * and two scalar counts, all partial-aggregated; exact integers until
+    * the final division.
+    *
+    * @return one row (mutual, total, reciprocity)
+    */
+  def reciprocity(directed: DataFrame): DataFrame = {
+    val d = graft.graph.GraphOps.dropSelfLoops(
+      directed.select(col("src"), col("dst"))).distinct()
+    val rev = d.select(col("dst").as("rs"), col("src").as("rd"))
+    val stats = d.join(rev, col("src") === col("rs") && col("dst") === col("rd"),
+        "left_semi")
+      .agg(count(lit(1)).as("mutual"))
+      .crossJoin(d.agg(count(lit(1)).as("total")))
+    stats.select(col("mutual"), col("total"),
+      when(col("total") === 0, lit(0.0))
+        .otherwise(col("mutual").cast("double") / col("total"))
+        .as("reciprocity"))
+  }
+
+  /** Per-community conductance over the symmetrized edge slots:
+    *
+    *   φ(S) = cut(S) / min(vol(S), 2m − vol(S))
+    *
+    * with cut(S) = slots leaving S and vol(S) = slots whose source is in
+    * S — the community-quality measure complementing modularity (low
+    * conductance = few escaping links relative to the smaller side).
+    * One labels join per endpoint (the same gather shape as a superstep)
+    * and a per-label aggregation; the 2m scalar rides along via a 1-row
+    * crossJoin, so the whole measure is a single job with no driver math.
+    *
+    * @param labels (id, label)
+    * @return (label, cut, vol, conductance) — one row per community with
+    *         at least one incident slot
+    */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val ls = labels.select(col("id").as("src"), col("label").as("ls"))
+    val ld = labels.select(col("id").as("dst"), col("label").as("ld"))
+    val tagged = edges.join(ls, "src").join(ld, "dst")
+    val perLabel = tagged.groupBy(col("ls").as("label"))
+      .agg(sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L)).cast("long")
+          .as("cut"),
+        count(lit(1)).as("vol"))
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    perLabel.crossJoin(m2)
+      .select(col("label"), col("cut"), col("vol"),
+        when(least(col("vol"), col("m2") - col("vol")) === 0, lit(0.0))
+          .otherwise(col("cut").cast("double") /
+            least(col("vol"), col("m2") - col("vol")))
+          .as("conductance"))
+  }
 }

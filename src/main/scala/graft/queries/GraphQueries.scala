@@ -800,6 +800,31 @@ object GraphQueries {
         .select(col("host"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
 
+    // directed-edge reciprocity of the raw (pre-symmetrization) link table
+    "g_reciprocity" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+        (col("l_orderkey") % NodeSpace).as("src"),
+        (col("l_partkey") % NodeSpace).as("dst"))
+      Measures.reciprocity(directed)
+        .select(col("mutual"), col("total"),
+          round(col("reciprocity") * 1000000).cast("long")
+            .as("reciprocity_e6"))
+    }),
+
+    // per-community conductance of the id%7 attribute partition (the same
+    // partition the confusion gate uses)
+    "g_conductance" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val labels = GraphOps.vertices(e)
+        .select(col("id"), (col("id") % 7).as("label"))
+      Measures.conductance(e, labels)
+        .select(col("label"), col("cut"), col("vol"),
+          round(col("conductance") * 1000000).cast("long")
+            .as("conductance_e6"))
+    }),
+
     "g_confusion" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -1030,6 +1055,39 @@ object GraphQueries {
          |SELECT v.id % 7 AS attr_label, c.label AS cc_label, count(*) AS n
          |FROM verts v JOIN cclab c ON v.id = c.id
          |GROUP BY 1, 2""".stripMargin,
+
+    "g_reciprocity" ->
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |mut AS (SELECT count(*) AS mutual FROM rawd a
+         |        WHERE EXISTS (SELECT 1 FROM rawd b
+         |                      WHERE b.src = a.dst AND b.dst = a.src)),
+         |tot AS (SELECT count(*) AS total FROM rawd)
+         |SELECT m.mutual, t.total,
+         |  CAST(ROUND(CAST(m.mutual AS DOUBLE) / t.total * 1000000) AS BIGINT)
+         |    AS reciprocity_e6
+         |FROM mut m, tot t""".stripMargin,
+
+    "g_conductance" ->
+      s"""WITH $cte,
+         |lab AS (SELECT id, id % 7 AS label FROM verts),
+         |tag AS (SELECT a.label AS ls, b.label AS ld
+         |        FROM e0 JOIN lab a ON e0.src = a.id
+         |        JOIN lab b ON e0.dst = b.id),
+         |pl AS (SELECT ls AS label,
+         |         CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS cut,
+         |         count(*) AS vol
+         |       FROM tag GROUP BY 1),
+         |m2 AS (SELECT count(*) AS m2 FROM e0)
+         |SELECT pl.label, pl.cut, pl.vol,
+         |  CAST(ROUND(CAST(pl.cut AS DOUBLE)
+         |    / least(pl.vol, m.m2 - pl.vol) * 1000000) AS BIGINT)
+         |    AS conductance_e6
+         |FROM pl, m2 m""".stripMargin,
 
     "g_dict_encode" ->
       """SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT) AS id

@@ -535,3 +535,44 @@ class TrussSpec extends GraftSuite {
       assert(trussSet(g, k) === bruteTruss(g, k), s"k=$k")
   }
 }
+
+class GraphMeasuresRound4Spec extends GraftSuite {
+  import graft.measures.Measures
+
+  test("reciprocity: mutual pair among three directed edges") {
+    // 0->1, 1->0 mutual; 1->2 one-way; self-loop and duplicate dropped
+    val d = edgesDf(Seq((0L, 1L), (1L, 0L), (1L, 2L), (1L, 2L), (2L, 2L)))
+    val r = Measures.reciprocity(d).collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    assert(math.abs(r.getDouble(2) - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("conductance: two triangles joined by one bridge") {
+    // S={0,1,2}, T={3,4,5}; within-S slots 6, bridge 2-3 adds 1 out-slot
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (2L, 3L))
+    val e = edgesDf(undirected(pairs))
+    val labels = {
+      import spark.implicits._
+      Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L))
+        .toDF("id", "label")
+    }
+    val got = Measures.conductance(e, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // each side: vol 7 (6 internal + bridge), cut 1, 2m=14 -> min(7,7)=7
+    assert(got(0L) === ((1L, 7L, 1.0 / 7.0)))
+    assert(got(1L) === ((1L, 7L, 1.0 / 7.0)))
+  }
+
+  test("conductance of a whole-graph single community is 0 cut") {
+    val e = edgesDf(undirected(Seq((0L, 1L), (1L, 2L))))
+    val labels = {
+      import spark.implicits._
+      Seq((0L, 5L), (1L, 5L), (2L, 5L)).toDF("id", "label")
+    }
+    val r = Measures.conductance(e, labels).collect().head
+    // vol = 2m -> min(vol, 2m - vol) = 0 -> guarded to 0.0
+    assert(r.getLong(1) === 0L && r.getDouble(3) === 0.0)
+  }
+}
