@@ -227,6 +227,49 @@ object GraphOps {
   def adjacent(edges: DataFrame, pairs: DataFrame): DataFrame =
     pairs.join(edges, Seq("src", "dst"), "left_semi")
 
+  /** Vertex set reachable from `seeds` along DIRECTED edges, seeds
+    * included — the set-reachability primitive behind the bow-tie
+    * decomposition (per-source distances are [[graft.algo.Betweenness
+    * .bfsLevels]]'s job; this collapses the source dimension, so state is
+    * one row per reached vertex regardless of seed count). Frontier BFS:
+    * per round one equi-join frontier⋈edges, a distinct, and a left-anti
+    * dedup against the visited set; rounds = graph diameter.
+    *
+    * @param seeds 1-column (id)
+    * @return 1-column (id)
+    */
+  def reachableFrom(directed: DataFrame, seeds: DataFrame,
+                    maxRounds: Int = 10000): DataFrame = {
+    val e = directed.select(col("src").as("v"), col("dst").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    var frontier = visited
+    var r = 0
+    var go = true
+    while (go && r < maxRounds) {
+      r += 1
+      val next = frontier.join(e, col("id") === col("v"))
+        .select(col("w").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      if (next.count() == 0L) {
+        go = false
+        next.unpersist(blocking = false)
+      } else {
+        val nv = visited.union(next)
+          .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+        if (frontier ne visited) frontier.unpersist(blocking = false)
+        visited.unpersist(blocking = false)
+        visited = nv
+        frontier = next
+      }
+    }
+    if (frontier ne visited) frontier.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    visited
+  }
+
   /** Seeded random vertex permutation (reference `getPermutation`,
     * `algorithms.h:342-355` — used only by the async schedule, which the
     * engine does not reproduce; provided for parity). Deterministic given

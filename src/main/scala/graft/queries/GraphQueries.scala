@@ -800,6 +800,19 @@ object GraphQueries {
         .select(col("host"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
 
+    // bow-tie decomposition of the directed demo graph (same table as
+    // g_scc): largest SCC = core (tie-break smallest label), in = reaches
+    // the core, out = reached from it, other = the rest
+    "g_bowtie" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.BowTie.classify(directed)
+    }),
+
     // directed-edge reciprocity of the raw (pre-symmetrization) link table
     "g_reciprocity" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -1055,6 +1068,43 @@ object GraphQueries {
          |SELECT v.id % 7 AS attr_label, c.label AS cc_label, count(*) AS n
          |FROM verts v JOIN cclab c ON v.id = c.id
          |GROUP BY 1, 2""".stripMargin,
+
+    // bow-tie: the g_scc mutual-reachability labeling picks the core
+    // (size DESC, label ASC); membership tests go through the core's
+    // minimum member — the core is an SCC, so reaching one member is
+    // reaching all
+    "g_bowtie" ->
+      s"""WITH RECURSIVE rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM rawd
+         |  UNION ALL SELECT dst FROM rawd) u),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM vd
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN rawd e ON e.src = r.dst),
+         |lab AS (
+         |  SELECT a.src AS id, CAST(min(a.dst) AS BIGINT) AS scc
+         |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+         |  GROUP BY 1),
+         |core AS (SELECT scc FROM lab GROUP BY scc
+         |         ORDER BY count(*) DESC, scc ASC LIMIT 1),
+         |cmem AS (SELECT id FROM lab WHERE scc = (SELECT scc FROM core)),
+         |c0 AS (SELECT min(id) AS id FROM cmem)
+         |SELECT v.id,
+         |  CASE WHEN v.id IN (SELECT id FROM cmem) THEN 'core'
+         |       WHEN EXISTS (SELECT 1 FROM reach r
+         |                    WHERE r.src = v.id
+         |                      AND r.dst = (SELECT id FROM c0)) THEN 'in'
+         |       WHEN EXISTS (SELECT 1 FROM reach r
+         |                    WHERE r.src = (SELECT id FROM c0)
+         |                      AND r.dst = v.id) THEN 'out'
+         |       ELSE 'other' END AS bowtie
+         |FROM vd v""".stripMargin,
 
     "g_reciprocity" ->
       s"""WITH rawd AS (

@@ -576,3 +576,28 @@ class GraphMeasuresRound4Spec extends GraftSuite {
     assert(r.getLong(1) === 0L && r.getDouble(3) === 0.0)
   }
 }
+
+class BowTieSpec extends GraftSuite {
+  import graft.algo.BowTie
+
+  private def classes(pairs: Seq[(Long, Long)]): Map[Long, String] =
+    BowTie.classify(edgesDf(pairs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("core / in / out / other on a hand-built bow-tie") {
+    // core cycle 1->2->3->1; 0 feeds in (plus a tube 0->4); 4 is out;
+    // 8->9 is a disconnected island
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (0L, 4L), (8L, 9L))
+    assert(classes(g) === Map(
+      0L -> "in", 1L -> "core", 2L -> "core", 3L -> "core",
+      4L -> "out", 8L -> "other", 9L -> "other"))
+  }
+
+  test("equal-size SCC tie breaks to the smaller canonical label") {
+    // two 2-cycles; {1,2} wins the tie over {3,4}, which becomes out
+    val g = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L))
+    assert(classes(g) === Map(
+      1L -> "core", 2L -> "core", 3L -> "out", 4L -> "out"))
+  }
+}
