@@ -14,7 +14,8 @@ import graft.sources.{PagesSynth, TextExtract}
   *
   * Usage:
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
-  *               ppr|centrality|lcc|hits|louvain|scc|all>
+  *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
+  *               diameter|hostpr|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -246,6 +247,48 @@ object Main {
       h.write.mode("overwrite").parquet(s"$outDir/hits")
       println(s"[graft] hits: iters=${maxIter.getOrElse(20)} rows=${h.count()}")
     }
+    // round-4 operators
+    def runBowtie(): Unit = {
+      val b = graft.algo.BowTie.classify(GraphOps.dropSelfLoops(rawEdges).distinct())
+      b.write.mode("overwrite").parquet(s"$outDir/bowtie")
+      val sizes = b.groupBy("bowtie").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[graft] bowtie: $sizes")
+    }
+    def runTruss(): Unit = {
+      // k=4 (every surviving edge in ≥2 triangles) — the standard cohesive
+      // default; sparse web graphs empty out fast at degree-derived k
+      val k = 4
+      val t = graft.algo.Truss.kTruss(edges, k,
+        maxRounds = maxIter.getOrElse(1000))
+      t.write.mode("overwrite").parquet(s"$outDir/truss")
+      println(s"[graft] truss: k=$k edges=${t.count()}")
+    }
+    def runMotifs(): Unit = {
+      val m = graft.algo.TriangleCount.motifCensus(edges).collect().head
+      println(s"[graft] motifs: wedges=${m.getLong(0)} " +
+        s"triangles=${m.getLong(1)} squares=${m.getLong(2)} " +
+        s"transitivity=${m.getDouble(3)}")
+    }
+    def runDiameter(): Unit = {
+      val lev = graft.algo.Betweenness.bfsLevels(edges, sampledSources())
+      val d = graft.algo.Centrality.effectiveDiameter(lev).collect().head
+      println(s"[graft] diameter: eff90=${d.getLong(0)} " +
+        s"pairs=${d.getLong(1)} mean=${d.getDouble(2)}")
+    }
+    def runHostPr(): Unit = {
+      // host-level PageRank needs url-level pairs: synth/pages inputs only
+      val pages = input.split(":", 2) match {
+        case Array("synth", n)    => PagesSynth.pages(spark, n.toLong)
+        case Array("pages", path) => spark.read.parquet(path)
+        case _ => sys.error("hostpr needs a synth:<n> or pages:<path> input")
+      }
+      val he = graft.sources.HostGraph.fromPages(pages)
+      val pr = graft.sources.HostGraph.hostPageRank(he,
+        iterations = maxIter.getOrElse(20))
+      pr.write.mode("overwrite").parquet(s"$outDir/host_pagerank")
+      println(s"[graft] hostpr: hosts=${pr.count()}")
+    }
 
     algo match {
       case "lp"          => runLp()
@@ -262,6 +305,11 @@ object Main {
       case "hits"        => runHits()
       case "louvain"     => runLouvain()
       case "scc"         => runScc()
+      case "bowtie"      => runBowtie()
+      case "truss"       => runTruss()
+      case "motifs"      => runMotifs()
+      case "diameter"    => runDiameter()
+      case "hostpr"      => runHostPr()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

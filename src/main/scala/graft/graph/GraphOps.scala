@@ -275,10 +275,28 @@ object GraphOps {
     * engine does not reproduce; provided for parity). Deterministic given
     * the seed. The reference's Fisher-Yates variant never swaps into
     * position 0 (`algorithms.h:349`) — a bug, not replicated.
+    *
+    * Sort key = md5 of "id:seed" — a cross-engine-standard hash (unlike
+    * xxhash64, which only Spark implements), so the driver oracle can
+    * replay the exact ordering; hex strings compare lexicographically the
+    * same everywhere. The sort itself is a distributed range sort.
     */
+  def permutationKey(id: Column, seed: Long): Column =
+    md5(concat(id.cast("string"), lit(":"), lit(seed).cast("string")))
+
   def permutation(vertices: DataFrame, seed: Long): DataFrame =
-    vertices.orderBy(xxhash64(col("id"), lit(seed)))
+    vertices.orderBy(permutationKey(col("id"), seed))
       .select(col("id"))
+
+  /** Permutation with explicit 1-based positions. The global row_number
+    * serializes through one partition — reference-parity / driver-gate
+    * shape for BOUNDED vertex sets; at scale consume [[permutation]]'s
+    * ordering (or sort by [[permutationKey]]) without materialized ranks.
+    */
+  def permutationRanked(vertices: DataFrame, seed: Long): DataFrame =
+    vertices.select(col("id"),
+      row_number().over(Window.orderBy(permutationKey(col("id"), seed)))
+        .cast("long").as("pos"))
 
   /** CSR-blocked adjacency form: one row per vertex with a sorted neighbor
     * array — the reference's `indexs`/`edges_tail` pair as a nested column

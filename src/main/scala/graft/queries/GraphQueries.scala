@@ -800,6 +800,11 @@ object GraphQueries {
         .select(col("host"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
 
+    // seeded vertex permutation with explicit positions — the md5 sort
+    // key makes the exact ordering cross-engine-replayable
+    "g_permutation" -> ((s, dir) =>
+      GraphOps.permutationRanked(GraphOps.vertices(demoEdges(s, dir)), seed = 7L)),
+
     // bow-tie decomposition of the directed demo graph (same table as
     // g_scc): largest SCC = core (tie-break smallest label), in = reaches
     // the core, out = reached from it, other = the rest
@@ -1068,6 +1073,12 @@ object GraphQueries {
          |SELECT v.id % 7 AS attr_label, c.label AS cc_label, count(*) AS n
          |FROM verts v JOIN cclab c ON v.id = c.id
          |GROUP BY 1, 2""".stripMargin,
+
+    "g_permutation" ->
+      s"""WITH $cte
+         |SELECT id, CAST(row_number() OVER (
+         |    ORDER BY md5(CAST(id AS VARCHAR) || ':7')) AS BIGINT) AS pos
+         |FROM verts""".stripMargin,
 
     // bow-tie: the g_scc mutual-reachability labeling picks the core
     // (size DESC, label ASC); membership tests go through the core's
