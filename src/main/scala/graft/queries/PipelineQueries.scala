@@ -122,6 +122,23 @@ object PipelineQueries {
     // 2 bands of 4 → band-bucket self-join
     "d_minhash_pairs" -> ((s, dir) => minhashPairs(s, docs(s, dir))),
 
+    // corpus-level dedup CLUSTERS: the candidate-pair graph contracted by
+    // connected components (large-star/small-star O(log n) path — the
+    // pipeline composing with the link-graph engine), canonical document
+    // = minimum doc_id of the cluster, singletons canonical to themselves
+    // — the keep-one-representative shape a 100 TB dedup actually ships
+    "d_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairEdges = minhashPairs(s, d)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
+        .withColumnRenamed("id", "doc_id")
+      d.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("canon_id"))
+    }),
+
     // the composed near-dup pipeline — the shape that runs at 100 TB:
     // banded-MinHash CANDIDATES (bucketed equi-join) → exact n-gram
     // Jaccard verify restricted to those pairs (candidate × shingle join,
@@ -319,7 +336,7 @@ object PipelineQueries {
   /** Banded-MinHash near-dup candidate pairs (a < b): 8 minhashes over
     * word-3-gram shingles, 2 bands of 4, band-signature equi-join.
     */
-  private def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
     val sh = shingles(d)
     val mh = sh.crossJoin(
         s.range(8).select(col("id").as("i")))
@@ -504,6 +521,29 @@ object PipelineQueries {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
          |WHERE x.doc_id < y.doc_id""".stripMargin,
+
+    // candidate pairs (as d_minhash_pairs) symmetrized, then the CC
+    // recursive closure; canonical = min reachable doc_id
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2),
+         |mp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |       WHERE x.doc_id < y.doc_id),
+         |pe AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT a AS src, b AS dst FROM mp
+         |         UNION ALL SELECT b, a FROM mp) u),
+         |creach(id, lab) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, creach.lab FROM creach JOIN pe ON pe.src = creach.id),
+         |cl AS (SELECT id, min(lab) AS label FROM creach GROUP BY id)
+         |SELECT d.doc_id, coalesce(cl.label, d.doc_id) AS canon_id
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id""".stripMargin,
 
     // composed pipeline: banded-MinHash candidates, then exact Jaccard on
     // candidates only — same CTEs as the two component oracles

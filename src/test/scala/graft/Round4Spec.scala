@@ -601,3 +601,29 @@ class BowTieSpec extends GraftSuite {
       1L -> "core", 2L -> "core", 3L -> "out", 4L -> "out"))
   }
 }
+
+class DedupClustersSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  test("dedup clusters: every candidate pair shares a canon, canon = cluster min") {
+    val sf = "/root/testdata/sf0.001"
+    val canon = SparkEntry.queries("d_dedup_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.queries.PipelineQueries.minhashPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "expected candidate pairs at sf0.001")
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) === canon(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical ids are self-canonical minima, everything else points down
+    canon.foreach { case (d, c) =>
+      assert(c <= d && canon(c) === c, s"doc $d canon $c")
+    }
+    // singletons (docs in no pair) are canonical to themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    canon.collect { case (d, c) if !inPairs(d) =>
+      assert(c === d, s"singleton $d got canon $c")
+    }
+  }
+}
