@@ -88,6 +88,26 @@ object PipelineQueries {
         size(tokensCol).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_m"))),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df), ties broken by term — the per-doc window partitions by
+    // doc_id, so ranking never concentrates data
+    "d_tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(tokensCol).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      tf.join(df, "term").crossJoin(n)
+        .select(col("doc_id"), col("term"),
+          (col("tf") * log(col("n").cast("double") / col("df"))).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("term").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("rn").cast("long").as("rn"),
+          round(col("score") * 1000000).cast("long").as("score_e6"))
+    }),
+
     // language-ID: n-gram (marker-word) scores, argmax with fixed precedence
     "d_lang_id" -> ((s, dir) => {
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
@@ -483,6 +503,23 @@ object PipelineQueries {
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
         |CAST(len(text) AS BIGINT) AS n_chars_m FROM documents""".stripMargin,
+
+    "d_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))
+        |              AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / idf.df)
+        |           AS score
+        |       FROM tf JOIN idf ON tf.term = idf.term),
+        |rk AS (SELECT doc_id, term, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, term ASC) AS rn
+        |       FROM sc)
+        |SELECT doc_id, term, CAST(rn AS BIGINT) AS rn,
+        |  CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+        |FROM rk WHERE rn <= 3""".stripMargin,
 
     "d_lang_id" -> {
       def score(lang: String) =

@@ -627,3 +627,37 @@ class DedupClustersSpec extends GraftSuite {
     }
   }
 }
+
+class TfidfSpec extends GraftSuite {
+
+  test("tf-idf top-3 matches an imperative oracle on the sf0.001 corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("d_tfidf_topk")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val n = docs.length.toDouble
+    val tf = docs.map { case (id, text) =>
+      id -> "\\S+".r.findAllIn(text).toSeq.groupBy(identity)
+        .view.mapValues(_.size).toMap
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val expected = tf.flatMap { case (id, terms) =>
+      terms.toSeq
+        .map { case (t, f) => (t, f * math.log(n / df(t))) }
+        .sortBy { case (t, s) => (-s, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, s), i) =>
+          (id, i + 1L) -> ((t, math.round(s * 1e6)))
+        }
+    }
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) === v, s"doc/rank $k")
+    }
+  }
+}
