@@ -89,6 +89,30 @@ object GraphQueries {
         .as("dst_url"))
   }
 
+  /** Pages-shaped rows assembled from lineitem keys for the anchor gate:
+    * two anchors per page (a part link with a fragment + mixed-case
+    * scheme/host, and a supplier link), so the extraction has to pair
+    * hrefs with their anchor texts positionally AND normalize. The oracle
+    * derives the expected rows straight from the keys — it never runs a
+    * regex, making it fully independent of the extraction path.
+    */
+  def anchorPages(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_linenumber") === 1)
+    li.select(
+      concat(lit("https://host"), (col("l_orderkey") % 89).cast("string"),
+        lit(".example/o/"), col("l_orderkey").cast("string")).as("url"),
+      encode(concat(
+        lit("<html><body><a href=\"HTTPS://HOST"),
+        (col("l_partkey") % 97).cast("string"),
+        lit(".EXAMPLE/p/"), col("l_partkey").cast("string"),
+        lit("#x\">part "), col("l_partkey").cast("string"),
+        lit("</a><p>filler</p><a href=\"https://s"),
+        (col("l_suppkey") % 13).cast("string"),
+        lit(".example/\">supplier "), (col("l_suppkey") % 13).cast("string"),
+        lit("</a></body></html>")), "UTF-8").as("html"))
+  }
+
   /** Oracle CTE replaying [[hostPairs]] ∘ [[HostGraph.contract]]. */
   val hostCte: String =
     """hp AS (
@@ -784,6 +808,11 @@ object GraphQueries {
           round(col("mean_dist") * 1000000).cast("long").as("mean_dist_e6"))
     }),
 
+    // inbound anchor-text aggregation over deterministically assembled
+    // html — positional href/text pairing + url normalization end-to-end
+    "g_anchors" -> ((s, dir) =>
+      graft.sources.TextExtract.inboundAnchors(anchorPages(s, dir))),
+
     // host-graph contraction of a deterministic url-level link table —
     // the weighted DIRECTED host graph (intra-host links dropped, hosts
     // normalized: lowercased, port/path/fragment stripped)
@@ -899,6 +928,24 @@ object GraphQueries {
          |         SELECT id, label, row_number() OVER (PARTITION BY id
          |           ORDER BY cnt DESC, label ASC) AS rn FROM k2) t WHERE rn = 1)
          |SELECT id, label FROM x2""".stripMargin,
+
+    // derived straight from the keys — no regex: normalizeUrl lowercases
+    // scheme+host and strips the fragment, so the part link's expected
+    // form is the all-lowercase url without '#x'
+    "g_anchors" ->
+      s"""WITH li AS (SELECT l_partkey AS p, l_suppkey % 13 AS s
+         |           FROM lineitem WHERE l_linenumber = 1),
+         |pairs AS (
+         |  SELECT 'https://host' || CAST(p % 97 AS VARCHAR) || '.example/p/'
+         |           || CAST(p AS VARCHAR) AS dst_url,
+         |         'part ' || CAST(p AS VARCHAR) AS anchor
+         |  FROM li
+         |  UNION ALL
+         |  SELECT 'https://s' || CAST(s AS VARCHAR) || '.example/',
+         |         'supplier ' || CAST(s AS VARCHAR)
+         |  FROM li)
+         |SELECT dst_url, anchor, count(*) AS n
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     "g_host_edges" -> s"WITH $hostCte\nSELECT src_host, dst_host, weight FROM he",
 

@@ -39,6 +39,42 @@ object TextExtract {
     concat(lower(head), rest)
   }
 
+  /** Anchor tags with BOTH the href and the anchor text, positionally
+    * paired (two group extractions over the same pattern zip index-wise
+    * because regexp_extract_all returns matches in document order).
+    */
+  private val AnchorPattern = "<a\\s+href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  /** (src_url, dst_url, anchor) — one row per anchor tag, in document
+    * order, urls normalized. Anchor text is the inter-tag text content
+    * (empty for image/nested-markup anchors — kept, so counts match the
+    * link table). Pure built-in expressions, scan-speed like the rest of
+    * the extraction family.
+    */
+  def anchorPairs(pages: DataFrame): DataFrame = {
+    val html = htmlToString(col("html"))
+    pages.select(
+        normalizeUrl(col("url")).as("src_url"),
+        arrays_zip(
+          regexp_extract_all(html, lit(AnchorPattern), lit(1)),
+          regexp_extract_all(html, lit(AnchorPattern), lit(2))).as("z"))
+      .select(col("src_url"), explode(col("z")).as("a"))
+      .select(col("src_url"),
+        normalizeUrl(col("a.0")).as("dst_url"),
+        col("a.1").as("anchor"))
+  }
+
+  /** Inbound anchor-text aggregation: how often each distinct anchor text
+    * points at each target url — the classic off-page ranking signal
+    * (anchor text describes the TARGET). One partial-aggregated groupBy
+    * over the anchor pairs; shuffle bounded by distinct (url, anchor)
+    * combinations, not by link count.
+    */
+  def inboundAnchors(pages: DataFrame): DataFrame =
+    anchorPairs(pages)
+      .groupBy(col("dst_url"), col("anchor"))
+      .agg(count(lit(1)).as("n"))
+
   /** (src_url, dst_url) link pairs from the pages table. */
   def linkPairs(pages: DataFrame): DataFrame =
     pages.select(

@@ -661,3 +661,39 @@ class TfidfSpec extends GraftSuite {
     }
   }
 }
+
+class AnchorSpec extends GraftSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.sources.{PagesSynth, TextExtract}
+
+  test("anchorPairs pairs hrefs with their texts positionally and normalizes") {
+    val html = """<html><body>
+      |<a href="HTTPS://A.Example/x#frag">first</a>
+      |<a href="https://b.example/y"></a>
+      |<a href="https://c.example/z" class="k">third</a>
+      |</body></html>""".stripMargin
+    val pages = Seq(("https://Src.Example/p", html)).toDF("url", "h")
+      .select(col("url"), encode(col("h"), "UTF-8").as("html"))
+    val got = TextExtract.anchorPairs(pages)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      ("https://a.example/x", "first"), // lowercased host, fragment stripped
+      ("https://b.example/y", ""),      // empty anchor text kept
+      ("https://c.example/z", "third"))) // extra attributes tolerated
+  }
+
+  test("anchor pairs and link pairs agree on the synthetic corpus") {
+    val pages = PagesSynth.pages(spark, 300)
+    val ap = TextExtract.anchorPairs(pages)
+    assert(ap.count() === TextExtract.linkPairs(pages).count())
+    // the generator writes anchor text "link<k>" in emit order
+    val texts = ap.select("anchor").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(texts.forall(_.matches("link\\d+")))
+    // inbound aggregation conserves the pair count
+    val total = TextExtract.inboundAnchors(pages)
+      .agg(sum("n")).first().getLong(0)
+    assert(total === ap.count())
+  }
+}
