@@ -317,6 +317,53 @@ object LabelPropagation {
     *        plan-routing-invariant — gated label-exact against the plain
     *        plan (`g_lp_skew_t3` / `g_lp_autoskew_t3`).
     */
+  /** Seed-constrained (semi-supervised) label propagation — the
+    * TrustRank-style spreading primitive: seed vertices carry fixed
+    * labels, every other vertex starts UNLABELED (null) and per superstep
+    * adopts the argmax label among its LABELED neighbors (count DESC,
+    * label ASC — the engine's pinned tie-break); vertices with no labeled
+    * neighbor stay unlabeled, seeds never change. After k supersteps the
+    * label frontier has advanced k hops, so unreached vertices keep null.
+    *
+    * Plan: the gather joins only the labeled subset (the frontier's
+    * closed neighborhood — cheap in early rounds), the argmax is one
+    * groupBy + max(struct(cnt, −label)), and the update is a vertex-sized
+    * three-way left join. The state is referenced twice per superstep
+    * (gather + fallback), so each round eagerly truncates — the
+    * Gauss–Seidel rule, not the Jacobi one.
+    */
+  def runSeededFixed(edges: DataFrame, seeds: DataFrame,
+                     supersteps: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val verts = GraphOps.vertices(edges)
+    val seedTag = seeds.select(col("id"), lit(1L).as("is_seed"))
+    var labels = verts
+      .join(seeds.select(col("id"), col("label")), Seq("id"), "left")
+      .select(col("id"), col("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    var t = 0
+    while (t < supersteps) {
+      t += 1
+      val msgs = edges.join(labels.filter(col("label").isNotNull),
+          edges("dst") === col("id"))
+        .select(edges("src").as("id"), col("label"))
+      val counts = msgs.groupBy("id", "label").agg(count(lit(1)).as("cnt"))
+      val best = counts.groupBy("id")
+        .agg(max(struct(col("cnt"), (lit(0L) - col("label")).as("nl"))).as("m"))
+        .select(col("id"), (lit(0L) - col("m.nl")).as("nb"))
+      val next = labels
+        .join(seedTag, Seq("id"), "left")
+        .join(best, Seq("id"), "left")
+        .select(col("id"),
+          when(col("is_seed").isNotNull, col("label"))
+            .otherwise(coalesce(col("nb"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    labels
+  }
+
   def run(
       edges: DataFrame,
       nNodes: Long,

@@ -398,6 +398,15 @@ object GraphQueries {
 
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
 
+    // seed-constrained LP: ids % 25 == 0 carry fixed labels id % 3; the
+    // frontier advances 3 hops, unreached vertices stay NULL
+    "g_lp_seeded_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val seeds = GraphOps.vertices(e).filter(col("id") % 25 === 0)
+        .select(col("id"), (col("id") % 3).as("label"))
+      LabelPropagation.runSeededFixed(e, seeds, supersteps = 3)
+    }),
+
     // weighted LP (argmax over summed incident edge weights per label),
     // 2 fixed supersteps on the weighted demo graph
     "g_lp_weighted_t2" -> ((s, dir) => {
@@ -892,6 +901,30 @@ object GraphQueries {
     "g_cc_star" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
 
     "g_lp_t3" -> lpSql(3),
+
+    "g_lp_seeded_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""k$k AS (SELECT e0.src AS id, p.label, count(*) AS cnt
+           |       FROM e0 JOIN s${k - 1} p ON e0.dst = p.id
+           |       WHERE p.label IS NOT NULL GROUP BY 1, 2),
+           |x$k AS (SELECT id, label FROM (
+           |         SELECT id, label, row_number() OVER (PARTITION BY id
+           |           ORDER BY cnt DESC, label ASC) AS rn FROM k$k) t
+           |       WHERE rn = 1),
+           |s$k AS (SELECT s.id,
+           |         CASE WHEN sd.id IS NOT NULL THEN s.label
+           |              ELSE coalesce(x.label, s.label) END AS label
+           |       FROM s${k - 1} s
+           |       LEFT JOIN seeds sd ON s.id = sd.id
+           |       LEFT JOIN x$k x ON s.id = x.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |seeds AS (SELECT id, id % 3 AS label FROM verts WHERE id % 25 = 0),
+         |s0 AS (SELECT v.id, sd.label FROM verts v
+         |       LEFT JOIN seeds sd ON v.id = sd.id),
+         |$steps
+         |SELECT id, label FROM s3""".stripMargin
+    },
 
     // same unrolled-superstep SQL: the CSR storage form and the skew-plan
     // physical routing must be label-identical to the plain COO plan

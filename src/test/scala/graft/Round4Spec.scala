@@ -697,3 +697,39 @@ class AnchorSpec extends GraftSuite {
     assert(total === ap.count())
   }
 }
+
+class SeededLpSpec extends GraftSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.algo.LabelPropagation
+
+  test("seeds stay pinned, frontier advances one hop per superstep") {
+    // path 0-1-2-3-4-5 with seed 0 (label 10) and seed 5 (label 20)
+    val e = edgesDf(undirected((0L to 4L).map(i => (i, i + 1))))
+    val seeds = Seq((0L, 10L), (5L, 20L)).toDF("id", "label")
+    def labs(t: Int): Map[Long, Option[Long]] =
+      LabelPropagation.runSeededFixed(e, seeds, t).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val after1 = labs(1)
+    assert(after1(1L) === Some(10L) && after1(4L) === Some(20L))
+    assert(after1(2L).isEmpty && after1(3L).isEmpty)
+    // after 3 steps everything is labeled; 2 hears {10 via 1} and {20..}?
+    // path distances: 2 is closer to 0, 3 closer to 5
+    val after3 = labs(3)
+    assert(after3(0L) === Some(10L) && after3(5L) === Some(20L))
+    assert(after3.values.forall(_.nonEmpty))
+  }
+
+  test("ties between equally frequent neighbor labels take the smaller label") {
+    // center 9 adjacent to seeds 1 (label 7) and 2 (label 3): tie -> 3
+    val e = edgesDf(undirected(Seq((1L, 9L), (2L, 9L))))
+    val seeds = Seq((1L, 7L), (2L, 3L)).toDF("id", "label")
+    val m = LabelPropagation.runSeededFixed(e, seeds, 1).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(m(9L) === Some(3L))
+    // seeds keep their own labels even though each hears the other's
+    assert(m(1L) === Some(7L) && m(2L) === Some(3L))
+  }
+}
