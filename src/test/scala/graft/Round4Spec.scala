@@ -733,3 +733,59 @@ class SeededLpSpec extends GraftSuite {
     assert(m(1L) === Some(7L) && m(2L) === Some(3L))
   }
 }
+
+class Round4PlanSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  import graft.sources.{HostGraph, PagesSynth, TextExtract}
+
+  private def formattedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("host contraction over a parquet pages table prunes to (url, html)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pages").toString
+    PagesSynth.pages(spark, 50).write.mode("overwrite").parquet(dir)
+    val plan = formattedPlan(HostGraph.fromPages(spark.read.parquet(dir)))
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("text") && !readSchema.contains("lang") &&
+      !readSchema.contains("warc_ts"),
+      s"host contraction reads unneeded columns: $readSchema")
+  }
+
+  test("motif census and truss support run on equi-joins, never cartesian") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val census = graft.algo.TriangleCount.motifCensus(e)
+    census.collect()
+    val censusPlan = census.queryExecution.executedPlan.toString()
+    // the only non-equi joins are the documented 1-row scalar attachments,
+    // which plan as BroadcastNestedLoopJoin — never a data-sized cartesian
+    assert(!censusPlan.contains("CartesianProduct"),
+      s"motif census degenerated to a cartesian product:\n$censusPlan")
+    val support = graft.algo.Truss.edgeSupport(
+      graft.graph.GraphOps.canonical(e))
+    support.collect()
+    val supportPlan = support.queryExecution.executedPlan.toString()
+    assert(!supportPlan.contains("CartesianProduct") &&
+      !supportPlan.contains("BroadcastNestedLoopJoin"),
+      s"truss support has a non-equi join:\n$supportPlan")
+  }
+
+  test("tf-idf ranking window is partitioned by doc_id (no global sort)") {
+    val df = SparkEntry.queries("d_tfidf_topk")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"ranking window not partitioned by doc_id:\n$plan")
+  }
+
+  test("anchor extraction keeps the inbound aggregation in hash aggregates") {
+    val pages = PagesSynth.pages(spark, 100)
+    val agg = TextExtract.inboundAnchors(pages)
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(!plan.contains("SortAggregate"),
+      s"inbound anchors fell back to sort aggregation:\n$plan")
+  }
+}
