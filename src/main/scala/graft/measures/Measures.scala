@@ -182,6 +182,15 @@ object Measures {
     else (m * sxy - sx * sy) / math.sqrt(dx.toDouble * dy.toDouble)
   }
 
+  /** Community-size histogram: how many communities have each member
+    * count — the labeling-distribution summary next to the degree
+    * histogram. Two partial-aggregated groupBys; output is one row per
+    * DISTINCT size, so it stays tiny at any scale.
+    */
+  def communitySizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy(col("label")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+
   /** Directed-edge reciprocity: the fraction of (deduplicated, loop-free)
     * directed edges whose reverse edge also exists — the classic
     * crawled-web statistic separating mutual-link neighborhoods from

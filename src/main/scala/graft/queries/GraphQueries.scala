@@ -856,6 +856,13 @@ object GraphQueries {
       graft.algo.BowTie.classify(directed)
     }),
 
+    // community-size histogram of the CC labeling
+    "g_comm_size_hist" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val n = GraphOps.vertices(e).count()
+      Measures.communitySizeHistogram(ConnectedComponents.run(e, n).labels)
+    }),
+
     // directed-edge reciprocity of the raw (pre-symmetrization) link table
     "g_reciprocity" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -1159,6 +1166,11 @@ object GraphQueries {
          |SELECT id, CAST(row_number() OVER (
          |    ORDER BY md5(CAST(id AS VARCHAR) || ':7')) AS BIGINT) AS pos
          |FROM verts""".stripMargin,
+
+    "g_comm_size_hist" ->
+      s"""WITH RECURSIVE $cte, $ccCte,
+         |sz AS (SELECT label, count(*) AS size FROM cclab GROUP BY 1)
+         |SELECT size, count(*) AS n_communities FROM sz GROUP BY 1""".stripMargin,
 
     // bow-tie: the g_scc mutual-reachability labeling picks the core
     // (size DESC, label ASC); membership tests go through the core's

@@ -248,6 +248,16 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")) * 1000).cast("long").as("sum_value_e3"))),
 
+    // JSON property extraction + per-type stats — the props column is a
+    // JSON string; get_json_object is the codegen'd extraction path
+    "ev_props_stats" -> ((s, dir) =>
+      events(s, dir).select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).as("max_k"))),
+
     // multimodal metadata: opaque binary treated by length/magic only
     "m_media_meta" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -652,6 +662,12 @@ object PipelineQueries {
         |event_type, count(*) AS n,
         |CAST(ROUND(sum(value) * 1000) AS BIGINT) AS sum_value_e3
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_props_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "m_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
