@@ -227,6 +227,25 @@ object GraphOps {
   def adjacent(edges: DataFrame, pairs: DataFrame): DataFrame =
     pairs.join(edges, Seq("src", "dst"), "left_semi")
 
+  /** Edge delta between two crawl snapshots: which directed edges were
+    * added and which removed — the incremental-ingest primitive for a
+    * periodically recrawled 10^12-page corpus (feed the delta to the
+    * streaming degree maintenance instead of recomputing from scratch).
+    * Two left-anti joins on the composite key; each is one shuffle
+    * bounded by the respective snapshot, and the union never
+    * materializes the intersection.
+    *
+    * @return (src, dst, change) with change ∈ {added, removed}
+    */
+  def edgeDiff(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    val o = oldEdges.select(col("src"), col("dst")).distinct()
+    val n = newEdges.select(col("src"), col("dst")).distinct()
+    n.join(o, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"), lit("added").as("change"))
+      .union(o.join(n, Seq("src", "dst"), "left_anti")
+        .select(col("src"), col("dst"), lit("removed").as("change")))
+  }
+
   /** Vertex set reachable from `seeds` along DIRECTED edges, seeds
     * included — the set-reachability primitive behind the bow-tie
     * decomposition (per-source distances are [[graft.algo.Betweenness

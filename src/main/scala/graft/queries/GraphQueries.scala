@@ -856,6 +856,17 @@ object GraphQueries {
       graft.algo.BowTie.classify(directed)
     }),
 
+    // crawl-delta: edges added/removed between the line-1 snapshot and
+    // the line<=2 snapshot of the directed link table
+    "g_edge_diff" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = li.filter(col("l_linenumber") <= maxLine)
+        .select((col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      GraphOps.edgeDiff(snap(1), snap(2))
+    }),
+
     // community-size histogram of the CC labeling
     "g_comm_size_hist" -> ((s, dir) => {
       val e = demoEdges(s, dir)
@@ -1166,6 +1177,25 @@ object GraphQueries {
          |SELECT id, CAST(row_number() OVER (
          |    ORDER BY md5(CAST(id AS VARCHAR) || ':7')) AS BIGINT) AS pos
          |FROM verts""".stripMargin,
+
+    "g_edge_diff" ->
+      s"""WITH s1 AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s2 AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace)
+         |SELECT src, dst, 'added' AS change FROM s2 a
+         |WHERE NOT EXISTS (SELECT 1 FROM s1
+         |                  WHERE s1.src = a.src AND s1.dst = a.dst)
+         |UNION ALL
+         |SELECT src, dst, 'removed' FROM s1 r
+         |WHERE NOT EXISTS (SELECT 1 FROM s2
+         |                  WHERE s2.src = r.src AND s2.dst = r.dst)""".stripMargin,
 
     "g_comm_size_hist" ->
       s"""WITH RECURSIVE $cte, $ccCte,

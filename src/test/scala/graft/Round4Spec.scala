@@ -789,3 +789,15 @@ class Round4PlanSpec extends GraftSuite {
       s"inbound anchors fell back to sort aggregation:\n$plan")
   }
 }
+
+class EdgeDiffSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("edge diff classifies added and removed, ignores the intersection") {
+    val oldE = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 4L)).toDF("src", "dst")
+    val newE = Seq((2L, 3L), (3L, 4L), (9L, 1L)).toDF("src", "dst")
+    val got = graft.graph.GraphOps.edgeDiff(oldE, newE)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((9L, 1L, "added"), (1L, 2L, "removed")))
+  }
+}
