@@ -50,6 +50,78 @@ object RandomWalks {
     * early only at a sink (impossible on a symmetrized graph). Exact for
     * all vertex/walk ids < 2^40 (see [[StepMixA]]).
     */
+  /** Second-order (node2vec-style) biased walks: from step 2 on, the
+    * neighbor choice is weighted by the walk's PREVIOUS vertex — wReturn
+    * for stepping back to it, wCommon for neighbors it shares with the
+    * current vertex, wFar for the rest (the 1/p, 1, 1/q triple of the
+    * node2vec paper scaled to integers, so selection is exact integer
+    * arithmetic and the oracle replays it bit-for-bit). Selection: the
+    * LCG mix reduced modulo the walk's total candidate weight picks the
+    * neighbor whose cumulative-weight interval (neighbors in ascending id
+    * order) contains it.
+    *
+    * Cost per step is Σ deg(cur) candidate rows — inherent to any
+    * second-order walk (the bias needs the whole neighborhood plus an
+    * adjacency test against prev, here a left marker join against the
+    * edge set). The cumulative window partitions per walk (degree-sized
+    * partitions), never globally. Step 1 has no prev and is the uniform
+    * [[walks]] step. Expects deduplicated symmetrized edges.
+    */
+  def walksBiased(edges: DataFrame, starts: DataFrame, length: Int,
+                  wReturn: Long = 1L, wCommon: Long = 2L,
+                  wFar: Long = 4L): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = indexedAdjacency(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+
+    val step0 = starts.select(col("id").as("walk_id"),
+      lit(0L).as("step"), col("id").as("vertex"))
+    // step 1: uniform LCG choice, identical to walks()'s t=1
+    var state = step0
+      .join(deg.select(col("id").as("did"), col("d")), col("vertex") === col("did"))
+      .join(adj.select(col("src").as("asrc"), col("dst").as("adst"), col("idx")),
+        col("vertex") === col("asrc") &&
+          col("idx") === (col("vertex") * StepMixA + col("walk_id") * StepMixB
+            + lit(1L)) % col("d"))
+      .select(col("walk_id"), col("adst").as("cur"), col("vertex").as("prev"))
+      .localCheckpoint(eager = true)
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](
+      step0, state.select(col("walk_id"), lit(1L).as("step"),
+        col("cur").as("vertex")))
+    var t = 1
+    while (t < length) {
+      t += 1
+      val cand = state
+        .join(e.select(col("src").as("cs"), col("dst").as("x")),
+          col("cur") === col("cs"))
+        .join(e.select(col("src").as("ps"), col("dst").as("px"),
+            lit(1L).as("adjp")),
+          col("prev") === col("ps") && col("x") === col("px"), "left")
+        .select(col("walk_id"), col("cur"), col("prev"), col("x"),
+          when(col("x") === col("prev"), lit(wReturn))
+            .when(col("adjp").isNotNull, lit(wCommon))
+            .otherwise(lit(wFar)).as("w"))
+      val cum = cand
+        .withColumn("cw",
+          sum(col("w")).over(Window.partitionBy("walk_id").orderBy("x")))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy("walk_id")))
+      val r = (col("cur") * StepMixA + col("walk_id") * StepMixB
+        + lit(t.toLong)) % col("tw")
+      state = cum
+        .filter(r >= col("cw") - col("w") && r < col("cw"))
+        .select(col("walk_id"), col("x").as("cur"), col("cur").as("prev"))
+        .localCheckpoint(eager = true)
+      frames += state.select(col("walk_id"), lit(t.toLong).as("step"),
+        col("cur").as("vertex"))
+    }
+    val out = frames.reduce(_ union _)
+      .select(col("walk_id"), col("step"), col("vertex"))
+    adj.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
+  }
+
   def walks(edges: DataFrame, starts: DataFrame, length: Int): DataFrame = {
     val adj = indexedAdjacency(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src").as("id"))

@@ -717,6 +717,14 @@ object GraphQueries {
       graft.algo.RandomWalks.walks(e, starts, length = 4)
     }),
 
+    // node2vec-style second-order biased walks, 3 steps, integer weights
+    // (return 1, shared neighbor 2, far 4) — exact integer selection
+    "g_walks_biased_l3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val starts = GraphOps.vertices(e).filter(col("id") % 20 === 0)
+      graft.algo.RandomWalks.walksBiased(e, starts, length = 3)
+    }),
+
     // degree assortativity (Newman) of the demo graph — exact integer
     // sums, one final double division, bit-reproducible in the oracle
     "g_assortativity" -> ((s, dir) =>
@@ -1462,6 +1470,46 @@ object GraphQueries {
          |$steps
          |SELECT walk_id, step, cur AS vertex FROM (
          |  $union) u""".stripMargin
+    },
+
+    "g_walks_biased_l3" -> {
+      val A = graft.algo.RandomWalks.StepMixA
+      val B = graft.algo.RandomWalks.StepMixB
+      val steps = (2 to 3).map { t =>
+        s"""cand$t AS (
+           |  SELECT s.walk_id, s.cur, s.prev, a.dst AS x,
+           |    CASE WHEN a.dst = s.prev THEN 1
+           |         WHEN EXISTS (SELECT 1 FROM e0 p
+           |                      WHERE p.src = s.prev AND p.dst = a.dst) THEN 2
+           |         ELSE 4 END AS w
+           |  FROM s${t - 1} s JOIN e0 a ON a.src = s.cur),
+           |cum$t AS (
+           |  SELECT walk_id, cur, prev, x, w,
+           |    sum(w) OVER (PARTITION BY walk_id ORDER BY x) AS cw,
+           |    sum(w) OVER (PARTITION BY walk_id) AS tw
+           |  FROM cand$t),
+           |s$t AS (
+           |  SELECT walk_id, x AS cur, cur AS prev FROM cum$t
+           |  WHERE (cur * $A + walk_id * $B + $t) % tw >= cw - w
+           |    AND (cur * $A + walk_id * $B + $t) % tw < cw)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |dg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |nbr AS (SELECT src, dst,
+         |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |               AS BIGINT) AS idx
+         |        FROM e0),
+         |w0 AS (SELECT id AS walk_id, id AS cur
+         |       FROM verts WHERE id % 20 = 0),
+         |s1 AS (SELECT w.walk_id, n.dst AS cur, w.cur AS prev
+         |       FROM w0 w JOIN dg d ON w.cur = d.id
+         |       JOIN nbr n ON n.src = w.cur
+         |        AND n.idx = (w.cur * $A + w.walk_id * $B + 1) % d.d),
+         |$steps
+         |SELECT walk_id, CAST(0 AS BIGINT) AS step, walk_id AS vertex FROM w0
+         |UNION ALL SELECT walk_id, CAST(1 AS BIGINT), cur FROM s1
+         |UNION ALL SELECT walk_id, CAST(2 AS BIGINT), cur FROM s2
+         |UNION ALL SELECT walk_id, CAST(3 AS BIGINT), cur FROM s3""".stripMargin
     },
 
     "g_assortativity" ->

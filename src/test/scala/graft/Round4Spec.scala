@@ -801,3 +801,49 @@ class EdgeDiffSpec extends GraftSuite {
     assert(got === Set((9L, 1L, "added"), (1L, 2L, "removed")))
   }
 }
+
+class BiasedWalksSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.algo.RandomWalks
+
+  test("biased walks match an imperative replay and stay on edges") {
+    val pairs = undirected(Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (1L, 4L)))
+    val e = edgesDf(pairs)
+    val starts = Seq(0L, 3L).toDF("id")
+    val got = RandomWalks.walksBiased(e, starts, length = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // imperative replay of the same selection rules
+    val adj = pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val edgeSet = pairs.toSet
+    val (wA, wB) = (RandomWalks.StepMixA, RandomWalks.StepMixB)
+    def replay(start: Long): Seq[Long] = {
+      var cur = start
+      var prev = -1L
+      var out = Seq(start)
+      for (t <- 1 to 4) {
+        val nbrs = adj(cur)
+        val next = if (t == 1) {
+          nbrs(((cur * wA + start * wB + t) % nbrs.size).toInt)
+        } else {
+          val ws = nbrs.map(x =>
+            if (x == prev) 1L
+            else if (edgeSet((prev, x))) 2L
+            else 4L)
+          val tw = ws.sum
+          val r = (cur * wA + start * wB + t) % tw
+          val cum = ws.scanLeft(0L)(_ + _).tail
+          nbrs(cum.indexWhere(r < _))
+        }
+        prev = cur; cur = next; out :+= cur
+      }
+      out
+    }
+    for (s <- Seq(0L, 3L); t <- 0 to 4)
+      assert(got((s, t.toLong)) === replay(s)(t), s"walk $s step $t")
+    // consecutive vertices are adjacent (full length, no truncation)
+    for (s <- Seq(0L, 3L); t <- 1 to 4)
+      assert(edgeSet((got((s, (t - 1).toLong)), got((s, t.toLong)))))
+  }
+}
