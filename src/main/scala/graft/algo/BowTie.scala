@@ -30,9 +30,16 @@ object BowTie {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val scc = StronglyConnected.run(d)._1
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val coreLabel = scc.groupBy(col("scc")).agg(count(lit(1)).as("n"))
+    val top = scc.groupBy(col("scc")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("scc").asc).limit(1)
-      .first().getLong(0)
+      .collect()
+    if (top.isEmpty) { // empty edge set: no vertices, empty classification
+      scc.unpersist(blocking = false)
+      d.unpersist(blocking = false)
+      return d.sparkSession.range(0)
+        .select(col("id"), lit("").as("bowtie"))
+    }
+    val coreLabel = top.head.getLong(0)
     val coreIds = scc.filter(col("scc") === coreLabel).select(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val fwdReach = GraphOps.reachableFrom(d, coreIds)

@@ -123,6 +123,11 @@ object StronglyConnected {
     }
     require(nRemaining == 0L,
       s"SCC peeling did not converge in $maxOuterRounds rounds")
+    if (assigned.isEmpty) { // empty edge set: no vertices, no rounds
+      e0.unpersist(blocking = false)
+      return (edges.sparkSession.range(0)
+        .select(col("id"), col("id").as("scc")), 0)
+    }
     // canonical labels: scc = min member id per root
     val membership = assigned.reduce(_ union _)
     val canon = membership.groupBy(col("root")).agg(min(col("id")).as("scc"))

@@ -225,7 +225,9 @@ object Measures {
     * and a per-label aggregation; the 2m scalar rides along via a 1-row
     * crossJoin, so the whole measure is a single job with no driver math.
     *
-    * @param labels (id, label)
+    * @param labels (id, label) — must cover every vertex incident to an
+    *        edge (slots whose endpoint has no label row are dropped by
+    *        the inner gather joins)
     * @return (label, cut, vol, conductance) — one row per community with
     *         at least one incident slot
     */

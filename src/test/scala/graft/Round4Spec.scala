@@ -847,3 +847,13 @@ class BiasedWalksSpec extends GraftSuite {
       assert(edgeSet((got((s, (t - 1).toLong)), got((s, t.toLong)))))
   }
 }
+
+class BowTieEmptySpec extends GraftSuite {
+  import spark.implicits._
+  test("bow-tie of an empty edge set is an empty classification") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = graft.algo.BowTie.classify(empty)
+    assert(out.columns.toSeq === Seq("id", "bowtie"))
+    assert(out.count() === 0L)
+  }
+}
