@@ -70,6 +70,68 @@ object Centrality {
     *
     * @return one row: (eff_diameter, reached_pairs, mean_dist)
     */
+  /** HyperANF (Boldi–Rosa–Vigna): the approximate neighborhood function
+    * N(h) = #(ordered pairs within distance ≤ h, self-pairs included)
+    * for EVERY vertex at once — the 100 TB path for distance statistics,
+    * where per-source BFS (even sampled) cannot touch all vertices. Per
+    * vertex the state is a native Spark HLL sketch (Datasketches binary)
+    * of its h-ball; one superstep is exactly the LP gather shape —
+    * neighbor sketches union-aggregated by destination (`hll_union_agg`
+    * is partial-aggregable, so map-side combine bounds the shuffle by
+    * distinct vertices per partition) then merged with the previous ball.
+    * State is referenced twice per step (gather + merge), so each round
+    * eagerly truncates.
+    *
+    * Stops early when N(h) grows by less than `tolerance` relative — on
+    * a connected graph that is the effective-diameter horizon, h ≪ n.
+    *
+    * Sketches are not bit-replayable across engines, so this operator is
+    * ScalaTest-verified against the exact neighborhood function (like
+    * SimHash64's codegen parity, an sbt-only gate by nature); the EXACT
+    * sampled path ([[distanceHistogram]]/[[effectiveDiameter]]) carries
+    * the driver oracle.
+    *
+    * @return (depth, pairs_est) for h = 0..stop, pairs_est = Σ_v |B(v,h)|
+    */
+  def neighborhoodFunctionApprox(edges: DataFrame, maxDepth: Int = 16,
+                                 lgConfigK: Int = 12,
+                                 tolerance: Double = 0.001): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var balls = graft.graph.GraphOps.vertices(e)
+      .groupBy(col("id")).agg(hll_sketch_agg(col("id"), lgConfigK).as("sk"))
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    def total(b: DataFrame): Long =
+      b.agg(sum(hll_sketch_estimate(col("sk")))).first().getLong(0)
+    var prevN = total(balls)
+    val series = scala.collection.mutable.ArrayBuffer[(Long, Long)]((0L, prevN))
+    var h = 0
+    var done = false
+    while (!done && h < maxDepth) {
+      h += 1
+      val gathered = e.join(balls, e("dst") === balls("id"))
+        .groupBy(e("src").as("gid"))
+        .agg(hll_union_agg(col("sk")).as("gsk"))
+      val next = balls.join(gathered, balls("id") === col("gid"), "left")
+        .select(col("id"),
+          when(col("gsk").isNull, col("sk"))
+            .otherwise(hll_union(col("sk"), col("gsk"))).as("sk"))
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      balls.unpersist(blocking = false)
+      balls = next
+      val n = total(balls)
+      series += ((h.toLong, n))
+      done = n <= prevN || (n - prevN).toDouble / prevN < tolerance
+      prevN = n
+    }
+    balls.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    series.toSeq.toDF("depth", "pairs_est")
+  }
+
   def effectiveDiameter(levels: DataFrame, qNum: Long = 9,
                         qDen: Long = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

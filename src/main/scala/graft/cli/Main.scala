@@ -15,7 +15,7 @@ import graft.sources.{PagesSynth, TextExtract}
   * Usage:
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
-  *               diameter|hostpr|all>
+  *               diameter|anf|hostpr|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -276,6 +276,19 @@ object Main {
       println(s"[graft] diameter: eff90=${d.getLong(0)} " +
         s"pairs=${d.getLong(1)} mean=${d.getDouble(2)}")
     }
+    def runAnf(): Unit = {
+      // HyperANF over ALL vertices (sketch state) — the full-graph
+      // complement of the sampled `diameter` mode
+      val nf = graft.algo.Centrality.neighborhoodFunctionApprox(edges,
+        maxDepth = maxIter.getOrElse(16))
+      val rows = nf.orderBy("depth").collect()
+      val nInf = rows.last.getLong(1)
+      val eff = rows.find(_.getLong(1) * 10L >= nInf * 9L)
+        .map(_.getLong(0)).getOrElse(rows.last.getLong(0))
+      nf.write.mode("overwrite").parquet(s"$outDir/anf")
+      println(s"[graft] anf: depths=${rows.length} pairs_est=$nInf " +
+        s"eff90_est=$eff")
+    }
     def runHostPr(): Unit = {
       // host-level PageRank needs url-level pairs: synth/pages inputs only
       val pages = input.split(":", 2) match {
@@ -309,6 +322,7 @@ object Main {
       case "truss"       => runTruss()
       case "motifs"      => runMotifs()
       case "diameter"    => runDiameter()
+      case "anf"         => runAnf()
       case "hostpr"      => runHostPr()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")

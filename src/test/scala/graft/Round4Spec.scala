@@ -857,3 +857,46 @@ class BowTieEmptySpec extends GraftSuite {
     assert(out.count() === 0L)
   }
 }
+
+class HyperAnfSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  import graft.algo.{Betweenness, Centrality}
+
+  private def exactNf(pairs: Seq[(Long, Long)], h: Int): Map[Long, Long] = {
+    val e = edgesDf(undirected(pairs))
+    val sources = e.select(col("src").as("id")).distinct()
+    val lev = Betweenness.bfsLevels(e, sources, maxDepth = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0 to h).map(d => d.toLong -> lev.count(_._3 <= d).toLong).toMap
+  }
+
+  test("path graph: HyperANF matches the exact neighborhood function") {
+    val pairs = (0L to 9L).map(i => (i, i + 1)).dropRight(1)
+    val got = Centrality.neighborhoodFunctionApprox(
+        edgesDf(undirected(pairs)), maxDepth = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = exactNf(pairs, 9)
+    // ball cardinalities ≤ 10 — the sketch is effectively exact here
+    got.foreach { case (d, est) =>
+      val ex = exact(math.min(d, 9L).toLong)
+      assert(math.abs(est - ex) <= math.max(1L, ex / 50), s"depth $d: $est vs $ex")
+    }
+    // early stop: the function saturates at the path diameter, well
+    // before maxDepth
+    assert(got.keys.max <= 10L)
+  }
+
+  test("random graph: within 10% of exact at every depth") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val got = Centrality.neighborhoodFunctionApprox(
+        edgesDf(undirected(pairs)), maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = exactNf(pairs, 8)
+    got.foreach { case (d, est) =>
+      val ex = exact(math.min(d, 8L))
+      assert(math.abs(est - ex).toDouble / ex < 0.10, s"depth $d: $est vs $ex")
+    }
+  }
+}
