@@ -54,22 +54,6 @@ object Centrality {
     levels.filter(col("dist") > 0)
       .groupBy("dist").agg(count(lit(1)).as("pairs"))
 
-  /** q-effective diameter from sampled BFS — the standard web-graph
-    * diagnostic (the "N degrees of separation" statistic of the ANF /
-    * HyperANF literature, computed here from exact sampled BFS rather
-    * than probabilistic counters): the smallest distance d whose
-    * cumulative reached-pair count covers q of all reached pairs, plus
-    * the pair total and the mean distance.
-    *
-    * q is the rational qNum/qDen so the threshold rule is pure integer
-    * arithmetic (`cum·qDen ≥ total·qNum`) — no float compare at the
-    * boundary, hence bit-replayable by the driver oracle. Integer rule,
-    * no interpolation. The cumulative window runs over the ≤ depth-cap-row
-    * HISTOGRAM, never over the data, so the single-partition window is
-    * constant-size at any graph scale.
-    *
-    * @return one row: (eff_diameter, reached_pairs, mean_dist)
-    */
   /** HyperANF (Boldi–Rosa–Vigna): the approximate neighborhood function
     * N(h) = #(ordered pairs within distance ≤ h, self-pairs included)
     * for EVERY vertex at once — the 100 TB path for distance statistics,
@@ -104,12 +88,15 @@ object Centrality {
     var balls = graft.graph.GraphOps.vertices(e)
       .groupBy(col("id")).agg(hll_sketch_agg(col("id"), lgConfigK).as("sk"))
       .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+    // coalesce: an empty vertex set sums to NULL, and the series should
+    // degrade to a single (0, 0) row rather than NPE
     def total(b: DataFrame): Long =
-      b.agg(sum(hll_sketch_estimate(col("sk")))).first().getLong(0)
+      b.agg(coalesce(sum(hll_sketch_estimate(col("sk"))), lit(0L)))
+        .first().getLong(0)
     var prevN = total(balls)
     val series = scala.collection.mutable.ArrayBuffer[(Long, Long)]((0L, prevN))
     var h = 0
-    var done = false
+    var done = prevN == 0L // empty graph: the series is just (0, 0)
     while (!done && h < maxDepth) {
       h += 1
       val gathered = e.join(balls, e("dst") === balls("id"))
@@ -132,6 +119,22 @@ object Centrality {
     series.toSeq.toDF("depth", "pairs_est")
   }
 
+  /** q-effective diameter from sampled BFS — the standard web-graph
+    * diagnostic (the "N degrees of separation" statistic of the ANF /
+    * HyperANF literature, computed here from exact sampled BFS rather
+    * than probabilistic counters): the smallest distance d whose
+    * cumulative reached-pair count covers q of all reached pairs, plus
+    * the pair total and the mean distance.
+    *
+    * q is the rational qNum/qDen so the threshold rule is pure integer
+    * arithmetic (`cum·qDen ≥ total·qNum`) — no float compare at the
+    * boundary, hence bit-replayable by the driver oracle. Integer rule,
+    * no interpolation. The cumulative window runs over the ≤ depth-cap-row
+    * HISTOGRAM, never over the data, so the single-partition window is
+    * constant-size at any graph scale.
+    *
+    * @return one row: (eff_diameter, reached_pairs, mean_dist)
+    */
   def effectiveDiameter(levels: DataFrame, qNum: Long = 9,
                         qDen: Long = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window

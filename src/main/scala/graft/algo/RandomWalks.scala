@@ -86,6 +86,8 @@ object RandomWalks {
             + lit(1L)) % col("d"))
       .select(col("walk_id"), col("adst").as("cur"), col("vertex").as("prev"))
       .localCheckpoint(eager = true)
+    // only step 1 reads the indexed adjacency; free it before the loop
+    adj.unpersist(blocking = false)
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame](
       step0, state.select(col("walk_id"), lit(1L).as("step"),
         col("cur").as("vertex")))
@@ -117,7 +119,6 @@ object RandomWalks {
     }
     val out = frames.reduce(_ union _)
       .select(col("walk_id"), col("step"), col("vertex"))
-    adj.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out
   }

@@ -93,14 +93,19 @@ object TriangleCount {
     * combines.
     */
   def motifCensus(edges: DataFrame): DataFrame = {
+    // coalesce: sums over an empty degree/pair table are NULL, and the
+    // census contract is zeros (the transitivity guard needs wedges = 0,
+    // not NULL, and CLI consumers read the longs directly)
     val wedges = GraphOps.degrees(edges)
-      .agg(sum(expr("degree * (degree - 1) div 2")).cast("long").as("wedges"))
+      .agg(coalesce(sum(expr("degree * (degree - 1) div 2")), lit(0L))
+        .cast("long").as("wedges"))
     val tris = triangles(edges).agg(count(lit(1)).as("triangles"))
     val a = edges.select(col("src").as("u"), col("dst").as("v"))
     val b = edges.select(col("src").as("w"), col("dst").as("v2"))
     val squares = a.join(b, col("v") === col("v2") && col("u") < col("w"))
       .groupBy("u", "w").agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).cast("long").as("sq2"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L))
+        .cast("long").as("sq2"))
       .select(expr("sq2 div 2").cast("long").as("squares"))
     wedges.crossJoin(tris).crossJoin(squares)
       .select(col("wedges"), col("triangles"), col("squares"),

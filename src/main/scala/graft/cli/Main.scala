@@ -249,7 +249,8 @@ object Main {
     }
     // round-4 operators
     def runBowtie(): Unit = {
-      val b = graft.algo.BowTie.classify(GraphOps.dropSelfLoops(rawEdges).distinct())
+      // classify() dedups and drops self-loops itself — pass raw edges
+      val b = graft.algo.BowTie.classify(rawEdges)
       b.write.mode("overwrite").parquet(s"$outDir/bowtie")
       val sizes = b.groupBy("bowtie").count().collect()
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")

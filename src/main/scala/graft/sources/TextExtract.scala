@@ -39,17 +39,22 @@ object TextExtract {
     concat(lower(head), rest)
   }
 
-  /** Anchor tags with BOTH the href and the anchor text, positionally
+  /** Anchor tags with BOTH the href and the anchor content, positionally
     * paired (two group extractions over the same pattern zip index-wise
     * because regexp_extract_all returns matches in document order).
+    * Non-greedy DOTALL content up to the closing tag, so image/nested-
+    * markup anchors are captured too (their inner tags are stripped
+    * afterwards, same normalization as [[extractText]]).
     */
-  private val AnchorPattern = "<a\\s+href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+  private val AnchorPattern = "(?s)<a\\s+href=\"([^\"]*)\"[^>]*>(.*?)</a>"
 
-  /** (src_url, dst_url, anchor) — one row per anchor tag, in document
-    * order, urls normalized. Anchor text is the inter-tag text content
-    * (empty for image/nested-markup anchors — kept, so counts match the
-    * link table). Pure built-in expressions, scan-speed like the rest of
-    * the extraction family.
+  /** (src_url, dst_url, anchor) — one row per CLOSED anchor tag, in
+    * document order, urls normalized, anchor text tag-stripped and
+    * whitespace-collapsed (empty for pure-image anchors). Counts match
+    * [[linkPairs]] for closed anchors; an unclosed `<a href=...>` appears
+    * in the link table but has no text to pair, so it is absent here.
+    * Pure built-in expressions, scan-speed like the rest of the
+    * extraction family.
     */
   def anchorPairs(pages: DataFrame): DataFrame = {
     val html = htmlToString(col("html"))
@@ -61,7 +66,9 @@ object TextExtract {
       .select(col("src_url"), explode(col("z")).as("a"))
       .select(col("src_url"),
         normalizeUrl(col("a.0")).as("dst_url"),
-        col("a.1").as("anchor"))
+        trim(regexp_replace(
+          regexp_replace(col("a.1"), "<[^>]*>", " "),
+          "[ \\t\\n\\r]+", " ")).as("anchor"))
   }
 
   /** Inbound anchor-text aggregation: how often each distinct anchor text

@@ -672,6 +672,9 @@ class AnchorSpec extends GraftSuite {
       |<a href="HTTPS://A.Example/x#frag">first</a>
       |<a href="https://b.example/y"></a>
       |<a href="https://c.example/z" class="k">third</a>
+      |<a href="https://d.example/"><img src="pic.png"></a>
+      |<a href="https://e.example/"><b>bold</b>
+      |  text</a>
       |</body></html>""".stripMargin
     val pages = Seq(("https://Src.Example/p", html)).toDF("url", "h")
       .select(col("url"), encode(col("h"), "UTF-8").as("html"))
@@ -680,7 +683,9 @@ class AnchorSpec extends GraftSuite {
     assert(got === Seq(
       ("https://a.example/x", "first"), // lowercased host, fragment stripped
       ("https://b.example/y", ""),      // empty anchor text kept
-      ("https://c.example/z", "third"))) // extra attributes tolerated
+      ("https://c.example/z", "third"), // extra attributes tolerated
+      ("https://d.example/", ""),       // image anchor: tags stripped to empty
+      ("https://e.example/", "bold text"))) // nested markup + newline collapsed
   }
 
   test("anchor pairs and link pairs agree on the synthetic corpus") {
