@@ -59,7 +59,7 @@ object BowTie {
           .otherwise(lit("other"))
           .as("bowtie"))
       // materialize before freeing the inputs the lazy plan references
-      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      .localCheckpoint(eager = true)
     fwdReach.unpersist(blocking = false)
     bwdReach.unpersist(blocking = false)
     coreIds.unpersist(blocking = false)

@@ -137,7 +137,11 @@ object Louvain {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val strength = strengths(e).persist(StorageLevel.MEMORY_AND_DISK)
     val m2 = e.agg(sum(col("weight")).cast("long")).first().getLong(0)
+    // truncate the initial assignment too: moveRound references it four
+    // times (tot, k_id, candidates, own-community join), so a lazy
+    // vertices().distinct subtree would be recomputed per reference
     var assign = GraphOps.vertices(e).select(col("id"), col("id").as("com"))
+      .localCheckpoint(eager = true)
     var r = 0
     while (r < rounds) {
       r += 1
@@ -202,7 +206,7 @@ object Louvain {
       composed.unpersist(blocking = false)
       composed = newComposed
       val contracted = aggregateGraph(g, assign)
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+        .localCheckpoint(eager = true)
       assign.unpersist(blocking = false)
       val nNew = GraphOps.vertices(contracted).count()
       g.unpersist(blocking = false)

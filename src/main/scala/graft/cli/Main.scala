@@ -219,9 +219,11 @@ object Main {
     }
     def runScc(): Unit = {
       // SCC runs on the DIRECTED edge set (pre-symmetrization) — the
-      // bow-tie decomposition is meaningless on a symmetrized graph
-      val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
-      val (scc, rounds) = graft.algo.StronglyConnected.run(directed)
+      // bow-tie decomposition is meaningless on a symmetrized graph;
+      // run() owns the dedup/self-loop normalization. maxIter raises the
+      // outer-round cap for pathological long-chain peel orders.
+      val (scc, rounds) = graft.algo.StronglyConnected.run(rawEdges,
+        maxOuterRounds = maxIter.getOrElse(100))
       scc.write.mode("overwrite").parquet(s"$outDir/scc")
       println(s"[graft] scc: rounds=$rounds " +
         s"components=${scc.select("scc").distinct().count()}")

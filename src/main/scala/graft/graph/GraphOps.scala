@@ -181,6 +181,8 @@ object GraphOps {
         avg(col("deg")).as("mean"), max(col("deg")).as("mx"),
         sum(col("deg")).as("total"))
       .first()
+    // an empty edge table aggregates to one all-NULL row: nothing to skew
+    if (row.isNullAt(0)) return None
     val threshold = math.max(row.getLong(0),
       math.ceil(row.getDouble(1) * floorFactor).toLong)
     val fairShare = math.max(row.getLong(3) / math.max(partitions, 1), 1L)
@@ -262,7 +264,7 @@ object GraphOps {
     val e = directed.select(col("src").as("v"), col("dst").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var visited = seeds.select(col("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+      .localCheckpoint(eager = true)
     var frontier = visited
     var r = 0
     var go = true
@@ -271,13 +273,13 @@ object GraphOps {
       val next = frontier.join(e, col("id") === col("v"))
         .select(col("w").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+        .localCheckpoint(eager = true)
       if (next.count() == 0L) {
         go = false
         next.unpersist(blocking = false)
       } else {
         val nv = visited.union(next)
-          .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(eager = true)
+          .localCheckpoint(eager = true)
         if (frontier ne visited) frontier.unpersist(blocking = false)
         visited.unpersist(blocking = false)
         visited = nv

@@ -85,9 +85,18 @@ object EdgeStreams {
     *     (restart after a crash mid-commit) is detected and skipped
     *     rather than double-merged;
     *   - promotion is backup-then-swap (current → `degrees_prev`, next →
-    *     `degrees`, drop backup; restore on failure) — a crash between
-    *     the two renames leaves `degrees_prev` intact instead of losing
-    *     the summary to the round-3 delete-then-rename window.
+    *     `degrees`, drop backup; restore on failure), and every batch
+    *     first runs a RECOVERY step: if the summary directory is missing,
+    *     a completed `degrees_next` (its marker is written only after the
+    *     parquet write finishes, so marker presence certifies
+    *     completeness) is promoted, else the `degrees_prev` backup is
+    *     restored — so a crash anywhere between the two renames loses
+    *     nothing on restart;
+    *   - the marker records the stream INSTANCE (a uuid minted once per
+    *     checkpoint directory) next to the batch id, so a fresh or
+    *     relocated checkpoint — whose batch numbering restarts at 0 —
+    *     never has its genuinely new batches mistaken for replays of an
+    *     older incarnation's batches.
     * Residual window, documented: a crash after the edges append but
     * before the summary promote replays the batch on restart and appends
     * its edges twice — closing it needs a transactional table format
@@ -104,11 +113,31 @@ object EdgeStreams {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader.parquet(wrapIfBareFile(srcPath))
+    val ckptDir = checkpointLocation.getOrElse(s"$targetDir/_checkpoint")
+    // stream instance id: minted once per checkpoint directory, BEFORE the
+    // query starts. Batch ids are meaningful only within one checkpoint's
+    // numbering; a fresh/relocated checkpoint restarts them at 0, and its
+    // new instance id keeps those batches from being skipped as replays.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val instance = {
+      val p = new org.apache.hadoop.fs.Path(ckptDir, "_graft_instance")
+      val cfs = p.getFileSystem(hconf)
+      if (!cfs.exists(p)) {
+        cfs.mkdirs(p.getParent)
+        val out = cfs.create(p, false)
+        try out.write(java.util.UUID.randomUUID().toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      val in = cfs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
     var applied = 0L
     val q = eventEdges(stream).writeStream
       .outputMode(OutputMode.Append)
-      .option("checkpointLocation",
-        checkpointLocation.getOrElse(s"$targetDir/_checkpoint"))
+      .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // ALL summary side-channel I/O goes through the Hadoop FileSystem
         // resolved from the path's own scheme, so an hdfs:// or s3a://
@@ -119,17 +148,42 @@ object EdgeStreams {
         val dst = new org.apache.hadoop.fs.Path(degPath)
         val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val markerName = "_applied_batch"
-        def appliedBatchIn(dir: org.apache.hadoop.fs.Path): Long = {
+        val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_next")
+        val prev = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_prev")
+        // marker: "<instance>:<batchId>"; pre-instance markers (bare id)
+        // parse with an empty instance and therefore never match — they
+        // are treated as a foreign incarnation, which only ever APPLIES
+        // more, never skips new data
+        def markerIn(dir: org.apache.hadoop.fs.Path): (String, Long) = {
           val m = new org.apache.hadoop.fs.Path(dir, markerName)
-          if (!fs.exists(m)) -1L
+          if (!fs.exists(m)) ("", -1L)
           else {
             val in = fs.open(m)
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            val s = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim
             finally in.close()
+            s.split(":", 2) match {
+              case Array(i, b) => (i, b.toLong)
+              case _           => ("", s.toLong)
+            }
           }
         }
-        if (fs.exists(dst) && batchId <= appliedBatchIn(dst)) ()
+        // RECOVERY: a crash between the promotion renames leaves the
+        // summary missing but recoverable — a marker inside degrees_next
+        // certifies a COMPLETE next summary (the marker is written only
+        // after the parquet write), so promote it; otherwise restore the
+        // backup. Runs before the skip check so a restarted query heals
+        // the directory before reasoning about replays.
+        if (!fs.exists(dst)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(tmp, markerName))) {
+            fs.rename(tmp, dst)
+            if (fs.exists(prev)) fs.delete(prev, true)
+          } else if (fs.exists(prev)) {
+            fs.rename(prev, dst)
+          }
+        }
+        val (mInst, mBatch) = markerIn(dst)
+        if (fs.exists(dst) && mInst == instance && batchId <= mBatch) ()
         else {
           applied += 1
           batch.write.mode("append").parquet(s"$targetDir/edges")
@@ -141,13 +195,11 @@ object EdgeStreams {
             else delta
           // write-new-then-promote: the summary read above must complete
           // before its directory is replaced
-          val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_next")
           merged.write.mode("overwrite").parquet(tmp.toString)
           val marker = fs.create(new org.apache.hadoop.fs.Path(tmp, markerName), true)
-          try marker.write(batchId.toString
+          try marker.write(s"$instance:$batchId"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally marker.close()
-          val prev = new org.apache.hadoop.fs.Path(s"$targetDir/degrees_prev")
           if (fs.exists(prev)) fs.delete(prev, true)
           val hadOld = fs.exists(dst)
           if (hadOld) fs.rename(dst, prev)

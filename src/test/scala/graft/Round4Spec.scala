@@ -905,3 +905,71 @@ class HyperAnfSpec extends GraftSuite {
     }
   }
 }
+
+class StreamingDurabilitySpec extends GraftSuite {
+
+  private val events = "/root/testdata/sf0.001/events.parquet"
+
+  private def splitEvents(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev-split2").toString
+    spark.read.parquet(events).repartition(n)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def summaryMap(target: String): Map[Long, Long] =
+    spark.read.parquet(s"$target/degrees")
+      .select("src", "out_degree")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def oracleMap(paths: String*): Map[Long, Long] = {
+    val df = paths.map(spark.read.parquet(_)).reduce(_ union _)
+    EdgeStreams.degreeCounts(EdgeStreams.eventEdges(df))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a fresh checkpoint's restarted batch numbering is not mistaken for replays") {
+    // first incarnation ingests everything; its marker holds batch ids 0..2
+    val src = splitEvents(3)
+    val target = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    assert(EdgeStreams.ingestOnce(spark, src, target,
+      maxFilesPerTrigger = Some(1)) >= 3L)
+    val afterFirst = summaryMap(target)
+    // second incarnation: NEW source data, NEW checkpoint location — its
+    // batches start at 0 again; before the instance marker they would all
+    // satisfy batchId <= marker and be silently dropped
+    val src2 = splitEvents(2)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val applied2 = EdgeStreams.ingestOnce(spark, src2, target,
+      maxFilesPerTrigger = Some(1), checkpointLocation = Some(ckpt2))
+    assert(applied2 >= 2L, s"new incarnation applied $applied2 batches")
+    val expected = oracleMap(src, src2)
+    assert(summaryMap(target) === expected)
+    assert(afterFirst !== expected) // the second pass really added mass
+  }
+
+  test("a missing summary is recovered from the backup before any batch applies") {
+    val src = splitEvents(2)
+    val target = java.nio.file.Files.createTempDirectory("graft-rec").toString
+    assert(EdgeStreams.ingestOnce(spark, src, target,
+      maxFilesPerTrigger = Some(1)) >= 2L)
+    val full = summaryMap(target)
+    // simulate the crash window between the two promotion renames: the
+    // summary was renamed aside to degrees_prev and the process died
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$target/degrees"),
+      new org.apache.hadoop.fs.Path(s"$target/degrees_prev")))
+    // a new incarnation over more data must first restore the backup,
+    // then merge on top of the FULL summary — not rebuild from its delta
+    val src2 = splitEvents(1)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    EdgeStreams.ingestOnce(spark, src2, target,
+      maxFilesPerTrigger = Some(1), checkpointLocation = Some(ckpt2))
+    assert(summaryMap(target) === oracleMap(src, src2))
+    assert(summaryMap(target) !== oracleMap(src2)) // not delta-only
+    full.foreach { case (k, v) =>
+      assert(summaryMap(target)(k) >= v) // prior mass survived the crash
+    }
+  }
+}
