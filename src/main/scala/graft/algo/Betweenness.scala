@@ -73,7 +73,7 @@ object Betweenness {
       else {
         maxLevel = level
         val nv = visited.union(candidate)
-          .localCheckpoint(eager = true)
+          .transform(graft.engine.Materialize.eager)
         if (frontier ne visited) frontier.unpersist(blocking = false)
         visited.unpersist(blocking = false)
         visited = nv
@@ -108,7 +108,7 @@ object Betweenness {
         .join(contrib, delta("s") === col("cs") && delta("id") === col("cid"), "left")
         .select(delta("s"), delta("id"),
           (col("delta") + coalesce(col("add"), lit(0.0))).as("delta"))
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       delta.unpersist(blocking = false)
       delta = nd
       l -= 1
@@ -162,7 +162,7 @@ object Betweenness {
         candidate.unpersist(blocking = false)
       } else {
         val nv = visited.union(candidate)
-          .localCheckpoint(eager = true)
+          .transform(graft.engine.Materialize.eager)
         if (frontier ne visited) frontier.unpersist(blocking = false)
         visited.unpersist(blocking = false)
         visited = nv

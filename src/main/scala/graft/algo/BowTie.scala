@@ -59,7 +59,7 @@ object BowTie {
           .otherwise(lit("other"))
           .as("bowtie"))
       // materialize before freeing the inputs the lazy plan references
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     fwdReach.unpersist(blocking = false)
     bwdReach.unpersist(blocking = false)
     coreIds.unpersist(blocking = false)

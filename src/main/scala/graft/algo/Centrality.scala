@@ -87,7 +87,7 @@ object Centrality {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var balls = graft.graph.GraphOps.vertices(e)
       .groupBy(col("id")).agg(hll_sketch_agg(col("id"), lgConfigK).as("sk"))
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     // coalesce: an empty vertex set sums to NULL, and the series should
     // degrade to a single (0, 0) row rather than NPE
     def total(b: DataFrame): Long =
@@ -106,7 +106,7 @@ object Centrality {
         .select(col("id"),
           when(col("gsk").isNull, col("sk"))
             .otherwise(hll_union(col("sk"), col("gsk"))).as("sk"))
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       balls.unpersist(blocking = false)
       balls = next
       val n = total(balls)

@@ -65,7 +65,7 @@ object ConnectedComponents {
         .filter(col("src") =!= col("dst")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val next = GraphOps.symmetrize(small)
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       // stability test in (usually) ONE action per round: both sides are
       // DISTINCT sets, so |next| == |g| plus next ⊆ g implies equality —
       // the second except() of round 2 was redundant, and while the sets

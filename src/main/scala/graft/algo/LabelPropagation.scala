@@ -340,7 +340,7 @@ object LabelPropagation {
     var labels = verts
       .join(seeds.select(col("id"), col("label")), Seq("id"), "left")
       .select(col("id"), col("label"))
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     var t = 0
     while (t < supersteps) {
       t += 1
@@ -357,7 +357,7 @@ object LabelPropagation {
         .select(col("id"),
           when(col("is_seed").isNotNull, col("label"))
             .otherwise(coalesce(col("nb"), col("label"))).as("label"))
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       labels.unpersist(blocking = false)
       labels = next
     }

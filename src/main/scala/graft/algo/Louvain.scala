@@ -141,7 +141,7 @@ object Louvain {
     // times (tot, k_id, candidates, own-community join), so a lazy
     // vertices().distinct subtree would be recomputed per reference
     var assign = GraphOps.vertices(e).select(col("id"), col("id").as("com"))
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     var r = 0
     while (r < rounds) {
       r += 1
@@ -206,7 +206,7 @@ object Louvain {
       composed.unpersist(blocking = false)
       composed = newComposed
       val contracted = aggregateGraph(g, assign)
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       assign.unpersist(blocking = false)
       val nNew = GraphOps.vertices(contracted).count()
       g.unpersist(blocking = false)

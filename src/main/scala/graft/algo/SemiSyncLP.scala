@@ -66,7 +66,7 @@ object SemiSyncLP {
       val next = state
         .join(assigned, Seq("id"), "left")
         .select(col("id"), coalesce(col("color"), col("newColor")).as("color"))
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       state.unpersist(blocking = false)
       state = next
       remaining = state.filter(col("color").isNull).count()
@@ -141,7 +141,7 @@ object SemiSyncLP {
         val next = labels
           .join(winners, labels("id") === col("wid2"), "left")
           .select(labels("id"), coalesce(col("newLabel"), col("label")).as("label"))
-          .localCheckpoint(eager = true)
+          .transform(graft.engine.Materialize.eager)
         if (labels ne before) labels.unpersist(blocking = false)
         labels = next
         c += 1

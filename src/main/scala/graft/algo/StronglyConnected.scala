@@ -55,7 +55,7 @@ object StronglyConnected {
       val sub = e0
         .join(remaining.select(col("id").as("sid")), col("src") === col("sid"), "left_semi")
         .join(remaining.select(col("id").as("did")), col("dst") === col("did"), "left_semi")
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       // 1. forward max-color fixpoint
       var colors = remaining.select(col("id"), col("id").as("color"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -100,7 +100,7 @@ object StronglyConnected {
         frontierN = next.count()
         if (frontierN > 0L) {
           val newVisited = visited.union(next).distinct()
-            .localCheckpoint(eager = true)
+            .transform(graft.engine.Materialize.eager)
           visited.unpersist(blocking = false)
           visited = newVisited
         }
@@ -113,7 +113,7 @@ object StronglyConnected {
         .localCheckpoint(eager = true)
       assigned += sccs
       val newRemaining = remaining.join(sccs.select(col("id")), Seq("id"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       remaining.unpersist(blocking = false)
       visited.unpersist(blocking = false)
       colors.unpersist(blocking = false)

@@ -58,7 +58,7 @@ object Truss {
     val next = canon.join(supportFrom(o), Seq("src", "dst"), "left")
       .filter(coalesce(col("support"), lit(0L)) >= k - 2)
       .select(col("src"), col("dst"))
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     o.unpersist(blocking = false)
     next
   }
@@ -69,7 +69,7 @@ object Truss {
   def peelFixed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var canon = GraphOps.canonical(edges)
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     var r = 0
     while (r < rounds) {
       r += 1
@@ -86,7 +86,7 @@ object Truss {
   def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     var canon = GraphOps.canonical(edges)
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     var size = canon.count()
     var r = 0
     var done = false

@@ -264,7 +264,7 @@ object GraphOps {
     val e = directed.select(col("src").as("v"), col("dst").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var visited = seeds.select(col("id")).distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.engine.Materialize.eager)
     var frontier = visited
     var r = 0
     var go = true
@@ -273,13 +273,13 @@ object GraphOps {
       val next = frontier.join(e, col("id") === col("v"))
         .select(col("w").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(graft.engine.Materialize.eager)
       if (next.count() == 0L) {
         go = false
         next.unpersist(blocking = false)
       } else {
         val nv = visited.union(next)
-          .localCheckpoint(eager = true)
+          .transform(graft.engine.Materialize.eager)
         if (frontier ne visited) frontier.unpersist(blocking = false)
         visited.unpersist(blocking = false)
         visited = nv
