@@ -973,3 +973,85 @@ class StreamingDurabilitySpec extends GraftSuite {
     }
   }
 }
+
+class Round4PropertySpec extends GraftSuite {
+  import spark.implicits._
+
+  private def randomPairs(seed: Int, n: Int, ids: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((rnd.nextInt(ids).toLong, rnd.nextInt(ids).toLong))
+      .filter(p => p._1 != p._2).distinct
+  }
+
+  test("property: the (k+1)-truss is a subgraph of the k-truss") {
+    val g = edgesDf(undirected(randomPairs(3, 90, 18)))
+    val byK = (3 to 6).map(k => k ->
+      graft.algo.Truss.kTruss(g, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet).toMap
+    (3 to 5).foreach(k =>
+      assert(byK(k + 1).subsetOf(byK(k)), s"truss nesting broken at k=$k"))
+  }
+
+  test("property: bow-tie classes partition the vertices and honor reachability") {
+    val pairs = randomPairs(5, 70, 20)
+    val d = pairs.toDF("src", "dst")
+    val classes = graft.algo.BowTie.classify(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(classes.keySet === verts) // total, one class each
+    val core = classes.collect { case (v, "core") => v }.toSet
+    assert(core.nonEmpty)
+    // reachability oracle: transitive closure in memory
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(from: Set[Long]): Set[Long] = {
+      var seen = from; var grew = true
+      while (grew) {
+        val nxt = seen ++ seen.flatMap(v => adj.getOrElse(v, Set.empty))
+        grew = nxt.size > seen.size; seen = nxt
+      }
+      seen
+    }
+    val fromCore = reach(core)
+    val radj = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    def reachBack(from: Set[Long]): Set[Long] = {
+      var seen = from; var grew = true
+      while (grew) {
+        val nxt = seen ++ seen.flatMap(v => radj.getOrElse(v, Set.empty))
+        grew = nxt.size > seen.size; seen = nxt
+      }
+      seen
+    }
+    val toCore = reachBack(core)
+    classes.foreach { case (v, c) =>
+      val expected =
+        if (core(v)) "core"
+        else if (toCore(v)) "in"
+        else if (fromCore(v)) "out"
+        else "other"
+      assert(c === expected, s"vertex $v")
+    }
+  }
+
+  test("property: conductance is within [0, 1] for arbitrary labelings") {
+    val e = edgesDf(undirected(randomPairs(9, 80, 16)))
+    val labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), (col("id") % 4).as("label"))
+    graft.measures.Measures.conductance(e, labels).collect().foreach { r =>
+      val phi = r.getDouble(3)
+      assert(phi >= 0.0 && phi <= 1.0, s"label ${r.getLong(0)}: $phi")
+    }
+  }
+
+  test("property: seeded LP labels only ever come from the seed set") {
+    val e = edgesDf(undirected(randomPairs(13, 60, 15)))
+    val seeds = e.select(col("src").as("id")).distinct()
+      .filter(col("id") % 5 === 0)
+      .select(col("id"), (col("id") + 100).as("label"))
+    val seedLabels = seeds.select("label").as[Long].collect().toSet
+    val out = graft.algo.LabelPropagation.runSeededFixed(e, seeds, 4).collect()
+    out.foreach { r =>
+      if (!r.isNullAt(1))
+        assert(seedLabels(r.getLong(1)), s"vertex ${r.getLong(0)} got a non-seed label")
+    }
+  }
+}
