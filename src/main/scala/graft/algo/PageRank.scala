@@ -34,6 +34,15 @@ object PageRank {
     *        aggregation needs no skew defense: partial (map-side)
     *        aggregation compresses any in-degree hot spot to one row per
     *        partition.
+    * @param checkpointer when set, every `checkpointEvery`-th iteration's
+    *        ranks go to a durable snapshot (rank carried in the shared
+    *        `label` column; lineage + metrics alongside — the north-rule
+    *        resume contract LP/CC already honor, metrics `changes` = the
+    *        L∞ delta ×1e15 as an exact long since ranks are < 1)
+    * @param initRanks resume point (id, rank) — pair with `startIter` from
+    *        `Checkpointer.validatedLatest("pagerank")`; `maxIter` stays a
+    *        TOTAL-run cap, so interrupt+resume never runs more iterations
+    *        than a straight run with the same cap
     */
   def run(
       edges: DataFrame,
@@ -41,7 +50,12 @@ object PageRank {
       eps: Double = 1e-10,
       maxIter: Int = 100,
       partitions: Int = 32,
-      autoSkew: Boolean = true): Result = {
+      autoSkew: Boolean = true,
+      checkpointer: Option[graft.engine.Checkpointer] = None,
+      checkpointEvery: Int = 5,
+      initRanks: Option[DataFrame] = None,
+      startIter: Int = 0,
+      priorMetrics: Seq[graft.model.SuperstepMetrics] = Nil): Result = {
     val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
@@ -57,13 +71,17 @@ object PageRank {
       if (autoSkew) GraphOps.planSkewAuto(edgesDeg, partitions, key = "src")
       else None
 
-    var ranks = verts.select(col("id"), lit(1.0 / n).as("rank"))
+    var ranks = initRanks
+      .map(_.select(col("id"), col("rank")))
+      .getOrElse(verts.select(col("id"), lit(1.0 / n).as("rank")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
 
-    var iter = 0
+    var iter = startIter
     var converged = false
     val hist = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val metrics = scala.collection.mutable.ArrayBuffer[graft.model.SuperstepMetrics](
+      priorMetrics: _*)
     while (iter < maxIter && !converged) {
       iter += 1
       val dMass =
@@ -100,6 +118,17 @@ object PageRank {
       ranks.unpersist(blocking = false)
       ranks = next
       converged = delta < eps
+      checkpointer.foreach { cp =>
+        metrics += graft.model.SuperstepMetrics("pagerank", iter,
+          changes = math.round(delta * 1e15), communities = 0L,
+          wallMillis = 0L)
+        if (iter % checkpointEvery == 0 || converged || iter >= maxIter) {
+          val reread = cp.checkpoint("pagerank", iter,
+            ranks.select(col("id"), col("rank").as("label")))
+          cp.writeMetrics("pagerank", metrics.toSeq)
+          ranks = reread.select(col("id"), col("label").as("rank"))
+        }
+      }
     }
     skewPlan.foreach(GraphOps.unpersistSkew)
     Result(ranks, iter, converged, hist.toSeq)

@@ -131,8 +131,23 @@ object Main {
         s"components=${Measures.communityCount(r.labels)}")
     }
     def runPr(): Unit = {
-      val r = PageRank.run(edges, maxIter = maxIter.getOrElse(100),
-        partitions = partitions)
+      // same resume contract as LP/CC: restart from the latest VALIDATED
+      // durable snapshot; maxIter stays a TOTAL-run cap
+      val r = cp.validatedLatest("pagerank") match {
+        case Some((it, snap)) =>
+          println(s"[graft] pagerank: resuming from checkpoint iter=$it")
+          cp.pruneAbove("pagerank", it)
+          PageRank.run(edges, maxIter = maxIter.getOrElse(100),
+            partitions = partitions,
+            checkpointer = Some(cp), checkpointEvery = 1,
+            initRanks = Some(snap.select(col("id"), col("label").as("rank"))),
+            startIter = it,
+            priorMetrics = cp.readMetrics("pagerank").filter(_.iteration <= it))
+        case None =>
+          PageRank.run(edges, maxIter = maxIter.getOrElse(100),
+            partitions = partitions,
+            checkpointer = Some(cp), checkpointEvery = 1)
+      }
       r.ranks.write.mode("overwrite").parquet(s"$outDir/pagerank")
       println(s"[graft] pagerank: iters=${r.iterations} converged=${r.converged}")
     }

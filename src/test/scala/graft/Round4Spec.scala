@@ -1055,3 +1055,37 @@ class Round4PropertySpec extends GraftSuite {
     }
   }
 }
+
+class PageRankResumeSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  import graft.algo.PageRank
+  import graft.engine.Checkpointer
+
+  test("interrupted PageRank resumes from the checkpoint to identical ranks") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-resume").toString
+    val cp = new Checkpointer(dir, spark)
+    // straight run: 9 iterations, no checkpointing
+    val straight = PageRank.run(e, maxIter = 9, partitions = 4, eps = 0.0)
+    // interrupted run: 4 iterations checkpointed, then resume to the
+    // SAME total cap from the validated snapshot
+    PageRank.run(e, maxIter = 4, partitions = 4, eps = 0.0,
+      checkpointer = Some(cp), checkpointEvery = 1)
+    val Some((it, snap)) = cp.validatedLatest("pagerank")
+    assert(it === 4)
+    cp.pruneAbove("pagerank", it)
+    val resumed = PageRank.run(e, maxIter = 9, partitions = 4, eps = 0.0,
+      checkpointer = Some(cp), checkpointEvery = 1,
+      initRanks = Some(snap.select(col("id"), col("label").as("rank"))),
+      startIter = it,
+      priorMetrics = cp.readMetrics("pagerank").filter(_.iteration <= it))
+    assert(resumed.iterations === 9)
+    val a = straight.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, v) => assert(math.abs(b(k) - v) < 1e-15, s"vertex $k") }
+    // the metrics history covers all 9 iterations exactly once
+    val iters = cp.readMetrics("pagerank").map(_.iteration)
+    assert(iters === (1 to 9))
+  }
+}
