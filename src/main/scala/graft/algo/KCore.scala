@@ -100,4 +100,104 @@ object KCore {
     e.unpersist(blocking = false)
     (alive, r, converged)
   }
+
+  /** One fixed-schedule peel pass at level k starting from `alive`
+    * (shared by both coreness forms below): `rounds` degree-filter
+    * rounds against the full symmetrized edge table.
+    */
+  private def peelRounds(e: DataFrame, alive0: DataFrame, k: Long,
+                         rounds: Int): DataFrame = {
+    var alive = alive0
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val sub = e
+        .join(alive.select(col("id").as("sid")), col("src") === col("sid"), "left_semi")
+        .join(alive.select(col("id").as("did")), col("dst") === col("did"), "left_semi")
+      alive = sub.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("id"))
+        .localCheckpoint(eager = true)
+    }
+    alive
+  }
+
+  /** Full coreness decomposition on a FIXED schedule — the gate-able
+    * form: for k = 1..maxK run exactly `roundsPerK` peel rounds, each
+    * level starting from the previous level's survivors (the (k+1)-core
+    * is a subset of the k-core, so restarting from scratch per level
+    * would redo strictly dominated work). coreness(v) = the largest k
+    * whose survivor set still contains v (0 if peeled at k=1 within the
+    * schedule). With `roundsPerK` at least the true per-level round
+    * count this IS the exact coreness; under-provisioned rounds peel
+    * less, never more — and the oracle replays the identical schedule.
+    *
+    * Per level the work is `roundsPerK` × (two semi-joins + one
+    * partial-aggregated degree count) on a monotonically shrinking
+    * survivor set; membership snapshots are vertex-sized and already
+    * materialized, so the final max-k reduction is one union + one
+    * groupBy over ≤ maxK vertex-sized tables.
+    */
+  def corenessFixed(edges: DataFrame, maxK: Int, roundsPerK: Int): DataFrame = {
+    require(maxK >= 1 && roundsPerK >= 1)
+    val e = GraphOps.symmetrize(edges.select("src", "dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = verts
+    val memberships = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1L
+    while (k <= maxK) {
+      alive = peelRounds(e, alive, k, roundsPerK)
+      memberships += alive.select(col("id"), lit(k).as("k"))
+      k += 1
+    }
+    val out = memberships.reduce(_ union _)
+      .groupBy("id").agg(max(col("k")).as("coreness"))
+    val res = verts.join(out, Seq("id"), "left")
+      .select(col("id"), coalesce(col("coreness"), lit(0L)).as("coreness"))
+      .localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    res
+  }
+
+  /** Exact coreness (graph degeneracy decomposition): per level peel to
+    * the fixed point, advance k until the survivor set empties. The
+    * largest k with a non-empty fixed point is the degeneracy; total
+    * outer levels = degeneracy + 1 (small on real web graphs — tens).
+    */
+  def coreness(edges: DataFrame, maxRoundsPerK: Int = 10000): DataFrame = {
+    val e = GraphOps.symmetrize(edges.select("src", "dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = verts
+    var n = alive.count()
+    val memberships = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1L
+    while (n > 0L) {
+      var stable = false
+      var r = 0
+      while (!stable && r < maxRoundsPerK && n > 0L) {
+        r += 1
+        val next = peelRounds(e, alive, k, 1)
+        val m = next.count()
+        stable = m == n
+        n = m
+        alive = next
+      }
+      if (n > 0L) memberships += alive.select(col("id"), lit(k).as("k"))
+      k += 1
+    }
+    val out =
+      if (memberships.isEmpty) verts.select(col("id"), lit(0L).as("coreness")).limit(0)
+      else memberships.reduce(_ union _)
+        .groupBy("id").agg(max(col("k")).as("coreness"))
+    val res = verts.join(out, Seq("id"), "left")
+      .select(col("id"), coalesce(col("coreness"), lit(0L)).as("coreness"))
+      .localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    res
+  }
 }

@@ -342,4 +342,34 @@ object PageRank {
     pending.dropRight(1).foreach(_.unpersist(blocking = false))
     ranks
   }
+
+  /** Spam-mass estimate (Gyöngyi–Berkhin–Garcia-Molina–Pedersen "Link
+    * Spam Detection Based on Mass Estimation"): how much of a page's
+    * PageRank is NOT explainable by a trusted seed set.
+    *
+    *   trust(v)     = personalized PageRank w.r.t. the trusted set
+    *   spam_mass(v) = rank(v) − trust(v)            (absolute)
+    *   rel_mass(v)  = (rank(v) − trust(v)) / rank(v) (relative, the
+    *                  paper's thresholded detector statistic)
+    *
+    * Pure composition of [[runFixed]] and [[runPersonalizedFixed]] on the
+    * same damping/iteration schedule plus one vertex-sized equi-join —
+    * no new iteration machinery, which is exactly the point: at 100 TB
+    * the two rank vectors are computed once each and the detector is a
+    * single co-partitioned join. rank(v) ≥ (1−d)/N > 0 for every vertex,
+    * so the relative form never divides by zero.
+    *
+    * @return (id, rank, trust, spam_mass, rel_mass)
+    */
+  def spamMass(edges: DataFrame, trusted: DataFrame, iterations: Int,
+               damping: Double = 0.85, partitions: Int = 32,
+               symmetric: Boolean = false): DataFrame = {
+    val pr = runFixed(edges, iterations, damping, partitions, symmetric)
+    val tr = runPersonalizedFixed(edges, trusted, iterations, damping, partitions)
+      .select(col("id").as("tid"), col("rank").as("trust"))
+    pr.join(tr, pr("id") === col("tid"))
+      .select(col("id"), col("rank"), col("trust"),
+        (col("rank") - col("trust")).as("spam_mass"),
+        ((col("rank") - col("trust")) / col("rank")).as("rel_mass"))
+  }
 }

@@ -1,0 +1,180 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.graph.GraphOps
+
+/** Spectral / walk-counting centralities: Katz and eigenvector. Both are
+  * power iterations over the adjacency structure — the same one-join +
+  * one-partial-aggregated-groupBy gather per step as PageRank, with the
+  * edge table partitioned once on the gather key and only vertex-sized
+  * score tables moving per iteration.
+  */
+object Spectral {
+
+  /** Katz centrality, fixed iterations (Katz 1953):
+    *
+    *   x_k(v) = β + α · Σ_{u→v} x_{k-1}(u),   x_0 = β
+    *
+    * i.e. after k steps x(v) = β·Σ_{j≤k} α^j (#walks of length j ending
+    * at v). α must be < 1/λ_max for the infinite series to converge; the
+    * fixed-iteration form is well-defined (and gate-replayable) for any
+    * α. Unlike PageRank there is no per-source normalization, so hubs
+    * pointed at by other hubs compound — the classic "status" index.
+    *
+    * Each step references the previous scores once, so the whole fixed
+    * run chains lazily with an eager truncation only every 5 steps (the
+    * PageRank runFixed pattern — one extra job per 5 iterations, not per
+    * iteration).
+    */
+  def katzFixed(edges: DataFrame, iterations: Int, alpha: Double = 0.005,
+                beta: Double = 1.0, partitions: Int = 32): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var x = verts.select(col("id"), lit(beta).as("katz"))
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val gathered = e.join(x.select(col("id").as("xid"), col("katz")),
+          col("src") === col("xid"))
+        .groupBy(col("dst").as("id")).agg(sum(col("katz")).as("s"))
+      x = verts.join(gathered, Seq("id"), "left")
+        .select(col("id"),
+          (lit(beta) + lit(alpha) * coalesce(col("s"), lit(0.0))).as("katz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pending += x
+      if (iter % 5 == 0 && iter < iterations) {
+        x = x.localCheckpoint(eager = true)
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+      }
+    }
+    pending.dropRight(1).foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    x
+  }
+
+  /** Katz iterate in EXACT integer arithmetic for rational α = 1/invAlpha:
+    * substituting z_k = invAlpha^k · x_k into x_k = β + α·Σ x_{k-1} (β=1)
+    * gives
+    *
+    *   z_0 = 1,   z_k(v) = invAlpha^k + Σ_{u→v} z_{k-1}(u)
+    *
+    * — an integer recurrence, so every intermediate is bit-replayable and
+    * the caller recovers katz = z_k / invAlpha^k with ONE deterministic
+    * division at the end. The double-precision [[katzFixed]] is the
+    * general-α API; this is the oracle-gated form (its FP sums are
+    * order-dependent and can land a half-ulp across the e6 rounding
+    * boundary — observed on 3 of 295 vertices at sf0.001).
+    *
+    * Magnitude: z_k ≤ invAlpha^k + d_max·max z_{k-1}, so with
+    * invAlpha=200, k=3, d_max≤2^20 the iterate stays far below 2^63; the
+    * require guards the scale factor itself.
+    */
+  def katzWalkSums(edges: DataFrame, iterations: Int,
+                   invAlpha: Long = 200L, partitions: Int = 32): DataFrame = {
+    require(iterations >= 1 && invAlpha >= 2)
+    require(BigInt(invAlpha).pow(iterations) < BigInt(Long.MaxValue) / 4,
+      s"invAlpha^iterations overflows: $invAlpha^$iterations")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var z = verts.select(col("id"), lit(1L).as("z"))
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var iter = 0
+    var scale = 1L
+    while (iter < iterations) {
+      iter += 1
+      scale *= invAlpha
+      val gathered = e.join(z.select(col("id").as("zid"), col("z")),
+          col("src") === col("zid"))
+        .groupBy(col("dst").as("id")).agg(sum(col("z")).as("s"))
+      z = verts.join(gathered, Seq("id"), "left")
+        .select(col("id"),
+          (lit(scale) + coalesce(col("s"), lit(0L))).cast("long").as("z"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pending += z
+      if (iter % 5 == 0 && iter < iterations) {
+        z = z.localCheckpoint(eager = true)
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+      }
+    }
+    pending.dropRight(1).foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    z
+  }
+
+  /** Eigenvector-centrality power iteration in EXACT integer arithmetic:
+    *
+    *   w_0(v) = 1,   w_k(v) = Σ_{u→v} w_{k-1}(u)
+    *
+    * so w_k(v) is precisely the number of length-k walks ending at v —
+    * the un-normalized power-method iterate whose direction converges to
+    * the principal eigenvector. Keeping the iterate integral makes every
+    * intermediate bit-replayable by the DuckDB oracle (the engine's
+    * Louvain lesson: push the floating point to the very last step); the
+    * caller normalizes the final vector once (e.g. `w / Σw`, as the gate
+    * does) instead of per-step, which is legal because normalization only
+    * rescales direction.
+    *
+    * Iterates grow like λ_max^k, so keep k small (3–5) or pre-scale:
+    * w_k ≤ n·d_max^k must stay under 2^63 (checked via require on the
+    * caller-supplied bound when provided). Per-step state is referenced
+    * once → lazy chain, truncation every 5 steps.
+    */
+  def eigenvectorWalkCounts(edges: DataFrame, iterations: Int,
+                            partitions: Int = 32): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+
+    var w = verts.select(col("id"), lit(1L).as("walks"))
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val gathered = e.join(w.select(col("id").as("wid"), col("walks")),
+          col("src") === col("wid"))
+        .groupBy(col("dst").as("id")).agg(sum(col("walks")).as("s"))
+      w = verts.join(gathered, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).cast("long").as("walks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pending += w
+      if (iter % 5 == 0 && iter < iterations) {
+        w = w.localCheckpoint(eager = true)
+        pending.foreach(_.unpersist(blocking = false))
+        pending.clear()
+      }
+    }
+    pending.dropRight(1).foreach(_.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    w
+  }
+
+  /** Final-step normalized eigenvector scores from [[eigenvectorWalkCounts]]:
+    * (id, walks, score) with score = walks / Σwalks (L1 direction). The
+    * single division is the only floating-point operation in the whole
+    * operator.
+    */
+  def eigenvectorFixed(edges: DataFrame, iterations: Int,
+                       partitions: Int = 32): DataFrame = {
+    val w = eigenvectorWalkCounts(edges, iterations, partitions)
+    val total = w.agg(sum(col("walks")).as("_t"))
+    w.crossJoin(total)
+      .select(col("id"), col("walks"),
+        when(col("_t") =!= 0L, col("walks").cast("double") / col("_t"))
+          .otherwise(lit(0.0)).as("score"))
+  }
+}

@@ -15,7 +15,8 @@ import graft.sources.{PagesSynth, TextExtract}
   * Usage:
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
-  *               diameter|anf|hostpr|all>
+  *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
+  *               spammass|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -264,6 +265,47 @@ object Main {
       h.write.mode("overwrite").parquet(s"$outDir/hits")
       println(s"[graft] hits: iters=${maxIter.getOrElse(20)} rows=${h.count()}")
     }
+    def runSalsa(): Unit = {
+      // SALSA runs on the DIRECTED edge set (pre-symmetrization)
+      val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
+      val s = graft.algo.Salsa.runFixed(directed,
+        iterations = maxIter.getOrElse(20), partitions = partitions)
+      s.write.mode("overwrite").parquet(s"$outDir/salsa")
+      println(s"[graft] salsa: iters=${maxIter.getOrElse(20)} rows=${s.count()}")
+    }
+    def runKatz(): Unit = {
+      val x = graft.algo.Spectral.katzFixed(edges,
+        iterations = maxIter.getOrElse(10), partitions = partitions)
+      x.write.mode("overwrite").parquet(s"$outDir/katz")
+      println(s"[graft] katz: iters=${maxIter.getOrElse(10)} rows=${x.count()}")
+    }
+    def runEigen(): Unit = {
+      // keep k small: the integer iterate grows like λ_max^k
+      val x = graft.algo.Spectral.eigenvectorFixed(edges,
+        iterations = maxIter.getOrElse(4), partitions = partitions)
+      x.write.mode("overwrite").parquet(s"$outDir/eigen")
+      println(s"[graft] eigen: iters=${maxIter.getOrElse(4)} rows=${x.count()}")
+    }
+    def runCoreness(): Unit = {
+      val c = graft.algo.KCore.coreness(edges)
+      c.write.mode("overwrite").parquet(s"$outDir/coreness")
+      val mx = c.agg(max("coreness")).first().getLong(0)
+      println(s"[graft] coreness: degeneracy=$mx rows=${c.count()}")
+    }
+    def runRichClub(): Unit = {
+      val a = Measures.avgNeighborDegree(edges)
+      a.write.mode("overwrite").parquet(s"$outDir/annd")
+      val rc = Measures.richClub(edges, maxK = 32)
+      rc.write.mode("overwrite").parquet(s"$outDir/richclub")
+      println(s"[graft] richclub: levels=${rc.count()} annd_rows=${a.count()}")
+    }
+    def runSpamMass(): Unit = {
+      val sm = PageRank.spamMass(edges, sampledSources(),
+        iterations = maxIter.getOrElse(10), partitions = partitions)
+      sm.write.mode("overwrite").parquet(s"$outDir/spammass")
+      println(s"[graft] spammass: iters=${maxIter.getOrElse(10)} " +
+        s"rows=${sm.count()}")
+    }
     // round-4 operators
     def runBowtie(): Unit = {
       // classify() dedups and drops self-loops itself — pass raw edges
@@ -342,6 +384,12 @@ object Main {
       case "diameter"    => runDiameter()
       case "anf"         => runAnf()
       case "hostpr"      => runHostPr()
+      case "salsa"       => runSalsa()
+      case "katz"        => runKatz()
+      case "eigen"       => runEigen()
+      case "coreness"    => runCoreness()
+      case "richclub"    => runRichClub()
+      case "spammass"    => runSpamMass()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

@@ -247,4 +247,69 @@ object Measures {
             least(col("vol"), col("m2") - col("vol")))
           .as("conductance"))
   }
+
+  /** Average neighbor degree per vertex (Pastor-Satorras et al.'s annd —
+    * the pointwise form of the degree-correlation function knn(k)):
+    *
+    *   annd(v) = ( Σ_{u ∈ N(v)} deg(u) ) / deg(v)
+    *
+    * over the symmetrized slot table. Both the numerator and the
+    * denominator are exact integer sums (one degree join + one
+    * partial-aggregated groupBy — the LP gather shape), so the single
+    * final division is the only floating point and the result is
+    * bit-replayable. Returns (id, deg, sum_nbr_deg, annd).
+    */
+  def avgNeighborDegree(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("did")).agg(count(lit(1)).as("d"))
+    e.join(deg, e("dst") === col("did"))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("deg"),
+        sum(col("d")).cast("long").as("sum_nbr_deg"))
+      .select(col("id"), col("deg"), col("sum_nbr_deg"),
+        (col("sum_nbr_deg").cast("double") / col("deg")).as("annd"))
+  }
+
+  /** Rich-club coefficient φ(k) for k = 1..maxK (Zhou–Mondragón; the
+    * standard "do the hubs link to each other?" diagnostic on web
+    * graphs):
+    *
+    *   φ(k) = E_{>k} / ( N_{>k} · (N_{>k} − 1) )
+    *
+    * where N_{>k} counts vertices of degree > k and E_{>k} counts the
+    * directed SLOTS between them (the symmetrized slot table carries both
+    * directions, so the usual 2·E numerator is already built in).
+    *
+    * Scale shape: the per-slot work is two degree joins; everything after
+    * that runs on HISTOGRAMS (≤ d_max rows) — the k-range join is a
+    * constant-×-d_max theta join, never a per-vertex or per-edge one, so
+    * adding more k levels costs nothing at any graph size. Returns
+    * (k, n_k, e_k, phi_e6) for every k with N_{>k} ≥ 2; φ scaled to e6
+    * with the division done once per output row.
+    */
+  def richClub(edges: DataFrame, maxK: Int = 16): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    // per-slot min endpoint degree: a slot survives threshold k iff BOTH
+    // endpoints have degree > k, i.e. iff min(d_src, d_dst) > k
+    val slotMin = e
+      .join(deg.select(col("id").as("sid"), col("d").as("sd")), e("src") === col("sid"))
+      .join(deg.select(col("id").as("did"), col("d").as("dd")), e("dst") === col("did"))
+      .select(least(col("sd"), col("dd")).as("mind"))
+    val degHist = deg.groupBy(col("d")).agg(count(lit(1)).as("nodes"))
+    val minHist = slotMin.groupBy(col("mind")).agg(count(lit(1)).as("slots"))
+    val ks = spark.range(1, maxK + 1L).select(col("id").as("k"))
+    val nk = ks.join(degHist, col("d") > col("k"))
+      .groupBy("k").agg(sum(col("nodes")).cast("long").as("n_k"))
+    val ek = ks.join(minHist, col("mind") > col("k"))
+      .groupBy("k").agg(sum(col("slots")).cast("long").as("e_k"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k"), col("n_k"),
+        coalesce(col("e_k"), lit(0L)).as("e_k"))
+      .filter(col("n_k") >= 2)
+      .select(col("k"), col("n_k"), col("e_k"),
+        round(col("e_k") * lit(1000000.0) / (col("n_k") * (col("n_k") - 1)))
+          .cast("long").as("phi_e6"))
+  }
 }

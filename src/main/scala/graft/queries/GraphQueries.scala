@@ -72,6 +72,36 @@ object GraphQueries {
     GraphOps.symmetrize(GraphOps.dropSelfLoops(raw))
   }
 
+  /** Sparse demo graph for the coreness gate: a wider id space (900) over
+    * a third of the order keys, so the average degree stays low enough
+    * that the fixed peel schedule (maxK=8 × 3 rounds) actually
+    * discriminates — on the dense 300-node demo graph every vertex
+    * survives k ≤ 8 and the gate would be vacuous.
+    */
+  val SparseNodeSpace = 900
+
+  def sparseDemoEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_linenumber") === 1 && col("l_orderkey") % 3 === 0)
+    val raw = li.select(
+      (col("l_orderkey") % SparseNodeSpace).as("src"),
+      (col("l_partkey") % SparseNodeSpace).as("dst"))
+    GraphOps.symmetrize(GraphOps.dropSelfLoops(raw))
+  }
+
+  /** Oracle CTE prefix mirroring [[sparseDemoEdges]]. */
+  val sparseCte: String =
+    s"""sraw AS (
+       |  SELECT l_orderkey % $SparseNodeSpace AS src,
+       |         l_partkey % $SparseNodeSpace AS dst
+       |  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 3 = 0
+       |), se0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM sraw WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst, src FROM sraw WHERE src <> dst) u
+       |), sverts AS (SELECT DISTINCT src AS id FROM se0)""".stripMargin
+
   /** Deterministic url-level link pairs for the host-graph gates: urls
     * built from lineitem keys by pure string concatenation and mirrored
     * verbatim in the oracle SQL (mixed-case scheme/host and a fragment on
@@ -428,6 +458,74 @@ object GraphQueries {
       PageRank.runFixed(demoEdges(s, dir), 5)
         .select(col("id"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
+
+    // spam-mass estimate (Gyöngyi et al.): uniform-reset PageRank minus
+    // trusted-set personalized PageRank, same 5-iteration schedule; the
+    // relative-mass rounding mirrors the oracle's operand order exactly
+    "g_spam_mass_t5" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val trusted = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      PageRank.spamMass(e, trusted, iterations = 5)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"),
+          round(col("trust") * 1000000).cast("long").as("trust_e6"),
+          round((col("rank") - col("trust")) * lit(1000000.0) / col("rank"))
+            .cast("long").as("relmass_e6"))
+    }),
+
+    // SALSA, 3 fixed iterations on the directed demo graph (same table
+    // as g_hits_t3) — degree-normalized gathers, L1 per half-step
+    "g_salsa_t3" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.Salsa.runFixed(directed, iterations = 3)
+        .select(col("id"),
+          round(col("auth") * 1000000).cast("long").as("auth_e6"),
+          round(col("hub") * 1000000).cast("long").as("hub_e6"))
+    }),
+
+    // Katz centrality, 3 fixed iterations, α=1/200 β=1 — exact integer
+    // iterate (z_k = 200^k·x_k), one deterministic division at the end
+    "g_katz_t3" -> ((s, dir) =>
+      graft.algo.Spectral.katzWalkSums(demoEdges(s, dir), iterations = 3,
+          invAlpha = 200L)
+        .select(col("id"),
+          round(col("z") * lit(1000000.0) / lit(8000000.0))
+            .cast("long").as("katz_e6"))),
+
+    // eigenvector-centrality power iterate after 3 steps: exact integer
+    // walk counts plus the single final L1 normalization, with the
+    // normalization's operand order mirrored verbatim in the oracle
+    "g_eigen_t3" -> ((s, dir) => {
+      val w = graft.algo.Spectral.eigenvectorWalkCounts(demoEdges(s, dir), 3)
+      val tot = w.agg(sum(col("walks")).as("_t"))
+      w.crossJoin(tot)
+        .select(col("id"), col("walks"),
+          round(col("walks") * lit(1000000.0) / col("_t"))
+            .cast("long").as("score_e6"))
+    }),
+
+    // full coreness decomposition on the fixed schedule (k=1..8, 3 peel
+    // rounds per level) over the SPARSE demo graph
+    "g_coreness" -> ((s, dir) =>
+      graft.algo.KCore.corenessFixed(sparseDemoEdges(s, dir),
+        maxK = 8, roundsPerK = 3)),
+
+    // average neighbor degree (exact integer numerator/denominator,
+    // single final division mirrored by the oracle)
+    "g_annd" -> ((s, dir) =>
+      graft.measures.Measures.avgNeighborDegree(demoEdges(s, dir))
+        .select(col("id"), col("deg"), col("sum_nbr_deg"),
+          round(col("sum_nbr_deg") * lit(1000000.0) / col("deg"))
+            .cast("long").as("annd_e6"))),
+
+    // rich-club coefficient φ(k), k = 1..16
+    "g_richclub" -> ((s, dir) =>
+      graft.measures.Measures.richClub(demoEdges(s, dir), maxK = 16)),
 
     "g_triangles" -> ((s, dir) =>
       oneRow(s, "triangles", TriangleCount.countTriangles(demoEdges(s, dir)))),
@@ -1042,6 +1140,195 @@ object GraphQueries {
     },
 
     "g_pagerank_t5" -> prSql(5),
+
+    // spam mass: prSql(5)'s uniform-reset chain (p*) and g_ppr_t5's
+    // trusted-reset chain (t*) run side by side, then one join — the
+    // exact composition the engine performs
+    "g_spam_mass_t5" -> {
+      val pSteps = (1 to 5).map { k =>
+        s"""px$k AS (
+           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN p${k - 1} p ON e0.src = p.id JOIN deg d ON e0.src = d.id
+           |  GROUP BY 1
+           |), p$k AS (
+           |  SELECT v.id, 0.15 / (SELECT count(*) FROM verts)
+           |         + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM verts v LEFT JOIN px$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      val tSteps = (1 to 5).map { k =>
+        s"""tx$k AS (
+           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN t${k - 1} p ON e0.src = p.id JOIN deg d ON e0.src = d.id
+           |  GROUP BY 1
+           |), t$k AS (
+           |  SELECT v.id, (1.0 - 0.85) * v.reset + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM rst v LEFT JOIN tx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |p0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS r FROM verts),
+         |$pSteps,
+         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |rst AS (
+         |  SELECT v.id,
+         |    CASE WHEN s.id IS NULL THEN 0.0
+         |         ELSE 1.0 / (SELECT count(*) FROM srcs) END AS reset
+         |  FROM verts v LEFT JOIN srcs s ON v.id = s.id),
+         |t0 AS (SELECT id, reset AS r FROM rst),
+         |$tSteps
+         |SELECT p.id,
+         |  CAST(ROUND(p.r * 1000000) AS BIGINT) AS rank_e6,
+         |  CAST(ROUND(t.r * 1000000) AS BIGINT) AS trust_e6,
+         |  CAST(ROUND((p.r - t.r) * 1000000.0 / p.r) AS BIGINT) AS relmass_e6
+         |FROM p5 p JOIN t5 t ON p.id = t.id""".stripMargin
+    },
+
+    // SALSA: the HITS unroll with every gather term divided by the far
+    // side's degree (outdeg on the authority gather, indeg on the hub
+    // gather), divisions INSIDE the sums exactly as the engine computes
+    "g_salsa_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""ar$k AS (
+           |  SELECT r.dst AS id, sum(p.hub / o.od) AS a
+           |  FROM rawd r JOIN s${k - 1} p ON r.src = p.id
+           |  JOIN odeg o ON r.src = o.id GROUP BY 1),
+           |aj$k AS MATERIALIZED (
+           |  SELECT v.id, coalesce(ar.a, 0) AS a
+           |  FROM vd v LEFT JOIN ar$k ar ON v.id = ar.id),
+           |an$k AS MATERIALIZED (
+           |  SELECT id, a / (SELECT sum(a) FROM aj$k) AS auth FROM aj$k),
+           |hr$k AS (
+           |  SELECT r.src AS id, sum(an.auth / i.ind) AS h
+           |  FROM rawd r JOIN an$k an ON r.dst = an.id
+           |  JOIN ideg i ON r.dst = i.id GROUP BY 1),
+           |hj$k AS MATERIALIZED (
+           |  SELECT v.id, coalesce(hr.h, 0) AS h
+           |  FROM vd v LEFT JOIN hr$k hr ON v.id = hr.id),
+           |s$k AS MATERIALIZED (
+           |  SELECT an.id, an.auth, hj.h / (SELECT sum(h) FROM hj$k) AS hub
+           |  FROM an$k an JOIN hj$k hj ON an.id = hj.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |odeg AS (SELECT src AS id, count(*) AS od FROM rawd GROUP BY 1),
+         |ideg AS (SELECT dst AS id, count(*) AS ind FROM rawd GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT id, 1.0 / (SELECT count(*) FROM vd) AS auth,
+         |         1.0 / (SELECT count(*) FROM vd) AS hub FROM vd),
+         |$steps
+         |SELECT id, CAST(ROUND(auth * 1000000) AS BIGINT) AS auth_e6,
+         |       CAST(ROUND(hub * 1000000) AS BIGINT) AS hub_e6
+         |FROM s3""".stripMargin
+    },
+
+    // Katz with α=1/200 as the exact integer recurrence
+    // z_k = 200^k + Σ_{u→v} z_{k-1}(u); katz_e6 = round(z_3·1e6 / 200^3)
+    "g_katz_t3" -> {
+      val steps = (1 to 3).map { k =>
+        val scale = math.pow(200.0, k).toLong
+        s"""kx$k AS (
+           |  SELECT e0.dst AS id, CAST(sum(p.z) AS BIGINT) AS s
+           |  FROM e0 JOIN k${k - 1} p ON e0.src = p.id GROUP BY 1
+           |), k$k AS (
+           |  SELECT v.id, CAST($scale + coalesce(x.s, 0) AS BIGINT) AS z
+           |  FROM verts v LEFT JOIN kx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |k0 AS (SELECT id, CAST(1 AS BIGINT) AS z FROM verts),
+         |$steps
+         |SELECT id, CAST(ROUND(z * 1000000.0 / 8000000.0) AS BIGINT) AS katz_e6
+         |FROM k3""".stripMargin
+    },
+
+    // eigenvector power iterate: exact integer walk counts (BIGINT all
+    // the way), one final L1 normalization with identical operand order
+    "g_eigen_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""w$k AS (
+           |  SELECT v.id, CAST(coalesce(x.s, 0) AS BIGINT) AS w
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e0.dst AS id, CAST(sum(p.w) AS BIGINT) AS s
+           |    FROM e0 JOIN w${k - 1} p ON e0.src = p.id GROUP BY 1) x
+           |  ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |w0 AS (SELECT id, CAST(1 AS BIGINT) AS w FROM verts),
+         |$steps,
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM w3)
+         |SELECT id, w AS walks,
+         |  CAST(ROUND(w * 1000000.0 / (SELECT t FROM tot)) AS BIGINT) AS score_e6
+         |FROM w3""".stripMargin
+    },
+
+    // coreness: the engine's fixed schedule replayed literally — levels
+    // k=1..8, three degree-filter rounds each, every level starting from
+    // the previous level's survivors; coreness = max surviving level
+    "g_coreness" -> {
+      val levels = (1 to 8).map { k =>
+        val rounds = (1 to 3).map { r =>
+          val prev = if (r == 1) s"c${k - 1}" else s"a${k}_${r - 1}"
+          s"""a${k}_$r AS MATERIALIZED (
+             |  SELECT se0.src AS id
+             |  FROM se0
+             |  JOIN $prev x ON se0.src = x.id
+             |  JOIN $prev y ON se0.dst = y.id
+             |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+        }.mkString(",\n")
+        s"""$rounds,
+           |c$k AS MATERIALIZED (SELECT id FROM a${k}_3)""".stripMargin
+      }.mkString(",\n")
+      val mem = (1 to 8).map(k =>
+        s"SELECT id, CAST($k AS BIGINT) AS k FROM c$k").mkString("\n  UNION ALL ")
+      s"""WITH $sparseCte,
+         |c0 AS (SELECT id FROM sverts),
+         |$levels,
+         |mem AS (
+         |  $mem)
+         |SELECT v.id, CAST(coalesce(max(m.k), 0) AS BIGINT) AS coreness
+         |FROM sverts v LEFT JOIN mem m ON v.id = m.id
+         |GROUP BY 1""".stripMargin
+    },
+
+    // average neighbor degree: integer sums, one mirrored division
+    "g_annd" ->
+      s"""WITH $cte,
+         |dg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1)
+         |SELECT e0.src AS id, CAST(count(*) AS BIGINT) AS deg,
+         |  CAST(sum(dg.d) AS BIGINT) AS sum_nbr_deg,
+         |  CAST(ROUND(CAST(sum(dg.d) AS BIGINT) * 1000000.0 / count(*))
+         |       AS BIGINT) AS annd_e6
+         |FROM e0 JOIN dg ON e0.dst = dg.id
+         |GROUP BY 1""".stripMargin,
+
+    // rich club: degree / min-endpoint-degree histograms, then the
+    // constant k-range theta-joined against the histograms only
+    "g_richclub" ->
+      s"""WITH $cte,
+         |dg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |sm AS (
+         |  SELECT least(ds.d, dd.d) AS mind
+         |  FROM e0 JOIN dg ds ON e0.src = ds.id JOIN dg dd ON e0.dst = dd.id),
+         |dh AS (SELECT d, count(*) AS nodes FROM dg GROUP BY 1),
+         |mh AS (SELECT mind, count(*) AS slots FROM sm GROUP BY 1),
+         |ks AS (SELECT range AS k FROM range(1, 17)),
+         |nk AS (SELECT k, CAST(sum(nodes) AS BIGINT) AS n_k
+         |       FROM ks JOIN dh ON dh.d > ks.k GROUP BY 1),
+         |ek AS (SELECT k, CAST(sum(slots) AS BIGINT) AS e_k
+         |       FROM ks JOIN mh ON mh.mind > ks.k GROUP BY 1)
+         |SELECT nk.k, nk.n_k, CAST(coalesce(ek.e_k, 0) AS BIGINT) AS e_k,
+         |  CAST(ROUND(CAST(coalesce(ek.e_k, 0) AS BIGINT) * 1000000.0
+         |       / (nk.n_k * (nk.n_k - 1))) AS BIGINT) AS phi_e6
+         |FROM nk LEFT JOIN ek ON nk.k = ek.k
+         |WHERE nk.n_k >= 2""".stripMargin,
 
     "g_triangles" ->
       s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst)
