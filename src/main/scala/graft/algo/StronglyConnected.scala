@@ -135,4 +135,73 @@ object StronglyConnected {
     e0.unpersist(blocking = false)
     (out, outer)
   }
+
+  /** Condensation of the directed graph: contract every SCC to one node
+    * (its canonical min-member label) and keep the distinct inter-SCC
+    * edges. The result is a DAG — the web's macro-structure graph that
+    * bow-tie, frontier scheduling, and dependency analyses run on.
+    * Cost beyond [[run]]: two vertex-sized label joins + one distinct
+    * over the edge table, all equi-joins on the edge key.
+    *
+    * @return (vertex labels (id, scc), condensation edges (csrc, cdst))
+    */
+  def condense(edges: DataFrame): (DataFrame, DataFrame) = {
+    val directed = GraphOps.dropSelfLoops(edges.select(col("src"), col("dst")))
+      .distinct()
+    val (labels, _) = run(directed)
+    val l = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    val ce = directed
+      .join(l.select(col("id").as("sid"), col("scc").as("csrc")),
+        col("src") === col("sid"))
+      .join(l.select(col("id").as("did"), col("scc").as("cdst")),
+        col("dst") === col("did"))
+      .filter(col("csrc") =!= col("cdst"))
+      .select(col("csrc"), col("cdst")).distinct()
+      .localCheckpoint(eager = true)
+    l.unpersist(blocking = false)
+    (labels, ce)
+  }
+
+  /** Longest-path level of every node of a DAG (e.g. the condensation
+    * from [[condense]]): level(v) = 0 for sources, else
+    * 1 + max over predecessors — the topological depth used for staged
+    * crawl scheduling and dependency layering.
+    *
+    * Jacobi fixpoint of level(v) = max(level(v), 1 + max_{u→v} level(u)),
+    * initialized all-zero: in a DAG every maximal path starts at a
+    * source, so the all-zero start converges to the longest-path depth in
+    * (depth) rounds, each one gather join + partial-aggregated max — the
+    * CC skeleton with max-plus instead of min. `maxRounds` doubles as a
+    * cycle guard: a cycle never stabilizes, so exceeding it throws
+    * instead of silently looping.
+    */
+  def dagLevels(compEdges: DataFrame, maxRounds: Int = 1000): DataFrame = {
+    val e = compEdges.select(col("csrc"), col("cdst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lv = e.select(col("csrc").as("comp"))
+      .union(e.select(col("cdst"))).distinct()
+      .select(col("comp"), lit(0L).as("level"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0L) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"dagLevels did not stabilize in $maxRounds rounds — input has a cycle")
+      val gathered = e
+        .join(lv.select(col("comp").as("cid"), col("level").as("plv")),
+          col("csrc") === col("cid"))
+        .groupBy(col("cdst").as("comp"))
+        .agg((max(col("plv")) + 1L).as("inLv"))
+      val next = lv.join(gathered, Seq("comp"), "left")
+        .select(col("comp"),
+          greatest(col("level"), coalesce(col("inLv"), col("level"))).as("level"))
+        .localCheckpoint(eager = true)
+      changed = next.join(lv.withColumnRenamed("level", "prev"), "comp")
+        .filter(col("level") =!= col("prev")).count()
+      lv = next
+    }
+    e.unpersist(blocking = false)
+    lv
+  }
 }

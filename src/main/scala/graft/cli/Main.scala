@@ -16,7 +16,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
   *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
-  *               spammass|all>
+  *               spammass|cocite|condense|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -299,6 +299,27 @@ object Main {
       rc.write.mode("overwrite").parquet(s"$outDir/richclub")
       println(s"[graft] richclub: levels=${rc.count()} annd_rows=${a.count()}")
     }
+    def runCocite(): Unit = {
+      val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
+      val cc = graft.algo.CoCitation.coCitation(directed)
+      cc.write.mode("overwrite").parquet(s"$outDir/cocitation")
+      val cp = graft.algo.CoCitation.coupling(directed)
+      cp.write.mode("overwrite").parquet(s"$outDir/coupling")
+      println(s"[graft] cocite: cocitation_pairs=${cc.count()} " +
+        s"coupling_pairs=${cp.count()}")
+    }
+    def runCondense(): Unit = {
+      val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
+      val (labels, compEdges) = graft.algo.StronglyConnected.condense(directed)
+      labels.write.mode("overwrite").parquet(s"$outDir/scc_labels")
+      compEdges.write.mode("overwrite").parquet(s"$outDir/condensation_edges")
+      val lv = graft.algo.StronglyConnected.dagLevels(compEdges)
+      lv.write.mode("overwrite").parquet(s"$outDir/dag_levels")
+      val depth = if (lv.isEmpty) 0L
+        else lv.agg(max("level")).first().getLong(0)
+      println(s"[graft] condense: comps=${labels.select("scc").distinct().count()} " +
+        s"dag_edges=${compEdges.count()} depth=$depth")
+    }
     def runSpamMass(): Unit = {
       val sm = PageRank.spamMass(edges, sampledSources(),
         iterations = maxIter.getOrElse(10), partitions = partitions)
@@ -390,6 +411,8 @@ object Main {
       case "coreness"    => runCoreness()
       case "richclub"    => runRichClub()
       case "spammass"    => runSpamMass()
+      case "cocite"      => runCocite()
+      case "condense"    => runCondense()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

@@ -903,6 +903,60 @@ object GraphQueries {
       graft.algo.StronglyConnected.run(directed)._1
     }),
 
+    // co-citation pairs over the directed demo graph (same table as
+    // g_scc): shared-citer counts with the out-degree-≤20 hub cap (avg
+    // out-degree is ~27, so the cap path genuinely filters) and the
+    // n ≥ 2 tail prune
+    "g_cocitation" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.CoCitation.coCitation(directed, maxOutDeg = 20, minCount = 2)
+    }),
+
+    // bibliographic coupling on the same table: shared-cited counts with
+    // the mirror-image in-degree cap
+    "g_coupling" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.CoCitation.coupling(directed, maxInDeg = 20, minCount = 2)
+    }),
+
+    // condensation DAG + longest-path levels, end to end, on a layered
+    // composite graph: lineitem-derived forward edges restricted to
+    // residue jumps of +2/+3 (mod-10 classes) unioned with a
+    // deterministic +10 ring that closes each residue class into one
+    // 30-vertex cycle — so the SCCs are the 10 classes and the
+    // condensation is a real multi-level DAG, unlike the demo graph's
+    // single giant SCC. Output: every vertex with its SCC label and its
+    // component's topological depth (isolated components are sources,
+    // level 0 via the coalesce)
+    "g_condense_dag" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val fwd = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("dst") % 10 - col("src") % 10 === 2 ||
+          col("dst") % 10 - col("src") % 10 === 3)
+        .distinct()
+      val ring = s.range(NodeSpace)
+        .select(col("id").as("src"), ((col("id") + 10) % NodeSpace).as("dst"))
+      val (labels, compEdges) =
+        graft.algo.StronglyConnected.condense(fwd.union(ring))
+      val levels = graft.algo.StronglyConnected.dagLevels(compEdges)
+      labels.join(levels.withColumnRenamed("comp", "scc"), Seq("scc"), "left")
+        .select(col("id"), col("scc"),
+          coalesce(col("level"), lit(0L)).as("level"))
+    }),
+
     // distance histogram over the sampled BFS (same sources as
     // g_bfs_levels): reached ordered pairs per positive distance
     "g_dist_hist" -> ((s, dir) => {
@@ -2058,6 +2112,78 @@ object GraphQueries {
          |SELECT a.src AS id, CAST(min(a.dst) AS BIGINT) AS scc
          |FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
          |GROUP BY 1""".stripMargin,
+
+    // shared-citer pair counts under the identical out-degree-≤20 cap
+    "g_cocitation" ->
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |kc AS (SELECT src FROM rawd GROUP BY src HAVING count(*) <= 20),
+         |k AS (SELECT src, dst FROM rawd WHERE src IN (SELECT src FROM kc))
+         |SELECT a.dst AS u, b.dst AS v, count(*) AS n
+         |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "g_coupling" ->
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |kc AS (SELECT dst FROM rawd GROUP BY dst HAVING count(*) <= 20),
+         |k AS (SELECT src, dst FROM rawd WHERE dst IN (SELECT dst FROM kc))
+         |SELECT a.src AS u, b.src AS v, count(*) AS n
+         |FROM k a JOIN k b ON a.dst = b.dst AND a.src < b.src
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // condensation + levels oracle: mutual-reachability SCC labels on the
+    // layered composite graph, component edges from the labels, then
+    // longest-path depth as max over the (source-seeded) recursive path
+    // relation — the two recursive CTEs keep UNION (set) semantics; every
+    // NON-recursive CTE in the clause spells DISTINCT/UNION ALL explicitly
+    // (DuckDB drops plain-UNION dedup for them inside WITH RECURSIVE)
+    "g_condense_dag" ->
+      s"""WITH RECURSIVE fwd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND ((l_partkey % $NodeSpace) % 10) - ((l_orderkey % $NodeSpace) % 10)
+         |        IN (2, 3)),
+         |ring AS (SELECT i AS src, (i + 10) % $NodeSpace AS dst
+         |         FROM range($NodeSpace) t(i)),
+         |ed AS (SELECT DISTINCT src, dst FROM
+         |        (SELECT src, dst FROM fwd
+         |         UNION ALL SELECT src, dst FROM ring) u),
+         |vd AS (SELECT DISTINCT id FROM
+         |        (SELECT src AS id FROM ed
+         |         UNION ALL SELECT dst FROM ed) u),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM vd
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN ed e ON e.src = r.dst),
+         |lab AS (SELECT a.src AS id, CAST(min(a.dst) AS BIGINT) AS scc
+         |        FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+         |        GROUP BY 1),
+         |ce AS (SELECT DISTINCT ls.scc AS csrc, ld.scc AS cdst
+         |       FROM ed JOIN lab ls ON ed.src = ls.id
+         |               JOIN lab ld ON ed.dst = ld.id
+         |       WHERE ls.scc <> ld.scc),
+         |lv(comp, d) AS (
+         |  SELECT comp, 0 FROM (SELECT DISTINCT comp FROM
+         |          (SELECT csrc AS comp FROM ce
+         |           UNION ALL SELECT cdst FROM ce) u) c
+         |  WHERE comp NOT IN (SELECT cdst FROM ce)
+         |  UNION
+         |  SELECT e.cdst, l.d + 1 FROM lv l JOIN ce e ON e.csrc = l.comp),
+         |lvm AS (SELECT comp, CAST(max(d) AS BIGINT) AS level
+         |        FROM lv GROUP BY 1)
+         |SELECT lab.id, lab.scc, coalesce(lvm.level, 0) AS level
+         |FROM lab LEFT JOIN lvm ON lab.scc = lvm.comp""".stripMargin,
 
     "g_degree_hist" ->
       s"""WITH $cte,

@@ -88,6 +88,58 @@ object PipelineQueries {
         size(tokensCol).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_m"))),
 
+    // within-doc repetition: duplicate word-2-gram fraction (the Gopher
+    // quality filter's dup-n-gram statistic) — all counts exact integers,
+    // one division per output row; per-doc aggregation is
+    // partial-aggregated, nothing crosses the wire but (doc, counts)
+    "d_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val g2 = d.select(col("doc_id"), tokensCol.as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("arr")) - 2),
+            j => concat_ws(" ",
+              element_at(col("arr"), j + 1),
+              element_at(col("arr"), j + 2)))).as("g"))
+      val agg = g2.groupBy("doc_id")
+        .agg(count(lit(1)).as("t"), countDistinct(col("g")).as("u"))
+      d.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("t"), lit(0L)).as("n_2grams"),
+          coalesce(col("u"), lit(0L)).as("n_distinct"))
+        .select(col("doc_id"), col("n_2grams"), col("n_distinct"),
+          when(col("n_2grams") > 0,
+            round((col("n_2grams") - col("n_distinct")) * lit(1000000.0)
+              / col("n_2grams")).cast("long"))
+            .otherwise(lit(0L)).as("dup_frac_e6"))
+    }),
+
+    // corpus boilerplate: word-3-gram shingles shared by ≥ 5 distinct
+    // docs are "boilerplate"; per doc, the fraction of its distinct
+    // shingles that are boilerplate (the shingle-granularity analog of
+    // RefinedWeb's repeated-line filter). The document-frequency table is
+    // shingle-sized, the boilerplate subset is tiny → the semi-join
+    // broadcasts; per-doc totals are partial-aggregated scans
+    "d_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = shingles(d).select(col("doc_id"), col("sh"))
+      val bp = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5).select(col("sh"))
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("t"))
+      val boiler = sh.join(bp, Seq("sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      d.select(col("doc_id"))
+        .join(tot, Seq("doc_id"), "left").join(boiler, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("t"), lit(0L)).as("n_shingles"),
+          coalesce(col("nb"), lit(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          when(col("n_shingles") > 0,
+            round(col("n_boiler") * lit(1000000.0) / col("n_shingles"))
+              .cast("long"))
+            .otherwise(lit(0L)).as("boiler_frac_e6"))
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf·ln(N/df), ties broken by term — the per-doc window partitions by
     // doc_id, so ranking never concentrates data
@@ -444,6 +496,46 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "d_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |             FROM documents),
+        |g2 AS (SELECT doc_id,
+        |         unnest([arr[i+1] || ' ' || arr[i+2]
+        |                 for i in range(len(arr) - 1)]) AS g
+        |       FROM tok WHERE len(arr) >= 2),
+        |agg AS (SELECT doc_id, count(*) AS t, count(DISTINCT g) AS u
+        |        FROM g2 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(t, 0) AS n_2grams,
+        |  coalesce(u, 0) AS n_distinct,
+        |  CASE WHEN coalesce(t, 0) > 0
+        |       THEN CAST(round((t - u) * 1000000.0 / t) AS BIGINT)
+        |       ELSE 0 END AS dup_frac_e6
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
+
+    "d_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+        |                 for i in range(len(arr) - 2)]) AS sh
+        |       FROM tok WHERE len(arr) >= 3),
+        |bp AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+        |       WHERE df >= 5),
+        |tot AS (SELECT doc_id, count(*) AS t FROM sh GROUP BY 1),
+        |boiler AS (SELECT doc_id, count(*) AS nb FROM sh
+        |           WHERE sh IN (SELECT sh FROM bp) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(tot.t, 0) AS n_shingles,
+        |  coalesce(boiler.nb, 0) AS n_boiler,
+        |  CASE WHEN coalesce(tot.t, 0) > 0
+        |       THEN CAST(round(coalesce(boiler.nb, 0) * 1000000.0 / tot.t)
+        |            AS BIGINT)
+        |       ELSE 0 END AS boiler_frac_e6
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN boiler ON d.doc_id = boiler.doc_id""".stripMargin,
+
     "d_simhash" -> s"WITH $simhashSql SELECT doc_id, simhash FROM sm",
 
     // all-pairs form: same output as the engine's banded plan, and
