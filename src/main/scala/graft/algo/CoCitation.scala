@@ -2,6 +2,7 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.graph.GraphOps
 
 /** Co-citation and bibliographic coupling (Small 1973 / Kessler 1963) —
@@ -63,5 +64,26 @@ object CoCitation {
     a.join(b, Seq("w")).filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
+  }
+
+  /** "Related pages": the top-`k` co-cited pages per page, ranked by
+    * shared-citer count descending with the smaller page id breaking
+    * ties. The canonical u<v pair table is expanded to both directions
+    * first, and the ranking window PARTITIONS BY page — per-page top-k,
+    * never a global sort, so ranking concentrates nothing.
+    *
+    * @return (page, related, n, rn) with rn in 1..k
+    */
+  def relatedTopK(directed: DataFrame, k: Int, maxOutDeg: Long = 64,
+                  minCount: Long = 2): DataFrame = {
+    require(k >= 1)
+    val pairs = coCitation(directed, maxOutDeg, minCount)
+    val both = pairs.select(col("u").as("page"), col("v").as("related"), col("n"))
+      .union(pairs.select(col("v"), col("u"), col("n")))
+    both.withColumn("rn", row_number().over(
+        Window.partitionBy("page")
+          .orderBy(col("n").desc, col("related").asc)))
+      .filter(col("rn") <= k)
+      .select(col("page"), col("related"), col("n"), col("rn").cast("long").as("rn"))
   }
 }

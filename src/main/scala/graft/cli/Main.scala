@@ -16,7 +16,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
   *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
-  *               spammass|cocite|condense|all>
+  *               spammass|cocite|condense|redirects|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -305,8 +305,23 @@ object Main {
       cc.write.mode("overwrite").parquet(s"$outDir/cocitation")
       val cp = graft.algo.CoCitation.coupling(directed)
       cp.write.mode("overwrite").parquet(s"$outDir/coupling")
+      val rel = graft.algo.CoCitation.relatedTopK(directed, k = 3)
+      rel.write.mode("overwrite").parquet(s"$outDir/related_top3")
       println(s"[graft] cocite: cocitation_pairs=${cc.count()} " +
-        s"coupling_pairs=${cp.count()}")
+        s"coupling_pairs=${cp.count()} related_rows=${rel.count()}")
+    }
+    def runRedirects(): Unit = {
+      // make the input functional (smallest target per source) and keep a
+      // terminal third of the id space non-redirecting, so chains have
+      // somewhere to land — on the raw graph every node has an out-edge
+      // and the functional table would be all rho-shaped cycles
+      val f = GraphOps.dropSelfLoops(rawEdges)
+        .filter(col("src") % 3 =!= 0)
+        .groupBy("src").agg(min(col("dst")).as("dst"))
+      val r = graft.algo.Redirects.resolve(f)
+      r.write.mode("overwrite").parquet(s"$outDir/redirects")
+      val unresolved = r.filter(!col("resolved")).count()
+      println(s"[graft] redirects: rows=${r.count()} unresolved=$unresolved")
     }
     def runCondense(): Unit = {
       val directed = GraphOps.dropSelfLoops(rawEdges).distinct()
@@ -413,6 +428,7 @@ object Main {
       case "spammass"    => runSpamMass()
       case "cocite"      => runCocite()
       case "condense"    => runCondense()
+      case "redirects"   => runRedirects()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

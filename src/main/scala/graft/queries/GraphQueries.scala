@@ -929,6 +929,32 @@ object GraphQueries {
       graft.algo.CoCitation.coupling(directed, maxInDeg = 20, minCount = 2)
     }),
 
+    // related-pages top-2 per page: the co-citation pairs of
+    // g_cocitation expanded to both directions and ranked per page
+    // (count desc, id asc) — the user-facing "related" API shape
+    "g_related_top2" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.CoCitation.relatedTopK(directed, k = 2,
+        maxOutDeg = 20, minCount = 2)
+    }),
+
+    // redirect-chain resolution by pointer doubling: a deterministic
+    // functional redirect table (u → 7u+13 mod 300 for u % 3 ≠ 0;
+    // u % 3 = 0 are terminals), 4 doublings = 16 steps — long enough to
+    // resolve every acyclic chain here, so unresolved rows are exactly
+    // the redirect cycles
+    "g_redirects" -> ((s, dir) => {
+      val f = s.range(NodeSpace).filter(col("id") % 3 =!= 0)
+        .select(col("id").as("src"),
+          ((col("id") * 7 + 13) % NodeSpace).as("dst"))
+      graft.algo.Redirects.resolve(f, doublings = 4)
+    }),
+
     // condensation DAG + longest-path levels, end to end, on a layered
     // composite graph: lineitem-derived forward edges restricted to
     // residue jumps of +2/+3 (mod-10 classes) unioned with a
@@ -2139,6 +2165,43 @@ object GraphQueries {
          |SELECT a.src AS u, b.src AS v, count(*) AS n
          |FROM k a JOIN k b ON a.dst = b.dst AND a.src < b.src
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "g_related_top2" ->
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |kc AS (SELECT src FROM rawd GROUP BY src HAVING count(*) <= 20),
+         |k AS (SELECT src, dst FROM rawd WHERE src IN (SELECT src FROM kc)),
+         |pairs AS (
+         |  SELECT a.dst AS u, b.dst AS v, count(*) AS n
+         |  FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |bd AS (SELECT u AS page, v AS related, n FROM pairs
+         |       UNION ALL SELECT v, u, n FROM pairs),
+         |rk AS (SELECT page, related, n,
+         |         CAST(row_number() OVER (PARTITION BY page
+         |           ORDER BY n DESC, related ASC) AS BIGINT) AS rn
+         |       FROM bd)
+         |SELECT page, related, n, rn FROM rk WHERE rn <= 2""".stripMargin,
+
+    // 16 explicit single steps of the same extended-with-identity
+    // redirect function the engine reaches in 4 pointer doublings
+    "g_redirects" ->
+      s"""WITH RECURSIVE f AS (
+         |  SELECT i AS src, (i * 7 + 13) % $NodeSpace AS dst
+         |  FROM range($NodeSpace) t(i) WHERE i % 3 <> 0),
+         |walk(u, cur, step) AS (
+         |  SELECT src, src, 0 FROM f
+         |  UNION ALL
+         |  SELECT w.u, coalesce(f.dst, w.cur), w.step + 1
+         |  FROM walk w LEFT JOIN f ON f.src = w.cur
+         |  WHERE w.step < 16)
+         |SELECT u AS id, CAST(cur AS BIGINT) AS target,
+         |  cur NOT IN (SELECT src FROM f) AS resolved
+         |FROM walk WHERE step = 16""".stripMargin,
 
     // condensation + levels oracle: mutual-reachability SCC labels on the
     // layered composite graph, component edges from the labels, then

@@ -36,14 +36,17 @@ object Round4cOracles {
   }
 }
 
-class CoCitationSpec extends GraftSuite {
-
+object CoCitationSpecFixtures {
   // citers 0..3; 3 is a hub (out-degree 4, above cap 3); cited 10..13
   val directed: Seq[(Long, Long)] = Seq(
     (0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L),
     (2L, 12L), (3L, 10L), (3L, 11L), (3L, 12L), (3L, 13L),
     // and some citing structure for coupling: 10..12 each cite 20/21
     (10L, 20L), (10L, 21L), (11L, 20L), (11L, 21L), (12L, 21L))
+}
+
+class CoCitationSpec extends GraftSuite {
+  val directed: Seq[(Long, Long)] = CoCitationSpecFixtures.directed
 
   test("co-citation matches the brute-force oracle and applies the hub cap") {
     val got = CoCitation.coCitation(edgesDf(directed), maxOutDeg = 3, minCount = 2)
@@ -112,6 +115,63 @@ class CondensationSpec extends GraftSuite {
       StronglyConnected.dagLevels(ce, maxRounds = 10)
     }
     assert(ex.getMessage.contains("cycle"))
+  }
+}
+
+class RedirectsSpec extends GraftSuite {
+
+  /** Brute-force chain follow with a step cap. */
+  private def follow(f: Map[Long, Long], u: Long, steps: Int): Long = {
+    var cur = u
+    var i = 0
+    while (i < steps && f.contains(cur)) { cur = f(cur); i += 1 }
+    cur
+  }
+
+  test("chains resolve to terminals, cycles stay unresolved") {
+    // chain 1→2→3→0 (terminal 0), cycle 5↔6, self-contained chain 8→9
+    val f = Seq((1L, 2L), (2L, 3L), (3L, 0L), (5L, 6L), (6L, 5L), (8L, 9L))
+    val got = graft.algo.Redirects.resolve(edgesDf(f), doublings = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val fm = f.toMap
+    f.map(_._1).foreach { u =>
+      assert(got(u)._1 === follow(fm, u, 16), s"target($u)")
+    }
+    assert(got(1L) === ((0L, true)))
+    assert(got(8L) === ((9L, true)))
+    assert(!got(5L)._2 && !got(6L)._2)
+  }
+
+  test("a chain of length 12 resolves in 4 doublings but not in 3") {
+    val chain = (0L until 12L).map(i => i -> (i + 1)) // 12 hops to terminal 12
+    val r4 = graft.algo.Redirects.resolve(edgesDf(chain), doublings = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(r4(0L) === ((12L, true)))
+    val r3 = graft.algo.Redirects.resolve(edgesDf(chain), doublings = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(r3(0L) === ((8L, false))) // 2^3 steps land mid-chain, still redirecting
+    assert(r3(4L) === ((12L, true)))
+  }
+}
+
+class RelatedTopKSpec extends GraftSuite {
+
+  test("per-page top-k matches the expanded brute-force ranking") {
+    val directed = CoCitationSpecFixtures.directed
+    val got = CoCitation.relatedTopK(edgesDf(directed), k = 2,
+        maxOutDeg = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val pairs = Round4cOracles.coCitationBrute(directed, maxOutDeg = 3, minCount = 2)
+    val expanded = pairs.toSeq.flatMap { case ((u, v), n) =>
+      Seq((u, v, n), (v, u, n))
+    }
+    val want = expanded.groupBy(_._1).flatMap { case (page, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(2).zipWithIndex.map {
+        case ((_, rel, n), i) => (page, i + 1L) -> ((rel, n))
+      }
+    }
+    assert(got === want)
   }
 }
 
