@@ -16,7 +16,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
   *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
-  *               spammass|cocite|condense|redirects|all>
+  *               spammass|cocite|condense|redirects|msf|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -310,6 +310,22 @@ object Main {
       println(s"[graft] cocite: cocitation_pairs=${cc.count()} " +
         s"coupling_pairs=${cp.count()} related_rows=${rel.count()}")
     }
+    def runMsf(): Unit = {
+      // an edges: parquet with a weight column is used as-is; otherwise
+      // weights are synthesized deterministically (boruvka's (w, a, b)
+      // candidate order makes the forest unique even with weight ties)
+      val w = input.split(":", 2) match {
+        case Array("edges", path)
+            if spark.read.parquet(path).columns.contains("weight") =>
+          spark.read.parquet(path).select(col("src"), col("dst"), col("weight"))
+        case _ => rawEdges.select(col("src"), col("dst"),
+          ((least(col("src"), col("dst")) * 31
+            + greatest(col("src"), col("dst")) * 17) % 1000 + 1).as("weight"))
+      }
+      val f = graft.algo.SpanningForest.boruvka(w)
+      f.write.mode("overwrite").parquet(s"$outDir/msf")
+      println(s"[graft] msf: forest_edges=${f.count()}")
+    }
     def runRedirects(): Unit = {
       // make the input functional (smallest target per source) and keep a
       // terminal third of the id space non-redirecting, so chains have
@@ -429,6 +445,7 @@ object Main {
       case "cocite"      => runCocite()
       case "condense"    => runCondense()
       case "redirects"   => runRedirects()
+      case "msf"         => runMsf()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

@@ -929,6 +929,27 @@ object GraphQueries {
       graft.algo.CoCitation.coupling(directed, maxInDeg = 20, minCount = 2)
     }),
 
+    // minimum spanning forest (Boruvka) over a clustered weighted graph
+    // (intra-cluster lineitem edges, weights made UNIQUE by packing the
+    // canonical pair into the low digits — so the MSF is unique and the
+    // oracle can use the minimax-path characterization instead of
+    // replaying the hooking schedule: e=(a,b,w) is in the unique MSF iff
+    // w equals the minimal-over-paths maximum edge weight between a and b)
+    "g_msf" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val pairs = li.select(
+          (col("l_orderkey") % NodeSpace).as("x"),
+          (col("l_partkey") % NodeSpace).as("y"),
+          col("l_quantity").cast("long").as("q"))
+        .filter(col("x") =!= col("y"))
+        .filter((col("x") - col("x") % 5) === (col("y") - col("y") % 5))
+        .select(col("x").as("src"), col("y").as("dst"),
+          ((col("q") % 7 + 1) * 100000
+            + least(col("x"), col("y")) * NodeSpace
+            + greatest(col("x"), col("y"))).as("weight"))
+      graft.algo.SpanningForest.boruvka(pairs)
+    }),
+
     // related-pages top-2 per page: the co-citation pairs of
     // g_cocitation expanded to both directions and ranked per page
     // (count desc, id asc) — the user-facing "related" API shape
@@ -2165,6 +2186,34 @@ object GraphQueries {
          |SELECT a.src AS u, b.src AS v, count(*) AS n
          |FROM k a JOIN k b ON a.dst = b.dst AND a.src < b.src
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // minimax-path MSF oracle — an INDEPENDENT characterization of the
+    // same unique forest: enumerate path-bottleneck states (u, v, bw)
+    // to the fixpoint (finite: pairs × distinct weights, and edges never
+    // cross the 5-node clusters), take the per-pair minimum, and keep
+    // exactly the edges whose own weight attains it
+    "g_msf" ->
+      s"""WITH RECURSIVE ed AS (
+         |  SELECT least(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) AS a,
+         |         greatest(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) AS b,
+         |         min((CAST(l_quantity AS BIGINT) % 7 + 1) * 100000
+         |             + least(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) * $NodeSpace
+         |             + greatest(l_orderkey % $NodeSpace, l_partkey % $NodeSpace)) AS w
+         |  FROM lineitem
+         |  WHERE l_orderkey % $NodeSpace <> l_partkey % $NodeSpace
+         |    AND (l_orderkey % $NodeSpace) // 5 = (l_partkey % $NodeSpace) // 5
+         |  GROUP BY 1, 2),
+         |dir AS (SELECT a AS u, b AS v, w FROM ed
+         |        UNION ALL SELECT b, a, w FROM ed),
+         |walk(u, v, bw) AS (
+         |  SELECT u, v, w FROM dir
+         |  UNION
+         |  SELECT wk.u, d.v, greatest(wk.bw, d.w)
+         |  FROM walk wk JOIN dir d ON d.u = wk.v),
+         |mm AS (SELECT u, v, min(bw) AS mm FROM walk WHERE u <> v GROUP BY 1, 2)
+         |SELECT ed.a, ed.b, ed.w FROM ed
+         |JOIN mm ON mm.u = ed.a AND mm.v = ed.b
+         |WHERE mm.mm = ed.w""".stripMargin,
 
     "g_related_top2" ->
       s"""WITH rawd AS (

@@ -118,6 +118,61 @@ class CondensationSpec extends GraftSuite {
   }
 }
 
+class SpanningForestSpec extends GraftSuite {
+
+  /** Kruskal with union-find — the sequential MSF oracle. */
+  private def kruskal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+      .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    canon.sortBy(e => (e._3, e._1, e._2)).foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); out += ((a, b, w)) }
+    }
+    out.toSet
+  }
+
+  private def weighted(pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+    pairs.map { case (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      // pseudo-random but unique weights: mix then pack the pair id
+      (a, b, (lo * 31 + hi * 17) % 23 * 10000 + lo * 100 + hi)
+    }
+
+  private def runBoruvka(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    graft.algo.SpanningForest.boruvka(edges.toDF("src", "dst", "weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("Boruvka equals Kruskal on the weighted karate graph") {
+    val edges = weighted(Fixtures.karatePairs)
+    val got = runBoruvka(edges)
+    assert(got === kruskal(edges))
+    assert(got.size === 33) // connected, 34 vertices
+  }
+
+  test("forest size is V minus component count on a disconnected graph") {
+    val edges = weighted(Fixtures.twoCliquesBridge.filterNot(_ == (3L -> 10L)) ++
+      Seq((20L, 21L), (21L, 22L)))
+    val got = runBoruvka(edges)
+    assert(got === kruskal(edges))
+    assert(got.size === 11 - 3) // components {0-3}, {10-13}, {20-22}
+  }
+
+  test("parallel edges keep the lightest; duplicate-pair weights canonicalize") {
+    val edges = Seq((0L, 1L, 50L), (1L, 0L, 10L), (0L, 1L, 30L), (1L, 2L, 20L))
+    val got = runBoruvka(edges)
+    assert(got === Set((0L, 1L, 10L), (1L, 2L, 20L)))
+  }
+}
+
 class RedirectsSpec extends GraftSuite {
 
   /** Brute-force chain follow with a step cap. */
