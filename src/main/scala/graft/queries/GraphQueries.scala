@@ -950,6 +950,50 @@ object GraphQueries {
       graft.algo.SpanningForest.boruvka(pairs)
     }),
 
+    // single-linkage clustering at threshold τ, computed THE CHEAP WAY:
+    // connected components over the already-built MSF's edges with
+    // w ≤ τ — by the single-linkage/MSF equivalence this equals CC of the
+    // FULL graph restricted to w ≤ τ, which is exactly what the oracle
+    // computes (an independent characterization, like g_msf's minimax)
+    "g_single_linkage" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val pairs = li.select(
+          (col("l_orderkey") % NodeSpace).as("x"),
+          (col("l_partkey") % NodeSpace).as("y"),
+          col("l_quantity").cast("long").as("q"))
+        .filter(col("x") =!= col("y"))
+        .filter((col("x") - col("x") % 5) === (col("y") - col("y") % 5))
+        .select(col("x").as("src"), col("y").as("dst"),
+          ((col("q") % 7 + 1) * 100000
+            + least(col("x"), col("y")) * NodeSpace
+            + greatest(col("x"), col("y"))).as("weight"))
+      val msf = graft.algo.SpanningForest.boruvka(pairs)
+      val kept = msf.filter(col("w") <= 350000)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val lab = ConnectedComponents.runAlternating(kept)
+      val verts = pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst"))).distinct()
+      verts.join(lab, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+    }),
+
+    // resilience under targeted attack: remove the 10 highest-degree
+    // hubs (degree desc, id asc tie-break) from the demo graph and
+    // report the surviving vertices' components
+    "g_hub_removal" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val hubs = GraphOps.degrees(e)
+        .orderBy(col("degree").desc, col("id").asc).limit(10)
+        .select(col("id"))
+      val rest = e
+        .join(broadcast(hubs.select(col("id").as("h1"))),
+          col("src") === col("h1"), "left_anti")
+        .join(broadcast(hubs.select(col("id").as("h2"))),
+          col("dst") === col("h2"), "left_anti")
+        .select(col("src"), col("dst"))
+      ConnectedComponents.runAlternating(rest)
+    }),
+
     // related-pages top-2 per page: the co-citation pairs of
     // g_cocitation expanded to both directions and ranked per page
     // (count desc, id asc) — the user-facing "related" API shape
@@ -2186,6 +2230,50 @@ object GraphQueries {
          |SELECT a.src AS u, b.src AS v, count(*) AS n
          |FROM k a JOIN k b ON a.dst = b.dst AND a.src < b.src
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // single-linkage oracle: CC (min reachable id) of the FULL clustered
+    // graph restricted to weight ≤ τ — equal to the engine's
+    // MSF-restricted CC by the single-linkage equivalence
+    "g_single_linkage" ->
+      s"""WITH RECURSIVE ed AS (
+         |  SELECT least(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) AS a,
+         |         greatest(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) AS b,
+         |         min((CAST(l_quantity AS BIGINT) % 7 + 1) * 100000
+         |             + least(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) * $NodeSpace
+         |             + greatest(l_orderkey % $NodeSpace, l_partkey % $NodeSpace)) AS w
+         |  FROM lineitem
+         |  WHERE l_orderkey % $NodeSpace <> l_partkey % $NodeSpace
+         |    AND (l_orderkey % $NodeSpace) // 5 = (l_partkey % $NodeSpace) // 5
+         |  GROUP BY 1, 2),
+         |verts AS (SELECT DISTINCT id FROM
+         |  (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed) u),
+         |keep AS (SELECT DISTINCT u, v FROM
+         |  (SELECT a AS u, b AS v FROM ed WHERE w <= 350000
+         |   UNION ALL SELECT b, a FROM ed WHERE w <= 350000) t),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT keep.v, reach.lab FROM reach JOIN keep ON keep.u = reach.id)
+         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // hub-removal oracle: same top-10-by-(degree desc, id asc) selection
+    // over the symmetrized slot table, then CC of the surviving subgraph
+    "g_hub_removal" ->
+      s"""WITH RECURSIVE $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |hubs AS (SELECT id FROM (
+         |    SELECT id, row_number() OVER (ORDER BY degree DESC, id ASC) AS rn
+         |    FROM deg) t WHERE rn <= 10),
+         |rest AS (SELECT src, dst FROM e0
+         |         WHERE src NOT IN (SELECT id FROM hubs)
+         |           AND dst NOT IN (SELECT id FROM hubs)),
+         |rverts AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM rest UNION ALL SELECT dst FROM rest) u),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM rverts
+         |  UNION
+         |  SELECT rest.dst, reach.lab FROM reach JOIN rest ON rest.src = reach.id)
+         |SELECT id, min(lab) AS label FROM reach GROUP BY id""".stripMargin,
 
     // minimax-path MSF oracle — an INDEPENDENT characterization of the
     // same unique forest: enumerate path-bottleneck states (u, v, bw)
