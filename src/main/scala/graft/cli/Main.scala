@@ -16,7 +16,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
   *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
-  *               spammass|cocite|condense|redirects|msf|all>
+  *               spammass|cocite|condense|redirects|msf|rmat|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -326,6 +326,19 @@ object Main {
       f.write.mode("overwrite").parquet(s"$outDir/msf")
       println(s"[graft] msf: forest_edges=${f.count()}")
     }
+    def runRmat(): Unit = {
+      // input spec synth:N sets the vertex-space target: scale = log2
+      // ceiling, 8 edges per vertex
+      val n = input.split(":", 2) match {
+        case Array("synth", k) => k.toLong
+        case _                 => 4096L
+      }
+      val scale = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+      val e = graft.sources.Rmat.edges(spark, nEdges = 8L * n, scale = scale)
+      e.write.mode("overwrite").parquet(s"$outDir/rmat_edges")
+      println(s"[graft] rmat: scale=$scale edges=${e.count()} " +
+        s"verts=${e.select(col("dst")).union(e.select(col("src"))).distinct().count()}")
+    }
     def runRedirects(): Unit = {
       // make the input functional (smallest target per source) and keep a
       // terminal third of the id space non-redirecting, so chains have
@@ -446,6 +459,7 @@ object Main {
       case "condense"    => runCondense()
       case "redirects"   => runRedirects()
       case "msf"         => runMsf()
+      case "rmat"        => runRmat()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

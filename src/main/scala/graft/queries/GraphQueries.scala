@@ -389,6 +389,11 @@ object GraphQueries {
   /** Unrolled PageRank SQL for `t` iterations (graph is symmetrized ⇒ no
     * dangling mass), ranks rounded ×1e6.
     */
+  /** Epoch seconds of 2024-02-01T00:00:00Z — the fixed staleness horizon
+    * for the crawl-frontier gate (events end 2024-01-30).
+    */
+  val FrontierHorizonSec = 1706745600L
+
   def prSql(t: Int): String = {
     val steps = (1 to t).map { k =>
       s"""x$k AS (
@@ -948,6 +953,38 @@ object GraphQueries {
             + least(col("x"), col("y")) * NodeSpace
             + greatest(col("x"), col("y"))).as("weight"))
       graft.algo.SpanningForest.boruvka(pairs)
+    }),
+
+    // deterministic R-MAT generation, 2000 edges at scale 8: every edge
+    // recomputed bit-for-bit by the oracle from its index (input tables
+    // unused — the generator IS the operator under test)
+    "g_rmat" -> ((s, dir) =>
+      graft.sources.Rmat.edges(s, nEdges = 2000, scale = 8, seed = 42L)),
+
+    // crawl-frontier priority: rank × staleness — 3-iteration PageRank
+    // joined with each page's last-seen time from the events stream
+    // (user_id keys the demo page space), staleness in whole hours
+    // against a fixed horizon on truncated epoch seconds (exact integer
+    // on both engines), never-seen pages pinned to 9999 h; priority is
+    // the exact integer product, so the ranking replays bit-for-bit
+    "g_frontier" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val pr = PageRank.runFixed(e, 3)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))
+      val seen = s.read.parquet(s"$dir/events.parquet")
+        .select((col("user_id") % NodeSpace).as("id"),
+          // ts is TIMESTAMP_NTZ: hop through TIMESTAMP (session tz is
+          // pinned UTC) to truncated epoch seconds = DuckDB's
+          // date_part('epoch') on the naive value
+          col("ts").cast("timestamp").cast("long").as("sec"))
+        .groupBy("id").agg(max(col("sec")).as("seen_sec"))
+      pr.join(seen, Seq("id"), "left")
+        .select(col("id"), col("rank_e6"),
+          coalesce(expr(s"($FrontierHorizonSec - seen_sec) DIV 3600"),
+            lit(9999L)).as("stale_h"))
+        .select(col("id"), col("rank_e6"), col("stale_h"),
+          (col("rank_e6") * col("stale_h")).as("priority"))
     }),
 
     // single-linkage clustering at threshold τ, computed THE CHEAP WAY:
@@ -2230,6 +2267,44 @@ object GraphQueries {
          |SELECT a.src AS u, b.src AS v, count(*) AS n
          |FROM k a JOIN k b ON a.dst = b.dst AND a.src < b.src
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // R-MAT oracle: the identical modular draw and bit assembly per
+    // level, as a list comprehension over the level range
+    "g_rmat" ->
+      s"""WITH idx AS (SELECT CAST(i AS BIGINT) AS i FROM range(2000) t(i)),
+         |r AS (SELECT i,
+         |  [((i * (${graft.sources.Rmat.MixA} + ${graft.sources.Rmat.MixStep} * l)
+         |     + 42) % ${graft.sources.Rmat.MixM}) % 1000
+         |   for l in range(8)] AS d
+         |  FROM idx)
+         |SELECT i,
+         |  CAST(list_sum([CASE WHEN d[l+1] >= ${graft.sources.Rmat.ThreshC}
+         |                 THEN 1 << l ELSE 0 END for l in range(8)]) AS BIGINT) AS src,
+         |  CAST(list_sum([CASE WHEN (d[l+1] >= ${graft.sources.Rmat.ThreshB}
+         |                       AND d[l+1] < ${graft.sources.Rmat.ThreshC})
+         |                   OR d[l+1] >= ${graft.sources.Rmat.ThreshD}
+         |                 THEN 1 << l ELSE 0 END for l in range(8)]) AS BIGINT) AS dst
+         |FROM r""".stripMargin,
+
+    // frontier oracle: prSql(3) nested as a CTE + last-seen time in
+    // EXACT integer microseconds (epoch_us — date_part('epoch') keeps a
+    // fractional part whose double // neither floors nor casts like
+    // Spark's truncating long cast), then the same floor-divided
+    // staleness and integer product
+    "g_frontier" ->
+      s"""WITH pr AS (
+         |${prSql(3)}
+         |),
+         |seen AS (SELECT user_id % $NodeSpace AS id,
+         |           max(epoch_us(ts)) AS us
+         |         FROM events GROUP BY 1),
+         |st AS (SELECT pr.id, pr.rank_e6,
+         |         CAST(coalesce(
+         |           ($FrontierHorizonSec - seen.us // 1000000) // 3600,
+         |           9999) AS BIGINT) AS stale_h
+         |       FROM pr LEFT JOIN seen ON pr.id = seen.id)
+         |SELECT id, rank_e6, stale_h, rank_e6 * stale_h AS priority
+         |FROM st""".stripMargin,
 
     // single-linkage oracle: CC (min reachable id) of the FULL clustered
     // graph restricted to weight ≤ τ — equal to the engine's

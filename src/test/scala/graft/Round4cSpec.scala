@@ -230,6 +230,32 @@ class RelatedTopKSpec extends GraftSuite {
   }
 }
 
+class RmatSpec extends GraftSuite {
+
+  test("deterministic, bounded, and skewed") {
+    val e = graft.sources.Rmat.edges(spark, nEdges = 4000, scale = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val e2 = graft.sources.Rmat.edges(spark, nEdges = 4000, scale = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e.toSeq === e2.toSeq)
+    assert(e.length === 4000)
+    assert(e.forall { case (_, s, d) => s >= 0 && s < 256 && d >= 0 && d < 256 })
+    // R-MAT's defining property: in-degree skew well above uniform
+    val inDeg = e.groupBy(_._3).view.mapValues(_.size).values
+    assert(inDeg.max > 4 * (4000 / 256), s"max in-degree ${inDeg.max} not skewed")
+    // a different seed moves the draw
+    val e3 = graft.sources.Rmat.edges(spark, nEdges = 4000, scale = 8, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e3.toSeq !== e.toSeq)
+  }
+
+  test("generation plan has no exchange — embarrassingly parallel") {
+    val plan = graft.sources.Rmat.edges(spark, 1000, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+}
+
 class WebtextStatsSpec extends GraftSuite {
 
   private def docsDf(rows: Seq[(Long, String)]) = {
