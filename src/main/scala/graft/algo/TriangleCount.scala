@@ -114,6 +114,39 @@ object TriangleCount {
           .as("transitivity"))
   }
 
+  /** Doulion-style approximate global triangle count by deterministic
+    * edge sparsification (Tsourakakis et al., KDD'09).
+    *
+    * Each canonical edge survives iff a 60-bit md5 hash of
+    * "src:dst:seed" lands below `permille`/1000 — a stateless,
+    * rerun-stable coin flip that any ANSI engine replays bit-for-bit.
+    * Triangles are then counted EXACTLY on the sparsified graph and
+    * scaled by (1000/permille)^3 (each triangle survives with
+    * probability p^3). `permille` must divide 1000 so the estimate is an
+    * exact integer product, free of cross-engine float noise.
+    *
+    * The scale story: exact triangle counting's wedge join costs
+    * O(E^1.5) in the worst case; sparsifying at p first cuts that by
+    * ~1/p^2..1/p^3 while the estimator stays unbiased — at 100 TB this
+    * is the difference between a feasible census and an infeasible one,
+    * and the hash-based coin means no RNG state is shipped to executors.
+    */
+  def approxTriangles(edges: DataFrame, permille: Int, seed: Long): DataFrame = {
+    require(permille >= 1 && permille <= 1000 && 1000 % permille == 0,
+      s"permille must divide 1000, got $permille")
+    val factor = 1000L / permille
+    val kept = GraphOps.canonical(edges).filter(
+      conv(substring(md5(concat_ws(":",
+        col("src"), col("dst"), lit(seed))), 1, 15), 16, 10)
+        .cast("long") % 1000L < permille)
+    val nKept = kept.agg(count(lit(1)).as("sampled_edges"))
+    val tris = triangles(kept).agg(count(lit(1)).as("sampled_triangles"))
+    nKept.crossJoin(tris) // two 1-row aggregates — constant-size join
+      .select(col("sampled_edges"), col("sampled_triangles"),
+        (col("sampled_triangles") * lit(factor * factor * factor))
+          .as("est_triangles"))
+  }
+
   def localClustering(edges: DataFrame): DataFrame = {
     val canon = GraphOps.canonical(edges)
     val deg = canon

@@ -16,7 +16,8 @@ import graft.sources.{PagesSynth, TextExtract}
   *   Main <algo: lp|lp-semisync|lp-async|cc|pagerank|triangles|sssp|kcore|
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
   *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
-  *               spammass|cocite|condense|redirects|msf|rmat|all>
+  *               spammass|cocite|condense|redirects|msf|rmat|triapprox|
+  *               sample|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -339,6 +340,22 @@ object Main {
       println(s"[graft] rmat: scale=$scale edges=${e.count()} " +
         s"verts=${e.select(col("dst")).union(e.select(col("src"))).distinct().count()}")
     }
+    def runTriApprox(): Unit = {
+      // Doulion estimate; SPARK_GRAFT_SAMPLE_PERMILLE must divide 1000
+      val p = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_PERMILLE", "125").toInt
+      val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "7").toLong
+      val r = TriangleCount.approxTriangles(edges, p, seed).first()
+      println(s"[graft] triapprox: permille=$p " +
+        s"sampled_edges=${r.getLong(0)} " +
+        s"sampled_triangles=${r.getLong(1)} est_triangles=${r.getLong(2)}")
+    }
+    def runSample(): Unit = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_PERMILLE", "100").toInt
+      val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "11").toLong
+      val sub = GraphOps.sampleInduced(edges, p, seed)
+      sub.write.mode("overwrite").parquet(s"$outDir/sample_induced")
+      println(s"[graft] sample: permille=$p slots=${sub.count()} of $nSlots")
+    }
     def runRedirects(): Unit = {
       // make the input functional (smallest target per source) and keep a
       // terminal third of the id space non-redirecting, so chains have
@@ -460,6 +477,8 @@ object Main {
       case "redirects"   => runRedirects()
       case "msf"         => runMsf()
       case "rmat"        => runRmat()
+      case "triapprox"   => runTriApprox()
+      case "sample"      => runSample()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

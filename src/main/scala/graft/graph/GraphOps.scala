@@ -229,6 +229,26 @@ object GraphOps {
   def adjacent(edges: DataFrame, pairs: DataFrame): DataFrame =
     pairs.join(edges, Seq("src", "dst"), "left_semi")
 
+  /** Deterministic vertex-induced subgraph sample: keep a vertex iff a
+    * 60-bit md5 hash of "id:seed" lands below `permille`/1000, then keep
+    * the edges whose BOTH endpoints survive (two left-semi joins against
+    * the sampled vertex set — at web scale the vertex set is the small
+    * side and broadcasts). The standard way to pull a debuggable,
+    * rerun-stable O(p²·E) slice out of a 100 TB graph: hash-based
+    * sampling needs no RNG state and keeps the same subgraph across
+    * incremental crawls, so sampled metrics are comparable over time.
+    */
+  def sampleInduced(edges: DataFrame, permille: Int, seed: Long): DataFrame = {
+    require(permille >= 1 && permille <= 1000)
+    val keep = vertices(edges).filter(
+      conv(substring(md5(concat_ws(":", col("id"), lit(seed))), 1, 15),
+        16, 10).cast("long") % 1000L < permille)
+    edges
+      .join(keep.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
   /** Edge delta between two crawl snapshots: which directed edges were
     * added and which removed — the incremental-ingest primitive for a
     * periodically recrawled 10^12-page corpus (feed the delta to the

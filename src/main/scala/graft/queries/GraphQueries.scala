@@ -987,6 +987,17 @@ object GraphQueries {
           (col("rank_e6") * col("stale_h")).as("priority"))
     }),
 
+    // Doulion approximate triangle census: keep each canonical edge at
+    // p = 1/2 by a deterministic md5 coin, count exactly on the sample,
+    // scale by 8 — the oracle replays the identical coin and join
+    "g_tri_approx" -> ((s, dir) =>
+      TriangleCount.approxTriangles(demoEdges(s, dir), permille = 500,
+        seed = 7L)),
+
+    // hash-sampled vertex-induced subgraph (40% of vertices, seed 11)
+    "g_sample_induced" -> ((s, dir) =>
+      GraphOps.sampleInduced(demoEdges(s, dir), permille = 400, seed = 11L)),
+
     // single-linkage clustering at threshold τ, computed THE CHEAP WAY:
     // connected components over the already-built MSF's edges with
     // w ≤ τ — by the single-linkage/MSF equivalence this equals CC of the
@@ -2305,6 +2316,33 @@ object GraphQueries {
          |       FROM pr LEFT JOIN seen ON pr.id = seen.id)
          |SELECT id, rank_e6, stale_h, rank_e6 * stale_h AS priority
          |FROM st""".stripMargin,
+
+    // Doulion oracle: identical md5 coin on the canonical edge set,
+    // exact triangle join on the survivors, integer ×8 scale-up
+    "g_tri_approx" ->
+      s"""WITH $cte,
+         |canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |kept AS (SELECT src, dst FROM canon
+         |  WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR
+         |          || ':7'), 1, 15))::BIGINT % 1000 < 500)
+         |SELECT (SELECT count(*) FROM kept) AS sampled_edges,
+         |       (SELECT count(*) FROM kept e1
+         |        JOIN kept e2 ON e1.dst = e2.src
+         |        JOIN kept e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |         AS sampled_triangles,
+         |       (SELECT count(*) FROM kept e1
+         |        JOIN kept e2 ON e1.dst = e2.src
+         |        JOIN kept e3 ON e3.src = e1.src AND e3.dst = e2.dst) * 8
+         |         AS est_triangles""".stripMargin,
+
+    "g_sample_induced" ->
+      s"""WITH $cte,
+         |keep AS (SELECT id FROM verts
+         |  WHERE ('0x' || substr(md5(id::VARCHAR || ':11'), 1, 15))::BIGINT
+         |        % 1000 < 400)
+         |SELECT e0.src, e0.dst FROM e0
+         |JOIN keep a ON e0.src = a.id
+         |JOIN keep b ON e0.dst = b.id""".stripMargin,
 
     // single-linkage oracle: CC (min reachable id) of the FULL clustered
     // graph restricted to weight ≤ τ — equal to the engine's

@@ -252,6 +252,72 @@ object PipelineQueries {
         .select(col("a"), col("b"), round(col("j") * 1000).cast("long").as("jaccard_e3"))
     }),
 
+    // asymmetric n-gram CONTAINMENT |A∩B| / |A| ≥ 0.9 over source-blocked
+    // shingle pairs — catches a short doc embedded verbatim in a longer
+    // one, which symmetric Jaccard misses (the long doc dilutes the
+    // union). Directed: (a,b) and (b,a) score differently. Component
+    // oracle like d_ngram_jaccard; the production path composes the
+    // minhash candidate stage exactly as d_dedup_pipeline does.
+    "d_containment" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir), Seq("source"))
+      val sz = sh.groupBy(col("doc_id").as("d")).agg(count(lit(1)).as("n"))
+      val x = sh.select(col("doc_id").as("a"), col("source"), col("sh"))
+      val y = sh.select(col("doc_id").as("b"), col("source"), col("sh"))
+      val common = x.join(y, Seq("source", "sh")).filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      common
+        .join(sz.withColumnRenamed("d", "a").withColumnRenamed("n", "na"), "a")
+        .select(col("a"), col("b"),
+          (col("common").cast("double") / col("na")).as("c"))
+        .filter(col("c") >= 0.9)
+        .select(col("a"), col("b"),
+          round(col("c") * 1000).cast("long").as("cont_e3"))
+    }),
+
+    // exact duplicate 5-word passages across the corpus
+    "d_passage_dup" -> ((s, dir) =>
+      graft.text.CorpusClean.passageDedup(docs(s, dir), blockWords = 5)),
+
+    // benchmark decontamination: bench set = doc_id % 25 == 0; flag any
+    // other doc sharing >= 3 distinct 3-gram shingles with the bench set
+    "d_decontam" -> ((s, dir) =>
+      graft.text.CorpusClean.decontaminate(docs(s, dir),
+        col("doc_id") % 25 === 0, minHits = 3L)),
+
+    // PII count + redaction over deterministically synthesized contact
+    // lines (the corpus text itself is PII-free): emails vary in count by
+    // doc (2 when doc_id % 3 == 0 else 1), one 555-phone each; the hash
+    // of the redacted text proves the rewrite byte-for-byte
+    "d_pii" -> ((s, dir) => {
+      val contact = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" or cc user"), col("doc_id").cast("string"),
+              lit("b@alt.example.org"))).otherwise(lit("")),
+          lit(" call 555-"),
+          lpad((col("doc_id") * 37 % 10000).cast("string"), 4, "0"))
+          .as("text"))
+      graft.text.CorpusClean.redactPii(contact)
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_hash"))
+    }),
+
+    // inverted index: term → exact df + capped posting-list head
+    "d_postings" -> ((s, dir) =>
+      graft.text.TextIndex.postings(docs(s, dir), minDf = 100L, cap = 25)),
+
+    // df-banded within-document term co-occurrence counts
+    "d_cooccur" -> ((s, dir) =>
+      graft.text.TextIndex.coOccurrence(docs(s, dir),
+        minDf = 300L, maxDf = 394L, minPairs = 300L)),
+
+    // deterministic length-weighted document sampling
+    "d_qsample" -> ((s, dir) =>
+      graft.text.TextIndex.weightedSample(docs(s, dir), seed = 13L)),
+
     // brute-force cosine top-k ANN (query set: vec_id % 50 == 0, k = 5)
     "e_ann_topk" -> ((s, dir) => {
       val v = emb(s, dir).select(col("vec_id"),
@@ -719,6 +785,94 @@ object PipelineQueries {
          |  CAST(ROUND(c::DOUBLE / (sa.n + sb.n - c) * 1000) AS BIGINT) AS jaccard_e3
          |FROM common JOIN sz sa ON a = sa.doc_id JOIN sz sb ON b = sb.doc_id
          |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5""".stripMargin,
+
+    "d_containment" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.source = y.source
+         |  WHERE x.doc_id <> y.doc_id GROUP BY 1, 2)
+         |SELECT a, b,
+         |  CAST(ROUND(c::DOUBLE / sa.n * 1000) AS BIGINT) AS cont_e3
+         |FROM common JOIN sz sa ON a = sa.doc_id
+         |WHERE c::DOUBLE / sa.n >= 0.9""".stripMargin,
+
+    "d_passage_dup" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |       FROM documents),
+        |blk AS (SELECT doc_id,
+        |         list_aggregate(arr[i*5+1:i*5+5], 'string_agg', ' ') AS blk
+        |        FROM tk, unnest(range(len(arr) // 5)) AS t(i))
+        |SELECT blk, count(*) AS n_occ,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM blk GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "d_decontam" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |       FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+        |                 for i in range(len(arr) - 2)]) AS sh
+        |       FROM tk WHERE len(arr) >= 3),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 25 = 0)
+        |SELECT s.doc_id, count(*) AS n_hits
+        |FROM sh s JOIN bench b USING (sh)
+        |WHERE s.doc_id % 25 <> 0
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "d_pii" ->
+      """WITH contact AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail' || (doc_id % 7)
+        |    || '.example.com'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' or cc user' || doc_id || 'b@alt.example.org'
+        |         ELSE '' END
+        |    || ' call 555-' || lpad(((doc_id * 37) % 10000)::VARCHAR, 4, '0')
+        |    AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+        |FROM contact""".stripMargin,
+
+    "d_postings" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+        |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+        |capped AS (
+        |  SELECT term, string_agg(doc_id, ',' ORDER BY doc_id) AS posting_head
+        |  FROM (SELECT term, doc_id,
+        |          row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |        FROM pairs)
+        |  WHERE rn <= 25 GROUP BY term)
+        |SELECT d.term, d.df, c.posting_head
+        |FROM df d JOIN capped c USING (term) WHERE d.df >= 100""".stripMargin,
+
+    "d_cooccur" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+        |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+        |vocab AS (SELECT term FROM df WHERE df BETWEEN 300 AND 394),
+        |inp AS (SELECT p.doc_id, p.term FROM pairs p JOIN vocab v USING (term))
+        |SELECT a.term AS tok_a, b.term AS tok_b, count(*) AS n_docs
+        |FROM inp a JOIN inp b ON a.doc_id = b.doc_id AND a.term < b.term
+        |GROUP BY 1, 2 HAVING count(*) >= 300""".stripMargin,
+
+    "d_qsample" ->
+      """SELECT doc_id, n_chars,
+        |  least(900, n_chars * 2) AS p_permille
+        |FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':13'), 1, 15))::BIGINT
+        |      % 1000 < least(900, n_chars * 2)""".stripMargin,
 
     "e_ann_topk" ->
       """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v

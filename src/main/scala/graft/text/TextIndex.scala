@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus indexing operators over a `documents(doc_id, text, …)` table —
+  * the retrieval-side counterpart of the dedup/quality pipeline (SURVEY
+  * §2.10). Everything is built from codegen'd built-ins (no UDFs), so each
+  * operator is a scan plus a bounded number of hash shuffles at any corpus
+  * size.
+  */
+object TextIndex {
+
+  /** Lowercased alphanumeric index terms. */
+  val termsCol: Column =
+    regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+
+  /** 60-bit md5-derived uniform hash of a string column, in [0, 2^60) —
+    * the deterministic sampling primitive (replayable in ANSI SQL engines
+    * as `('0x' || substr(md5(x),1,15))::BIGINT`).
+    */
+  def md5Uniform(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
+  /** Inverted index with capped posting lists.
+    *
+    * One row per term with document frequency ≥ `minDf`: the exact df
+    * plus the first `cap` doc ids ascending, comma-joined. The cap is the
+    * 100 TB guard — a head term's full posting list is corpus-sized, so
+    * the per-term window truncates it to a fixed prefix while `df` stays
+    * exact (computed by partial-aggregated groupBy BEFORE the cap). The
+    * window partitions by term, so ranking never concentrates data beyond
+    * one term's postings on one partition; for true stopword-scale terms
+    * compose with [[coOccurrence]]'s df band instead of indexing them.
+    */
+  def postings(docs: DataFrame, minDf: Long, cap: Int): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(termsCol).as("term"))
+      .distinct()
+    val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val capped = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("term").orderBy(col("doc_id").asc)))
+      .filter(col("rn") <= cap)
+      .groupBy("term")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("posting_head"))
+    df.join(capped, "term")
+      .select(col("term"), col("df"), col("posting_head"))
+  }
+
+  /** Within-document term co-occurrence counts over a df-banded
+    * vocabulary.
+    *
+    * Terms with document frequency in [`minDf`, `maxDf`] form the
+    * vocabulary; for every document, each unordered pair of distinct
+    * vocabulary terms it contains counts once; pairs seen in ≥ `minPairs`
+    * documents survive. The df band is what makes this scale: the upper
+    * bound excludes stopword-grade terms whose within-doc pairing is
+    * quadratic in document length, so the exploded pair volume is bounded
+    * by Σ_doc C(|vocab terms in doc|, 2) with the hot terms gone — the
+    * standard construction for distributional-similarity / phrase-mining
+    * passes over a crawl.
+    */
+  def coOccurrence(docs: DataFrame, minDf: Long, maxDf: Long,
+                   minPairs: Long): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(termsCol).as("term"))
+      .distinct()
+    val vocab = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("term"))
+    val in = pairs.join(vocab, "term")
+    val a = in.select(col("doc_id"), col("term").as("tok_a"))
+    val b = in.select(col("doc_id").as("doc_b"), col("term").as("tok_b"))
+    a.join(b, col("doc_id") === col("doc_b") && col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minPairs)
+  }
+
+  /** Deterministic quality-weighted document sampling.
+    *
+    * Each document's keep-probability (in permille) is an exact integer
+    * function of its length — `min(maxP, n_chars * mult)` — and the
+    * keep decision is `md5Uniform(doc_id:seed) % 1000 < p`: longer
+    * (higher-signal) documents are kept more often, the draw is
+    * reproducible across runs/engines, and the whole pass is a stateless
+    * scan — the shape a 100 TB training-data subsample has to have (no
+    * RNG state, no sort, no shuffle; re-running on a changed corpus keeps
+    * every previously-kept unchanged document).
+    */
+  def weightedSample(docs: DataFrame, seed: Long, mult: Long = 2L,
+                     maxP: Long = 900L): DataFrame = {
+    val p = least(lit(maxP), col("n_chars") * lit(mult)).as("p_permille")
+    docs.select(col("doc_id"), col("n_chars"), p)
+      .filter(md5Uniform(concat_ws(":", col("doc_id"), lit(seed))) % 1000
+        < col("p_permille"))
+  }
+}

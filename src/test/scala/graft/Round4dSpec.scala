@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
+import graft.algo.TriangleCount
+import graft.text.TextIndex
+
+/** Round-4 late additions, batch 3: corpus indexing (postings,
+  * co-occurrence, weighted sampling) and deterministic graph sampling
+  * (Doulion triangle estimate, induced subgraph). Brute-force oracles are
+  * computed in plain Scala on inline fixtures.
+  */
+object TextFixtures {
+  // (doc_id, text); vocabulary engineered so df/cap/band all bite:
+  //   "alpha" df=5, "beta" df=4, "gamma" df=3, "delta" df=2, "rare" df=1
+  val corpus: Seq[(Long, String)] = Seq(
+    1L -> "alpha beta gamma alpha",
+    2L -> "alpha beta gamma delta",
+    3L -> "alpha beta gamma",
+    4L -> "alpha beta delta",
+    5L -> "alpha rare")
+
+  def docsDf(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def terms(text: String): Set[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSet
+}
+
+class TextIndexSpec extends GraftSuite {
+  import TextFixtures._
+
+  test("postings: exact df, df floor applied, posting head capped and ascending") {
+    val out = TextIndex.postings(docsDf(spark), minDf = 2L, cap = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // brute force
+    val inverted = corpus
+      .flatMap { case (id, t) => terms(t).map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val want = inverted.collect {
+      case (t, ids) if ids.size >= 2 =>
+        t -> ((ids.size.toLong, ids.take(3).mkString(",")))
+    }.toMap
+    assert(out === want)
+    assert(!out.contains("rare"))                    // df floor
+    assert(out("alpha") === ((5L, "1,2,3")))         // df exact, head capped at 3
+    assert(out("delta") === ((2L, "2,4")))           // below cap: full list
+  }
+
+  test("co-occurrence: df band excludes head and tail terms, counts exact") {
+    // band [3,4]: vocabulary {beta(4), gamma(3)}; alpha(5) and delta(2) out
+    val out = TextIndex.coOccurrence(docsDf(spark), minDf = 3L, maxDf = 4L,
+        minPairs = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("beta", "gamma") -> 3L))
+    // minPairs filter bites
+    val none = TextIndex.coOccurrence(docsDf(spark), minDf = 3L, maxDf = 4L,
+      minPairs = 4L).count()
+    assert(none === 0L)
+  }
+
+  test("weighted sample: deterministic replay, p formula, maxP cap") {
+    val d = docsDf(spark)
+    val a = TextIndex.weightedSample(d, seed = 13L, mult = 40L, maxP = 900L)
+    val b = TextIndex.weightedSample(d, seed = 13L, mult = 40L, maxP = 900L)
+    assert(a.collect().toSeq.sortBy(_.getLong(0))
+      === b.collect().toSeq.sortBy(_.getLong(0)))
+    // p = min(maxP, n_chars*mult), exact per row
+    a.collect().foreach { r =>
+      assert(r.getLong(2) === math.min(900L, r.getLong(1) * 40L))
+    }
+    // mult large enough that p = maxP for all docs => keep rate ~90%;
+    // with maxP = 1000 every doc is kept (md5 % 1000 < 1000 always)
+    val all = TextIndex.weightedSample(d, seed = 13L, mult = 1000L, maxP = 1000L)
+    assert(all.count() === corpus.size.toLong)
+  }
+}
+
+class GraphSamplingSpec extends GraftSuite {
+
+  private val pairs = Fixtures.karatePairs
+
+  test("approxTriangles at permille=1000 reproduces the exact count") {
+    val e = edgesDf(undirected(pairs))
+    val exact = Oracles.triangles(undirected(pairs))
+    val r = TriangleCount.approxTriangles(e, permille = 1000, seed = 7L).first()
+    assert(r.getAs[Long]("sampled_triangles") === exact)
+    assert(r.getAs[Long]("est_triangles") === exact)
+    assert(r.getAs[Long]("sampled_edges") === pairs.size.toLong)
+  }
+
+  test("approxTriangles estimate is the sampled count scaled by (1000/p)^3") {
+    val e = edgesDf(undirected(pairs))
+    val r = TriangleCount.approxTriangles(e, permille = 500, seed = 7L).first()
+    assert(r.getAs[Long]("est_triangles")
+      === r.getAs[Long]("sampled_triangles") * 8L)
+    assert(r.getAs[Long]("sampled_edges") < pairs.size.toLong)
+  }
+
+  test("approxTriangles rejects permille values that do not divide 1000") {
+    intercept[IllegalArgumentException] {
+      TriangleCount.approxTriangles(edgesDf(undirected(pairs)), 300, 1L)
+    }
+  }
+
+  test("sampleInduced at permille=1000 is the identity on the slot set") {
+    val e = edgesDf(undirected(pairs))
+    val out = GraphOps.sampleInduced(e, permille = 1000, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === undirected(pairs).toSet)
+  }
+
+  test("sampleInduced keeps exactly the edges with both endpoints sampled") {
+    val e = edgesDf(undirected(pairs))
+    val out = GraphOps.sampleInduced(e, permille = 400, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.nonEmpty && out.size < undirected(pairs).size)
+    // closure: the endpoint set of the output is a subset of the sampled
+    // vertex set, i.e. no edge survives with an unsampled endpoint — and
+    // every input edge whose both endpoints appear in the output's vertex
+    // set must itself have survived (induced property)
+    val vs = out.flatMap(p => Seq(p._1, p._2))
+    undirected(pairs).foreach { case (a, b) =>
+      if (vs(a) && vs(b)) assert(out((a, b)))
+    }
+    // determinism
+    val again = GraphOps.sampleInduced(e, permille = 400, seed = 11L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === out)
+  }
+}
