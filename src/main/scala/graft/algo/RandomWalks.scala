@@ -153,4 +153,30 @@ object RandomWalks {
     deg.unpersist(blocking = false)
     out
   }
+
+  /** Skip-gram (center, context) pair counts from a walk corpus — the
+    * step that turns DeepWalk/node2vec "sentences" into word2vec-SGNS
+    * training pairs: for every walk, every ordered pair of positions at
+    * distance 1..`window` contributes one observation of
+    * (vertex-at-center, vertex-at-context).
+    *
+    * Plan: a self-equi-join on walk_id (each side is one walk's ≤
+    * length+1 rows, so the per-key fan-out is the constant
+    * (length+1)·2·window — never quadratic in corpus size) followed by
+    * one hash aggregation on the pair. Both shuffles key on high-
+    * cardinality columns (walk_id, then vertex pairs), so the plan is
+    * skew-free for any corpus with bounded walk length — the 100 TB
+    * shape.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1)
+    val a = walks.select(col("walk_id"), col("step").as("i"),
+      col("vertex").as("center"))
+    val b = walks.select(col("walk_id"), col("step").as("j"),
+      col("vertex").as("context"))
+    a.join(b, Seq("walk_id"))
+      .filter(col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
 }

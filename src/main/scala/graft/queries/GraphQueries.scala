@@ -820,6 +820,14 @@ object GraphQueries {
       graft.algo.RandomWalks.walks(e, starts, length = 4)
     }),
 
+    // word2vec-SGNS training pairs from the same walk corpus, window 2
+    "g_walk_pairs" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val starts = GraphOps.vertices(e).filter(col("id") % 100 === 0)
+      graft.algo.RandomWalks.skipGramPairs(
+        graft.algo.RandomWalks.walks(e, starts, length = 4), window = 2)
+    }),
+
     // node2vec-style second-order biased walks, 3 steps, integer weights
     // (return 1, shared neighbor 2, far 4) — exact integer selection
     "g_walks_biased_l3" -> ((s, dir) => {
@@ -1207,6 +1215,34 @@ object GraphQueries {
         .select(col("trueLabel").as("attr_label"),
           col("predLabel").as("cc_label"), col("n"))
     }))
+
+  /** Deterministic-walk replay (starts id % 100, length 4) — shared by
+    * the walks gate and the skip-gram pair gate built on top of it.
+    */
+  private val walksL4Sql: String = {
+    val steps = (1 to 4).map { t =>
+      s"""w$t AS (
+         |  SELECT w.walk_id, CAST($t AS BIGINT) AS step, n.dst AS cur
+         |  FROM w${t - 1} w
+         |  JOIN dg d ON w.cur = d.id
+         |  JOIN nbr n ON n.src = w.cur
+         |   AND n.idx = (w.cur * ${graft.algo.RandomWalks.StepMixA}
+         |                + w.walk_id * ${graft.algo.RandomWalks.StepMixB}
+         |                + $t) % d.d)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 4).map(t => s"SELECT * FROM w$t").mkString("\n  UNION ALL ")
+    s"""WITH $cte,
+       |dg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+       |nbr AS (SELECT src, dst,
+       |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+       |               AS BIGINT) AS idx
+       |        FROM e0),
+       |w0 AS (SELECT id AS walk_id, CAST(0 AS BIGINT) AS step, id AS cur
+       |       FROM verts WHERE id % 100 = 0),
+       |$steps
+       |SELECT walk_id, step, cur AS vertex FROM (
+       |  $union) u""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "g_edges" -> s"WITH $cte SELECT src, dst FROM e0",
@@ -1927,30 +1963,18 @@ object GraphQueries {
     // step-mix constants mirror RandomWalks.StepMixA/B exactly — small
     // enough that the mix never overflows signed 64-bit inside the 2^40-id
     // envelope on either engine (VERDICT r3 #1)
-    "g_walks_l4" -> {
-      val steps = (1 to 4).map { t =>
-        s"""w$t AS (
-           |  SELECT w.walk_id, CAST($t AS BIGINT) AS step, n.dst AS cur
-           |  FROM w${t - 1} w
-           |  JOIN dg d ON w.cur = d.id
-           |  JOIN nbr n ON n.src = w.cur
-           |   AND n.idx = (w.cur * ${graft.algo.RandomWalks.StepMixA}
-           |                + w.walk_id * ${graft.algo.RandomWalks.StepMixB}
-           |                + $t) % d.d)""".stripMargin
-      }.mkString(",\n")
-      val union = (0 to 4).map(t => s"SELECT * FROM w$t").mkString("\n  UNION ALL ")
-      s"""WITH $cte,
-         |dg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
-         |nbr AS (SELECT src, dst,
-         |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
-         |               AS BIGINT) AS idx
-         |        FROM e0),
-         |w0 AS (SELECT id AS walk_id, CAST(0 AS BIGINT) AS step, id AS cur
-         |       FROM verts WHERE id % 100 = 0),
-         |$steps
-         |SELECT walk_id, step, cur AS vertex FROM (
-         |  $union) u""".stripMargin
-    },
+    "g_walks_l4" -> walksL4Sql,
+
+    // skip-gram pairs: nested replay of the walk corpus + the windowed
+    // self-join — pair counts, not walk rows, are what word2vec trains on
+    "g_walk_pairs" ->
+      s"""WITH wk AS (
+         |$walksL4Sql
+         |)
+         |SELECT a.vertex AS center, b.vertex AS context, count(*) AS n
+         |FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+         | AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin,
 
     "g_walks_biased_l3" -> {
       val A = graft.algo.RandomWalks.StepMixA

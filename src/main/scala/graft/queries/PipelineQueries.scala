@@ -425,25 +425,22 @@ object PipelineQueries {
     // computes, also verifying pigeonhole completeness) but the join is a
     // bucketed equi-join: no cross product at any scale (round 1 shipped
     // an O(n^2) crossJoin here — the repo's one scale-killer per VERDICT).
-    "d_simhash_dups" -> ((s, dir) => {
-      val h = docs(s, dir).select(col("doc_id"),
-        graft.functions.SimHashMd5.simhashMd5(tokensCol).as("h"))
-      val chunkCols = simhashChunks.map { case (ci, off, w) =>
-        struct(lit(ci).as("ci"),
-          shiftright(col("h"), off).bitwiseAND(lit((1L << w) - 1)).as("cv"))
-      }
-      val banded = h.select(col("doc_id"), col("h"),
-          explode(array(chunkCols: _*)).as("c"))
-        .select(col("doc_id"), col("h"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-      val a = banded.select(col("doc_id").as("a"), col("h").as("ha"),
-        col("ci"), col("cv"))
-      val b = banded.select(col("doc_id").as("b"), col("h").as("hb"),
-        col("ci"), col("cv"))
-      a.join(b, Seq("ci", "cv")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 8)
-        .distinct()
+    "d_simhash_dups" -> ((s, dir) => simhashDupPairs(docs(s, dir))),
+
+    // SimHash near-dup CLUSTERS: pigeonhole-banded pairs contracted by
+    // connected components into canonical min-id labels — the simhash
+    // counterpart of d_dedup_clusters (one representative per near-dup
+    // group survives a keep-canonical filter)
+    "d_simhash_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairEdges = simhashDupPairs(d)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
+        .withColumnRenamed("id", "doc_id")
+      d.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("canon_id"))
     }),
 
     // LSH-bucketed approximate nearest neighbours (scale path of
@@ -480,6 +477,30 @@ object PipelineQueries {
   private val simhashChunks: Seq[(Int, Int, Int)] =
     (0 until 6).map(i => (i, i * 7, 7)) ++
       (0 until 3).map(i => (6 + i, 42 + i * 6, 6))
+
+  /** SimHash near-dup pairs (a < b, Hamming ≤ 8): [[simhashChunks]]
+    * pigeonhole banding → bucketed equi-join → exact Hamming verify.
+    */
+  private def simhashDupPairs(d: DataFrame): DataFrame = {
+    val h = d.select(col("doc_id"),
+      graft.functions.SimHashMd5.simhashMd5(tokensCol).as("h"))
+    val chunkCols = simhashChunks.map { case (ci, off, w) =>
+      struct(lit(ci).as("ci"),
+        shiftright(col("h"), off).bitwiseAND(lit((1L << w) - 1)).as("cv"))
+    }
+    val banded = h.select(col("doc_id"), col("h"),
+        explode(array(chunkCols: _*)).as("c"))
+      .select(col("doc_id"), col("h"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val a = banded.select(col("doc_id").as("a"), col("h").as("ha"),
+      col("ci"), col("cv"))
+    val b = banded.select(col("doc_id").as("b"), col("h").as("hb"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+  }
 
   /** Banded-MinHash near-dup candidate pairs (a < b): 8 minhashes over
     * word-3-gram shingles, 2 bands of 4, band-signature equi-join.
@@ -612,6 +633,24 @@ object PipelineQueries {
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM sm x JOIN sm y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8""".stripMargin,
+
+    // all-pairs simhash pairs (proving banding completeness, as in
+    // d_simhash_dups) symmetrized and closed into min-id components
+    "d_simhash_clusters" ->
+      s"""WITH RECURSIVE $simhashSql,
+         |sp AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |       FROM sm x JOIN sm y ON x.doc_id < y.doc_id
+         |       WHERE bit_count(xor(x.simhash, y.simhash)) <= 8),
+         |pe AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT a AS src, b AS dst FROM sp
+         |         UNION ALL SELECT b, a FROM sp) u),
+         |creach(id, lab) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, creach.lab FROM creach JOIN pe ON pe.src = creach.id),
+         |cl AS (SELECT id, min(lab) AS label FROM creach GROUP BY id)
+         |SELECT d.doc_id, coalesce(cl.label, d.doc_id) AS canon_id
+         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id""".stripMargin,
 
     "e_ann_lsh" -> annLshSql,
 

@@ -79,6 +79,38 @@ class TextIndexSpec extends GraftSuite {
   }
 }
 
+class SkipGramSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("skipGramPairs matches the brute-force windowed pair count") {
+    // two walks: 10→11→12→13 and 20→21→20
+    val walks = Seq(
+      (10L, 0L, 10L), (10L, 1L, 11L), (10L, 2L, 12L), (10L, 3L, 13L),
+      (20L, 0L, 20L), (20L, 1L, 21L), (20L, 2L, 20L))
+      .toDF("walk_id", "step", "vertex")
+    val got = graft.algo.RandomWalks.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force over each walk's positions
+    val seqs = Seq(Seq(10L, 11L, 12L, 13L), Seq(20L, 21L, 20L))
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (s <- seqs; i <- s.indices; j <- s.indices
+         if i != j && math.abs(i - j) <= 2)
+      want((s(i), s(j))) = want.getOrElse((s(i), s(j)), 0L) + 1L
+    assert(got === want.toMap)
+    // the revisit in walk 20 yields a (20,20) self-pair at distance 2 —
+    // real corpora keep it (word2vec does); assert it is counted
+    assert(got((20L, 20L)) === 2L)
+  }
+
+  test("skipGramPairs window=1 keeps only adjacent-step pairs") {
+    val walks = Seq((1L, 0L, 5L), (1L, 1L, 6L), (1L, 2L, 7L))
+      .toDF("walk_id", "step", "vertex")
+    val got = graft.algo.RandomWalks.skipGramPairs(walks, window = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((5L, 6L), (6L, 5L), (6L, 7L), (7L, 6L)))
+  }
+}
+
 class GraphSamplingSpec extends GraftSuite {
 
   private val pairs = Fixtures.karatePairs
