@@ -168,6 +168,58 @@ object RandomWalks {
     * skew-free for any corpus with bounded walk length — the 100 TB
     * shape.
     */
+  /** GraphSAGE-style layered neighbor sampling: the minibatch
+    * computation graph for k-hop GNN training. Layer l samples
+    * `fanouts(l-1)` neighbors (with replacement, like GraphSAGE) for
+    * every vertex in the previous frontier via the deterministic mix
+    * `(v·A + i·B + l) mod deg(v)`; the next frontier is the distinct
+    * set of sampled targets, so a vertex reached from many seeds is
+    * sampled ONCE per layer (shared/layer-wise sampling à la LADIES —
+    * at web scale the hub overlap between seed neighborhoods is exactly
+    * what makes per-seed sampling blow up).
+    *
+    * Output: distinct (layer, src, dst) sampled edges — with-replacement
+    * duplicates collapse, so a layer emits ≤ fanout edges per frontier
+    * vertex. Each layer is two equi-joins (degree, then (vertex, idx)
+    * into the indexed adjacency) plus a distinct; frontier state is
+    * eagerly truncated per layer because it feeds both the output and
+    * the next layer.
+    */
+  def neighborSample(edges: DataFrame, seeds: DataFrame,
+                     fanouts: Seq[Int]): DataFrame = {
+    require(fanouts.nonEmpty && fanouts.forall(_ >= 1))
+    val adj = indexedAdjacency(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy(col("src").as("did"))
+      .agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var frontier = seeds.select(col("id").as("v"))
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var l = 0
+    for (f <- fanouts) {
+      l += 1
+      val sampled = frontier
+        .join(deg, col("v") === col("did"))
+        .select(col("v"), col("d"),
+          explode(sequence(lit(0L), lit((f - 1).toLong))).as("i"))
+        .join(adj.select(col("src").as("asrc"), col("dst").as("adst"),
+            col("idx")),
+          col("v") === col("asrc") &&
+            col("idx") === (col("v") * StepMixA + col("i") * StepMixB
+              + lit(l.toLong)) % col("d"))
+        .select(lit(l.toLong).as("layer"), col("v").as("src"),
+          col("adst").as("dst"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      frames += sampled
+      frontier = sampled.select(col("dst").as("v")).distinct()
+    }
+    val out = frames.reduce(_ union _)
+    adj.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1)
     val a = walks.select(col("walk_id"), col("step").as("i"),

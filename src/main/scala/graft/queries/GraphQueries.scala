@@ -828,6 +828,43 @@ object GraphQueries {
         graft.algo.RandomWalks.walks(e, starts, length = 4), window = 2)
     }),
 
+    // PMI association scores of the walk-pair corpus (the matrix SGNS
+    // implicitly factorizes)
+    "g_sgns_pmi" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val starts = GraphOps.vertices(e).filter(col("id") % 100 === 0)
+      graft.algo.SkipGram.pmiScores(
+        graft.algo.RandomWalks.skipGramPairs(
+          graft.algo.RandomWalks.walks(e, starts, length = 4), window = 2))
+    }),
+
+    // deterministic unigram^(3/4) negative sampling, 3 draws per pair
+    "g_sgns_neg" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val starts = GraphOps.vertices(e).filter(col("id") % 100 === 0)
+      graft.algo.SkipGram.negativeSamples(e,
+        graft.algo.RandomWalks.skipGramPairs(
+          graft.algo.RandomWalks.walks(e, starts, length = 4), window = 2),
+        k = 3)
+    }),
+
+    // terminal SGNS artifact: pairs + packed draw-ordered negatives
+    "g_sgns_examples" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val starts = GraphOps.vertices(e).filter(col("id") % 100 === 0)
+      val pairs = graft.algo.RandomWalks.skipGramPairs(
+        graft.algo.RandomWalks.walks(e, starts, length = 4), window = 2)
+      graft.algo.SkipGram.trainingExamples(pairs,
+        graft.algo.SkipGram.negativeSamples(e, pairs, k = 3))
+    }),
+
+    // GraphSAGE-style 2-layer sampled computation graph, fanouts (3, 2)
+    "g_sage_sample" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val seeds = GraphOps.vertices(e).filter(col("id") % 100 === 0)
+      graft.algo.RandomWalks.neighborSample(e, seeds, Seq(3, 2))
+    }),
+
     // node2vec-style second-order biased walks, 3 steps, integer weights
     // (return 1, shared neighbor 2, far 4) — exact integer selection
     "g_walks_biased_l3" -> ((s, dir) => {
@@ -1243,6 +1280,49 @@ object GraphQueries {
        |SELECT walk_id, step, cur AS vertex FROM (
        |  $union) u""".stripMargin
   }
+
+  /** Walk corpus → windowed skip-gram pair counts (`wkp`), shared by the
+    * pair gate and the PMI / negative-sampling gates built on it.
+    */
+  private val walkPairsSql: String =
+    s"""wk AS (
+       |$walksL4Sql
+       |),
+       |wkp AS (
+       |  SELECT a.vertex AS center, b.vertex AS context, count(*) AS n
+       |  FROM wk a JOIN wk b ON a.walk_id = b.walk_id
+       |   AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Deterministic SGNS negative draws over the walk-pair corpus (`ng`),
+    * appended after [[walkPairsSql]]: noise weight floor((deg³)^(1/4))
+    * (multiply and sqrt are IEEE-correctly-rounded on both engines, so
+    * the floors agree bit-for-bit), prefix intervals in id order, LCG
+    * draw modulo the total weight, positive-context collisions dropped —
+    * mirrors `SkipGram.negativeSamples` (the engine's two-level prefix
+    * sum and weight-block equi-join reduce to the same intervals).
+    */
+  private val sgnsNegSql: String =
+    s"""dgw AS (
+       |  WITH $cte
+       |  SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1
+       |),
+       |nwt AS (SELECT id, greatest(1, CAST(floor(sqrt(sqrt(
+       |          CAST(d AS DOUBLE) * d * d))) AS BIGINT)) AS w
+       |        FROM dgw),
+       |cw AS (SELECT id, w, sum(w) OVER (ORDER BY id) - w AS lo FROM nwt),
+       |tt AS (SELECT sum(w) AS tw FROM nwt),
+       |dr AS (
+       |  SELECT p.center, p.context, g.j,
+       |         (p.center * ${graft.algo.RandomWalks.StepMixA}
+       |          + p.context * ${graft.algo.RandomWalks.StepMixB}
+       |          + g.j * ${graft.algo.SkipGram.StepMixC}) % tt.tw AS r
+       |  FROM (SELECT DISTINCT center, context FROM wkp) p
+       |  CROSS JOIN generate_series(0, 2) AS g(j)
+       |  CROSS JOIN tt),
+       |ng AS (SELECT d.center, d.context, d.j, c.id AS neg
+       |       FROM dr d JOIN cw c ON d.r >= c.lo AND d.r < c.lo + c.w
+       |       WHERE c.id <> d.context)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "g_edges" -> s"WITH $cte SELECT src, dst FROM e0",
@@ -1968,13 +2048,74 @@ object GraphQueries {
     // skip-gram pairs: nested replay of the walk corpus + the windowed
     // self-join — pair counts, not walk rows, are what word2vec trains on
     "g_walk_pairs" ->
-      s"""WITH wk AS (
-         |$walksL4Sql
-         |)
-         |SELECT a.vertex AS center, b.vertex AS context, count(*) AS n
-         |FROM wk a JOIN wk b ON a.walk_id = b.walk_id
-         | AND a.step <> b.step AND abs(a.step - b.step) <= 2
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $walkPairsSql
+         |SELECT center, context, n FROM wkp""".stripMargin,
+
+    // PMI vs the corpus marginals; DuckDB's ln and the engine's log
+    // agree far inside the 1e-9 compare rounding
+    "g_sgns_pmi" ->
+      s"""WITH $walkPairsSql,
+         |pc AS (SELECT center, sum(n) AS ncen FROM wkp GROUP BY 1),
+         |px AS (SELECT context, sum(n) AS nctx FROM wkp GROUP BY 1),
+         |tt AS (SELECT sum(n) AS nn FROM wkp)
+         |SELECT p.center, p.context, p.n,
+         |       ln(CAST(p.n AS DOUBLE) * tt.nn / (pc.ncen * px.nctx)) AS pmi
+         |FROM wkp p
+         |JOIN pc ON p.center = pc.center
+         |JOIN px ON p.context = px.context
+         |CROSS JOIN tt""".stripMargin,
+
+    // negative draws: noise weight floor((deg^3)^(1/4)) (multiply and
+    // sqrt are IEEE-correctly-rounded on both engines, so the floors
+    // agree bit-for-bit), prefix intervals in id order, LCG draw modulo
+    // the total weight, positive-context collisions dropped — mirrors
+    // SkipGram.negativeSamples (the engine's two-level prefix sum and
+    // weight-block equi-join reduce to the same intervals)
+    "g_sgns_neg" ->
+      s"""WITH $walkPairsSql,
+         |$sgnsNegSql
+         |SELECT center, context, j, neg FROM ng""".stripMargin,
+
+    // terminal SGNS artifact: pair + draw-ordered packed negatives
+    "g_sgns_examples" ->
+      s"""WITH $walkPairsSql,
+         |$sgnsNegSql
+         |SELECT p.center, p.context, p.n,
+         |       coalesce(string_agg(CAST(nn.neg AS VARCHAR), ','
+         |                           ORDER BY nn.j), '') AS negs
+         |FROM wkp p
+         |LEFT JOIN ng nn ON p.center = nn.center AND p.context = nn.context
+         |GROUP BY p.center, p.context, p.n""".stripMargin,
+
+    // layered neighbor sampling: per-layer with-replacement draws into
+    // the row-numbered adjacency, frontier = distinct sampled targets
+    "g_sage_sample" ->
+      s"""WITH $cte,
+         |dg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |nbr AS (SELECT src, dst,
+         |          CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+         |               AS BIGINT) AS idx
+         |        FROM e0),
+         |f0 AS (SELECT id AS v FROM verts WHERE id % 100 = 0),
+         |s1 AS (SELECT DISTINCT CAST(1 AS BIGINT) AS layer, f.v AS src, n.dst
+         |       FROM f0 f
+         |       JOIN dg d ON f.v = d.id
+         |       CROSS JOIN generate_series(0, 2) AS g(i)
+         |       JOIN nbr n ON n.src = f.v
+         |        AND n.idx = (f.v * ${graft.algo.RandomWalks.StepMixA}
+         |                     + g.i * ${graft.algo.RandomWalks.StepMixB}
+         |                     + 1) % d.d),
+         |f1 AS (SELECT DISTINCT dst AS v FROM s1),
+         |s2 AS (SELECT DISTINCT CAST(2 AS BIGINT) AS layer, f.v AS src, n.dst
+         |       FROM f1 f
+         |       JOIN dg d ON f.v = d.id
+         |       CROSS JOIN generate_series(0, 1) AS g(i)
+         |       JOIN nbr n ON n.src = f.v
+         |        AND n.idx = (f.v * ${graft.algo.RandomWalks.StepMixA}
+         |                     + g.i * ${graft.algo.RandomWalks.StepMixB}
+         |                     + 2) % d.d)
+         |SELECT layer, src, dst FROM s1
+         |UNION ALL SELECT layer, src, dst FROM s2""".stripMargin,
 
     "g_walks_biased_l3" -> {
       val A = graft.algo.RandomWalks.StepMixA

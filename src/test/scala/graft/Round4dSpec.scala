@@ -111,6 +111,101 @@ class SkipGramSpec extends GraftSuite {
   }
 }
 
+class SgnsSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.algo.{RandomWalks, SkipGram}
+
+  private val slots = undirected(Fixtures.karatePairs)
+  private def edges = edgesDf(slots)
+
+  test("pmiScores matches the closed-form marginal computation") {
+    val rows = Seq((1L, 2L, 3L), (2L, 1L, 3L), (1L, 3L, 1L),
+      (3L, 1L, 1L), (2L, 3L, 2L))
+    val got = SkipGram.pmiScores(rows.toDF("center", "context", "n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val bigN = rows.map(_._3).sum.toDouble
+    val nc = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val nx = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    assert(got.size === rows.size)
+    for ((c, x, n) <- rows) {
+      val want = math.log(n * bigN / (nc(c).toDouble * nx(x)))
+      assert(got((c, x))._1 === n)
+      assert(math.abs(got((c, x))._2 - want) < 1e-12)
+    }
+  }
+
+  test("negativeSamples replays the sequential weighted draw") {
+    val pairs = Seq((1L, 2L), (5L, 34L), (33L, 34L)).toDF("center", "context")
+    val k = 4
+    val got = SkipGram.negativeSamples(edges, pairs, k, buckets = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // brute-force replay: weights, prefix intervals in id order, draws
+    val deg = slots.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val ids = deg.keys.toSeq.sorted
+    val w = ids.map { id =>
+      val d = deg(id).toDouble
+      id -> math.max(1L, math.floor(math.sqrt(math.sqrt(d * d * d))).toLong)
+    }.toMap
+    val tw = ids.map(w).sum
+    val lo = scala.collection.mutable.Map.empty[Long, Long]
+    var acc = 0L
+    for (id <- ids) { lo(id) = acc; acc += w(id) }
+    var expected = 0
+    for ((c, x) <- Seq((1L, 2L), (5L, 34L), (33L, 34L)); j <- 0L until k.toLong) {
+      val r = (c * RandomWalks.StepMixA + x * RandomWalks.StepMixB
+        + j * SkipGram.StepMixC) % tw
+      val hit = ids.find(id => r >= lo(id) && r < lo(id) + w(id)).get
+      if (hit != x) { assert(got((c, x, j)) === hit); expected += 1 }
+      else assert(!got.contains((c, x, j)))
+    }
+    assert(got.size === expected)
+  }
+
+  test("trainingExamples packs negatives in draw order, empty when all collide") {
+    val pairs = Seq((1L, 2L, 5L), (9L, 9L, 1L)).toDF("center", "context", "n")
+    val negs = Seq((1L, 2L, 1L, 30L), (1L, 2L, 0L, 7L), (1L, 2L, 2L, 7L))
+      .toDF("center", "context", "j", "neg")
+    val got = SkipGram.trainingExamples(pairs, negs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got((1L, 2L)) === ((5L, "7,30,7")))
+    assert(got((9L, 9L)) === ((1L, "")))
+  }
+
+  test("neighborSample replays layered draws; frontier is shared per layer") {
+    val seeds = Seq(1L, 34L).toDF("id")
+    val fan = Seq(3, 2)
+    val got = RandomWalks.neighborSample(edges, seeds, fan)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val adjm = slots.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._2).sorted.toVector }
+    var frontier = Set(1L, 34L)
+    val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for ((f, li) <- fan.zipWithIndex) {
+      val l = li + 1
+      val next = scala.collection.mutable.Set.empty[Long]
+      for (v <- frontier; i <- 0 until f) {
+        val nb = adjm(v)
+        val idx = ((v * RandomWalks.StepMixA + i * RandomWalks.StepMixB
+          + l) % nb.size).toInt
+        want += ((l.toLong, v, nb(idx)))
+        next += nb(idx)
+      }
+      frontier = next.toSet
+    }
+    assert(got === want.toSet)
+    // with-replacement duplicates collapse: ≤ fanout edges per (layer, src)
+    got.groupBy(t => (t._1, t._2)).foreach { case ((l, _), es) =>
+      assert(es.size <= fan(l.toInt - 1))
+    }
+  }
+}
+
 class GraphSamplingSpec extends GraftSuite {
 
   private val pairs = Fixtures.karatePairs
