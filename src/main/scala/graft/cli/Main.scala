@@ -445,6 +445,33 @@ object Main {
       println(s"[graft] hostpr: hosts=${pr.count()}")
     }
 
+    def runMis(): Unit = {
+      val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "7").toLong
+      val m = graft.algo.Mis.mis(edges, seed)
+      m.write.mode("overwrite").parquet(s"$outDir/mis")
+      val in = m.filter(col("status") === "in").count()
+      println(s"[graft] mis: in=$in of ${m.count()}")
+    }
+    def runWalks(): Unit = {
+      // DeepWalk→SGNS corpus: walks from a sampled seed set, windowed
+      // pairs, unigram^(3/4) negatives packed into training examples
+      val starts = sampledSources()
+      val len = maxIter.getOrElse(8)
+      val w = graft.algo.RandomWalks.walks(edges, starts, length = len)
+      val pairs = graft.algo.RandomWalks.skipGramPairs(w, window = 2)
+      val ex = graft.algo.SkipGram.trainingExamples(pairs,
+        graft.algo.SkipGram.negativeSamples(edges, pairs, k = 5))
+      ex.write.mode("overwrite").parquet(s"$outDir/sgns_examples")
+      println(s"[graft] walks: starts=${starts.count()} len=$len " +
+        s"pairs=${pairs.count()} examples=${ex.count()}")
+    }
+    def runSage(): Unit = {
+      val g = graft.algo.RandomWalks.neighborSample(edges,
+        sampledSources(), Seq(10, 5))
+      g.write.mode("overwrite").parquet(s"$outDir/sage_sample")
+      println(s"[graft] sage: sampled_edges=${g.count()}")
+    }
+
     algo match {
       case "lp"          => runLp()
       case "lp-semisync" => runLpSemi()
@@ -479,6 +506,9 @@ object Main {
       case "rmat"        => runRmat()
       case "triapprox"   => runTriApprox()
       case "sample"      => runSample()
+      case "mis"         => runMis()
+      case "walks"       => runWalks()
+      case "sage"        => runSage()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

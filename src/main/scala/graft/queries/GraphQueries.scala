@@ -865,6 +865,10 @@ object GraphQueries {
       graft.algo.RandomWalks.neighborSample(e, seeds, Seq(3, 2))
     }),
 
+    // three Luby MIS rounds over seeded md5 priorities
+    "g_mis_t3" -> ((s, dir) =>
+      graft.algo.Mis.misFixed(demoEdges(s, dir), seed = 7L, rounds = 3)),
+
     // node2vec-style second-order biased walks, 3 steps, integer weights
     // (return 1, shared neighbor 2, far 4) — exact integer selection
     "g_walks_biased_l3" -> ((s, dir) => {
@@ -1323,6 +1327,42 @@ object GraphQueries {
        |ng AS (SELECT d.center, d.context, d.j, c.id AS neg
        |       FROM dr d JOIN cw c ON d.r >= c.lo AND d.r < c.lo + c.w
        |       WHERE c.id <> d.context)""".stripMargin
+
+  /** One unrolled Luby MIS round: undecided×undecided edge restriction,
+    * lexicographic (priority, id) neighbor minimum via the two-aggregate
+    * trick (min priority, then min id among that priority), winners /
+    * dropped-neighbors status fold. Mirrors `Mis.run` exactly — the
+    * engine's struct-min IS the (mp, mid) pair.
+    */
+  private def misRoundSql(r: Int): String =
+    s"""u$r AS (SELECT id, prio FROM ms${r - 1} WHERE status = 'und'),
+       |nm$r AS (
+       |  SELECT e.src AS id, min(d.prio) AS mp
+       |  FROM e0 e JOIN u$r s ON e.src = s.id JOIN u$r d ON e.dst = d.id
+       |  GROUP BY 1),
+       |nm2_$r AS (
+       |  SELECT e.src AS id, min(e.dst) AS mid
+       |  FROM e0 e JOIN u$r s ON e.src = s.id JOIN u$r d ON e.dst = d.id
+       |  JOIN nm$r n ON n.id = e.src AND d.prio = n.mp
+       |  GROUP BY 1),
+       |wi$r AS (
+       |  SELECT u.id FROM u$r u
+       |  LEFT JOIN nm$r n ON u.id = n.id
+       |  LEFT JOIN nm2_$r n2 ON u.id = n2.id
+       |  WHERE n.id IS NULL OR u.prio < n.mp
+       |     OR (u.prio = n.mp AND u.id < n2.mid)),
+       |lo$r AS (
+       |  SELECT DISTINCT e.dst AS id
+       |  FROM e0 e JOIN wi$r w ON e.src = w.id),
+       |ms$r AS (
+       |  SELECT s.id, s.prio,
+       |         CASE WHEN s.status <> 'und' THEN s.status
+       |              WHEN w.id IS NOT NULL THEN 'in'
+       |              WHEN l.id IS NOT NULL THEN 'out'
+       |              ELSE 'und' END AS status
+       |  FROM ms${r - 1} s
+       |  LEFT JOIN wi$r w ON s.id = w.id
+       |  LEFT JOIN lo$r l ON s.id = l.id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "g_edges" -> s"WITH $cte SELECT src, dst FROM e0",
@@ -2086,6 +2126,17 @@ object GraphQueries {
          |FROM wkp p
          |LEFT JOIN ng nn ON p.center = nn.center AND p.context = nn.context
          |GROUP BY p.center, p.context, p.n""".stripMargin,
+
+    // three unrolled Luby MIS rounds, md5 priorities seeded ':7'
+    "g_mis_t3" ->
+      s"""WITH $cte,
+         |ms0 AS (SELECT id,
+         |          ('0x' || substr(md5(id::VARCHAR || ':7'), 1, 15))::BIGINT
+         |            AS prio,
+         |          'und' AS status
+         |        FROM verts),
+         |${(1 to 3).map(misRoundSql).mkString(",\n")}
+         |SELECT id, status FROM ms3""".stripMargin,
 
     // layered neighbor sampling: per-layer with-replacement draws into
     // the row-numbered adjacency, frontier = distinct sampled targets

@@ -206,6 +206,44 @@ class SgnsSpec extends GraftSuite {
   }
 }
 
+class MisSpec extends GraftSuite {
+
+  private val slots = undirected(Fixtures.karatePairs)
+  private def edges = edgesDf(slots)
+  private val adj = slots.groupBy(_._1)
+    .map { case (s, es) => s -> es.map(_._2).toSet }
+
+  private def prio60(id: Long, seed: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id:$seed".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("mis fixpoint is the greedy (priority, id)-order MIS and is proper") {
+    val got = graft.algo.Mis.mis(edges, seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === adj.keySet)
+    assert(got.values.forall(s => s == "in" || s == "out"))
+    val ins = got.filter(_._2 == "in").keySet
+    for (v <- ins) assert(adj(v).intersect(ins).isEmpty) // independent
+    for ((v, s) <- got if s == "out")
+      assert(adj(v).intersect(ins).nonEmpty)             // maximal
+    // lexicographically-first MIS of the priority order: sequential greedy
+    val greedy = scala.collection.mutable.Set.empty[Long]
+    for (v <- adj.keys.toSeq.sortBy(v => (prio60(v, 7L), v))
+         if adj(v).intersect(greedy.toSet).isEmpty) greedy += v
+    assert(ins === greedy.toSet)
+  }
+
+  test("misFixed statuses are monotone across round counts") {
+    val r2 = graft.algo.Mis.misFixed(edges, seed = 7L, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val r3 = graft.algo.Mis.misFixed(edges, seed = 7L, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((v, s) <- r2 if s != "und") assert(r3(v) === s)
+  }
+}
+
 class GraphSamplingSpec extends GraftSuite {
 
   private val pairs = Fixtures.karatePairs
