@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.engine.Materialize
 import graft.graph.GraphOps
 
 /** Maximal independent set by Luby-style rounds over fixed seeded
@@ -55,10 +56,9 @@ object Mis {
                   stopWhenDecided: Boolean): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var state = GraphOps.vertices(e)
+    var state = Materialize.eager(GraphOps.vertices(e)
       .select(col("id"), priority(col("id"), seed).as("prio"),
-        lit("und").as("status"))
-      .localCheckpoint(eager = true)
+        lit("und").as("status")))
     var r = 0
     var done = false
     while (r < rounds && !done) {
@@ -79,15 +79,16 @@ object Mis {
       val losers = e
         .join(winners.select(col("id").as("src")), Seq("src"))
         .select(col("dst").as("id")).distinct()
-      val next = state
+      // state is referenced twice next round (restriction + fold) and
+      // feeds the output — eager truncation via the shared leak-free path
+      val next = Materialize.eager(state
         .join(winners.select(col("id"), lit(1).as("_in")), Seq("id"), "left")
         .join(losers.select(col("id"), lit(1).as("_out")), Seq("id"), "left")
         .select(col("id"), col("prio"),
           when(col("status") =!= "und", col("status"))
             .when(col("_in").isNotNull, lit("in"))
             .when(col("_out").isNotNull, lit("out"))
-            .otherwise(lit("und")).as("status"))
-        .localCheckpoint(eager = true)
+            .otherwise(lit("und")).as("status")))
       state = next
       if (stopWhenDecided)
         done = state.filter(col("status") === "und").isEmpty

@@ -210,9 +210,9 @@ object RandomWalks {
         .select(lit(l.toLong).as("layer"), col("v").as("src"),
           col("adst").as("dst"))
         .distinct()
-        .localCheckpoint(eager = true)
-      frames += sampled
-      frontier = sampled.select(col("dst").as("v")).distinct()
+      val sampledT = graft.engine.Materialize.eager(sampled)
+      frames += sampledT
+      frontier = sampledT.select(col("dst").as("v")).distinct()
     }
     val out = frames.reduce(_ union _)
     adj.unpersist(blocking = false)
