@@ -31,7 +31,10 @@ object SkipGram {
     * Plan: two marginal hash aggregations joined back onto the pair
     * table plus a 1-row broadcast of the corpus total — three shuffles
     * keyed on high-cardinality columns, no windows, no all-pairs step,
-    * so cost stays linear in the pair count at any corpus size.
+    * so cost stays linear in the pair count at any corpus size. The
+    * pair table is referenced four times (both marginals, the total,
+    * and the join spine): persist it first when it is an expensive
+    * plan rather than a materialized table.
     */
   def pmiScores(pairs: DataFrame): DataFrame = {
     val nc = pairs.groupBy("center").agg(sum(col("n")).as("n_center"))
@@ -81,7 +84,11 @@ object SkipGram {
     *    coverage is exact regardless of double rounding.
     *
     * Output: (center, context, j, neg). Ids must be < 2^40 (mix
-    * overflow envelope, see [[RandomWalks.StepMixA]]).
+    * overflow envelope, see [[RandomWalks.StepMixA]]). `buckets` also
+    * sets the draw-lookup join's key cardinality — size it at a small
+    * multiple of the cluster's shuffle parallelism (the 64 default fits
+    * local[32]; a 1000-executor run wants thousands) so the block join
+    * fans out across all reducers.
     */
   def negativeSamples(edges: DataFrame, pairs: DataFrame, k: Int,
                       buckets: Int = 64): DataFrame = {
