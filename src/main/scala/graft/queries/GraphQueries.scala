@@ -464,6 +464,16 @@ object GraphQueries {
         .select(col("id"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
 
+    // global top-10 by rank (integer-scaled, id tie-break): plans as
+    // TakeOrderedAndProject — per-partition k-row reduction, no global
+    // sort — the "give me the most important pages" staple
+    "g_pr_top10" -> ((s, dir) =>
+      PageRank.runFixed(demoEdges(s, dir), 3)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))
+        .orderBy(col("rank_e6").desc, col("id").asc)
+        .limit(10)),
+
     // spam-mass estimate (Gyöngyi et al.): uniform-reset PageRank minus
     // trusted-set personalized PageRank, same 5-iteration schedule; the
     // relative-mass rounding mirrors the oracle's operand order exactly
@@ -1489,6 +1499,13 @@ object GraphQueries {
     },
 
     "g_pagerank_t5" -> prSql(5),
+
+    "g_pr_top10" ->
+      s"""WITH pq AS (
+         |${prSql(3)}
+         |)
+         |SELECT id, rank_e6 FROM pq
+         |ORDER BY rank_e6 DESC, id ASC LIMIT 10""".stripMargin,
 
     // spam mass: prSql(5)'s uniform-reset chain (p*) and g_ppr_t5's
     // trusted-reset chain (t*) run side by side, then one join — the

@@ -309,6 +309,10 @@ object PipelineQueries {
     "d_postings" -> ((s, dir) =>
       graft.text.TextIndex.postings(docs(s, dir), minDf = 100L, cap = 25)),
 
+    // global heavy-hitter terms (exact df, TakeOrderedAndProject top-k)
+    "d_term_topk" -> ((s, dir) =>
+      graft.text.TextIndex.topTerms(docs(s, dir), k = 20)),
+
     // df-banded within-document term co-occurrence counts
     "d_cooccur" -> ((s, dir) =>
       graft.text.TextIndex.coOccurrence(docs(s, dir),
@@ -893,6 +897,14 @@ object PipelineQueries {
         |  WHERE rn <= 25 GROUP BY term)
         |SELECT d.term, d.df, c.posting_head
         |FROM df d JOIN capped c USING (term) WHERE d.df >= 100""".stripMargin,
+
+    "d_term_topk" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+        |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1)
+        |SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT 20""".stripMargin,
 
     "d_cooccur" ->
       """WITH tok AS (SELECT doc_id,

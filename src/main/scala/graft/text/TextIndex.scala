@@ -81,6 +81,19 @@ object TextIndex {
       .filter(col("n_docs") >= minPairs)
   }
 
+  /** Global heavy-hitter terms: exact document frequency, top `k` by
+    * (df desc, term asc). The ranking plans as TakeOrderedAndProject —
+    * each partition reduces to its own k rows before a single k·P-row
+    * merge — never a global sort, so the corpus-profiling staple stays
+    * cheap at any corpus size.
+    */
+  def topTerms(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(termsCol).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+
   /** Deterministic quality-weighted document sampling.
     *
     * Each document's keep-probability (in permille) is an exact integer

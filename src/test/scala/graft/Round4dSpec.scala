@@ -206,6 +206,24 @@ class SgnsSpec extends GraftSuite {
   }
 }
 
+class TopKPlanSpec extends GraftSuite {
+
+  test("topTerms matches brute force and plans as TakeOrderedAndProject") {
+    val docs = TextFixtures.docsDf(spark)
+    val out = TextIndex.topTerms(docs, k = 3)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortExec"), plan) // no global sort
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // brute force: df desc, term asc
+    val df = TextFixtures.corpus
+      .flatMap { case (id, t) => TextFixtures.terms(t).map(_ -> id) }
+      .distinct.groupBy(_._1).map { case (t, xs) => t -> xs.size.toLong }
+    val want = df.toList.sortBy { case (t, n) => (-n, t) }.take(3)
+    assert(got === want)
+  }
+}
+
 class MisSpec extends GraftSuite {
 
   private val slots = undirected(Fixtures.karatePairs)
