@@ -154,20 +154,6 @@ object RandomWalks {
     out
   }
 
-  /** Skip-gram (center, context) pair counts from a walk corpus — the
-    * step that turns DeepWalk/node2vec "sentences" into word2vec-SGNS
-    * training pairs: for every walk, every ordered pair of positions at
-    * distance 1..`window` contributes one observation of
-    * (vertex-at-center, vertex-at-context).
-    *
-    * Plan: a self-equi-join on walk_id (each side is one walk's ≤
-    * length+1 rows, so the per-key fan-out is the constant
-    * (length+1)·2·window — never quadratic in corpus size) followed by
-    * one hash aggregation on the pair. Both shuffles key on high-
-    * cardinality columns (walk_id, then vertex pairs), so the plan is
-    * skew-free for any corpus with bounded walk length — the 100 TB
-    * shape.
-    */
   /** GraphSAGE-style layered neighbor sampling: the minibatch
     * computation graph for k-hop GNN training. Layer l samples
     * `fanouts(l-1)` neighbors (with replacement, like GraphSAGE) for
@@ -220,6 +206,20 @@ object RandomWalks {
     out
   }
 
+  /** Skip-gram (center, context) pair counts from a walk corpus — the
+    * step that turns DeepWalk/node2vec "sentences" into word2vec-SGNS
+    * training pairs: for every walk, every ordered pair of positions at
+    * distance 1..`window` contributes one observation of
+    * (vertex-at-center, vertex-at-context).
+    *
+    * Plan: a self-equi-join on walk_id (each side is one walk's ≤
+    * length+1 rows, so the per-key fan-out is the constant
+    * (length+1)·2·window — never quadratic in corpus size) followed by
+    * one hash aggregation on the pair. Both shuffles key on high-
+    * cardinality columns (walk_id, then vertex pairs), so the plan is
+    * skew-free for any corpus with bounded walk length — the 100 TB
+    * shape.
+    */
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1)
     val a = walks.select(col("walk_id"), col("step").as("i"),

@@ -24,7 +24,8 @@ object SkipGram {
   val StepMixC = 987643L
 
   /** PMI of each (center, context) pair against the corpus unigram
-    * marginals: `ln(n(c,x) · N / (n(c)·n(x)))`. Positive values mark
+    * marginals: `ln(n(c,x) · N / (n(c)·n(x)))`, emitted as a ×1e6
+    * scaled BIGINT (`pmi_e6`). Positive values mark
     * pairs that co-occur more than independence predicts — the matrix
     * SGNS implicitly factorizes (Levy & Goldberg 2014).
     *
@@ -40,10 +41,15 @@ object SkipGram {
     val nc = pairs.groupBy("center").agg(sum(col("n")).as("n_center"))
     val nx = pairs.groupBy("context").agg(sum(col("n")).as("n_context"))
     val tot = pairs.agg(sum(col("n")).as("_N"))
+    // marginal product in double (a long*long product overflows for
+    // marginals ≥ ~3e9 — ANSI would throw); output on the engine's
+    // scaled-BIGINT convention so the cross-engine compare never sits
+    // on a float rounding boundary
     pairs.join(nc, "center").join(nx, "context").crossJoin(tot)
       .select(col("center"), col("context"), col("n"),
-        log(col("n").cast("double") * col("_N") /
-          (col("n_center") * col("n_context"))).as("pmi"))
+        round(log(col("n").cast("double") * col("_N") /
+          (col("n_center").cast("double") * col("n_context"))) * 1000000)
+          .cast("long").as("pmi_e6"))
   }
 
   /** word2vec noise weights: `max(1, floor(deg^(3/4)))`, the unigram
@@ -93,7 +99,8 @@ object SkipGram {
   def negativeSamples(edges: DataFrame, pairs: DataFrame, k: Int,
                       buckets: Int = 64): DataFrame = {
     require(k >= 1 && buckets >= 1)
-    val wt = noiseWeights(edges)
+    // weights feed three branches (max-id, bucketing, total) — one scan
+    val wt = graft.engine.Materialize.eager(noiseWeights(edges))
     val mx = wt.agg(max(col("id")).as("_mx"))
     // id-range buckets (monotone in id, so per-bucket order ∘ bucket
     // order = global id order), then the two-level prefix sum

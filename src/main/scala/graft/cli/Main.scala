@@ -17,7 +17,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
   *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
   *               spammass|cocite|condense|redirects|msf|rmat|triapprox|
-  *               sample|all>
+  *               sample|mis|walks|sage|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -458,9 +458,13 @@ object Main {
       val starts = sampledSources()
       val len = maxIter.getOrElse(8)
       val w = graft.algo.RandomWalks.walks(edges, starts, length = len)
-      val pairs = graft.algo.RandomWalks.skipGramPairs(w, window = 2)
-      val ex = graft.algo.SkipGram.trainingExamples(pairs,
-        graft.algo.SkipGram.negativeSamples(edges, pairs, k = 5))
+      // pairs back three consumers (draw spine, example spine, count);
+      // examples are written AND counted — truncate both once
+      val pairs = graft.engine.Materialize.eager(
+        graft.algo.RandomWalks.skipGramPairs(w, window = 2))
+      val ex = graft.engine.Materialize.eager(
+        graft.algo.SkipGram.trainingExamples(pairs,
+          graft.algo.SkipGram.negativeSamples(edges, pairs, k = 5)))
       ex.write.mode("overwrite").parquet(s"$outDir/sgns_examples")
       println(s"[graft] walks: starts=${starts.count()} len=$len " +
         s"pairs=${pairs.count()} examples=${ex.count()}")

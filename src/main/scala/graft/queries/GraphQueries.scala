@@ -2116,7 +2116,9 @@ object GraphQueries {
          |px AS (SELECT context, sum(n) AS nctx FROM wkp GROUP BY 1),
          |tt AS (SELECT sum(n) AS nn FROM wkp)
          |SELECT p.center, p.context, p.n,
-         |       ln(CAST(p.n AS DOUBLE) * tt.nn / (pc.ncen * px.nctx)) AS pmi
+         |       CAST(ROUND(ln(CAST(p.n AS DOUBLE) * tt.nn /
+         |                     (CAST(pc.ncen AS DOUBLE) * px.nctx))
+         |                  * 1000000) AS BIGINT) AS pmi_e6
          |FROM wkp p
          |JOIN pc ON p.center = pc.center
          |JOIN px ON p.context = px.context

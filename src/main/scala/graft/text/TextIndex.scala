@@ -23,6 +23,17 @@ object TextIndex {
   def md5Uniform(key: Column): Column =
     conv(substring(md5(key), 1, 15), 16, 10).cast("long")
 
+  /** Distinct (doc_id, term) pairs and their exact document frequency —
+    * the shared spine of [[postings]], [[coOccurrence]], and
+    * [[topTerms]] (one tokenize + dedup + count, mirrored by the
+    * oracle's tok/pairs/df CTE chain).
+    */
+  private def docTermPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(termsCol).as("term")).distinct()
+
+  private def termDf(docs: DataFrame): DataFrame =
+    docTermPairs(docs).groupBy("term").agg(count(lit(1)).as("df"))
+
   /** Inverted index with capped posting lists.
     *
     * One row per term with document frequency ≥ `minDf`: the exact df
@@ -35,11 +46,8 @@ object TextIndex {
     * compose with [[coOccurrence]]'s df band instead of indexing them.
     */
   def postings(docs: DataFrame, minDf: Long, cap: Int): DataFrame = {
-    val pairs = docs
-      .select(col("doc_id"), explode(termsCol).as("term"))
-      .distinct()
-    val df = pairs.groupBy("term").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
+    val pairs = docTermPairs(docs)
+    val df = termDf(docs).filter(col("df") >= minDf)
     val capped = pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy("term").orderBy(col("doc_id").asc)))
@@ -67,10 +75,8 @@ object TextIndex {
     */
   def coOccurrence(docs: DataFrame, minDf: Long, maxDf: Long,
                    minPairs: Long): DataFrame = {
-    val pairs = docs
-      .select(col("doc_id"), explode(termsCol).as("term"))
-      .distinct()
-    val vocab = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val pairs = docTermPairs(docs)
+    val vocab = termDf(docs)
       .filter(col("df") >= minDf && col("df") <= maxDf)
       .select(col("term"))
     val in = pairs.join(vocab, "term")
@@ -88,9 +94,7 @@ object TextIndex {
     * cheap at any corpus size.
     */
   def topTerms(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(termsCol).as("term"))
-      .distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    termDf(docs)
       .orderBy(col("df").desc, col("term").asc)
       .limit(k)
 

@@ -123,16 +123,17 @@ class SgnsSpec extends GraftSuite {
       (3L, 1L, 1L), (2L, 3L, 2L))
     val got = SkipGram.pmiScores(rows.toDF("center", "context", "n"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
       .toMap
     val bigN = rows.map(_._3).sum.toDouble
     val nc = rows.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
     val nx = rows.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
     assert(got.size === rows.size)
     for ((c, x, n) <- rows) {
-      val want = math.log(n * bigN / (nc(c).toDouble * nx(x)))
+      val want = math.round(
+        math.log(n * bigN / (nc(c).toDouble * nx(x))) * 1e6)
       assert(got((c, x))._1 === n)
-      assert(math.abs(got((c, x))._2 - want) < 1e-12)
+      assert(got((c, x))._2 === want)
     }
   }
 
