@@ -225,6 +225,28 @@ class TopKPlanSpec extends GraftSuite {
   }
 }
 
+class SgnsPlanSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("negativeSamples and neighborSample never plan a cartesian product") {
+    val edges = edgesDf(undirected(Fixtures.karatePairs))
+    val pairs = Seq((1L, 2L), (5L, 34L)).toDF("center", "context")
+    val neg = graft.algo.SkipGram.negativeSamples(edges, pairs, k = 2,
+      buckets = 4)
+    neg.collect()
+    // the only non-equi attachments are the documented 1-row scalar
+    // crossJoins (max id / total weight) — those broadcast; the draw
+    // lookup itself must stay a block equi-join
+    assert(!neg.queryExecution.executedPlan.toString()
+      .contains("CartesianProduct"))
+    val sage = graft.algo.RandomWalks.neighborSample(edges,
+      Seq(1L, 34L).toDF("id"), Seq(3, 2))
+    sage.collect()
+    assert(!sage.queryExecution.executedPlan.toString()
+      .contains("CartesianProduct"))
+  }
+}
+
 class MisSpec extends GraftSuite {
 
   private val slots = undirected(Fixtures.karatePairs)
