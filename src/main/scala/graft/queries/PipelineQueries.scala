@@ -313,6 +313,25 @@ object PipelineQueries {
     "d_term_topk" -> ((s, dir) =>
       graft.text.TextIndex.topTerms(docs(s, dir), k = 20)),
 
+    // corpus length quantiles (exact interpolated percentile — identical
+    // index formula p·(n−1) on both engines; at 100 TB swap in
+    // approx_percentile, the gate certifies the exact baseline)
+    "d_len_quantiles" -> ((s, dir) =>
+      docs(s, dir).agg(
+        expr("percentile(n_chars, 0.5D)").as("p50"),
+        expr("percentile(n_chars, 0.9D)").as("p90"),
+        expr("percentile(n_chars, 0.99D)").as("p99"))),
+
+    // item co-visitation from the event stream: bipartite (user →
+    // props.k item) projected through the shared-source pairing with a
+    // heavy-user cap — CoCitation reused verbatim on behavioral edges
+    "ev_covisit" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast("long").as("dst"))
+        .filter(col("dst").isNotNull)
+      graft.algo.CoCitation.coCitation(e, maxOutDeg = 48, minCount = 2)
+    }),
+
     // df-banded within-document term co-occurrence counts
     "d_cooccur" -> ((s, dir) =>
       graft.text.TextIndex.coOccurrence(docs(s, dir),
@@ -897,6 +916,25 @@ object PipelineQueries {
         |  WHERE rn <= 25 GROUP BY term)
         |SELECT d.term, d.df, c.posting_head
         |FROM df d JOIN capped c USING (term) WHERE d.df >= 100""".stripMargin,
+
+    "d_len_quantiles" ->
+      """SELECT quantile_cont(n_chars, 0.5) AS p50,
+        |       quantile_cont(n_chars, 0.9) AS p90,
+        |       quantile_cont(n_chars, 0.99) AS p99
+        |FROM documents""".stripMargin,
+
+    // same shared-source pairing as g_cocitation, over behavioral edges;
+    // self-loops impossible (user ids and item keys are disjoint roles)
+    "ev_covisit" ->
+      """WITH rawd AS (
+        |  SELECT DISTINCT user_id AS src, CAST(props->>'k' AS BIGINT) AS dst
+        |  FROM events WHERE props->>'k' IS NOT NULL
+        |    AND user_id <> CAST(props->>'k' AS BIGINT)),
+        |kc AS (SELECT src FROM rawd GROUP BY src HAVING count(*) <= 48),
+        |k AS (SELECT src, dst FROM rawd WHERE src IN (SELECT src FROM kc))
+        |SELECT a.dst AS u, b.dst AS v, count(*) AS n
+        |FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "d_term_topk" ->
       """WITH tok AS (SELECT doc_id,
