@@ -160,4 +160,32 @@ object TriangleCount {
             (col("deg") * (col("deg") - 1)))
           .as("lcc"))
   }
+
+  /** Per-edge neighborhood overlap (Granovetter embeddedness): for each
+    * canonical edge (u,v), the common-neighbor count and the Jaccard
+    * overlap |N(u)∩N(v)| / (|N(u)∪N(v)| − 2), the strength-of-weak-ties
+    * signal (overlap 0 = local bridge). The intersection is the edge's
+    * triangle support, so this reuses [[Truss.edgeSupport]]'s
+    * degree-oriented enumeration — same O(√E) wedge cap — plus one degree
+    * join; the union size follows by inclusion–exclusion, no second
+    * neighborhood pass. Exact integers until the one final division.
+    */
+  def edgeOverlap(edges: DataFrame): DataFrame = {
+    val canon = GraphOps.canonical(edges)
+    val deg = canon
+      .select(col("src").as("id")).union(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    canon
+      .join(Truss.edgeSupport(canon), Seq("src", "dst"), "left")
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("common"),
+        (col("du") + col("dv") - 2 - coalesce(col("support"), lit(0L)))
+          .as("union_size"))
+      .select(col("src"), col("dst"), col("common"), col("union_size"),
+        when(col("union_size") === 0, lit(1.0))
+          .otherwise(col("common").cast("double") / col("union_size"))
+          .as("overlap"))
+  }
 }

@@ -312,4 +312,67 @@ object Measures {
         round(col("e_k") * lit(1000000.0) / (col("n_k") * (col("n_k") - 1)))
           .cast("long").as("phi_e6"))
   }
+
+  /** Pair-counting agreement between two labelings as EXACT integers —
+    * the inputs to the Adjusted Rand Index. From the confusion matrix
+    * N_ij with row sums a_i, column sums b_j and total n:
+    *
+    *   index    = Σ_ij C(N_ij, 2)   (pairs both partitions co-cluster)
+    *   rowPairs = Σ_i  C(a_i, 2)
+    *   colPairs = Σ_j  C(b_j, 2)
+    *   allPairs = C(n, 2)
+    *
+    * Everything is a grouped aggregate over the confusion matrix (whose
+    * size is #true-labels × #pred-labels, never #vertices), so the plan
+    * is the same two-shuffle shape as [[nmi]]. Returned as one 1-row
+    * DataFrame so driver gates can hash the exact integers; pair counts
+    * stay within Long up to n ≈ 4×10⁹ vertices.
+    */
+  def pairCounts(trueLabels: DataFrame, predLabels: DataFrame): DataFrame = {
+    val cm = confusionMatrix(trueLabels, predLabels)
+    val comb = (x: org.apache.spark.sql.Column) => (x * (x - 1) / 2).cast("long")
+    val cells = cm.agg(sum(comb(col("n"))).cast("long").as("index"),
+      sum(col("n")).cast("long").as("n_total"))
+    val rows = cm.groupBy("trueLabel").agg(sum("n").as("a"))
+      .agg(sum(comb(col("a"))).cast("long").as("row_pairs"))
+    val cols = cm.groupBy("predLabel").agg(sum("n").as("b"))
+      .agg(sum(comb(col("b"))).cast("long").as("col_pairs"))
+    cells.crossJoin(rows).crossJoin(cols) // three 1-row scalars
+      .select(col("index"), col("row_pairs"), col("col_pairs"),
+        comb(col("n_total")).as("all_pairs"), col("n_total"))
+  }
+
+  /** Adjusted Rand Index between two labelings (Hubert–Arabie):
+    *
+    *   ARI = (index − rowPairs·colPairs/allPairs)
+    *         / ((rowPairs+colPairs)/2 − rowPairs·colPairs/allPairs)
+    *
+    * Cleared of denominators, both numerator and denominator are exact
+    * integer expressions of [[pairCounts]], so the one double division at
+    * the end is bit-reproducible cross-engine (the [[degreeAssortativity]]
+    * precedent). Identical partitions → 1; expected value under random
+    * agreement → 0. The integer products stay within Long for the gate's
+    * bounded id space; at 100 TB vertex counts promote them to Decimal.
+    */
+  def adjustedRandIndex(trueLabels: DataFrame, predLabels: DataFrame): Double = {
+    val r = pairCounts(trueLabels, predLabels).first()
+    val (idx, rp, cp, ap) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    if (ap == 0L) return 1.0
+    val num = ap * idx - rp * cp
+    val den = ap * (rp + cp) / 2 - rp * cp
+    if (den == 0L) 1.0 else num.toDouble / den.toDouble
+  }
+
+  /** Cluster purity: Σ_j max_i N_ij / n — the fraction of vertices whose
+    * predicted cluster's majority true label matches theirs. Returned as
+    * the exact integer numerator plus n (callers divide); one grouped max
+    * over the confusion matrix.
+    */
+  def purityCounts(trueLabels: DataFrame, predLabels: DataFrame): DataFrame = {
+    val cm = confusionMatrix(trueLabels, predLabels)
+    cm.groupBy("predLabel").agg(max("n").as("mx"))
+      .agg(sum(col("mx")).cast("long").as("purity_num"))
+      .crossJoin(cm.agg(sum(col("n")).cast("long").as("n_total")))
+  }
 }

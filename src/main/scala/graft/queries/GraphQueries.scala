@@ -1265,7 +1265,54 @@ object GraphQueries {
       Measures.confusionMatrix(attr, cc)
         .select(col("trueLabel").as("attr_label"),
           col("predLabel").as("cc_label"), col("n"))
-    }))
+    }),
+
+    // Adjusted Rand Index + purity between the id%7 attribute partition
+    // and the single-linkage clusters of the 5-block weighted graph (a
+    // genuinely multi-cluster prediction — whole-graph CC is one giant
+    // component, and hub removal doesn't disconnect the demo graph
+    // either). Exercises the MSF → threshold-CC path end to end; the
+    // exact pair-count integers are hashed alongside the final ratio,
+    // which is cleared of the /2 (×2 both sides) so no integer division
+    // happens before the one double divide.
+    "g_ari" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val pairs = li.select(
+          (col("l_orderkey") % NodeSpace).as("x"),
+          (col("l_partkey") % NodeSpace).as("y"),
+          col("l_quantity").cast("long").as("q"))
+        .filter(col("x") =!= col("y"))
+        .filter((col("x") - col("x") % 5) === (col("y") - col("y") % 5))
+        .select(col("x").as("src"), col("y").as("dst"),
+          ((col("q") % 7 + 1) * 100000
+            + least(col("x"), col("y")) * NodeSpace
+            + greatest(col("x"), col("y"))).as("weight"))
+      val msf = graft.algo.SpanningForest.boruvka(pairs)
+      val kept = msf.filter(col("w") <= 350000)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val lab = ConnectedComponents.runAlternating(kept)
+      val verts = pairs.select(col("src").as("id"))
+        .union(pairs.select(col("dst"))).distinct()
+      val pred = verts.join(lab, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      val attr = verts.select(col("id"), (col("id") % 7).as("label"))
+      val num = (col("all_pairs") * col("index")
+        - col("row_pairs") * col("col_pairs")) * 2
+      val den = col("all_pairs") * (col("row_pairs") + col("col_pairs")) -
+        col("row_pairs") * col("col_pairs") * 2
+      Measures.pairCounts(attr, pred)
+        .crossJoin(Measures.purityCounts(attr, pred).select(col("purity_num")))
+        .select(col("index").as("pair_index"), col("row_pairs"),
+          col("col_pairs"), col("all_pairs"), col("n_total"), col("purity_num"),
+          round(num.cast("double") * 1000000 / den.cast("double"))
+            .cast("long").as("ari_e6"))
+    }),
+
+    // per-edge neighborhood overlap (embeddedness / weak-tie strength)
+    "g_edge_overlap" -> ((s, dir) =>
+      TriangleCount.edgeOverlap(demoEdges(s, dir))
+        .select(col("src"), col("dst"), col("common"), col("union_size"),
+          round(col("overlap") * 1000000).cast("long").as("overlap_e6"))))
 
   /** Deterministic-walk replay (starts id % 100, length 4) — shared by
     * the walks gate and the skip-gram pair gate built on top of it.
@@ -1832,6 +1879,75 @@ object GraphQueries {
          |SELECT v.id % 7 AS attr_label, c.label AS cc_label, count(*) AS n
          |FROM verts v JOIN cclab c ON v.id = c.id
          |GROUP BY 1, 2""".stripMargin,
+
+    // ARI/purity oracle: prediction = CC of the τ-thresholded 5-block
+    // weighted graph (≡ single-linkage clusters over the MSF — the same
+    // equivalence g_single_linkage certifies); every pair count is
+    // exact-integer (x*(x-1)//2 — the product of consecutive integers is
+    // even, so // is exact)
+    "g_ari" ->
+      s"""WITH RECURSIVE ed AS (
+         |  SELECT least(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) AS a,
+         |         greatest(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) AS b,
+         |         min((CAST(l_quantity AS BIGINT) % 7 + 1) * 100000
+         |             + least(l_orderkey % $NodeSpace, l_partkey % $NodeSpace) * $NodeSpace
+         |             + greatest(l_orderkey % $NodeSpace, l_partkey % $NodeSpace)) AS w
+         |  FROM lineitem
+         |  WHERE l_orderkey % $NodeSpace <> l_partkey % $NodeSpace
+         |    AND (l_orderkey % $NodeSpace) // 5 = (l_partkey % $NodeSpace) // 5
+         |  GROUP BY 1, 2),
+         |sverts AS (SELECT DISTINCT a AS id FROM
+         |  (SELECT a FROM ed UNION ALL SELECT b FROM ed) u(a)),
+         |keep AS (SELECT DISTINCT u, v FROM (
+         |   SELECT a AS u, b AS v FROM ed WHERE w <= 350000
+         |   UNION ALL SELECT b, a FROM ed WHERE w <= 350000) t),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM sverts
+         |  UNION
+         |  SELECT keep.v, reach.lab FROM reach JOIN keep ON keep.u = reach.id),
+         |pred AS (SELECT id, min(lab) AS pl FROM reach GROUP BY id),
+         |cm AS (SELECT v.id % 7 AS tl, p.pl, count(*) AS n
+         |       FROM sverts v JOIN pred p ON v.id = p.id GROUP BY 1, 2),
+         |cells AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS idx,
+         |                 CAST(sum(n) AS BIGINT) AS nt FROM cm),
+         |rm AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS rp FROM
+         |       (SELECT sum(n) AS a FROM cm GROUP BY tl) t),
+         |colm AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS cp FROM
+         |       (SELECT sum(n) AS b FROM cm GROUP BY pl) t),
+         |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS purity_num FROM
+         |       (SELECT max(n) AS mx FROM cm GROUP BY pl) t)
+         |SELECT cells.idx AS pair_index, rm.rp AS row_pairs, colm.cp AS col_pairs,
+         |       nt * (nt - 1) // 2 AS all_pairs, cells.nt AS n_total,
+         |       pur.purity_num,
+         |       CAST(ROUND(CAST((nt * (nt - 1) // 2) * idx - rp * cp AS DOUBLE)
+         |            * 2 * 1000000
+         |            / ((nt * (nt - 1) // 2) * (rp + cp) - rp * cp * 2))
+         |         AS BIGINT) AS ari_e6
+         |FROM cells, rm, colm, pur""".stripMargin,
+
+    // per-edge overlap oracle: common neighbors by a two-leg slot join,
+    // union size by inclusion–exclusion over the slot degrees
+    "g_edge_overlap" ->
+      s"""WITH $cte,
+         |canon AS (SELECT src AS u, dst AS v FROM e0 WHERE src < dst),
+         |deg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |com AS (SELECT c.u, c.v, count(*) AS cn
+         |        FROM canon c
+         |        JOIN e0 a ON a.src = c.u
+         |        JOIN e0 b ON b.src = c.v AND b.dst = a.dst
+         |        GROUP BY 1, 2)
+         |SELECT c.u AS src, c.v AS dst,
+         |       coalesce(com.cn, 0) AS common,
+         |       du.d + dv.d - 2 - coalesce(com.cn, 0) AS union_size,
+         |       CAST(ROUND(CASE
+         |           WHEN du.d + dv.d - 2 - coalesce(com.cn, 0) = 0 THEN 1000000
+         |           ELSE coalesce(com.cn, 0) * 1000000.0
+         |                / (du.d + dv.d - 2 - coalesce(com.cn, 0)) END)
+         |         AS BIGINT) AS overlap_e6
+         |FROM canon c
+         |LEFT JOIN com ON com.u = c.u AND com.v = c.v
+         |JOIN deg du ON du.id = c.u
+         |JOIN deg dv ON dv.id = c.v""".stripMargin,
 
     "g_permutation" ->
       s"""WITH $cte

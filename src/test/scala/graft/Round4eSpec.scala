@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algo.TriangleCount
+import graft.measures.Measures
+
+/** Partition-agreement measures (ARI, purity) and per-edge overlap. */
+class AriPuritySpec extends GraftSuite {
+  import spark.implicits._
+
+  private def df(xs: Seq[(Long, Long)]) = xs.toDF("id", "label")
+
+  test("adjustedRandIndex on the textbook 4-point example is 4/7") {
+    // true = [0,0,1,2], pred = [0,0,1,1]:
+    // index=1, rowPairs=1, colPairs=2, allPairs=6 → ARI = (6−2)/(9−2)=4/7
+    val t = df(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+    val p = df(Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+    assert(math.abs(Measures.adjustedRandIndex(t, p) - 4.0 / 7.0) < 1e-12)
+    val r = Measures.pairCounts(t, p).first()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((1L, 1L, 2L, 6L, 4L)))
+    val pur = Measures.purityCounts(t, p).first()
+    assert((pur.getLong(0), pur.getLong(1)) === ((3L, 4L)))
+  }
+
+  test("ARI is 1 on identical partitions and matches a pair-counting oracle") {
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val t = df((1 to n).map(i => (i.toLong, rnd.nextInt(4).toLong)))
+    val p = df((1 to n).map(i => (i.toLong, rnd.nextInt(5).toLong)))
+    assert(Measures.adjustedRandIndex(t, t) === 1.0)
+
+    // independent oracle: Rand pair counting over all C(n,2) vertex pairs
+    val tm = t.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pm = p.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = tm.keys.toSeq.sorted
+    var a = 0L; var rowP = 0L; var colP = 0L
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val (u, v) = (ids(i), ids(j))
+      val st = tm(u) == tm(v); val sp = pm(u) == pm(v)
+      if (st && sp) a += 1
+      if (st) rowP += 1
+      if (sp) colP += 1
+    }
+    val all = ids.size.toLong * (ids.size - 1) / 2
+    val expected = (all * a - rowP * colP).toDouble /
+      (all * (rowP + colP) / 2 - rowP * colP).toDouble
+    assert(math.abs(Measures.adjustedRandIndex(t, p) - expected) < 1e-12)
+  }
+}
+
+class EdgeOverlapSpec extends GraftSuite {
+
+  test("edgeOverlap matches brute-force neighborhoods on karate") {
+    val slots = undirected(Fixtures.karatePairs)
+    val nbr = slots.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = TriangleCount.edgeOverlap(edgesDf(slots)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val canon = slots.filter(e => e._1 < e._2)
+    assert(got.size === canon.size)
+    canon.foreach { case (u, v) =>
+      val common = (nbr(u) intersect nbr(v)).size.toLong
+      val union = (nbr(u) union nbr(v)).size.toLong - 2 // drop u, v themselves
+      val (gc, gu, go) = got((u, v))
+      assert(gc === common, s"common($u,$v)")
+      assert(gu === union, s"union($u,$v)")
+      val exp = if (union == 0) 1.0 else common.toDouble / union
+      assert(math.abs(go - exp) < 1e-12, s"overlap($u,$v)")
+    }
+  }
+
+  test("a bridge edge has overlap 0; a triangle edge in K3 has overlap 1") {
+    val bridge = TriangleCount.edgeOverlap(edgesDf(undirected(Seq((1L, 2L)))))
+      .first()
+    assert(bridge.getLong(2) === 0L && bridge.getDouble(4) === 1.0) // K2: union empty → 1 by convention
+    val k3 = TriangleCount
+      .edgeOverlap(edgesDf(undirected(Seq((1L, 2L), (2L, 3L), (1L, 3L)))))
+      .collect()
+    assert(k3.forall(r => r.getLong(2) === 1L && r.getDouble(4) === 1.0))
+    val path = TriangleCount
+      .edgeOverlap(edgesDf(undirected(Seq((1L, 2L), (2L, 3L)))))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(path((1L, 2L)) === 0.0 && path((2L, 3L)) === 0.0)
+  }
+}
