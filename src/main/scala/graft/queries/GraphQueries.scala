@@ -1312,7 +1312,20 @@ object GraphQueries {
     "g_edge_overlap" -> ((s, dir) =>
       TriangleCount.edgeOverlap(demoEdges(s, dir))
         .select(col("src"), col("dst"), col("common"), col("union_size"),
-          round(col("overlap") * 1000000).cast("long").as("overlap_e6"))))
+          round(col("overlap") * 1000000).cast("long").as("overlap_e6"))),
+
+    // SimRank, 2 integer-scaled iterations over a sparse DIRECTED slice
+    // (every 20th supplier key) so the related-page measure is exercised
+    // on in-neighbor semantics without symmetrization
+    "g_simrank_t2" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val e = li.filter(col("l_suppkey") % 20 === 0)
+        .select((col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.algo.SimRank.simRankT2(e)
+        .select(col("a"), col("b"), col("cn"), col("s1"), col("s2"))
+    }))
 
   /** Deterministic-walk replay (starts id % 100, length 4) — shared by
     * the walks gate and the skip-gram pair gate built on top of it.
@@ -1924,6 +1937,40 @@ object GraphQueries {
          |            / ((nt * (nt - 1) // 2) * (rp + cp) - rp * cp * 2))
          |         AS BIGINT) AS ari_e6
          |FROM cells, rm, colm, pur""".stripMargin,
+
+    // SimRank oracle: the same exact-integer two-iteration replay —
+    // co-in-neighbor counts, one floor-div per iteration (// on BIGINT ==
+    // Spark's `div` for the all-positive operands here)
+    "g_simrank_t2" ->
+      s"""WITH sed AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_suppkey % 20 = 0
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |dg AS (SELECT dst AS id, count(*) AS d FROM sed GROUP BY 1),
+         |cnp AS (SELECT a.dst AS a, b.dst AS b, count(*) AS cn
+         |        FROM sed a JOIN sed b ON a.src = b.src AND a.dst <> b.dst
+         |        GROUP BY 1, 2),
+         |s1 AS (SELECT cnp.a, cnp.b,
+         |          (4 * 1000000 * cnp.cn) // (5 * da.d * db.d) AS s1
+         |       FROM cnp JOIN dg da ON da.id = cnp.a
+         |                JOIN dg db ON db.id = cnp.b),
+         |off AS (SELECT ea.dst AS a, eb.dst AS b,
+         |               CAST(sum(s1.s1) AS BIGINT) AS t_off
+         |        FROM s1 JOIN sed ea ON ea.src = s1.a
+         |                JOIN sed eb ON eb.src = s1.b
+         |        WHERE s1.s1 > 0 AND ea.dst <> eb.dst
+         |        GROUP BY 1, 2),
+         |m AS (SELECT coalesce(cnp.a, off.a) AS a, coalesce(cnp.b, off.b) AS b,
+         |        coalesce(cnp.cn, 0) AS cn, coalesce(off.t_off, 0) AS t_off
+         |      FROM cnp FULL OUTER JOIN off ON cnp.a = off.a AND cnp.b = off.b)
+         |SELECT m.a, m.b, m.cn,
+         |  (4 * 1000000 * m.cn) // (5 * da.d * db.d) AS s1,
+         |  (4 * (m.cn * 1000000 + m.t_off)) // (5 * da.d * db.d) AS s2
+         |FROM m JOIN dg da ON da.id = m.a JOIN dg db ON db.id = m.b
+         |WHERE m.a < m.b
+         |  AND (4 * (m.cn * 1000000 + m.t_off)) // (5 * da.d * db.d) > 0""".stripMargin,
 
     // per-edge overlap oracle: common neighbors by a two-leg slot join,
     // union size by inclusion–exclusion over the slot degrees

@@ -313,6 +313,65 @@ object PipelineQueries {
     "d_term_topk" -> ((s, dir) =>
       graft.text.TextIndex.topTerms(docs(s, dir), k = 20)),
 
+    // keep-best-representative dedup policy: near-dup clusters (minhash
+    // pairs → CC) keep their highest-quality member, (quality desc,
+    // doc_id asc) ties — the retention rule a production dedup ships
+    // (plain canonical-min keeps an arbitrary member). The ranking
+    // window partitions by cluster id, so no key concentrates beyond the
+    // largest near-dup cluster.
+    "d_cluster_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairEdges = minhashPairs(s, d)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
+        .withColumnRenamed("id", "doc_id")
+      val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+      val toks = size(tokensCol)
+      val q = d.select(col("doc_id"),
+        round((alpha.cast("double") / length(col("text")) * 0.5 +
+          least(toks, lit(50)).cast("double") / 50.0 * 0.5) * 1000)
+          .cast("long").as("q"))
+      val clustered = q.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("canon_id"), col("q"))
+      val w = Window.partitionBy("canon_id")
+        .orderBy(col("q").desc, col("doc_id").asc)
+      clustered
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("canon_id")))
+        .filter(col("rn") === 1)
+        .select(col("canon_id"), col("doc_id").as("best_doc"),
+          col("n_docs"), col("q").as("best_quality_e3"))
+    }),
+
+    // stratified corpus sampling: an exact per-language quota of 10 docs
+    // drawn by md5 order — deterministic, rerun-stable, and balanced
+    // across strata regardless of their raw sizes (the data-mixing
+    // primitive). The quota window partitions by stratum; with very few
+    // strata at 100 TB the same quota runs as a per-stratum partial
+    // top-k + merge (TakeOrdered shape) — the window form here keeps the
+    // oracle byte-identical.
+    "d_stratified" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scores = langMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => wordCount(padded, w)).reduce(_ + _)
+      }
+      val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(scores)
+      val langd = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(en >= es && en >= de && en >= fr, "en")
+            .when(es >= de && es >= fr, "es")
+            .when(de >= fr, "de").otherwise("fr"),
+          lit(":"),
+          expr("least(n_chars div 200, 4)").cast("string")).as("stratum"))
+      val w = Window.partitionBy("stratum")
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit(":17"))),
+          col("doc_id"))
+      langd.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("stratum"), col("rn"))
+    }),
+
     // corpus length quantiles (exact interpolated percentile — identical
     // index formula p·(n−1) on both engines; at 100 TB swap in
     // approx_percentile, the gate certifies the exact baseline)
@@ -916,6 +975,60 @@ object PipelineQueries {
         |  WHERE rn <= 25 GROUP BY term)
         |SELECT d.term, d.df, c.posting_head
         |FROM df d JOIN capped c USING (term) WHERE d.df >= 100""".stripMargin,
+
+    "d_cluster_best" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2),
+         |mp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |       WHERE x.doc_id < y.doc_id),
+         |pe AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT a AS src, b AS dst FROM mp
+         |         UNION ALL SELECT b, a FROM mp) u),
+         |creach(id, lab) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, creach.lab FROM creach JOIN pe ON pe.src = creach.id),
+         |cl AS (SELECT id, min(lab) AS label FROM creach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |  CAST(ROUND((len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+         |    / len(text) * 0.5
+         |    + LEAST(len(regexp_extract_all(text, '\\S+')), 50)::DOUBLE / 50.0 * 0.5)
+         |    * 1000) AS BIGINT) AS q
+         |  FROM documents),
+         |cm AS (SELECT q.doc_id, coalesce(cl.label, q.doc_id) AS canon_id, q.q
+         |       FROM q LEFT JOIN cl ON q.doc_id = cl.id),
+         |rk AS (SELECT canon_id, doc_id, q,
+         |         row_number() OVER (PARTITION BY canon_id
+         |                            ORDER BY q DESC, doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY canon_id) AS n_docs
+         |       FROM cm)
+         |SELECT canon_id, doc_id AS best_doc, CAST(n_docs AS BIGINT) AS n_docs,
+         |       q AS best_quality_e3
+         |FROM rk WHERE rn = 1""".stripMargin,
+
+    "d_stratified" -> {
+      def score(lang: String) =
+        langMarkers(lang).map(wordCountSql).mkString("(", " + ", ")")
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents),
+         |s AS (SELECT doc_id, ${score("en")} AS en, ${score("es")} AS es,
+         |             ${score("de")} AS de, ${score("fr")} AS fr FROM p),
+         |lng AS (SELECT s.doc_id,
+         |  (CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |        WHEN es >= de AND es >= fr THEN 'es'
+         |        WHEN de >= fr THEN 'de' ELSE 'fr' END
+         |   || ':' || LEAST(d.n_chars // 200, 4)::VARCHAR) AS stratum
+         |  FROM s JOIN documents d ON d.doc_id = s.doc_id),
+         |rk AS (SELECT doc_id, stratum,
+         |         CAST(row_number() OVER (PARTITION BY stratum
+         |           ORDER BY md5(doc_id::varchar || ':17'), doc_id) AS BIGINT) AS rn
+         |       FROM lng)
+         |SELECT doc_id, stratum, rn FROM rk WHERE rn <= 10""".stripMargin
+    },
 
     "d_len_quantiles" ->
       """SELECT quantile_cont(n_chars, 0.5) AS p50,

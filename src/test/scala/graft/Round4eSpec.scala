@@ -49,6 +49,58 @@ class AriPuritySpec extends GraftSuite {
   }
 }
 
+class SimRankSpec extends GraftSuite {
+
+  /** Sequential replay of the exact integer two-iteration SimRank. */
+  private def oracle(edges: Seq[(Long, Long)], scale: Long, cNum: Long,
+                     cDen: Long): Map[(Long, Long), (Long, Long, Long)] = {
+    val e = edges.distinct
+    val in = e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val out = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    def cn(a: Long, b: Long): Long =
+      (in.getOrElse(a, Nil).toSet intersect in.getOrElse(b, Nil).toSet).size.toLong
+    def d(v: Long): Long = in.getOrElse(v, Nil).size.toLong
+    val s1 = (for {
+      a <- nodes; b <- nodes if a != b && d(a) > 0 && d(b) > 0
+      c = cn(a, b) if c > 0
+    } yield (a, b) -> cNum * scale * c / (cDen * d(a) * d(b))).toMap
+    val res = for {
+      a <- nodes; b <- nodes if a < b && d(a) > 0 && d(b) > 0
+      tOff = (for {
+        i <- in(a); j <- in(b) if i != j
+      } yield s1.getOrElse((i, j), 0L)).sum
+      c = cn(a, b)
+      s2 = cNum * (c * scale + tOff) / (cDen * d(a) * d(b))
+      if s2 > 0
+    } yield (a, b) -> ((c, s1.getOrElse((a, b), 0L), s2))
+    res.toMap
+  }
+
+  test("simRankT2 replays the sequential exact-integer iteration") {
+    // directed graph with hubs, sinks, and shared in-neighbors
+    val edges = Seq(
+      (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (5L, 4L),
+      (3L, 5L), (4L, 5L), (3L, 6L), (4L, 6L), (1L, 6L),
+      (6L, 7L), (5L, 7L), (7L, 1L), (7L, 2L), (6L, 2L))
+    val got = graft.algo.SimRank.simRankT2(edgesDf(edges)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exp = oracle(edges, 1000000L, 4L, 5L)
+    assert(got === exp)
+    // spot-check semantics: pages 3 and 4 share in-neighbors {1,2}
+    assert(exp((3L, 4L))._1 === 2L)
+  }
+
+  test("symmetric pairs agree and diagonal is excluded") {
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (2L, 4L))
+    val rows = graft.algo.SimRank.simRankT2(edgesDf(edges)).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val exp = oracle(edges, 1000000L, 4L, 5L)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === exp.keySet)
+  }
+}
+
 class EdgeOverlapSpec extends GraftSuite {
 
   test("edgeOverlap matches brute-force neighborhoods on karate") {
