@@ -120,4 +120,53 @@ object ShortestPaths {
     e.unpersist(blocking = false)
     (dist, r, !changed)
   }
+
+  /** Time-respecting earliest-arrival reachability over a TEMPORAL edge
+    * table (src, dst, t): a path is legal only if its edge timestamps are
+    * non-decreasing, and arr(v) is the earliest time one can be at v
+    * having left a source at time ≥ 0 — the crawl-propagation question
+    * ("when could a change first have reached this page") and the
+    * temporal-graph analog of BFS.
+    *
+    * One round relaxes every temporal edge once:
+    *
+    *   arr_t(v) = min( arr_{t-1}(v), min_{(u,v,t): t ≥ arr_{t-1}(u)} t )
+    *
+    * — the [[relaxOnce]] skeleton with the `+ w` sum replaced by a
+    * time-window filter and the edge's own timestamp as the candidate.
+    * Arrival times are exact integer epochs, monotone non-increasing per
+    * vertex, so fixed-round truncation is oracle-able. Same 100 TB
+    * story: per round one co-located equi-join + one partial-aggregated
+    * min, shuffle bounded by the reached frontier.
+    */
+  def earliestArrival(timedEdges: DataFrame, sources: DataFrame,
+                      rounds: Int): DataFrame = {
+    val e = timedEdges.select(col("src"), col("dst"), col("t").cast("long").as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var arr = sources.select(col("id"), lit(0L).as("arr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val relaxed = e
+        .join(arr.select(col("id").as("rid"), col("arr").as("ra")),
+          col("src") === col("rid"))
+        .filter(col("t") >= col("ra"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("t")).as("cand"))
+      val next = arr
+        .join(relaxed.select(col("id").as("nid"), col("cand")),
+          col("id") === col("nid"), "full")
+        .select(
+          coalesce(col("id"), col("nid")).as("id"),
+          least(
+            coalesce(col("arr"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("arr"))
+        .localCheckpoint(eager = true)
+      arr.unpersist(blocking = false)
+      arr = next
+    }
+    e.unpersist(blocking = false)
+    arr
+  }
 }

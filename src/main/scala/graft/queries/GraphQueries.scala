@@ -1314,6 +1314,22 @@ object GraphQueries {
         .select(col("src"), col("dst"), col("common"), col("union_size"),
           round(col("overlap") * 1000000).cast("long").as("overlap_e6"))),
 
+    // time-respecting earliest arrival over the behavioral temporal graph
+    // (user → item contacts stamped with the event time), 4 relax rounds
+    // from the id%50 sources — "when could a change first reach v"
+    "g_temporal_t4" -> ((s, dir) => {
+      val te = s.read.parquet(s"$dir/events.parquet")
+        .select((col("user_id") % NodeSpace).as("src"),
+          (get_json_object(col("props"), "$.k").cast("long") % NodeSpace)
+            .as("dst"),
+          col("ts").cast("timestamp").cast("long").as("t"))
+        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      val sources = te.select(col("src").as("id"))
+        .union(te.select(col("dst"))).distinct()
+        .filter(col("id") % 50 === 0)
+      graft.algo.ShortestPaths.earliestArrival(te, sources, rounds = 4)
+    }),
+
     // SimRank, 2 integer-scaled iterations over a sparse DIRECTED slice
     // (every 20th supplier key) so the related-page measure is exercised
     // on in-neighbor semantics without symmetrization
@@ -1937,6 +1953,33 @@ object GraphQueries {
          |            / ((nt * (nt - 1) // 2) * (rp + cp) - rp * cp * 2))
          |         AS BIGINT) AS ari_e6
          |FROM cells, rm, colm, pur""".stripMargin,
+
+    // earliest-arrival oracle: the relax recurrence unrolled to the same
+    // 4 rounds — candidates are edge timestamps admitted by the
+    // time-window filter, merged by per-vertex min
+    "g_temporal_t4" -> {
+      val levels = (1 to 4).map { t =>
+        s"""a$t AS (SELECT id, min(arr) AS arr FROM (
+           |  SELECT id, arr FROM a${t - 1}
+           |  UNION ALL
+           |  SELECT te.dst AS id, te.t AS arr
+           |  FROM a${t - 1} JOIN te ON te.src = a${t - 1}.id
+           |   AND te.t >= a${t - 1}.arr) u
+           |GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH te AS (
+         |  SELECT user_id % $NodeSpace AS src,
+         |         CAST(props->>'k' AS BIGINT) % $NodeSpace AS dst,
+         |         epoch_us(ts) // 1000000 AS t
+         |  FROM events
+         |  WHERE props->>'k' IS NOT NULL
+         |    AND user_id % $NodeSpace <> CAST(props->>'k' AS BIGINT) % $NodeSpace),
+         |tverts AS (SELECT DISTINCT src AS id FROM
+         |  (SELECT src FROM te UNION ALL SELECT dst FROM te) u(src)),
+         |a0 AS (SELECT id, CAST(0 AS BIGINT) AS arr FROM tverts WHERE id % 50 = 0),
+         |$levels
+         |SELECT id, arr FROM a4""".stripMargin
+    },
 
     // SimRank oracle: the same exact-integer two-iteration replay —
     // co-in-neighbor counts, one floor-div per iteration (// on BIGINT ==

@@ -313,6 +313,18 @@ object PipelineQueries {
     "d_term_topk" -> ((s, dir) =>
       graft.text.TextIndex.topTerms(docs(s, dir), k = 20)),
 
+    // domain-mixing budget: waterfilling token cap across hosts at half
+    // the corpus's total tokens — over-represented domains truncate to τ,
+    // the tail keeps everything
+    "d_host_budget" -> ((s, dir) => {
+      val ht = docs(s, dir)
+        .select(concat(lit("h"), (col("doc_id") % 23).cast("string")).as("host"),
+          size(tokensCol).cast("long").as("t"))
+        .groupBy("host").agg(sum(col("t")).cast("long").as("tokens"))
+      val total = ht.agg(sum(col("tokens")).cast("long")).first().getLong(0)
+      graft.text.DomainMix.waterfill(ht, total / 2)
+    }),
+
     // keep-best-representative dedup policy: near-dup clusters (minhash
     // pairs → CC) keep their highest-quality member, (quality desc,
     // doc_id asc) ties — the retention rule a production dedup ships
@@ -975,6 +987,35 @@ object PipelineQueries {
         |  WHERE rn <= 25 GROUP BY term)
         |SELECT d.term, d.df, c.posting_head
         |FROM df d JOIN capped c USING (term) WHERE d.df >= 100""".stripMargin,
+
+    // waterfilling oracle: same sorted-prefix closed form; the pinning
+    // row's candidate is non-negative (funded prefixes never exceed the
+    // budget), so floor-div here == Spark's truncating div there
+    "d_host_budget" ->
+      """WITH tok AS (
+        |  SELECT 'h' || (doc_id % 23)::VARCHAR AS host,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t
+        |  FROM documents),
+        |ht AS (SELECT host, CAST(sum(t) AS BIGINT) AS tokens FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+        |               count(*) AS n FROM ht),
+        |rk AS (SELECT host, tokens,
+        |         CAST(row_number() OVER (ORDER BY tokens ASC, host ASC)
+        |           AS BIGINT) AS rn,
+        |         CAST(coalesce(sum(tokens) OVER (ORDER BY tokens ASC, host ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS prev
+        |       FROM ht),
+        |cnd AS (SELECT rk.host, rk.tokens, rk.rn,
+        |          (tot.total // 2 - rk.prev) // (tot.n - rk.rn + 1) AS cand
+        |        FROM rk, tot),
+        |pin AS (SELECT min(rn) AS prn FROM cnd WHERE tokens > cand),
+        |tau AS (SELECT coalesce(
+        |    (SELECT cand FROM cnd JOIN pin ON cnd.rn = pin.prn),
+        |    (SELECT max(tokens) FROM cnd)) AS tau)
+        |SELECT cnd.host, cnd.tokens, tau.tau AS tau,
+        |       least(cnd.tokens, tau.tau) AS alloc
+        |FROM cnd, tau""".stripMargin,
 
     "d_cluster_best" ->
       s"""WITH RECURSIVE $shinglesSql,

@@ -101,6 +101,81 @@ class SimRankSpec extends GraftSuite {
   }
 }
 
+class TemporalReachSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("earliestArrival respects time ordering — late edges cannot feed early ones") {
+    // 1 →(t=5) 2 →(t=3) 3: the 2→3 edge departs BEFORE 2 is reachable,
+    // so 3 is unreachable; 2 →(t=9) 4 works (9 ≥ 5)
+    val te = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 9L)).toDF("src", "dst", "t")
+    val src = Seq(Tuple1(1L)).toDF("id")
+    val got = graft.algo.ShortestPaths.earliestArrival(te, src, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L, 4L -> 9L))
+  }
+
+  test("earliestArrival picks the minimum over admissible parallel paths") {
+    val te = Seq(
+      (1L, 2L, 2L), (1L, 2L, 7L),           // parallel contacts, min wins
+      (2L, 3L, 4L),                          // admissible via arr(2)=2
+      (1L, 3L, 10L)                          // direct but later
+    ).toDF("src", "dst", "t")
+    val src = Seq(Tuple1(1L)).toDF("id")
+    val got = graft.algo.ShortestPaths.earliestArrival(te, src, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
+  }
+}
+
+class DomainMixSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Sequential waterfilling: binary-search-free exact scan. */
+  private def tauOf(tokens: Seq[Long], budget: Long): Long = {
+    val sorted = tokens.sorted
+    var spent = 0L
+    sorted.zipWithIndex.foreach { case (t, i) =>
+      val rem = sorted.size - i
+      val cand = (budget - spent) / rem
+      if (t > cand) return cand
+      spent += t
+    }
+    sorted.max
+  }
+
+  test("waterfill matches the sequential scan and exhausts the budget") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val ts = (1 to 20).map(i => s"h$i" -> (rnd.nextInt(1000).toLong + 1))
+      val total = ts.map(_._2).sum
+      val budget = trial match {
+        case 1 => 0L
+        case 2 => total     // everything funded
+        case 3 => total * 2 // slack budget
+        case _ => total / (trial - 2)
+      }
+      val got = graft.text.DomainMix.waterfill(ts.toDF("host", "tokens"), budget)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val tau = tauOf(ts.map(_._2), budget)
+      ts.foreach { case (h, t) =>
+        val (gt, gTau, gAlloc) = got(h)
+        assert(gt === t)
+        assert(gTau === tau, s"trial $trial tau")
+        assert(gAlloc === math.min(t, tau))
+      }
+      val allocSum = got.values.map(_._3).sum
+      assert(allocSum <= budget || allocSum === total.min(budget) ||
+        budget >= total)
+      // maximality: raising tau by 1 must exceed the budget (when capped)
+      if (tau < ts.map(_._2).max) {
+        val plus = ts.map { case (_, t) => math.min(t, tau + 1) }.sum
+        assert(plus > budget)
+      }
+    }
+  }
+}
+
 class EdgeOverlapSpec extends GraftSuite {
 
   test("edgeOverlap matches brute-force neighborhoods on karate") {
