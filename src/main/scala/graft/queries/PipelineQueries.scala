@@ -313,6 +313,11 @@ object PipelineQueries {
     "d_term_topk" -> ((s, dir) =>
       graft.text.TextIndex.topTerms(docs(s, dir), k = 20)),
 
+    // bigram LM estimation: interpolated Kneser–Ney, exact rational D=3/4,
+    // top-3 continuations per context among bigrams seen >= 3 times
+    "d_bigram_lm" -> ((s, dir) =>
+      graft.text.NgramLm.kneserNey(docs(s, dir), minCount = 3L, topK = 3)),
+
     // domain-mixing budget: waterfilling token cap across hosts at half
     // the corpus's total tokens — over-represented domains truncate to τ,
     // the tail keeps everything
@@ -495,6 +500,12 @@ object PipelineQueries {
       graft.streaming.EventStreams
         .runStreamOnce(s, s"$dir/events.parquet", "graft_verify_stream")
         .select("hour_epoch", "event_type", "n", "sum_value_e3")),
+
+    // streaming exact dedup: watermarked dropDuplicates state emits each
+    // (user, item) key once; batch DISTINCT is the oracle
+    "ev_stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventStreams
+        .runDedupStream(s, s"$dir/events.parquet", "graft_verify_dedup")),
 
     // streaming link-graph ingestion: degree maintenance over the
     // event-derived edge stream (state store carries per-source counts);
@@ -987,6 +998,38 @@ object PipelineQueries {
         |  WHERE rn <= 25 GROUP BY term)
         |SELECT d.term, d.df, c.posting_head
         |FROM df d JOIN capped c USING (term) WHERE d.df >= 100""".stripMargin,
+
+    "ev_stream_dedup" ->
+      """SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS k
+        |FROM events WHERE props->>'k' IS NOT NULL""".stripMargin,
+
+    // KN bigram-LM oracle: same exact fraction; bigrams via a correlated
+    // generate_series over the 1-indexed token list
+    "d_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        |  FROM documents),
+        |idx AS (
+        |  SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+        |  FROM tok WHERE len(arr) >= 2),
+        |big AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM idx),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |               count(*) AS n1p FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nl FROM c12 GROUP BY 1),
+        |np AS (SELECT count(*) AS np FROM c12),
+        |scored AS (
+        |  SELECT c12.w1, c12.w2, c12.c12,
+        |    (((4 * c12.c12 - 3) * np.np + 3 * ctx.n1p * cont.nl)
+        |      * 1000000000) // (4 * ctx.c1 * np.np) AS p_e9
+        |  FROM c12 JOIN ctx ON c12.w1 = ctx.w1
+        |           JOIN cont ON c12.w2 = cont.w2, np
+        |  WHERE c12.c12 >= 3),
+        |rk AS (SELECT w1, w2, c12, p_e9,
+        |         CAST(row_number() OVER (PARTITION BY w1
+        |           ORDER BY p_e9 DESC, w2 ASC) AS BIGINT) AS rn
+        |       FROM scored)
+        |SELECT w1, w2, c12, p_e9, rn FROM rk WHERE rn <= 3""".stripMargin,
 
     // waterfilling oracle: same sorted-prefix closed form; the pinning
     // row's candidate is non-negative (funded prefixes never exceed the

@@ -84,21 +84,64 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication of the (user, item) interaction keys:
+    * `dropDuplicates` over a watermarked stream keeps one state entry per
+    * key seen inside the watermark horizon and emits only first
+    * occurrences (append mode) — the streaming counterpart of the batch
+    * `d_dedup_exact` gate, and the state-bounding idiom that makes exact
+    * dedup viable on an unbounded 100 TB ingest: state size is the
+    * distinct-key count within the horizon, not the stream length.
+    */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("ts").cast("timestamp").as("tts"))
+      .filter(col("k").isNotNull)
+      .withWatermark("tts", "1 hour")
+      .dropDuplicates("user_id", "k")
+
+  /** Drive [[dedupKeys]] over a parquet directory as a stream (append
+    * mode — dedup emits first occurrences immediately, no watermark wait)
+    * and return the deduplicated keys. `maxFilesPerTrigger` forces
+    * multi-micro-batch execution so cross-batch duplicates exercise the
+    * state store.
+    */
+  def runDedupStream(spark: SparkSession, path: String, name: String,
+                     maxFilesPerTrigger: Int = 0): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val dir = asStreamDir(path)
+    val reader = spark.readStream.schema(schema)
+    val configured =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val q = dedupKeys(configured.parquet(dir))
+      .select(col("user_id"), col("k"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming query over a parquet directory with the memory sink —
     * the local smoke harness (one batch ≙ the directory's files).
     */
+  /** The streaming file source lists a DIRECTORY; wrap a bare file. */
+  private def asStreamDir(path: String): String = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) path
+    else {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
+      d.toString
+    }
+  }
+
   def runStreamOnce(spark: SparkSession, path: String, name: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    // the streaming file source lists a DIRECTORY; wrap a bare file
-    val dir = {
-      val f = new java.io.File(path)
-      if (f.isDirectory) path
-      else {
-        val d = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.copy(f.toPath, d.resolve(f.getName))
-        d.toString
-      }
-    }
+    val dir = asStreamDir(path)
     val stream = spark.readStream.schema(schema).parquet(dir)
     // Complete mode: with a single finite batch the watermark never
     // advances past the windows, so Append would emit nothing.

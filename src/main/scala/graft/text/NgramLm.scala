@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bigram language-model estimation over the corpus — interpolated
+  * Kneser–Ney with absolute discount D = 3/4 (the standard smoothing for
+  * count-based LMs; Chen & Goodman 1998):
+  *
+  *   p(w2|w1) = (c(w1,w2) − D)/c(w1·)  +  D·N1+(w1·)/c(w1·) · P_cont(w2)
+  *   P_cont(w2) = N1+(·w2) / N1+(··)
+  *
+  * With D kept rational the whole probability is one exact fraction:
+  *
+  *   p = [ (4·c12 − 3)·np + 3·n1p·nl ] / (4·c1·np)
+  *
+  * (c12 ≥ 1 keeps the discounted term positive), emitted as the scaled
+  * integer ⌊p·10⁹⌋ — a single floor division, bit-identical cross-engine.
+  *
+  * Plan shape: one corpus scan explodes adjacent-token pairs (constant
+  * per-row fan-out), then everything is hash aggregates over the bigram
+  * TYPE table (vocabulary-sized, not corpus-sized): context totals c1 and
+  * follower diversity n1p per w1, continuation counts nl per w2, and the
+  * scalar np broadcast back. The final per-context ranking windows by w1,
+  * so no key concentrates beyond one context's follower set.
+  *
+  * Numerators stay within Long while c12·np·4·10⁹ < 2⁶³, i.e. bigram
+  * occurrence × type counts below ~2.3×10⁹ combined — beyond that,
+  * promote the two products to Decimal(38,0); the plan is unchanged.
+  */
+object NgramLm {
+
+  /** Adjacent lowercase-token bigram occurrences, one row each. */
+  def bigrams(docs: DataFrame): DataFrame = {
+    val arr = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    docs.select(arr.as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(explode(zip_with(
+        slice(col("arr"), lit(1), size(col("arr")) - 1),
+        slice(col("arr"), lit(2), size(col("arr")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+  }
+
+  /** Interpolated-KN bigram probabilities, top `topK` continuations per
+    * context among bigrams seen at least `minCount` times. Returns
+    * (w1, w2, c12, p_e9, rn).
+    */
+  def kneserNey(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val c12 = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy("w1")
+      .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("nl"))
+    val np = c12.agg(count(lit(1)).as("np"))
+    val scored = c12.filter(col("c12") >= minCount)
+      .join(ctx, "w1").join(cont, "w2").crossJoin(np)
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(((4 * c12 - 3) * np + 3 * n1p * nl) * 1000000000L)" +
+          " div (4 * c1 * np)").as("p_e9"))
+    val w = Window.partitionBy("w1").orderBy(col("p_e9").desc, col("w2").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+  }
+}

@@ -101,6 +101,106 @@ class SimRankSpec extends GraftSuite {
   }
 }
 
+class StreamDedupSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("cross-batch duplicates are dropped by the state store (2 files, 1 per trigger)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    def mk(rows: Seq[(Long, Long, String)], f: String): Unit =
+      rows.toDF("user_id", "k0", "ets")
+        .select(col("user_id"), col("ets").cast("timestamp").as("ts"),
+          concat(lit("{\"k\": "), col("k0"), lit("}")).as("props"))
+        .coalesce(1).write.parquet(s"$dir/$f")
+    // batch 1: keys (1,10) (2,20); batch 2 repeats (1,10) and adds (3,30)
+    mk(Seq((1L, 10L, "2024-01-01 00:00:00"), (2L, 20L, "2024-01-01 00:01:00")), "f1")
+    mk(Seq((1L, 10L, "2024-01-01 00:02:00"), (3L, 30L, "2024-01-01 00:03:00")), "f2")
+    val flat = new java.io.File(dir)
+    // move part files up so the stream dir lists exactly 2 files
+    val files = flat.listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 2)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-s")
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, streamDir.resolve(s"b$i.parquet"))
+    }
+    val got = graft.streaming.EventStreams
+      .runDedupStream(spark, streamDir.toString, "dedup_xbatch",
+        maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("stream dedup equals batch DISTINCT on the events fixture") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val got = graft.streaming.EventStreams
+      .runDedupStream(spark, path, "dedup_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = spark.read.parquet(path)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exp)
+  }
+}
+
+class NgramLmSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("kneserNey matches a sequential exact-fraction replay") {
+    val texts = Seq(
+      "the cat sat on the mat",
+      "the cat ate the fish",
+      "a cat sat on a mat",
+      "the dog sat on the mat")
+    val docsDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+    // sequential oracle
+    val big = texts.flatMap(t => t.split(" ").sliding(2).map(a => (a(0), a(1))))
+    val c12 = big.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = big.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1p = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nl = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val np = c12.size.toLong
+    def pE9(w1: String, w2: String): Long =
+      ((4 * c12((w1, w2)) - 3) * np + 3 * n1p(w1) * nl(w2)) * 1000000000L /
+        (4 * c1(w1) * np)
+
+    val got = graft.text.NgramLm.kneserNey(docsDf, minCount = 1L, topK = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === c12.keySet)
+    got.foreach { case ((w1, w2), (c, p)) =>
+      assert(c === c12((w1, w2)), s"c12($w1,$w2)")
+      assert(p === pE9(w1, w2), s"p($w2|$w1)")
+    }
+    // interpolated-KN property: over the FULL continuation vocabulary
+    // (unseen w2 get pure backoff mass D·n1p/c1·P_cont), each context's
+    // probabilities sum to exactly 1
+    val vocab = nl.keySet
+    c1.keys.foreach { w1 =>
+      val s = vocab.toSeq.map { w2 =>
+        val seen = c12.getOrElse((w1, w2), 0L)
+        val numer = (if (seen > 0) (4 * seen - 3) * np else 0L) +
+          3 * n1p(w1) * nl(w2)
+        numer.toDouble / (4 * c1(w1) * np)
+      }.sum
+      assert(math.abs(s - 1.0) < 1e-12, s"p(.|$w1) sums to $s, not 1")
+    }
+  }
+
+  test("topK ranking is (p desc, w2 asc) and minCount filters rare bigrams") {
+    val docsDf = Seq((1L, "x a x a x b x b x c")).toDF("doc_id", "text")
+    val rows = graft.text.NgramLm.kneserNey(docsDf, minCount = 2L, topK = 2)
+      .filter(col("w1") === "x").collect()
+      .map(r => (r.getString(1), r.getLong(4)))
+    // c(x,a)=c(x,b)=2, c(x,c)=1 filtered; tie on p → w2 asc
+    assert(rows.sortBy(_._2).map(_._1).toSeq === Seq("a", "b"))
+  }
+}
+
 class TemporalReachSpec extends GraftSuite {
   import spark.implicits._
 
