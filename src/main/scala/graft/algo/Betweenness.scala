@@ -174,4 +174,31 @@ object Betweenness {
     visited.select(col("s").as("source"), col("id"),
       col("dist").cast("long").as("dist"))
   }
+
+  /** Deterministic BFS spanning tree per source: each reached vertex's
+    * parent is the MINIMUM-id neighbor on the previous level (roots are
+    * their own parent) — the canonical tree a deterministic engine must
+    * agree on, derived from [[bfsLevels]] by one edge join + one grouped
+    * min, no extra iteration.
+    */
+  def bfsParents(edges: DataFrame, sources: DataFrame,
+                 maxDepth: Int = DepthCap): DataFrame = {
+    val lv = bfsLevels(edges, sources, maxDepth)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val child = lv.filter(col("dist") > 0)
+    val cand = child
+      .join(edges.select(col("src").as("p"), col("dst").as("id")), "id")
+      .join(lv.select(col("source").as("ps"), col("id").as("pp"),
+          col("dist").as("pd")),
+        col("source") === col("ps") && col("p") === col("pp") &&
+          col("pd") === col("dist") - 1)
+      .groupBy("source", "id", "dist")
+      .agg(min(col("p")).as("parent"))
+    val roots = lv.filter(col("dist") === 0)
+      .select(col("source"), col("id"), col("dist"), col("id").as("parent"))
+    val out = roots.union(cand.select("source", "id", "dist", "parent"))
+    val materialized = out.transform(graft.engine.Materialize.eager)
+    lv.unpersist(blocking = false)
+    materialized
+  }
 }

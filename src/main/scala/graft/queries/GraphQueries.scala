@@ -1314,6 +1314,19 @@ object GraphQueries {
         .select(col("src"), col("dst"), col("common"), col("union_size"),
           round(col("overlap") * 1000000).cast("long").as("overlap_e6"))),
 
+    // deterministic BFS spanning tree: min-id parent on the previous
+    // level, roots self-parented (sources id % 30 keep the join light)
+    "g_bfs_parents" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 30 === 0)
+      graft.algo.Betweenness.bfsParents(e, sources)
+    }),
+
+    // Weisfeiler–Lehman color refinement, 2 sweeps: structural-role
+    // fingerprints; byte-exact md5 chain
+    "g_wl_t2" -> ((s, dir) =>
+      graft.algo.WlRefinement.refine(demoEdges(s, dir), rounds = 2)),
+
     // time-respecting earliest arrival over the behavioral temporal graph
     // (user → item contacts stamped with the event time), 4 relax rounds
     // from the id%50 sources — "when could a change first reach v"
@@ -1953,6 +1966,51 @@ object GraphQueries {
          |            / ((nt * (nt - 1) // 2) * (rp + cp) - rp * cp * 2))
          |         AS BIGINT) AS ari_e6
          |FROM cells, rm, colm, pur""".stripMargin,
+
+    // BFS-tree oracle: levels via the recursive closure, then the same
+    // min-id-parent-on-previous-level derivation
+    "g_bfs_parents" ->
+      s"""WITH RECURSIVE $cte,
+         |srcs AS (SELECT id FROM verts WHERE id % 30 = 0),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |lv AS (SELECT source, id, CAST(min(dist) AS BIGINT) AS dist
+         |       FROM reach GROUP BY 1, 2),
+         |par AS (SELECT c.source, c.id, c.dist, min(e0.src) AS parent
+         |        FROM lv c
+         |        JOIN e0 ON e0.dst = c.id
+         |        JOIN lv p ON p.source = c.source AND p.id = e0.src
+         |                 AND p.dist = c.dist - 1
+         |        WHERE c.dist > 0
+         |        GROUP BY 1, 2, 3)
+         |SELECT source, id, dist, id AS parent FROM lv WHERE dist = 0
+         |UNION ALL
+         |SELECT source, id, dist, parent FROM par""".stripMargin,
+
+    // WL oracle: the same md5 chain with string_agg(... ORDER BY color)
+    // as the sorted multiset join
+    "g_wl_t2" ->
+      s"""WITH $cte,
+         |c0 AS (SELECT src AS id,
+         |         md5('d:' || count(*)::VARCHAR) AS color
+         |       FROM e0 GROUP BY src),
+         |n1 AS (SELECT e0.dst AS id,
+         |         string_agg(c0.color, ',' ORDER BY c0.color) AS sig
+         |       FROM e0 JOIN c0 ON c0.id = e0.src GROUP BY 1),
+         |c1 AS (SELECT c0.id,
+         |         md5(c0.color || '|' || coalesce(n1.sig, '')) AS color
+         |       FROM c0 LEFT JOIN n1 ON n1.id = c0.id),
+         |n2 AS (SELECT e0.dst AS id,
+         |         string_agg(c1.color, ',' ORDER BY c1.color) AS sig
+         |       FROM e0 JOIN c1 ON c1.id = e0.src GROUP BY 1),
+         |c2 AS (SELECT c1.id,
+         |         md5(c1.color || '|' || coalesce(n2.sig, '')) AS color
+         |       FROM c1 LEFT JOIN n2 ON n2.id = c1.id)
+         |SELECT id, color FROM c2""".stripMargin,
 
     // earliest-arrival oracle: the relax recurrence unrolled to the same
     // 4 rounds — candidates are edge timestamps admitted by the

@@ -101,6 +101,58 @@ class SimRankSpec extends GraftSuite {
   }
 }
 
+class WlRefinementSpec extends GraftSuite {
+
+  test("WL colors: cycles are color-transitive, bridge endpoints separate") {
+    // 6-cycle: vertex-transitive → ONE color class at every depth
+    val cyc = undirected((0L to 5L).map(i => (i, (i + 1) % 6)))
+    val c = graft.algo.WlRefinement.refine(edgesDf(cyc), 3).collect()
+    assert(c.map(_.getString(1)).distinct.length === 1)
+
+    // two cliques + bridge: clique members split from bridge endpoints
+    val g = undirected(Fixtures.twoCliquesBridge)
+    val hist = graft.algo.WlRefinement.colorHistogram(edgesDf(g), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 roles by symmetry: 2 bridge endpoints, their 6 clique peers... —
+    // at depth 2 the non-bridge vertices of each clique are equivalent
+    assert(hist.values.toSeq.sorted === Seq(2L, 6L))
+  }
+
+  test("WL histogram is isomorphism-invariant across relabeled copies") {
+    val g1 = undirected(Fixtures.karatePairs)
+    val g2 = undirected(Fixtures.karatePairs.map { case (a, b) =>
+      (a * 7 % 1009, b * 7 % 1009) // injective relabel on this id range
+    })
+    def h(g: Seq[(Long, Long)]) =
+      graft.algo.WlRefinement.colorHistogram(edgesDf(g), 2)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(h(g1) === h(g2))
+  }
+}
+
+class BfsParentsSpec extends GraftSuite {
+
+  test("parents are min-id previous-level neighbors; roots self-parent") {
+    val slots = undirected(Fixtures.karatePairs)
+    val src = edgesDf(slots).select(col("src").as("id")).distinct()
+      .filter(col("id") === 1L)
+    val rows = graft.algo.Betweenness.bfsParents(edgesDf(slots), src)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    val nbr = slots.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows(1L) === ((0L, 1L))) // root
+    rows.foreach { case (v, (dist, parent)) =>
+      if (v != 1L) {
+        assert(nbr(v).contains(parent), s"parent($v) not a neighbor")
+        assert(rows(parent)._1 === dist - 1, s"parent($v) wrong level")
+        val best = nbr(v).filter(u => rows.get(u).exists(_._1 == dist - 1)).min
+        assert(parent === best, s"parent($v) not minimal")
+      }
+    }
+    // BFS tree spans everything the levels reach
+    assert(rows.size === 34)
+  }
+}
+
 class StreamDedupSpec extends GraftSuite {
   import spark.implicits._
 
