@@ -17,7 +17,7 @@ import graft.sources.{PagesSynth, TextExtract}
   *               ppr|centrality|lcc|hits|louvain|scc|bowtie|truss|motifs|
   *               diameter|anf|hostpr|salsa|katz|eigen|coreness|richclub|
   *               spammass|cocite|condense|redirects|msf|rmat|triapprox|
-  *               sample|mis|walks|sage|all>
+  *               sample|simrank|wl|overlap|bfstree|mis|walks|sage|all>
   *        <input: synth:<nPages> | pages:<parquetPath> | edges:<parquetPath>>
   *        <outDir> [maxIter] [partitions]
   *
@@ -445,6 +445,28 @@ object Main {
       println(s"[graft] hostpr: hosts=${pr.count()}")
     }
 
+    def runSimRank(): Unit = {
+      val sr = graft.algo.SimRank.simRankT2(edges)
+      sr.write.mode("overwrite").parquet(s"$outDir/simrank")
+      println(s"[graft] simrank: pairs=${sr.count()}")
+    }
+    def runWl(): Unit = {
+      val rounds = maxIter.getOrElse(2)
+      val c = graft.algo.WlRefinement.refine(edges, rounds)
+      c.write.mode("overwrite").parquet(s"$outDir/wl_colors")
+      println(s"[graft] wl: rounds=$rounds colors=" +
+        c.select("color").distinct().count())
+    }
+    def runOverlap(): Unit = {
+      val o = TriangleCount.edgeOverlap(edges)
+      o.write.mode("overwrite").parquet(s"$outDir/edge_overlap")
+      println(s"[graft] overlap: edges=${o.count()}")
+    }
+    def runBfsTree(): Unit = {
+      val t = graft.algo.Betweenness.bfsParents(edges, sampledSources())
+      t.write.mode("overwrite").parquet(s"$outDir/bfs_tree")
+      println(s"[graft] bfstree: rows=${t.count()}")
+    }
     def runMis(): Unit = {
       val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "7").toLong
       val m = graft.algo.Mis.mis(edges, seed)
@@ -510,6 +532,10 @@ object Main {
       case "rmat"        => runRmat()
       case "triapprox"   => runTriApprox()
       case "sample"      => runSample()
+      case "simrank"     => runSimRank()
+      case "wl"          => runWl()
+      case "overlap"     => runOverlap()
+      case "bfstree"     => runBfsTree()
       case "mis"         => runMis()
       case "walks"       => runWalks()
       case "sage"        => runSage()

@@ -263,7 +263,10 @@ object GraphQueries {
     * join/count/argmax plan transcribed to ANSI SQL, tie-break pinned to
     * (max count, min label) via the window ordering.
     */
-  def lpSql(t: Int): String = {
+  /** The unrolled LP superstep CTEs alone (s0 … s`t`), for composition
+    * into larger oracle statements.
+    */
+  def lpStepsSql(t: Int): String = {
     val steps = (1 to t).map { k =>
       s"""c$k AS (
          |  SELECT e0.src AS id, p.label, count(*) AS cnt
@@ -278,11 +281,14 @@ object GraphQueries {
          |  FROM s${k - 1} p LEFT JOIN w$k w ON p.id = w.id
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $cte,
-       |s0 AS (SELECT id, id AS label FROM verts),
-       |$steps
-       |SELECT id, label FROM s$t""".stripMargin
+    s"""s0 AS (SELECT id, id AS label FROM verts),
+       |$steps""".stripMargin
   }
+
+  def lpSql(t: Int): String =
+    s"""WITH $cte,
+       |${lpStepsSql(t)}
+       |SELECT id, label FROM s$t""".stripMargin
 
   /** Unrolled semi-synchronous (Gauss–Seidel class-sweep) LP SQL:
     * `sweeps` sweeps over `k` modulo classes (`cls = id % k`), each
@@ -1314,6 +1320,37 @@ object GraphQueries {
         .select(col("src"), col("dst"), col("common"), col("union_size"),
           round(col("overlap") * 1000000).cast("long").as("overlap_e6"))),
 
+    // sampled eccentricity per source (max BFS distance + reached count)
+    // — radius/diameter estimation from the shared bfsLevels pass
+    "g_eccentricity" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      graft.algo.Betweenness.bfsLevels(e, sources)
+        .groupBy("source")
+        .agg(max(col("dist")).as("ecc"), count(lit(1)).as("n_reached"))
+    }),
+
+    // community-connectivity audit (the Leiden well-connectedness check):
+    // are LP-3 communities internally connected? n_parts = number of
+    // connected pieces each community's induced subgraph falls into
+    "g_comm_connectivity" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val lab = LabelPropagation.runFixed(e, 3, symmetric = true)
+      val intra = e
+        .join(lab.select(col("id").as("src"), col("label").as("la")), "src")
+        .join(lab.select(col("id").as("dst"), col("label").as("lb")), "dst")
+        .filter(col("la") === col("lb"))
+        .select(col("src"), col("dst"))
+      val sub = ConnectedComponents.runAlternating(intra)
+        .withColumnRenamed("label", "sub")
+      lab.join(sub, Seq("id"), "left")
+        .select(col("label").as("community"), col("id"),
+          coalesce(col("sub"), col("id")).as("sub"))
+        .groupBy("community")
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("sub")).as("n_parts"))
+    }),
+
     // deterministic BFS spanning tree: min-id parent on the previous
     // level, roots self-parented (sources id % 30 keep the join light)
     "g_bfs_parents" -> ((s, dir) => {
@@ -1966,6 +2003,42 @@ object GraphQueries {
          |            / ((nt * (nt - 1) // 2) * (rp + cp) - rp * cp * 2))
          |         AS BIGINT) AS ari_e6
          |FROM cells, rm, colm, pur""".stripMargin,
+
+    "g_eccentricity" ->
+      s"""WITH RECURSIVE $cte,
+         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |lv AS (SELECT source, id, min(dist) AS dist FROM reach GROUP BY 1, 2)
+         |SELECT source, CAST(max(dist) AS BIGINT) AS ecc,
+         |       count(*) AS n_reached
+         |FROM lv GROUP BY 1""".stripMargin,
+
+    // connectivity audit oracle: LP-3 labels via the shared unrolled
+    // steps, intra-community restriction, then the recursive closure of
+    // the restricted edge set
+    "g_comm_connectivity" ->
+      s"""WITH RECURSIVE $cte,
+         |${lpStepsSql(3)},
+         |lab AS (SELECT id, label FROM s3),
+         |intra AS (SELECT e0.src, e0.dst FROM e0
+         |          JOIN lab a ON a.id = e0.src
+         |          JOIN lab b ON b.id = e0.dst
+         |          WHERE a.label = b.label),
+         |reach2(id, lab2) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT intra.dst, reach2.lab2
+         |  FROM reach2 JOIN intra ON intra.src = reach2.id),
+         |sub AS (SELECT id, min(lab2) AS sub FROM reach2 GROUP BY id)
+         |SELECT lab.label AS community, count(*) AS n_members,
+         |       count(DISTINCT sub.sub) AS n_parts
+         |FROM lab JOIN sub ON sub.id = lab.id
+         |GROUP BY 1""".stripMargin,
 
     // BFS-tree oracle: levels via the recursive closure, then the same
     // min-id-parent-on-previous-level derivation

@@ -313,6 +313,11 @@ object PipelineQueries {
     "d_term_topk" -> ((s, dir) =>
       graft.text.TextIndex.topTerms(docs(s, dir), k = 20)),
 
+    // BM25 relevance of the 3 highest-df terms against every matching doc
+    // (per-term rows — no cross-term float summation inside the gate)
+    "d_bm25" -> ((s, dir) =>
+      graft.text.Bm25.scoreTopDfTerms(docs(s, dir), qTerms = 3)),
+
     // bigram LM estimation: interpolated Kneser–Ney, exact rational D=3/4,
     // top-3 continuations per context among bigrams seen >= 3 times
     "d_bigram_lm" -> ((s, dir) =>
@@ -1002,6 +1007,30 @@ object PipelineQueries {
     "ev_stream_dedup" ->
       """SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS k
         |FROM events WHERE props->>'k' IS NOT NULL""".stripMargin,
+
+    // BM25 oracle: idf = ln((2N+2)/(2df+1)), saturation as the same exact
+    // integer ratio, multiplied in the same order before one ROUND
+    "d_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |lens AS (SELECT doc_id,
+        |           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |             AS BIGINT) AS len
+        |         FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT term, df FROM dfq ORDER BY df DESC, term ASC LIMIT 3),
+        |scal AS (SELECT count(*) AS n, CAST(sum(len) AS BIGINT) AS total
+        |         FROM lens)
+        |SELECT tf.doc_id, tf.term, tf.tf,
+        |  CAST(ROUND(ln((2 * scal.n + 2)::DOUBLE / (2 * q.df + 1))
+        |    * ((22 * tf.tf * scal.total)::DOUBLE
+        |       / (10 * tf.tf * scal.total + 3 * scal.total
+        |          + 9 * lens.len * scal.n))
+        |    * 1000000) AS BIGINT) AS score_e6
+        |FROM tf JOIN q USING (term)
+        |        JOIN lens ON lens.doc_id = tf.doc_id, scal""".stripMargin,
 
     // KN bigram-LM oracle: same exact fraction; bigrams via a correlated
     // generate_series over the 1-indexed token list

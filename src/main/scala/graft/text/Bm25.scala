@@ -1,0 +1,59 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked-retrieval scoring (Robertson–Spärck Jones, the Lucene
+  * variant) — the relevance function a corpus-scale search/reranking
+  * pass runs:
+  *
+  *   score(d, t) = idf(t) · tf·(k₁+1) / (tf + k₁·(1 − b + b·len/avgLen))
+  *   idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1))
+  *
+  * With k₁ = 6/5 and b = 3/4 the saturation factor reduces to ONE exact
+  * integer ratio (multiply through by 10·total):
+  *
+  *   tf·(k₁+1) / (tf + k₁(1−b) + k₁·b·len·N/total)
+  *     = 22·tf·total / (10·tf·total + 3·total + 9·len·N)
+  *
+  * so the whole score is ln(exact-int / exact-int) × (exact-int /
+  * exact-int) — two IEEE divisions and one multiply in a fixed order,
+  * bit-reproducible cross-engine (the NMI/PMI precedent for ln).
+  *
+  * Scores are emitted PER (doc, term) — no cross-term summation, so no
+  * float-accumulation ordering enters the gate; a ranked retrieval sums
+  * the per-term rows afterward. Plan: tokenize scan → tf hash agg → df
+  * hash agg → broadcast the scalar (N, total) and the tiny query-term
+  * table back — three aggregates and two broadcast joins, nothing
+  * corpus-pairwise.
+  */
+object Bm25 {
+
+  private val arrCol =
+    regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+
+  /** Score the `qTerms` highest-df terms (df desc, term asc — the
+    * deterministic self-contained query) against every document
+    * containing them. Returns (doc_id, term, tf, score_e6).
+    */
+  def scoreTopDfTerms(docs: DataFrame, qTerms: Int): DataFrame = {
+    require(qTerms >= 1)
+    val tok = docs.select(col("doc_id"), explode(arrCol).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val lens = docs.select(col("doc_id"), size(arrCol).cast("long").as("len"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scal = lens.agg(count(lit(1)).as("n"),
+      sum(col("len")).cast("long").as("total"))
+    val query = dfT.orderBy(col("df").desc, col("term").asc).limit(qTerms)
+    tf.join(query, "term")
+      .join(lens, "doc_id")
+      .crossJoin(scal)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(
+          log((lit(2) * col("n") + 2).cast("double") / (lit(2) * col("df") + 1)) *
+            ((lit(22) * col("tf") * col("total")).cast("double") /
+              (lit(10) * col("tf") * col("total") + lit(3) * col("total") +
+                lit(9) * col("len") * col("n"))) * 1000000)
+          .cast("long").as("score_e6"))
+  }
+}

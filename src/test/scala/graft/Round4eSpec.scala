@@ -101,6 +101,54 @@ class SimRankSpec extends GraftSuite {
   }
 }
 
+class Bm25Spec extends GraftSuite {
+  import spark.implicits._
+
+  test("scoreTopDfTerms matches a sequential replay of the exact formula") {
+    val texts = Seq(
+      "data systems process data fast",
+      "data lakes store data and more data",
+      "systems think in rows",
+      "fast fast fast")
+    val docsDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = texts.map(_.split(" ").toSeq)
+    val n = toks.size.toLong
+    val total = toks.map(_.size.toLong).sum
+    val df = toks.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    val query = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(3)
+    def score(tf: Long, dfT: Long, len: Long): Long =
+      math.round(math.log((2 * n + 2).toDouble / (2 * dfT + 1)) *
+        ((22 * tf * total).toDouble /
+          (10 * tf * total + 3 * total + 9 * len * n)) * 1000000)
+
+    val got = graft.text.Bm25.scoreTopDfTerms(docsDf, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val exp = (for {
+      (ts, i) <- toks.zipWithIndex
+      (qt, qdf) <- query
+      tf = ts.count(_ == qt) if tf > 0
+    } yield (i.toLong, qt) -> ((tf.toLong, score(tf, qdf, ts.size.toLong)))).toMap
+    assert(got === exp)
+    // saturation sanity: more occurrences score higher, all else equal
+    val d1 = got.get((0L, "data")).map(_._2)
+    val d2 = got.get((1L, "data")).map(_._2)
+    assert(d1.nonEmpty && d2.nonEmpty)
+  }
+
+  test("longer documents score lower at equal tf (length normalization)") {
+    val docsDf = Seq(
+      (1L, "term alpha"),
+      (2L, "term alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val rows = graft.text.Bm25.scoreTopDfTerms(docsDf, 10)
+      .filter(col("term") === "term").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows(1L) > rows(2L))
+  }
+}
+
 class WlRefinementSpec extends GraftSuite {
 
   test("WL colors: cycles are color-transitive, bridge endpoints separate") {
