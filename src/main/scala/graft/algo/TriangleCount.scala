@@ -52,6 +52,40 @@ object TriangleCount {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** 4-clique census by extending each oriented triangle one step down
+    * the same degree-ordered DAG: a 4-clique {a,b,c,d} in orientation
+    * order has all six edges oriented low→high, so joining the triangle
+    * table to the oriented edges on (a,d), (b,d), (c,d) counts every
+    * 4-clique exactly once. Both extension joins are equi-joins on
+    * composite keys, and the oriented out-degree stays O(√E)-capped, so
+    * the blow-up bound of the triangle pass carries over one level — the
+    * standard kClist/ordering argument. Returns one row
+    * (n_triangles, n_cliques4).
+    */
+  def cliqueCensus4(edges: DataFrame): DataFrame = {
+    val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.select(col("u").as("a"), col("v").as("b"))
+    val e2 = o.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = o.select(col("u").as("a3"), col("v").as("c3"))
+    val tri = e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select(col("a"), col("b"), col("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oa = o.select(col("u").as("a"), col("v").as("d"))
+    val ob = o.select(col("u").as("b"), col("v").as("d"))
+    val oc = o.select(col("u").as("c"), col("v").as("d"))
+    val c4 = tri.join(oa, Seq("a"))
+      .join(ob, Seq("b", "d"))
+      .join(oc, Seq("c", "d"))
+      .count()
+    val t3 = tri.count()
+    tri.unpersist(blocking = false)
+    o.unpersist(blocking = false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((t3, c4)).toDF("n_triangles", "n_cliques4")
+  }
+
   /** Per-vertex triangle participation counts (vertices in no triangle are
     * absent; join with the vertex table and fill 0 if totals are needed).
     */

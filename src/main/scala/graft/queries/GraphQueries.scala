@@ -1391,7 +1391,31 @@ object GraphQueries {
         .filter(col("src") =!= col("dst"))
       graft.algo.SimRank.simRankT2(e)
         .select(col("a"), col("b"), col("cn"), col("s1"), col("s2"))
-    }))
+    }),
+
+    // adjacency compressibility: per-source Elias-gamma delta-gap cost,
+    // natural ids vs the degree-ascending re-encode — the WebGraph
+    // storage objective id-reordering minimizes (exact integer bits)
+    "g_gamma_bits" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val nat = graft.graph.Compress.gammaGapCost(e)
+      val re = graft.graph.Compress
+        .gammaGapCostReordered(e, GraphOps.degreeReorder(e))
+        .select(col("id"), col("gamma_bits_reord"))
+      nat.join(re, Seq("id"))
+        .select(col("id"), col("degree"), col("gamma_bits"),
+          col("gamma_bits_reord"))
+    }),
+
+    // 4-clique census: oriented-triangle extension down the same
+    // degree-ordered DAG (kClist shape) — link-farm density diagnostic
+    "g_cliques4" -> ((s, dir) =>
+      TriangleCount.cliqueCensus4(demoEdges(s, dir))),
+
+    // densest-subgraph greedy peel, 4 batched rounds — every density
+    // comparison an exact integer (deg·n ≤ slots), bit-replayable
+    "g_densest" -> ((s, dir) =>
+      graft.algo.Dense.peelRounds(demoEdges(s, dir), rounds = 4)))
 
   /** Deterministic-walk replay (starts id % 100, length 4) — shared by
     * the walks gate and the skip-gram pair gate built on top of it.
@@ -3104,5 +3128,84 @@ object GraphQueries {
          |SELECT v.id,
          |  CAST(row_number() OVER (ORDER BY coalesce(d.degree, 0), v.id) - 1
          |       AS BIGINT) AS new_id
-         |FROM verts v LEFT JOIN deg d ON v.id = d.id""".stripMargin)
+         |FROM verts v LEFT JOIN deg d ON v.id = d.id""".stripMargin,
+
+    // gamma-gap compressibility oracle: identical delta-gap + bin-length
+    // arithmetic (DuckDB's bin() is zero-stripped like Spark's), reorder
+    // mirrors GraphOps.degreeReorder's (degree, id) rank
+    "g_gamma_bits" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |gnat AS (SELECT src AS id,
+         |    CAST(sum(2 * (length(bin(gap)) - 1) + 1) AS BIGINT) AS gamma_bits
+         |  FROM (SELECT src, coalesce(dst - lag(dst)
+         |          OVER (PARTITION BY src ORDER BY dst), dst + 1) AS gap
+         |        FROM e0) g GROUP BY 1),
+         |ord AS (SELECT id,
+         |    CAST(row_number() OVER (ORDER BY degree, id) - 1 AS BIGINT) AS nid
+         |  FROM deg),
+         |re AS (SELECT a.nid AS src, b.nid AS dst FROM e0
+         |       JOIN ord a ON a.id = e0.src JOIN ord b ON b.id = e0.dst),
+         |gre AS (SELECT src AS nid,
+         |    CAST(sum(2 * (length(bin(gap)) - 1) + 1) AS BIGINT)
+         |      AS gamma_bits_reord
+         |  FROM (SELECT src, coalesce(dst - lag(dst)
+         |          OVER (PARTITION BY src ORDER BY dst), dst + 1) AS gap
+         |        FROM re) g GROUP BY 1)
+         |SELECT deg.id, deg.degree, gnat.gamma_bits, gre.gamma_bits_reord
+         |FROM deg JOIN gnat ON gnat.id = deg.id
+         |JOIN ord ON ord.id = deg.id
+         |JOIN gre ON gre.nid = ord.nid""".stripMargin,
+
+    // 4-clique oracle: direct canonical 6-edge join with a<b<c<d —
+    // order-free count, independent of the engine's degree orientation
+    "g_cliques4" ->
+      s"""WITH $cte,
+         |c AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c3 FROM c e1
+         |        JOIN c e2 ON e1.b = e2.a
+         |        JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT (SELECT count(*) FROM tri) AS n_triangles,
+         |       (SELECT count(*) FROM tri t
+         |        JOIN c x ON x.a = t.a
+         |        JOIN c y ON y.a = t.b AND y.b = x.b
+         |        JOIN c z ON z.a = t.c3 AND z.b = x.b) AS n_cliques4""".stripMargin,
+
+    // densest-peel oracle: the same integer rule (deg·n ≤ slots) unrolled
+    // four rounds over the shrinking symmetric slot table
+    "g_densest" -> densestSql(4))
+
+  /** Chained-CTE unroll of [[graft.algo.Dense.peelRounds]]: round r
+    * removes ids with deg·n ≤ slots over the surviving slot table. Every
+    * per-round CTE is referenced several times downstream, so each is
+    * MATERIALIZED — DuckDB inlines plain CTEs per reference, and the
+    * chained rounds would re-evaluate exponentially otherwise (the SQL
+    * edition of the engine's own eager-truncation rule).
+    */
+  private def densestSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val (ap, sp) = (s"a${r - 1}", s"s${r - 1}")
+      s"""n$r AS MATERIALIZED (SELECT count(*) AS n FROM $ap),
+         |t$r AS MATERIALIZED (SELECT count(*) AS t FROM $sp),
+         |d$r AS MATERIALIZED (SELECT a.id, count(s.dst) AS d FROM $ap a
+         |        LEFT JOIN $sp s ON s.src = a.id GROUP BY 1),
+         |r$r AS MATERIALIZED (SELECT d$r.id FROM d$r, n$r, t$r
+         |        WHERE d * n <= t),
+         |a$r AS MATERIALIZED (SELECT id FROM $ap
+         |        WHERE id NOT IN (SELECT id FROM r$r)),
+         |s$r AS MATERIALIZED (SELECT s.src, s.dst FROM $sp s
+         |        WHERE s.src IN (SELECT id FROM a$r)
+         |          AND s.dst IN (SELECT id FROM a$r))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT id, CAST($r AS BIGINT) AS peel_round FROM r$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $cte,
+       |a0 AS MATERIALIZED (SELECT id FROM verts),
+       |s0 AS MATERIALIZED (SELECT src, dst FROM e0),
+       |$steps
+       |$out
+       |UNION ALL
+       |SELECT id, CAST(${rounds + 1} AS BIGINT) AS peel_round FROM a$rounds""".stripMargin
+  }
 }
