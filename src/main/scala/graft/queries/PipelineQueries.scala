@@ -579,7 +579,28 @@ object PipelineQueries {
         .toDF().select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("features"), 2).cast("double") * 1000)
             .cast("long").as("mean_byte_e3"))
-    }))
+    }),
+
+    // positional phrase query: every occurrence of the corpus's most
+    // frequent bigram — index → rank → positional lookup in one pass
+    "d_phrase_query" -> ((s, dir) =>
+      graft.text.TextIndex.topBigramOccurrences(docs(s, dir))),
+
+    // sliding-window LM training chunks (window 64, stride 56): chunk
+    // count, per-chunk token count, byte-exact chunk text hash
+    "d_chunks" -> ((s, dir) =>
+      graft.text.CorpusClean.chunk(docs(s, dir), window = 64, stride = 56)),
+
+    // robust winnowing (MOSS) fingerprints: 4-token grams, window 4,
+    // min-hash per window with rightmost tie-break
+    "d_winnow" -> ((s, dir) =>
+      graft.text.Winnow.fingerprints(docs(s, dir), k = 4, w = 4)),
+
+    // ordered funnel over the event log: signup → view → click →
+    // purchase, each step's stamp = earliest event at/after the previous
+    "ev_funnel" -> ((s, dir) =>
+      graft.streaming.Funnel.stages(events(s, dir),
+        Seq("signup", "view", "click", "purchase"))))
 
   /** 60-bit simhash → 9 pigeonhole chunks (ci, bit offset, width): any two
     * hashes within Hamming distance 8 agree exactly on ≥ 1 chunk.
@@ -1267,5 +1288,101 @@ object PipelineQueries {
       """SELECT user_id % 300 AS src, count(*) AS out_degree
         |FROM events
         |WHERE user_id % 300 <> event_id % 300
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+
+    // phrase oracle: identical index-term bigrams with positions, top-1
+    // by (count desc, lexicographic), positional lookup
+    "d_phrase_query" ->
+      """WITH tok AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        |       FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([{'p': i, 't1': arr[i+1], 't2': arr[i+2]}
+        |                 for i in range(len(arr) - 1)]) AS s
+        |       FROM tok),
+        |bge AS (SELECT doc_id, CAST(s.p AS BIGINT) AS pos,
+        |          s.t1 AS t1, s.t2 AS t2 FROM bg),
+        |top AS (SELECT t1, t2, count(*) AS n_occ FROM bge GROUP BY 1, 2
+        |        ORDER BY n_occ DESC, t1, t2 LIMIT 1)
+        |SELECT b.doc_id, b.pos, b.t1, b.t2, top.n_occ
+        |FROM bge b JOIN top ON b.t1 = top.t1 AND b.t2 = top.t2""".stripMargin,
+
+    // chunk oracle: same chunk-count closed form and 1-based inclusive
+    // slice; DuckDB // floors negatives like Spark's floor(double)
+    "d_chunks" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |             FROM documents),
+        |ck AS (SELECT doc_id, arr,
+        |         unnest(range(1 + greatest(0, (len(arr) - 64 + 55) // 56)))
+        |           AS chunk_id
+        |       FROM tok)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(arr[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(array_to_string(arr[chunk_id * 56 + 1 : chunk_id * 56 + 64],
+        |      ' ')) AS chunk_hash
+        |FROM ck""".stripMargin,
+
+    // winnowing oracle: same 60-bit md5-prefix gram hash, windowed min
+    // over complete windows, rightmost-position tie-break via the
+    // (doc, window-min) positional join
+    "d_winnow" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |             FROM documents),
+        |gr AS (SELECT doc_id,
+        |         unnest([{'p': i, 'g': arr[i+1] || ' ' || arr[i+2] || ' ' ||
+        |                              arr[i+3] || ' ' || arr[i+4]}
+        |                 for i in range(len(arr) - 3)]) AS s
+        |       FROM tok),
+        |gh AS (SELECT doc_id, CAST(s.p AS BIGINT) AS p,
+        |         ('0x' || substr(md5(s.g), 1, 15))::BIGINT AS h FROM gr),
+        |wm AS (SELECT doc_id, p, min(h) OVER win AS wm,
+        |         count(*) OVER win AS wn
+        |       FROM gh
+        |       WINDOW win AS (PARTITION BY doc_id ORDER BY p
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+        |wv AS (SELECT doc_id, p, wm FROM wm WHERE wn = 4),
+        |sel AS (SELECT w.doc_id, w.p, w.wm, max(g.p) AS pos
+        |        FROM wv w JOIN gh g
+        |          ON g.doc_id = w.doc_id AND g.h = w.wm
+        |         AND g.p BETWEEN w.p AND w.p + 3
+        |        GROUP BY 1, 2, 3)
+        |SELECT DISTINCT doc_id, pos, wm AS fp FROM sel""".stripMargin,
+
+    // funnel oracle: per-step conditional minima chained left-to-right,
+    // truncated epoch seconds throughout
+    "ev_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(ts) // 1000000 AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m1 AS (SELECT user_id, min(t) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |a1 AS (SELECT u.user_id, m1.t_signup FROM u
+        |       LEFT JOIN m1 ON u.user_id = m1.user_id),
+        |m2 AS (SELECT e.user_id, min(e.t) AS t_view FROM ev e
+        |       JOIN a1 ON a1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND a1.t_signup IS NOT NULL
+        |         AND e.t >= a1.t_signup GROUP BY 1),
+        |a2 AS (SELECT a1.*, m2.t_view FROM a1
+        |       LEFT JOIN m2 ON a1.user_id = m2.user_id),
+        |m3 AS (SELECT e.user_id, min(e.t) AS t_click FROM ev e
+        |       JOIN a2 ON a2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND a2.t_view IS NOT NULL
+        |         AND e.t >= a2.t_view GROUP BY 1),
+        |a3 AS (SELECT a2.*, m3.t_click FROM a2
+        |       LEFT JOIN m3 ON a2.user_id = m3.user_id),
+        |m4 AS (SELECT e.user_id, min(e.t) AS t_purchase FROM ev e
+        |       JOIN a3 ON a3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND a3.t_click IS NOT NULL
+        |         AND e.t >= a3.t_click GROUP BY 1),
+        |a4 AS (SELECT a3.*, m4.t_purchase FROM a3
+        |       LEFT JOIN m4 ON a3.user_id = m4.user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 4
+        |            WHEN t_click IS NOT NULL THEN 3
+        |            WHEN t_view IS NOT NULL THEN 2
+        |            WHEN t_signup IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage,
+        |  t_signup, t_view, t_click, t_purchase
+        |FROM a4""".stripMargin)
 }

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over the behavioral event log: for each user,
+  * the earliest time each funnel step was reached IN ORDER — step k's
+  * timestamp is the minimum event time of its type at or after step k−1's
+  * timestamp, so out-of-order events (a purchase before signup) never
+  * advance the funnel. `stage` is the number of consecutive steps
+  * completed.
+  *
+  * Each step is one filtered aggregation over the event table joined to
+  * the (user-sized) accumulator — k steps cost k hash aggregations plus k
+  * vertex-table-sized joins, the shape that holds at any event volume.
+  * All timestamps are truncated epoch seconds (exact integers), so the
+  * whole funnel replays bit-for-bit in the driver oracle.
+  */
+object Funnel {
+
+  /** (user_id, stage, t_<step1>, …, t_<stepN>) over `events(user_id,
+    * event_type, ts)`. Unreached steps are null.
+    */
+  def stages(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col("user_id"), col("event_type"),
+      col("ts").cast("timestamp").cast("long").as("t"))
+    val users = ev.select(col("user_id")).distinct()
+    var acc = users
+    var prevCol: String = null
+    steps.foreach { step =>
+      val tc = s"t_$step"
+      val m =
+        if (prevCol == null)
+          ev.filter(col("event_type") === step)
+            .groupBy("user_id").agg(min(col("t")).as(tc))
+        else
+          ev.filter(col("event_type") === step)
+            .join(acc.select(col("user_id"), col(prevCol)), "user_id")
+            .filter(col(prevCol).isNotNull && col("t") >= col(prevCol))
+            .groupBy("user_id").agg(min(col("t")).as(tc))
+      acc = acc.join(m, Seq("user_id"), "left")
+      prevCol = tc
+    }
+    // deepest reached step wins: forward fold leaves the last step as the
+    // outermost WHEN (t_k non-null implies t_{k-1} non-null anyway)
+    val stage = steps.zipWithIndex.foldLeft(lit(0L)) { case (els, (step, i)) =>
+      when(col(s"t_$step").isNotNull, lit(i.toLong + 1)).otherwise(els)
+    }
+    acc.select((col("user_id") +: stage.as("stage") +:
+      steps.map(s => col(s"t_$s"))): _*)
+  }
+}

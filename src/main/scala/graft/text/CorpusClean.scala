@@ -70,6 +70,33 @@ object CorpusClean {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Fixed-window training chunks with overlap: chunk c of a document
+    * covers token positions [c·stride, c·stride + window); the number of
+    * chunks is 1 + max(0, ⌈(n − window)/stride⌉), so every token is
+    * covered, consecutive chunks overlap by window − stride tokens, and a
+    * document at most `window` tokens long yields exactly one chunk —
+    * the standard sliding-window packing that turns a cleaned corpus into
+    * fixed-length LM training examples. Pure per-row arithmetic (one
+    * explode, no shuffle); the chunk text hash makes the output
+    * byte-verifiable without shipping the text twice.
+    */
+  def chunk(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val nChunks = lit(1) + greatest(lit(0),
+      floor((size(col("arr")) - window + stride - 1).cast("double") / stride)
+        .cast("int"))
+    docs.select(col("doc_id"), tokensCol.as("arr"))
+      .select(col("doc_id"), col("arr"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("arr"), col("chunk_id") * stride + 1, lit(window))
+          .as("ck"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ck")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("ck"))).as("chunk_hash"))
+  }
+
   /** Email pattern — ASCII-only, identical under Java regex and RE2. */
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 

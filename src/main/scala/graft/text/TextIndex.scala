@@ -98,6 +98,34 @@ object TextIndex {
       .orderBy(col("df").desc, col("term").asc)
       .limit(k)
 
+  /** Positional phrase query against the corpus's hottest bigram: find
+    * the single most frequent adjacent term pair (ties broken
+    * lexicographically) and return every occurrence as (doc_id, pos) —
+    * the two-term phrase-search path of a positional inverted index,
+    * self-contained so the whole round trip (index → rank → lookup) is
+    * exercised in one deterministic pass.
+    *
+    * Adjacency comes from a doc-partitioned `lead` window (partition-
+    * local, no global sort); the top-1 ranking plans as
+    * TakeOrderedAndProject; the occurrence lookup is a broadcast
+    * semi-join of the one winning pair back onto the bigram stream. At
+    * 100 TB the same plan serves an arbitrary user phrase — the ranking
+    * stage just gets replaced by the query constant.
+    */
+  def topBigramOccurrences(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(termsCol).as(Seq("pos", "term")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks.select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("term").as("t1"), lead(col("term"), 1).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+    val top = bg.groupBy("t1", "t2").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("t1").asc, col("t2").asc)
+      .limit(1)
+    bg.join(broadcast(top), Seq("t1", "t2"))
+      .select(col("doc_id"), col("pos"), col("t1"), col("t2"), col("n_occ"))
+  }
+
   /** Deterministic quality-weighted document sampling.
     *
     * Each document's keep-probability (in permille) is an exact integer

@@ -1,0 +1,112 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import graft.streaming.Funnel
+import graft.text.{CorpusClean, TextIndex, Winnow}
+
+/** Round-4 batch: phrase query, LM chunking, winnowing fingerprints,
+  * ordered funnel.
+  */
+class Round4gSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("topBigramOccurrences finds the hottest bigram and all its positions") {
+    val d = docsDf(1L -> "a b a b c", 2L -> "a b x", 3L -> "z")
+    val got = TextIndex.topBigramOccurrences(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSet
+    assert(got === Set((1L, 0L, "a", "b", 3L), (1L, 2L, "a", "b", 3L),
+      (2L, 0L, "a", "b", 3L)))
+  }
+
+  test("topBigramOccurrences breaks count ties lexicographically") {
+    // (a b) and (b c) both occur once; (a, b) < (b, c)
+    val d = docsDf(1L -> "a b", 2L -> "b c")
+    val got = TextIndex.topBigramOccurrences(d).collect()
+    assert(got.map(r => (r.getString(2), r.getString(3))).toSet ===
+      Set(("a", "b")))
+  }
+
+  test("chunk covers every token with the window/stride closed form") {
+    val words130 = (1 to 130).map(i => s"w$i").mkString(" ")
+    val d = docsDf(1L -> words130, 2L -> "x y z", 3L -> "")
+    val got = CorpusClean.chunk(d, window = 64, stride = 56).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 130 tokens -> 3 chunks: [0,64), [56,120), [112,130)
+    assert(got === Map((1L, 0L) -> 64L, (1L, 1L) -> 64L, (1L, 2L) -> 18L,
+      (2L, 0L) -> 3L, (3L, 0L) -> 0L))
+    val h = CorpusClean.chunk(d, 64, 56)
+      .filter(col("doc_id") === 1 && col("chunk_id") === 2)
+      .select(col("chunk_hash")).collect()(0).getString(0)
+    val expect = (113 to 130).map(i => s"w$i").mkString(" ")
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(expect.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h === hex)
+  }
+
+  /** Imperative winnowing replay: same 60-bit md5-prefix hash, window
+    * min, rightmost tie-break.
+    */
+  private def winnowOracle(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = "\\S+".r.findAllIn(text).toArray
+    if (toks.length < k) return Set.empty
+    val md = MessageDigest.getInstance("MD5")
+    val hs = (0 to toks.length - k).map { i =>
+      val g = toks.slice(i, i + k).mkString(" ")
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 to hs.length - w).flatMap { p =>
+      val win = hs.slice(p, p + w)
+      val m = win.min
+      val sel = p + win.lastIndexOf(m)
+      Some((sel.toLong, m))
+    }.toSet
+  }
+
+  test("winnowing fingerprints match the imperative replay") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "a b c d e f g h i j",
+      3L -> "short one",
+      4L -> "the quick brown fox jumps over the lazy dog again and again")
+    val d = docsDf(texts: _*)
+    val got = Winnow.fingerprints(d, k = 4, w = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSet
+    val want = texts.flatMap { case (id, t) =>
+      winnowOracle(t, 4, 4).map(fp => (id, fp))
+    }.toSet
+    assert(got === want)
+    // identical documents share identical fingerprint sets
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byDoc(1L) === byDoc(4L))
+    assert(!byDoc.contains(3L)) // < k + w - 1 tokens -> nothing
+  }
+
+  test("funnel stages respect event order per user") {
+    val rows = Seq(
+      // user 1: full ordered funnel
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-01 00:01:00"),
+      (1L, "click", "2024-01-01 00:02:00"),
+      (1L, "purchase", "2024-01-01 00:03:00"),
+      // user 2: purchase BEFORE signup never advances past stage 1
+      (2L, "purchase", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-01 00:05:00"),
+      // user 3: no signup -> stage 0 even with views
+      (3L, "view", "2024-01-01 00:00:00"),
+      // user 4: view at the exact signup second counts (>=)
+      (4L, "signup", "2024-01-01 00:00:00"),
+      (4L, "view", "2024-01-01 00:00:00"))
+    val ev = rows.toDF("user_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Funnel.stages(ev, Seq("signup", "view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 4L, 2L -> 1L, 3L -> 0L, 4L -> 2L))
+  }
+}
