@@ -284,6 +284,34 @@ object LabelPropagation {
     labels
   }
 
+  /** SLPA-style label memory (overlapping communities): the multiset of
+    * labels each vertex held across the first `supersteps` synchronous
+    * updates — a vertex sitting on a community boundary oscillates
+    * between the neighboring labels, and the rounds-held count is its
+    * membership strength in each (the speaker–listener LPA reading of
+    * the same argmax rule). Output (id, label, n_rounds); callers
+    * threshold n_rounds for overlapping memberships. Costs the same
+    * superstep chain as [[runFixed]] plus one union-side hash
+    * aggregation whose key space is the held (vertex, label) pairs —
+    * bounded by supersteps · |V|.
+    */
+  def labelMemory(edges: DataFrame, supersteps: Int,
+                  symmetric: Boolean = false,
+                  packedArgmax: Option[Boolean] = None): DataFrame = {
+    val packed = resolvePacked(edges, packedArgmax)
+    var labels = initLabels(GraphOps.vertices(edges))
+    var hist: DataFrame = null
+    var i = 0
+    while (i < supersteps) {
+      i += 1
+      labels = superstep(edges, labels, symmetric, packed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val it = labels.select(col("id"), col("label"))
+      hist = if (hist == null) it else hist.union(it)
+    }
+    hist.groupBy("id", "label").agg(count(lit(1)).as("n_rounds"))
+  }
+
   /** Purely lazily chained fixed supersteps: ONE action executes the
     * whole multi-superstep DAG with no intermediate persists (each
     * superstep's aggregations are shuffle boundaries, so stages run

@@ -1,0 +1,58 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.Materialize
+import graft.graph.GraphOps
+
+/** Deterministic distributed greedy maximal matching — Luby's algorithm
+  * on the line graph: give every edge an md5 priority, select each round
+  * the edges whose priority is the minimum among ALL edges incident to
+  * either endpoint (local minima can never be adjacent, so each round's
+  * selection is a matching), drop both endpoints, repeat. A constant
+  * fraction of edges leaves per round in expectation, so O(log E) rounds
+  * maximalize — the standard primitive under graph coarsening /
+  * multilevel partitioning.
+  *
+  * Priorities are `md5(src:dst:seed)` — collision-free in practice and,
+  * more importantly, REPLAYABLE: the same string hash exists in any SQL
+  * engine, so the fixed-round variant is driver-oracle-exact. Per round:
+  * one vertex-keyed min aggregation, two equi-joins, two anti-joins —
+  * all partition-parallel on a monotonically shrinking edge set.
+  */
+object Matching {
+
+  /** Fixed selection rounds. Returns (src, dst, round) for each matched
+    * canonical edge, `round` = the 1-based round it was selected in.
+    */
+  def greedyRounds(edges: DataFrame, rounds: Int, seed: Long): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    var canon = GraphOps.canonical(edges)
+      .select(col("src"), col("dst"),
+        md5(concat_ws(":", col("src"), col("dst"), lit(seed))).as("prio"))
+      .transform(Materialize.eager)
+    var matched: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val inc = canon.select(col("src").as("v"), col("prio"))
+        .union(canon.select(col("dst").as("v"), col("prio")))
+      val vmin = inc.groupBy("v").agg(min(col("prio")).as("pmin"))
+      val sel = canon
+        .join(vmin.select(col("v").as("src"), col("pmin").as("ps")), "src")
+        .join(vmin.select(col("v").as("dst"), col("pmin").as("pd")), "dst")
+        .filter(col("prio") === col("ps") && col("prio") === col("pd"))
+        .select(col("src"), col("dst"), lit(r.toLong).as("round"))
+        .transform(Materialize.eager)
+      matched = if (matched == null) sel else matched.union(sel)
+      val mv = sel.select(col("src").as("id"))
+        .union(sel.select(col("dst"))).distinct()
+      canon = canon
+        .join(mv.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(mv.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"), col("prio"))
+        .transform(Materialize.eager)
+    }
+    matched
+  }
+}

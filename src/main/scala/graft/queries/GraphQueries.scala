@@ -1415,7 +1415,18 @@ object GraphQueries {
     // densest-subgraph greedy peel, 4 batched rounds — every density
     // comparison an exact integer (deg·n ≤ slots), bit-replayable
     "g_densest" -> ((s, dir) =>
-      graft.algo.Dense.peelRounds(demoEdges(s, dir), rounds = 4)))
+      graft.algo.Dense.peelRounds(demoEdges(s, dir), rounds = 4)),
+
+    // SLPA-style label memory: labels held across the first 3 sync
+    // supersteps with rounds-held counts — overlapping memberships
+    "g_lp_memory_t3" -> ((s, dir) =>
+      LabelPropagation.labelMemory(demoEdges(s, dir), 3, symmetric = true)),
+
+    // greedy maximal matching, 3 local-minima rounds over md5 edge
+    // priorities (Luby on the line graph)
+    "g_matching_t3" -> ((s, dir) =>
+      graft.algo.Matching.greedyRounds(demoEdges(s, dir), rounds = 3,
+        seed = 7L)))
 
   /** Deterministic-walk replay (starts id % 100, length 4) — shared by
     * the walks gate and the skip-gram pair gate built on top of it.
@@ -3173,7 +3184,51 @@ object GraphQueries {
 
     // densest-peel oracle: the same integer rule (deg·n ≤ slots) unrolled
     // four rounds over the shrinking symmetric slot table
-    "g_densest" -> densestSql(4))
+    "g_densest" -> densestSql(4),
+
+    // label-memory oracle: the shared unrolled LP steps, union of the
+    // three per-step label tables, rounds-held counts
+    "g_lp_memory_t3" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)}
+         |SELECT id, label, count(*) AS n_rounds FROM (
+         |  SELECT id, label FROM s1
+         |  UNION ALL SELECT id, label FROM s2
+         |  UNION ALL SELECT id, label FROM s3) u
+         |GROUP BY 1, 2""".stripMargin,
+
+    // matching oracle: identical md5 edge priorities and local-minima
+    // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
+    "g_matching_t3" -> matchingSql(3, 7L))
+
+  /** Chained-CTE unroll of [[graft.algo.Matching.greedyRounds]]. */
+  private def matchingSql(rounds: Int, seed: Long): String = {
+    val steps = (1 to rounds).map { r =>
+      val mp = s"m${r - 1}"
+      s"""vm$r AS MATERIALIZED (SELECT v, min(prio) AS pmin FROM (
+         |    SELECT src AS v, prio FROM $mp
+         |    UNION ALL SELECT dst, prio FROM $mp) i GROUP BY 1),
+         |sel$r AS MATERIALIZED (SELECT m.src, m.dst FROM $mp m
+         |    JOIN vm$r a ON a.v = m.src JOIN vm$r b ON b.v = m.dst
+         |    WHERE m.prio = a.pmin AND m.prio = b.pmin),
+         |mv$r AS MATERIALIZED (SELECT DISTINCT v FROM (
+         |    SELECT src AS v FROM sel$r
+         |    UNION ALL SELECT dst FROM sel$r) u),
+         |m$r AS MATERIALIZED (SELECT src, dst, prio FROM $mp
+         |    WHERE src NOT IN (SELECT v FROM mv$r)
+         |      AND dst NOT IN (SELECT v FROM mv$r))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT src, dst, CAST($r AS BIGINT) AS round FROM sel$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $cte,
+       |m0 AS MATERIALIZED (SELECT src, dst,
+       |    md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)
+       |        || ':' || '$seed') AS prio
+       |  FROM e0 WHERE src < dst),
+       |$steps
+       |$out""".stripMargin
+  }
 
   /** Chained-CTE unroll of [[graft.algo.Dense.peelRounds]]: round r
     * removes ids with deg·n ≤ slots over the surviving slot table. Every

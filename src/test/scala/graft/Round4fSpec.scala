@@ -70,4 +70,38 @@ class Round4fSpec extends GraftSuite {
     val r = TriangleCount.cliqueCensus4(e).collect()(0)
     assert(r.getLong(0) === 0L && r.getLong(1) === 0L)
   }
+
+  test("labelMemory records the sync-LP oscillation on a single edge") {
+    // K2 oscillates under synchronous min-label LP: vertex 0 holds
+    // labels 1,0,1 over three steps; vertex 1 holds 0,1,0.
+    val e = edgesDf(undirected(Seq((0L, 1L))))
+    val got = graft.algo.LabelPropagation.labelMemory(e, 3, symmetric = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0L, 1L) -> 2L, (0L, 0L) -> 1L,
+      (1L, 0L) -> 2L, (1L, 1L) -> 1L))
+  }
+
+  test("labelMemory rounds-held sums to the superstep count per vertex") {
+    val e = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 0L), (1L, 3L))))
+    val rows = graft.algo.LabelPropagation.labelMemory(e, 3, symmetric = true)
+      .collect()
+    val sums = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(sums.values.toSet === Set(3L))
+    assert(sums.keySet === Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("greedy matching is a matching and maximalizes") {
+    val pairs = for { a <- 0L until 20L; b <- 0L until 20L
+                      if a < b && (a + b) % 3 == 0 } yield (a, b)
+    val e = edgesDf(undirected(pairs))
+    val m = graft.algo.Matching.greedyRounds(e, rounds = 10, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val touched = m.flatMap(p => Seq(p._1, p._2))
+    assert(touched.distinct.length === touched.length) // no shared vertex
+    // maximal: every input edge has at least one matched endpoint
+    val ts = touched.toSet
+    assert(pairs.forall(p => ts.contains(p._1) || ts.contains(p._2)))
+  }
 }
