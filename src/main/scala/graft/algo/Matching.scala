@@ -55,4 +55,27 @@ object Matching {
     }
     matched
   }
+
+  /** Contract a matching into its coarse multigraph — one multilevel-
+    * coarsening step (the METIS/multilevel-partitioning shape): each
+    * matched pair merges into its lower endpoint (the canonical pair's
+    * `src`), unmatched vertices stay themselves, parallel edges aggregate
+    * into an integer weight, and intra-pair slots become self-loops and
+    * are dropped. Input and output are symmetric slot tables, so levels
+    * compose: `contract(slots, greedyRounds(slots, …))` halves the vertex
+    * set wherever the matching is dense. Two broadcast-sized left joins
+    * (the matching is ≤ |V|/2 rows) plus one hash aggregation.
+    */
+  def contract(slots: DataFrame, matched: DataFrame): DataFrame = {
+    val map = matched.select(col("dst").as("id"), col("src").as("rep"))
+    slots
+      .join(map.select(col("id").as("src"), col("rep").as("rs")),
+        Seq("src"), "left")
+      .join(map.select(col("id").as("dst"), col("rep").as("rd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("rs"), col("src")).as("src"),
+        coalesce(col("rd"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+  }
 }

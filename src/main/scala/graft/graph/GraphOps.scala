@@ -216,6 +216,25 @@ object GraphOps {
     edges.groupBy(col(key)).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
 
+  /** Exact 2-hop ball sizes |B(v, 2)| (self + neighbors + neighbors'
+    * neighbors, distinct) — the neighborhood-growth feature of the
+    * distance distribution's first two points. The wedge join is the
+    * same Σ deg² blow-up as triangle wedges WITHOUT the degree-
+    * orientation cap, so this exact form is for moderate-degree graphs
+    * (post host-contraction) or as the verification baseline for the
+    * sketched path — [[graft.algo.Centrality.neighborhoodFunctionApprox]]
+    * serves hub-heavy graphs.
+    */
+  def ballSizes2(edges: DataFrame): DataFrame = {
+    val one = edges.select(col("src").as("id"), col("dst").as("m"))
+    val two = edges.select(col("src").as("id"), col("dst").as("mid"))
+      .join(edges.select(col("src").as("mid"), col("dst").as("m")), "mid")
+      .select(col("id"), col("m"))
+    val self = vertices(edges).select(col("id"), col("id").as("m"))
+    self.union(one).union(two).distinct()
+      .groupBy("id").agg(count(lit(1)).as("ball2"))
+  }
+
   /** Neighborhood slice of one vertex (reference `getEdgesEdpoints`,
     * `Graph.cu:534-553`) — a point lookup, pushed down to the scan.
     */

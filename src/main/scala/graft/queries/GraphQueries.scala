@@ -1426,7 +1426,19 @@ object GraphQueries {
     // priorities (Luby on the line graph)
     "g_matching_t3" -> ((s, dir) =>
       graft.algo.Matching.greedyRounds(demoEdges(s, dir), rounds = 3,
-        seed = 7L)))
+        seed = 7L)),
+
+    // one multilevel-coarsening step: contract the 3-round matching,
+    // parallel slots aggregate into integer weights
+    "g_coarsen_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      graft.algo.Matching.contract(e,
+        graft.algo.Matching.greedyRounds(e, rounds = 3, seed = 7L))
+    }),
+
+    // exact 2-hop ball sizes — neighborhood-growth baseline (the
+    // sketched ANF path serves hub-heavy graphs)
+    "g_ball2" -> ((s, dir) => GraphOps.ballSizes2(demoEdges(s, dir))))
 
   /** Deterministic-walk replay (starts id % 100, length 4) — shared by
     * the walks gate and the skip-gram pair gate built on top of it.
@@ -3199,10 +3211,27 @@ object GraphQueries {
 
     // matching oracle: identical md5 edge priorities and local-minima
     // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
-    "g_matching_t3" -> matchingSql(3, 7L))
+    "g_matching_t3" -> matchingSql(3, 7L),
 
-  /** Chained-CTE unroll of [[graft.algo.Matching.greedyRounds]]. */
-  private def matchingSql(rounds: Int, seed: Long): String = {
+    // coarsening oracle: the same matching unroll, matched dst → src
+    // mapping, weight = surviving slot multiplicity
+    "g_coarsen_t3" -> coarsenSql(3, 7L),
+
+    // 2-hop ball oracle: wedge join + explicit DISTINCT union
+    "g_ball2" ->
+      s"""WITH $cte,
+         |h2 AS (SELECT a.src AS id, b.dst AS m
+         |       FROM e0 a JOIN e0 b ON a.dst = b.src),
+         |u AS (SELECT DISTINCT id, m FROM (
+         |  SELECT id, id AS m FROM verts
+         |  UNION ALL SELECT src, dst FROM e0
+         |  UNION ALL SELECT id, m FROM h2) x)
+         |SELECT id, count(*) AS ball2 FROM u GROUP BY 1""".stripMargin)
+
+  /** Shared matching unroll prefix (m0 + per-round CTEs) mirroring
+    * [[graft.algo.Matching.greedyRounds]].
+    */
+  private def matchingStepsSql(rounds: Int, seed: Long): String = {
     val steps = (1 to rounds).map { r =>
       val mp = s"m${r - 1}"
       s"""vm$r AS MATERIALIZED (SELECT v, min(prio) AS pmin FROM (
@@ -3218,16 +3247,38 @@ object GraphQueries {
          |    WHERE src NOT IN (SELECT v FROM mv$r)
          |      AND dst NOT IN (SELECT v FROM mv$r))""".stripMargin
     }.mkString(",\n")
+    // no continuation line may START with "||": this block is embedded
+    // into outer .stripMargin templates, which would eat the first bar
+    s"""m0 AS MATERIALIZED (SELECT src, dst,
+       |    md5(CAST(src AS VARCHAR) || ':' ||
+       |        CAST(dst AS VARCHAR) || ':' || '$seed') AS prio
+       |  FROM e0 WHERE src < dst),
+       |$steps""".stripMargin
+  }
+
+  /** Chained-CTE unroll of [[graft.algo.Matching.greedyRounds]]. */
+  private def matchingSql(rounds: Int, seed: Long): String = {
     val out = (1 to rounds)
       .map(r => s"SELECT src, dst, CAST($r AS BIGINT) AS round FROM sel$r")
       .mkString("\nUNION ALL\n")
     s"""WITH $cte,
-       |m0 AS MATERIALIZED (SELECT src, dst,
-       |    md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)
-       |        || ':' || '$seed') AS prio
-       |  FROM e0 WHERE src < dst),
-       |$steps
+       |${matchingStepsSql(rounds, seed)}
        |$out""".stripMargin
+  }
+
+  /** [[graft.algo.Matching.contract]] over the unrolled matching. */
+  private def coarsenSql(rounds: Int, seed: Long): String = {
+    val allSel = (1 to rounds)
+      .map(r => s"SELECT src, dst FROM sel$r").mkString(" UNION ALL ")
+    s"""WITH $cte,
+       |${matchingStepsSql(rounds, seed)},
+       |mp AS (SELECT dst AS id, src AS rep FROM ($allSel) a),
+       |ce AS (SELECT coalesce(ms.rep, e0.src) AS src,
+       |              coalesce(md.rep, e0.dst) AS dst
+       |       FROM e0 LEFT JOIN mp ms ON ms.id = e0.src
+       |       LEFT JOIN mp md ON md.id = e0.dst)
+       |SELECT src, dst, count(*) AS weight FROM ce
+       |WHERE src <> dst GROUP BY 1, 2""".stripMargin
   }
 
   /** Chained-CTE unroll of [[graft.algo.Dense.peelRounds]]: round r

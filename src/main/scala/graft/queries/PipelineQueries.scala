@@ -600,7 +600,21 @@ object PipelineQueries {
     // purchase, each step's stamp = earliest event at/after the previous
     "ev_funnel" -> ((s, dir) =>
       graft.streaming.Funnel.stages(events(s, dir),
-        Seq("signup", "view", "click", "purchase"))))
+        Seq("signup", "view", "click", "purchase"))),
+
+    // event-type transition matrix (Markov view of the behavior log),
+    // tie order pinned by the unique event id
+    "ev_transitions" -> ((s, dir) =>
+      graft.streaming.Funnel.transitions(events(s, dir))),
+
+    // weekly cohort retention triangle over epoch-week integers
+    "ev_retention" -> ((s, dir) =>
+      graft.streaming.Funnel.retention(events(s, dir))),
+
+    // collocations: PMI over adjacent index-term bigrams, marginals on
+    // the full bigram table, output thresholded at 5 occurrences
+    "d_collocations" -> ((s, dir) =>
+      graft.text.TextIndex.collocations(docs(s, dir), minCount = 5L)))
 
   /** 60-bit simhash → 9 pigeonhole chunks (ci, bit offset, width): any two
     * hashes within Hamming distance 8 agree exactly on ≥ 1 chunk.
@@ -1384,5 +1398,48 @@ object PipelineQueries {
         |            WHEN t_signup IS NOT NULL THEN 1
         |            ELSE 0 END AS BIGINT) AS stage,
         |  t_signup, t_view, t_click, t_purchase
-        |FROM a4""".stripMargin)
+        |FROM a4""".stripMargin,
+
+    // transition oracle: identical (ts, event_id) tie order
+    "ev_transitions" ->
+      """WITH o AS (SELECT event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS next_type
+        |           FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |       count(*) AS n
+        |FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // retention oracle: epoch-week floors, distinct active weeks
+    "ev_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |              (epoch_us(ts) // 1000000) // 604800 AS week
+        |            FROM events),
+        |co AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT co.cohort_week, ev.week - co.cohort_week AS week_offset,
+        |       count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN co ON ev.user_id = co.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // collocation oracle: full-bigram marginals, the shared ln-parity
+    // PMI formula, threshold applied last
+    "d_collocations" ->
+      """WITH tok AS (SELECT doc_id,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        |       FROM documents),
+        |bg AS (SELECT unnest([{'a': arr[i+1], 'b': arr[i+2]}
+        |                      for i in range(len(arr) - 1)]) AS s
+        |       FROM tok),
+        |p AS (SELECT s.a AS t1, s.b AS t2, count(*) AS n FROM bg
+        |      GROUP BY 1, 2),
+        |na AS (SELECT t1, sum(n) AS ncen FROM p GROUP BY 1),
+        |nb AS (SELECT t2, sum(n) AS nctx FROM p GROUP BY 1),
+        |tt AS (SELECT sum(n) AS nn FROM p)
+        |SELECT p.t1, p.t2, p.n,
+        |       CAST(ROUND(ln(CAST(p.n AS DOUBLE) * tt.nn /
+        |                     (CAST(na.ncen AS DOUBLE) * nb.nctx))
+        |                  * 1000000) AS BIGINT) AS pmi_e6
+        |FROM p JOIN na ON p.t1 = na.t1 JOIN nb ON p.t2 = nb.t2
+        |CROSS JOIN tt
+        |WHERE p.n >= 5""".stripMargin)
 }

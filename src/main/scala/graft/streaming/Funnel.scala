@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis over the behavioral event log: for each user,
@@ -49,5 +50,40 @@ object Funnel {
     }
     acc.select((col("user_id") +: stage.as("stage") +:
       steps.map(s => col(s"t_$s"))): _*)
+  }
+
+  /** Global event-type transition matrix: for each user's event sequence
+    * ordered by (ts, event_id) — the unique event id pins tie order, so
+    * the count is deterministic — count every adjacent (from, to) pair.
+    * The Markov-chain view of the behavior log. One user-partitioned
+    * window (partition-local sort) + one hash aggregation over the
+    * type-pair space.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Weekly cohort retention: cohort = a user's first active epoch week,
+    * `week_offset` = weeks since the cohort week, `n_users` = distinct
+    * users from that cohort active in that offset week — the classic
+    * retention triangle. Two hash aggregations plus one user-keyed join;
+    * weeks are exact integer floors of epoch seconds.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      floor(col("ts").cast("timestamp").cast("long") / 604800)
+        .cast("long").as("week")).distinct()
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
   }
 }

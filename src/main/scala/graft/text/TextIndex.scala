@@ -126,6 +126,27 @@ object TextIndex {
       .select(col("doc_id"), col("pos"), col("t1"), col("t2"), col("n_occ"))
   }
 
+  /** Collocation mining: PMI of adjacent index-term bigrams. Marginals
+    * are computed over ALL bigrams (so scores are true corpus PMI), then
+    * rows are thresholded at `minCount` occurrences to bound the output —
+    * the classic collocation/phrase-candidate pass. Reuses
+    * [[graft.algo.SkipGram.pmiScores]]'s scaled-integer PMI (pmi_e6), so
+    * the gate replays exactly under the established ln-parity precedent.
+    */
+  def collocations(docs: DataFrame, minCount: Long): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(termsCol).as(Seq("pos", "term")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks.select(col("term").as("center"),
+        lead(col("term"), 1).over(w).as("context"))
+      .filter(col("context").isNotNull)
+    val pairs = bg.groupBy("center", "context").agg(count(lit(1)).as("n"))
+    graft.algo.SkipGram.pmiScores(pairs)
+      .filter(col("n") >= minCount)
+      .select(col("center").as("t1"), col("context").as("t2"),
+        col("n"), col("pmi_e6"))
+  }
+
   /** Deterministic quality-weighted document sampling.
     *
     * Each document's keep-probability (in permille) is an exact integer

@@ -109,4 +109,58 @@ class Round4gSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 4L, 2L -> 1L, 3L -> 0L, 4L -> 2L))
   }
+
+  test("transitions counts adjacent event-type pairs per user in ts order") {
+    val rows = Seq(
+      (1L, 10L, "a", "2024-01-01 00:00:00"),
+      (1L, 11L, "b", "2024-01-01 00:01:00"),
+      (1L, 12L, "a", "2024-01-01 00:02:00"),
+      (2L, 13L, "a", "2024-01-01 00:00:00"),
+      (2L, 14L, "b", "2024-01-01 00:01:00"))
+    val ev = rows.toDF("user_id", "event_id", "event_type", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Funnel.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("retention builds the cohort triangle on epoch weeks") {
+    def t(week: Long) = new java.sql.Timestamp(week * 604800L * 1000L)
+    val rows = Seq( // users 1,2 start week 0; user 3 starts week 1
+      (1L, t(0)), (1L, t(1)), (2L, t(0)), (3L, t(1)), (3L, t(2)), (1L, t(0)))
+    val ev = rows.toDF("user_id", "ts")
+    val got = Funnel.retention(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((0L, 0L) -> 2L, (0L, 1L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
+
+  test("collocations scores frequent adjacent pairs above independent ones") {
+    // "x y" always adjacent (PMI > 0); fillers vary
+    val d = docsDf(1L -> "x y a b", 2L -> "x y b a", 3L -> "a x y b",
+      4L -> "b a x y")
+    val got = TextIndex.collocations(d, minCount = 4L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got.contains(("x", "y")))
+    assert(got(("x", "y")) > 0L)
+  }
+
+  test("contract merges matched pairs and aggregates slot weights") {
+    import graft.algo.Matching
+    // path 0-1-2-3 with matching {(0,1),(2,3)} supplied explicitly
+    val slots = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L))))
+    val matched = Seq((0L, 1L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "round")
+    val got = Matching.contract(slots, matched).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1-2 slot becomes 0-2 (both directions), intra-pair slots drop
+    assert(got === Map((0L, 2L) -> 1L, (2L, 0L) -> 1L))
+  }
+
+  test("ballSizes2 counts self + 1-hop + 2-hop distinct") {
+    import graft.graph.GraphOps
+    val e = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L))))
+    val got = GraphOps.ballSizes2(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 3L, 1L -> 4L, 2L -> 4L, 3L -> 3L))
+  }
 }
