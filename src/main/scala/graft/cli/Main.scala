@@ -467,6 +467,36 @@ object Main {
       t.write.mode("overwrite").parquet(s"$outDir/bfs_tree")
       println(s"[graft] bfstree: rows=${t.count()}")
     }
+    def runMatching(): Unit = {
+      val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "7").toLong
+      val m = graft.algo.Matching.greedyRounds(edges, rounds = 10, seed)
+      m.write.mode("overwrite").parquet(s"$outDir/matching")
+      val coarse = graft.algo.Matching.contract(edges, m)
+      coarse.write.mode("overwrite").parquet(s"$outDir/coarse_edges")
+      println(s"[graft] matching: ${m.count()} pairs, coarse graph " +
+        s"${coarse.count()} slots")
+    }
+    def runDensest(): Unit = {
+      val peel = graft.algo.Dense.peelRounds(edges, rounds = 8)
+      peel.write.mode("overwrite").parquet(s"$outDir/densest_peel")
+      val last = peel.agg(max(col("peel_round"))).collect()(0).getLong(0)
+      println(s"[graft] densest: core peel_round=$last, " +
+        s"core size=${peel.filter(col("peel_round") === last).count()}")
+    }
+    def runCliques(): Unit = {
+      val r = graft.algo.TriangleCount.cliqueCensus4(edges).collect()(0)
+      println(s"[graft] cliques: triangles=${r.getLong(0)} " +
+        s"cliques4=${r.getLong(1)}")
+    }
+    def runCompress(): Unit = {
+      val nat = graft.graph.Compress.gammaGapCost(edges)
+      val re = graft.graph.Compress.gammaGapCostReordered(edges,
+        GraphOps.degreeReorder(edges))
+      val bn = nat.agg(sum(col("gamma_bits"))).collect()(0).getLong(0)
+      val br = re.agg(sum(col("gamma_bits_reord"))).collect()(0).getLong(0)
+      println(s"[graft] compress: gamma bits natural=$bn reordered=$br " +
+        f"(${100.0 * (bn - br) / bn}%.1f%% saved)")
+    }
     def runMis(): Unit = {
       val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "7").toLong
       val m = graft.algo.Mis.mis(edges, seed)
@@ -537,6 +567,10 @@ object Main {
       case "overlap"     => runOverlap()
       case "bfstree"     => runBfsTree()
       case "mis"         => runMis()
+      case "matching"    => runMatching()
+      case "densest"     => runDensest()
+      case "cliques"     => runCliques()
+      case "compress"    => runCompress()
       case "walks"       => runWalks()
       case "sage"        => runSage()
       case "all"         => runLp(); runCc(); runPr(); runTri()
