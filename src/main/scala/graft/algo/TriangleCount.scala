@@ -222,4 +222,28 @@ object TriangleCount {
           .otherwise(col("common").cast("double") / col("union_size"))
           .as("overlap"))
   }
+
+  /** Local-similarity edge sparsification (L-Spar, Satuluri–Parthasarathy
+    * –Ruan): every vertex nominates its top-k incident edges by common-
+    * neighbor count (ties: lower neighbor id), and an edge survives if
+    * EITHER endpoint nominates it. Keeps intra-community structure while
+    * cutting |E| to ≤ k·|V| — the standard pre-filter that makes
+    * community detection on a 10¹²-edge crawl graph tractable. Cost: one
+    * edge-support pass (degree-oriented, O(√E)-capped) + one per-vertex
+    * window (partition-local). Returns surviving canonical edges with
+    * their support.
+    */
+  def sparsifyTopOverlap(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val ov = edgeOverlap(edges).select(col("src"), col("dst"), col("common"))
+    val both = ov.select(col("src").as("v"), col("dst").as("u"), col("common"))
+      .union(ov.select(col("dst").as("v"), col("src").as("u"), col("common")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("common").desc, col("u").asc)
+    both.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(least(col("v"), col("u")).as("src"),
+        greatest(col("v"), col("u")).as("dst"), col("common"))
+      .distinct()
+  }
 }

@@ -375,4 +375,25 @@ object Measures {
       .agg(sum(col("mx")).cast("long").as("purity_num"))
       .crossJoin(cm.agg(sum(col("n")).cast("long").as("n_total")))
   }
+
+  /** Degree moments + the Molloy–Reed heterogeneity ratio κ = ⟨d²⟩/⟨d⟩ =
+    * Σd²/Σd: κ > 2 is the giant-component / epidemic-threshold criterion,
+    * and κ's divergence with graph size is THE signature of a power-law
+    * web graph (it is what makes hub-targeted failures catastrophic and
+    * random failures harmless). One degree aggregation + one moment
+    * aggregation, all sums exact integers; the single κ division is the
+    * only float. Returns one row (n_vertices, n_slots, sum_d2, sum_d3,
+    * kappa_e6).
+    */
+  def degreeMoments(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_vertices"),
+        sum(col("d")).cast("long").as("n_slots"),
+        sum(col("d") * col("d")).cast("long").as("sum_d2"),
+        sum(col("d") * col("d") * col("d")).cast("long").as("sum_d3"))
+      .select(col("n_vertices"), col("n_slots"), col("sum_d2"), col("sum_d3"),
+        round(col("sum_d2").cast("double") * 1000000 / col("n_slots"))
+          .cast("long").as("kappa_e6"))
+  }
 }

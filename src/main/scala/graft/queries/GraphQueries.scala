@@ -419,6 +419,60 @@ object GraphQueries {
        |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r$t""".stripMargin
   }
 
+  /** Name-prefixed PageRank chain over an arbitrary symmetric edge CTE —
+    * the [[prSql]] recurrence, reusable several times in one statement.
+    */
+  private def prChainSql(p: String, et: String, t: Int): String = {
+    val steps = (1 to t).map { k =>
+      s"""${p}x$k AS (
+         |  SELECT $et.dst AS id, sum(q.r / d.od) AS s
+         |  FROM $et JOIN ${p}r${k - 1} q ON $et.src = q.id
+         |  JOIN ${p}deg d ON $et.src = d.id
+         |  GROUP BY 1
+         |), ${p}r$k AS (
+         |  SELECT v.id, 0.15 / (SELECT count(*) FROM ${p}verts)
+         |         + 0.85 * coalesce(x.s, 0) AS r
+         |  FROM ${p}verts v LEFT JOIN ${p}x$k x ON v.id = x.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${p}verts AS (SELECT DISTINCT src AS id FROM $et),
+       |${p}deg AS (SELECT src AS id, count(*) AS od FROM $et GROUP BY 1),
+       |${p}r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM ${p}verts) AS r
+       |           FROM ${p}verts),
+       |$steps""".stripMargin
+  }
+
+  /** [[prChainSql]] on the line-1 and line≤2 snapshots + shift top-10. */
+  private def prShiftSql(t: Int): String = {
+    def snapSql(name: String, maxLine: Int) =
+      s"""${name}0 AS (
+         |  SELECT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= $maxLine
+         |), $name AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM ${name}0 WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst, src FROM ${name}0 WHERE src <> dst) u
+         |)""".stripMargin
+    s"""WITH ${snapSql("ea", 1)},
+       |${snapSql("eb", 2)},
+       |${prChainSql("a", "ea", t)},
+       |${prChainSql("b", "eb", t)},
+       |fa AS (SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS ro
+       |       FROM ar$t),
+       |fb AS (SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rn2
+       |       FROM br$t),
+       |j AS (SELECT coalesce(fa.id, fb.id) AS id,
+       |             coalesce(fa.ro, 0) AS rank_e6_old,
+       |             coalesce(fb.rn2, 0) AS rank_e6_new
+       |      FROM fa FULL OUTER JOIN fb ON fa.id = fb.id)
+       |SELECT id, rank_e6_old, rank_e6_new,
+       |       rank_e6_new - rank_e6_old AS shift_e6
+       |FROM j ORDER BY abs(rank_e6_new - rank_e6_old) DESC, id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, dir) => demoEdges(s, dir)),
 
@@ -1438,7 +1492,38 @@ object GraphQueries {
 
     // exact 2-hop ball sizes — neighborhood-growth baseline (the
     // sketched ANF path serves hub-heavy graphs)
-    "g_ball2" -> ((s, dir) => GraphOps.ballSizes2(demoEdges(s, dir))))
+    "g_ball2" -> ((s, dir) => GraphOps.ballSizes2(demoEdges(s, dir))),
+
+    // L-Spar edge sparsification: per-vertex top-2 nominations by
+    // common-neighbor count, union of nominations
+    "g_sparsify_top2" -> ((s, dir) =>
+      TriangleCount.sparsifyTopOverlap(demoEdges(s, dir), k = 2)),
+
+    // degree moments + Molloy–Reed κ = Σd²/Σd (giant-component /
+    // hub-fragility criterion; exact integer sums, one divide)
+    "g_degree_moments" -> ((s, dir) =>
+      Measures.degreeMoments(demoEdges(s, dir))),
+
+    // crawl-freshness: top-10 PageRank shifts between the line-1 and
+    // line≤2 link-graph snapshots, 3 fixed iterations each — integer-
+    // scaled ranks so the TakeOrdered ranking is exact
+    "g_pr_shift_top10" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))))
+      def pr(e: org.apache.spark.sql.DataFrame, name: String) =
+        PageRank.runFixed(e, 3)
+          .select(col("id"), round(col("rank") * 1000000).cast("long").as(name))
+      pr(snap(1), "r_old").join(pr(snap(2), "r_new"), Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("r_old"), lit(0L)).as("rank_e6_old"),
+          coalesce(col("r_new"), lit(0L)).as("rank_e6_new"))
+        .withColumn("shift_e6", col("rank_e6_new") - col("rank_e6_old"))
+        .orderBy(abs(col("shift_e6")).desc, col("id").asc)
+        .limit(10)
+    }))
 
   /** Deterministic-walk replay (starts id % 100, length 4) — shared by
     * the walks gate and the skip-gram pair gate built on top of it.
@@ -3226,7 +3311,42 @@ object GraphQueries {
          |  SELECT id, id AS m FROM verts
          |  UNION ALL SELECT src, dst FROM e0
          |  UNION ALL SELECT id, m FROM h2) x)
-         |SELECT id, count(*) AS ball2 FROM u GROUP BY 1""".stripMargin)
+         |SELECT id, count(*) AS ball2 FROM u GROUP BY 1""".stripMargin,
+
+    // sparsification oracle: common-neighbor support per canonical edge
+    // (0-support edges kept), both-direction nominations, same window
+    "g_sparsify_top2" ->
+      s"""WITH $cte,
+         |c AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst),
+         |sup0 AS (SELECT c.a, c.b, count(*) AS common FROM c
+         |         JOIN e0 x ON x.src = c.a
+         |         JOIN e0 y ON y.src = c.b AND y.dst = x.dst
+         |         GROUP BY 1, 2),
+         |sup AS (SELECT c.a, c.b,
+         |          CAST(coalesce(s.common, 0) AS BIGINT) AS common
+         |        FROM c LEFT JOIN sup0 s ON s.a = c.a AND s.b = c.b),
+         |bo AS (SELECT a AS v, b AS u, common FROM sup
+         |       UNION ALL SELECT b, a, common FROM sup),
+         |rk AS (SELECT v, u, common, row_number() OVER (
+         |         PARTITION BY v ORDER BY common DESC, u ASC) AS rn
+         |       FROM bo)
+         |SELECT DISTINCT least(v, u) AS src, greatest(v, u) AS dst, common
+         |FROM rk WHERE rn <= 2""".stripMargin,
+
+    // degree-moment oracle: identical exact sums + the one κ divide
+    "g_degree_moments" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1)
+         |SELECT count(*) AS n_vertices, CAST(sum(d) AS BIGINT) AS n_slots,
+         |       CAST(sum(d * d) AS BIGINT) AS sum_d2,
+         |       CAST(sum(d * d * d) AS BIGINT) AS sum_d3,
+         |       CAST(ROUND(CAST(sum(d * d) AS DOUBLE) * 1000000
+         |            / CAST(sum(d) AS BIGINT)) AS BIGINT) AS kappa_e6
+         |FROM deg""".stripMargin,
+
+    // PageRank-shift oracle: two snapshot chains side by side, integer-
+    // scaled ranks, full outer join, exact TakeOrdered ranking
+    "g_pr_shift_top10" -> prShiftSql(3))
 
   /** Shared matching unroll prefix (m0 + per-round CTEs) mirroring
     * [[graft.algo.Matching.greedyRounds]].

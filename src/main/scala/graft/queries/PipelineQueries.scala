@@ -614,7 +614,12 @@ object PipelineQueries {
     // collocations: PMI over adjacent index-term bigrams, marginals on
     // the full bigram table, output thresholded at 5 occurrences
     "d_collocations" -> ((s, dir) =>
-      graft.text.TextIndex.collocations(docs(s, dir), minCount = 5L)))
+      graft.text.TextIndex.collocations(docs(s, dir), minCount = 5L)),
+
+    // hourly anomaly z-scores per event type — integer moments, one
+    // sqrt + one divide (deterministic IEEE scalars)
+    "ev_hourly_anomaly" -> ((s, dir) =>
+      graft.streaming.Funnel.hourlyAnomaly(events(s, dir))))
 
   /** 60-bit simhash → 9 pigeonhole chunks (ci, bit offset, width): any two
     * hashes within Hamming distance 8 agree exactly on ≥ 1 chunk.
@@ -1441,5 +1446,23 @@ object PipelineQueries {
         |                  * 1000000) AS BIGINT) AS pmi_e6
         |FROM p JOIN na ON p.t1 = na.t1 JOIN nb ON p.t2 = nb.t2
         |CROSS JOIN tt
-        |WHERE p.n >= 5""".stripMargin)
+        |WHERE p.n >= 5""".stripMargin,
+
+    // anomaly oracle: z = (n·H − S1)/√(S2·H − S1²), all-integer inputs
+    "ev_hourly_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS h,
+        |         CAST(sum(n) AS BIGINT) AS s1,
+        |         CAST(sum(n * n) AS BIGINT) AS s2
+        |       FROM hourly GROUP BY 1)
+        |SELECT hourly.event_type, hour_epoch, n,
+        |  CASE WHEN s2 * h - s1 * s1 = 0 THEN 0
+        |       ELSE CAST(ROUND(CAST(n * h - s1 AS DOUBLE) * 1000000
+        |              / sqrt(CAST(s2 * h - s1 * s1 AS DOUBLE))) AS BIGINT)
+        |  END AS z_e6
+        |FROM hourly JOIN st ON hourly.event_type = st.event_type""".stripMargin)
 }

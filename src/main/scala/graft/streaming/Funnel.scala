@@ -70,6 +70,31 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Hourly anomaly scores per event type: the z-score of each hour's
+    * event count against that type's own hourly distribution. Both the
+    * numerator and the variance argument are EXACT integers —
+    * z = (n·H − S1) / √(S2·H − S1²) with H hours, S1 = Σn, S2 = Σn² —
+    * so the one sqrt and one divide are the only floats (correctly
+    * rounded IEEE ops, bit-identical across engines). Constant series
+    * (zero variance) score 0. Two hash aggregations + one broadcast
+    * join; the per-type stats table is tiny at any event volume.
+    */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events.groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("h"), sum(col("n")).cast("long").as("s1"),
+        sum(col("n") * col("n")).cast("long").as("s2"))
+    val varArg = col("s2") * col("h") - col("s1") * col("s1")
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_epoch"), col("n"),
+        when(varArg === 0, lit(0L)).otherwise(
+          round((col("n") * col("h") - col("s1")).cast("double") * 1000000
+            / sqrt(varArg.cast("double"))).cast("long")).as("z_e6"))
+  }
+
   /** Weekly cohort retention: cohort = a user's first active epoch week,
     * `week_offset` = weeks since the cohort week, `n_users` = distinct
     * users from that cohort active in that offset week — the classic

@@ -163,4 +163,42 @@ class Round4gSpec extends GraftSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 3L, 1L -> 4L, 2L -> 4L, 3L -> 3L))
   }
+
+  test("sparsifyTopOverlap keeps union of per-vertex nominations") {
+    import graft.algo.TriangleCount
+    // triangle 0-1-2 + pendant 3 on 0; k=1: vertex 0 nominates (0,1)
+    // (common 1, lower neighbor), 1 and 2 nominate their 0-edges,
+    // 3 nominates (0,3); (1,2) is nominated by nobody
+    val e = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L))))
+    val kept = TriangleCount.sparsifyTopOverlap(e, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((0L, 1L), (0L, 2L), (0L, 3L)))
+  }
+
+  test("degreeMoments computes exact sums and kappa") {
+    import graft.measures.Measures
+    val e = edgesDf(undirected(Seq((0L, 1L), (0L, 2L), (0L, 3L))))
+    val r = Measures.degreeMoments(e).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((4L, 6L, 12L, 30L, 2000000L)))
+  }
+
+  test("hourlyAnomaly z-scores from exact integer moments") {
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq( // type a: hourly counts 1, 1, 4
+      (1L, "a", t(0, 0)), (2L, "a", t(1, 0)),
+      (3L, "a", t(2, 0)), (4L, "a", t(2, 1)),
+      (5L, "a", t(2, 2)), (6L, "a", t(2, 3)),
+      // type b: constant (zero variance) -> z = 0
+      (7L, "b", t(0, 0)), (8L, "b", t(1, 0)))
+    val ev = rows.toDF("event_id", "event_type", "ts")
+    val got = Funnel.hourlyAnomaly(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    // H=3, S1=6, S2=18, var=18: z(4)=6/sqrt(18), z(1)=-3/sqrt(18)
+    assert(got(("a", h0 + 7200)) === 1414214L)
+    assert(got(("a", h0)) === -707107L)
+    assert(got(("b", h0)) === 0L && got(("b", h0 + 3600)) === 0L)
+  }
 }
