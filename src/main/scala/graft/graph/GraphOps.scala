@@ -216,6 +216,20 @@ object GraphOps {
     edges.groupBy(col(key)).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_vertices"))
 
+  /** Deterministic bond percolation: keep an undirected edge iff its
+    * md5-uniform draw (keyed by the canonical pair + seed, so both slots
+    * of an edge decide together) lands below `permille`/1000 — the
+    * random-failure resilience experiment on the link graph, replayable
+    * in any engine. Pure stateless filter pushed into the scan; sweep
+    * `permille` and read the giant-component curve.
+    */
+  def percolate(edges: DataFrame, permille: Int, seed: Long): DataFrame = {
+    require(permille >= 0 && permille <= 1000)
+    edges.filter(graft.text.TextIndex.md5Uniform(concat_ws(":",
+      least(col("src"), col("dst")), greatest(col("src"), col("dst")),
+      lit(seed))) % 1000 < permille)
+  }
+
   /** Exact 2-hop ball sizes |B(v, 2)| (self + neighbors + neighbors'
     * neighbors, distinct) — the neighborhood-growth feature of the
     * distance distribution's first two points. The wedge join is the

@@ -376,6 +376,38 @@ object Measures {
       .crossJoin(cm.agg(sum(col("n")).cast("long").as("n_total")))
   }
 
+  /** Newman's discrete attribute assortativity over the symmetric slot
+    * table: with T total slots, `intra` same-attribute slots, and
+    * S = Σᵢ aᵢ² (aᵢ = slots whose source carries attribute i — by
+    * symmetry the row and column marginals of the mixing matrix agree),
+    * r = (T·intra − S)/(T² − S). Positive r = homophily (pages link to
+    * same-attribute pages), negative = anti-assortative linking. All
+    * sums exact integers; the one divide is the only float; a single-
+    * attribute graph (zero denominator) returns the conventional r = 1.
+    * Integer envelope: T² must fit a long (T < 3·10⁹ slots — beyond
+    * that, lift the two products to double first).
+    */
+  def labelAssortativity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val l = labels.select(col("id"), col("label"))
+    val lab = edges
+      .join(l.select(col("id").as("src"), col("label").as("la")), "src")
+      .join(l.select(col("id").as("dst"), col("label").as("lb")), "dst")
+      .select(col("la"), col("lb"))
+    val tt = lab.agg(count(lit(1)).as("t"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+        .cast("long").as("intra"))
+    val aa = lab.groupBy("la").agg(count(lit(1)).as("a"))
+      .agg(sum(col("a") * col("a")).cast("long").as("s"))
+    val num = col("t") * col("intra") - col("s")
+    val den = col("t") * col("t") - col("s")
+    tt.crossJoin(aa).select(
+      col("t").as("n_slots"), col("intra").as("intra_slots"),
+      col("s").as("sum_a2"),
+      when(den === 0, lit(1000000L)).otherwise(
+        round(num.cast("double") * 1000000 / den.cast("double"))
+          .cast("long")).as("r_e6"))
+  }
+
   /** Degree moments + the Molloy–Reed heterogeneity ratio κ = ⟨d²⟩/⟨d⟩ =
     * Σd²/Σd: κ > 2 is the giant-component / epidemic-threshold criterion,
     * and κ's divergence with graph size is THE signature of a power-law

@@ -1504,6 +1504,30 @@ object GraphQueries {
     "g_degree_moments" -> ((s, dir) =>
       Measures.degreeMoments(demoEdges(s, dir))),
 
+    // attribute assortativity: Newman's r over the id%7 attribute —
+    // exact integer mixing-matrix sums, one divide
+    "g_label_assort" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      Measures.labelAssortativity(e,
+        GraphOps.vertices(e).select(col("id"), (col("id") % 7).as("label")))
+    }),
+
+    // bond-percolation resilience curve: keep 30/60/90% of undirected
+    // edges by a seeded md5 draw, CC per level, giant-component stats
+    "g_percolation" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      Seq(300, 600, 900).map { p =>
+        val kept = GraphOps.percolate(e, p, seed = 11L)
+        val comps = ConnectedComponents.runAlternating(kept)
+          .groupBy("label").agg(count(lit(1)).as("sz"))
+        comps.agg(sum(col("sz")).cast("long").as("n_vertices"),
+            count(lit(1)).as("n_components"),
+            max(col("sz")).as("giant_size"))
+          .select(lit(p.toLong).as("permille"), col("n_vertices"),
+            col("n_components"), col("giant_size"))
+      }.reduce(_ union _)
+    }),
+
     // crawl-freshness: top-10 PageRank shifts between the line-1 and
     // line≤2 link-graph snapshots, 3 fixed iterations each — integer-
     // scaled ranks so the TakeOrdered ranking is exact
@@ -3346,7 +3370,57 @@ object GraphQueries {
 
     // PageRank-shift oracle: two snapshot chains side by side, integer-
     // scaled ranks, full outer join, exact TakeOrdered ranking
-    "g_pr_shift_top10" -> prShiftSql(3))
+    "g_pr_shift_top10" -> prShiftSql(3),
+
+    // assortativity oracle: identical integer mixing sums + one divide
+    "g_label_assort" ->
+      s"""WITH $cte,
+         |lab AS (SELECT src % 7 AS la, dst % 7 AS lb FROM e0),
+         |tt AS (SELECT count(*) AS t,
+         |         CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS intra
+         |       FROM lab),
+         |aa AS (SELECT CAST(sum(a * a) AS BIGINT) AS s FROM (
+         |         SELECT count(*) AS a FROM lab GROUP BY la) x)
+         |SELECT t AS n_slots, intra AS intra_slots, s AS sum_a2,
+         |  CASE WHEN t * t - s = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE CAST(ROUND(CAST(t * intra - s AS DOUBLE) * 1000000
+         |              / CAST(t * t - s AS DOUBLE)) AS BIGINT)
+         |  END AS r_e6
+         |FROM tt, aa""".stripMargin,
+
+    // percolation oracle: the same md5 edge draw per level, recursive
+    // closure per surviving subgraph
+    "g_percolation" -> percolationSql(Seq(300, 600, 900), 11L))
+
+  /** Per-level percolation + CC closure mirroring the engine's
+    * md5Uniform(least:greatest:seed) draw.
+    */
+  private def percolationSql(levels: Seq[Int], seed: Long): String = {
+    val blocks = levels.map { p =>
+      s"""k$p AS (SELECT src, dst FROM e0 WHERE
+         |  ('0x' || substr(md5(CAST(least(src, dst) AS VARCHAR) || ':' ||
+         |     CAST(greatest(src, dst) AS VARCHAR) || ':' || '$seed'),
+         |     1, 15))::BIGINT % 1000 < $p),
+         |v$p AS (SELECT DISTINCT src AS id FROM k$p),
+         |reach$p(id, lab) AS (
+         |  SELECT id, id FROM v$p
+         |  UNION
+         |  SELECT k$p.dst, reach$p.lab FROM reach$p
+         |  JOIN k$p ON k$p.src = reach$p.id),
+         |cc$p AS (SELECT id, min(lab) AS label FROM reach$p GROUP BY id),
+         |sz$p AS (SELECT label, count(*) AS sz FROM cc$p GROUP BY 1),
+         |out$p AS (SELECT CAST($p AS BIGINT) AS permille,
+         |            CAST(sum(sz) AS BIGINT) AS n_vertices,
+         |            count(*) AS n_components,
+         |            CAST(max(sz) AS BIGINT) AS giant_size
+         |          FROM sz$p)""".stripMargin
+    }.mkString(",\n")
+    val out = levels.map(p => s"SELECT * FROM out$p").mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $cte,
+       |$blocks
+       |$out""".stripMargin
+  }
 
   /** Shared matching unroll prefix (m0 + per-round CTEs) mirroring
     * [[graft.algo.Matching.greedyRounds]].

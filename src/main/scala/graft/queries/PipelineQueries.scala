@@ -619,7 +619,14 @@ object PipelineQueries {
     // hourly anomaly z-scores per event type — integer moments, one
     // sqrt + one divide (deterministic IEEE scalars)
     "ev_hourly_anomaly" -> ((s, dir) =>
-      graft.streaming.Funnel.hourlyAnomaly(events(s, dir))))
+      graft.streaming.Funnel.hourlyAnomaly(events(s, dir))),
+
+    // streaming transition counts: per-user last-event state carried in
+    // the state store; over one finite source this equals the batch
+    // transition matrix (same oracle as ev_transitions)
+    "ev_stream_transitions" -> ((s, dir) =>
+      graft.streaming.EventStreams.runTransitionStream(s,
+        s"$dir/events.parquet", "graft_verify_trans")))
 
   /** 60-bit simhash → 9 pigeonhole chunks (ci, bit offset, width): any two
     * hashes within Hamming distance 8 agree exactly on ≥ 1 chunk.
@@ -1464,5 +1471,16 @@ object PipelineQueries {
         |       ELSE CAST(ROUND(CAST(n * h - s1 AS DOUBLE) * 1000000
         |              / sqrt(CAST(s2 * h - s1 * s1 AS DOUBLE))) AS BIGINT)
         |  END AS z_e6
-        |FROM hourly JOIN st ON hourly.event_type = st.event_type""".stripMargin)
+        |FROM hourly JOIN st ON hourly.event_type = st.event_type""".stripMargin,
+
+    // stream/batch parity: the streaming state-store transitions must
+    // equal the batch window derivation
+    "ev_stream_transitions" ->
+      """WITH o AS (SELECT event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS next_type
+        |           FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |       count(*) AS n
+        |FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin)
 }

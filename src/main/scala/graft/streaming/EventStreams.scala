@@ -84,6 +84,67 @@ object EventStreams {
       }
   }
 
+  final case class LastEvent(t: Long, eid: Long, etype: String)
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String)
+
+  /** Stateful streaming event-type transitions: per-user last event
+    * carried in the state store across micro-batches, each batch's rows
+    * replayed in (ts, event_id) order — so the emitted transition stream
+    * equals the batch [[graft.streaming.Funnel.transitions]] whenever
+    * batches respect per-user time order (the file-ingest contract:
+    * sources deliver time-partitioned files in order). State is one
+    * (ts, id, type) triple per user — bounded by the user set, not the
+    * stream length.
+    */
+  def transitionEvents(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += Transition(user, p.etype, e.event_type))
+            prev = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Drive [[transitionEvents]] over a parquet directory as a stream and
+    * return the aggregated (from_type, to_type, n) counts of the emitted
+    * transition stream. `maxFilesPerTrigger` forces multi-micro-batch
+    * runs so the cross-batch state handoff is exercised.
+    */
+  def runTransitionStream(spark: SparkSession, path: String, name: String,
+                          maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(path).schema
+    val dir = asStreamDir(path)
+    val reader = spark.readStream.schema(schema)
+    val configured =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val ds = configured.parquet(dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = transitionEvents(ds)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Streaming exact deduplication of the (user, item) interaction keys:
     * `dropDuplicates` over a watermarked stream keeps one state entry per
     * key seen inside the watermark horizon and emits only first

@@ -201,4 +201,67 @@ class Round4gSpec extends GraftSuite {
     assert(got(("a", h0)) === -707107L)
     assert(got(("b", h0)) === 0L && got(("b", h0 + 3600)) === 0L)
   }
+
+  test("labelAssortativity is 1 on pure clusters and drops with mixing") {
+    import graft.measures.Measures
+    def assort(pairs: Seq[(Long, Long)]) = {
+      val e = edgesDf(undirected(pairs))
+      val labels = e.select(col("src").as("id")).distinct()
+        .select(col("id"), (col("id") / 2).cast("long").as("label"))
+      Measures.labelAssortativity(e, labels).collect()(0).getLong(3)
+    }
+    assert(assort(Seq((0L, 1L), (2L, 3L))) === 1000000L)
+    // cross edge 1-2: r = (6*4 - 18) / (36 - 18) = 1/3
+    assert(assort(Seq((0L, 1L), (2L, 3L), (1L, 2L))) === 333333L)
+  }
+
+  test("percolate keeps everything at 1000 permille and nests monotonically") {
+    import graft.graph.GraphOps
+    val pairs = for { a <- 0L until 15L; b <- 0L until 15L if a < b } yield (a, b)
+    val e = edgesDf(undirected(pairs))
+    assert(GraphOps.percolate(e, 1000, 11L).count() === e.count())
+    def kept(p: Int) = GraphOps.percolate(e, p, 11L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (k3, k6) = (kept(300), kept(600))
+    assert(k3.subsetOf(k6))
+    assert(k3.nonEmpty && k6.size < pairs.size * 2)
+    // both slots of an undirected edge decide together
+    assert(k6.forall { case (a, b) => k6.contains((b, a)) })
+  }
+
+  test("streaming transitions carry per-user state across micro-batches") {
+    import graft.streaming.EventStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    def batch(rows: Seq[(Long, Long, String, String)], f: String): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("value", lit(1.0))
+        .coalesce(1).write.parquet(s"$dir/$f")
+    // file 1 = early events, file 2 = later events (time-ordered split)
+    batch(Seq((1L, 1L, "a", "2024-01-01 00:00:00"),
+      (2L, 2L, "x", "2024-01-01 00:01:00")), "f1")
+    batch(Seq((3L, 1L, "b", "2024-01-01 00:05:00"),
+      (4L, 2L, "y", "2024-01-01 00:06:00"),
+      (5L, 1L, "c", "2024-01-01 00:07:00")), "f2")
+    // point the stream at the parquet FILES (two batches of one file)
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+    val merged = s"$dir/all"
+    new java.io.File(merged).mkdirs()
+    files.foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(merged, d.getName + ".parquet"))
+      }
+    }
+    // the file source triggers oldest-first: pin modification times so
+    // the early batch is guaranteed to run first
+    new java.io.File(merged, "f1.parquet").setLastModified(1000000L)
+    new java.io.File(merged, "f2.parquet").setLastModified(2000000L)
+    val got = EventStreams.runTransitionStream(spark, merged,
+        "graft_test_trans", maxFilesPerTrigger = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // (a,b) and (x,y) cross the batch boundary; (b,c) is within batch 2
+    assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("x", "y") -> 1L))
+  }
 }
