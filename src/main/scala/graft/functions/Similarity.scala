@@ -130,6 +130,41 @@ object Similarity {
     topK(sims, k)
   }
 
+  /** Product-quantization codes — THE memory path for ANN at 10¹²-vector
+    * scale (a 64-float embedding compresses to `blocks` small ints): the
+    * vector splits into `blocks` contiguous sub-vectors, and each block
+    * is coded as its nearest codeword under squared L2 on that block
+    * (codebook = the strided deterministic sample, same device as IVF's
+    * coarse quantizer; distances rounded ×1e6 before the argmin with a
+    * codeword-id tie-break, so the code assignment is bit-stable across
+    * engines). One broadcast of the codebook × blocks fan-out — a scan,
+    * no shuffle beyond the per-(vector, block) argmin window.
+    * Returns (vec_id, block, code, d_e6).
+    */
+  def pqCodes(vectors: DataFrame, blocks: Int = 8, dim: Int = 64,
+              centStride: Int = 37): DataFrame = {
+    require(dim % blocks == 0, s"dim $dim must split into $blocks blocks")
+    val bw = dim / blocks
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val bdf = vectors.sparkSession.range(blocks)
+      .select(col("id").cast("int").as("b"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def sub(x: Column) = slice(x, col("b") * bw + 1, lit(bw))
+    v.crossJoin(broadcast(cents)).crossJoin(broadcast(bdf))
+      .select(col("vec_id"), col("b"), col("cid"),
+        round(sqDist(sub(col("v")), sub(col("cv"))) * 1e6)
+          .cast("long").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "b").orderBy(col("d"), col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("b").cast("long").as("block"),
+        col("cid").as("code"), col("d").as("d_e6"))
+  }
+
   /** Lloyd-trained centroids (k-means) for IVF: `iters` rounds of
     * assign + elementwise mean. Engine-side only — the cross-row mean is
     * float-summation-order-dependent, so this variant is validated by

@@ -626,7 +626,27 @@ object PipelineQueries {
     // transition matrix (same oracle as ev_transitions)
     "ev_stream_transitions" -> ((s, dir) =>
       graft.streaming.EventStreams.runTransitionStream(s,
-        s"$dir/events.parquet", "graft_verify_trans")))
+        s"$dir/events.parquet", "graft_verify_trans")),
+
+    // product-quantization codes: per-block nearest codeword, the
+    // ANN memory-compression path (8 blocks of 8 dims)
+    "e_pq_codes" -> ((s, dir) =>
+      graft.functions.Similarity.pqCodes(emb(s, dir))),
+
+    // the composed production filter with priority semantics: short →
+    // non-English → exact-dup among survivors → kept
+    "d_filter_status" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        md5(col("text")).as("h"), size(tokensCol).cast("long").as("nt"))
+      val survivors = d.filter(col("nt") >= 10 && col("lang") === "en")
+      val keep = survivors.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+      d.join(keep, Seq("h"), "left")
+        .select(col("doc_id"),
+          when(col("nt") < 10, lit("short"))
+            .when(col("lang") =!= "en", lit("lang"))
+            .when(col("doc_id") =!= col("keep_id"), lit("dup"))
+            .otherwise(lit("kept")).as("status"))
+    }))
 
   /** 60-bit simhash → 9 pigeonhole chunks (ci, bit offset, width): any two
     * hashes within Hamming distance 8 agree exactly on ≥ 1 chunk.
@@ -1482,5 +1502,37 @@ object PipelineQueries {
         |           FROM events)
         |SELECT event_type AS from_type, next_type AS to_type,
         |       count(*) AS n
-        |FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin)
+        |FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // PQ oracle: identical per-block squared-L2 argmin with the e6
+    // rounding + codeword-id tie-break
+    "e_pq_codes" ->
+      """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |            FROM embeddings),
+        |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 37 = 0),
+        |bl AS (SELECT range AS b FROM range(8)),
+        |ad AS (SELECT vv.vec_id, bl.b, ct.cid,
+        |         CAST(ROUND(list_sum([
+        |             (v[b*8+i+1] - cv[b*8+i+1]) * (v[b*8+i+1] - cv[b*8+i+1])
+        |             for i in range(8)]) * 1000000) AS BIGINT) AS d
+        |       FROM vv, ct, bl)
+        |SELECT vec_id, CAST(b AS BIGINT) AS block, cid AS code, d AS d_e6
+        |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, b
+        |        ORDER BY d, cid) AS rk FROM ad) t
+        |WHERE rk = 1""".stripMargin,
+
+    // filter-status oracle: same priority chain; dedup keepers computed
+    // among survivors only
+    "d_filter_status" ->
+      """WITH d AS (SELECT doc_id, lang, md5(text) AS h,
+        |             len(regexp_extract_all(text, '\S+')) AS nt
+        |           FROM documents),
+        |keep AS (SELECT h, min(doc_id) AS keep_id FROM d
+        |         WHERE nt >= 10 AND lang = 'en' GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN nt < 10 THEN 'short'
+        |       WHEN lang <> 'en' THEN 'lang'
+        |       WHEN doc_id <> keep_id THEN 'dup'
+        |       ELSE 'kept' END AS status
+        |FROM d LEFT JOIN keep ON d.h = keep.h""".stripMargin)
 }

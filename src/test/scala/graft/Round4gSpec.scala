@@ -264,4 +264,20 @@ class Round4gSpec extends GraftSuite {
     // (a,b) and (x,y) cross the batch boundary; (b,c) is within batch 2
     assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("x", "y") -> 1L))
   }
+
+  test("pqCodes picks the per-block nearest codeword") {
+    import graft.functions.Similarity
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 1f, 1f)),   // codeword (id % 2 == 0)
+      (2L, Array(1f, 1f, 0f, 0f)),   // codeword
+      (1L, Array(0.1f, 0f, 0.9f, 1f)),
+      (3L, Array(0.9f, 1f, 0.1f, 0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqCodes(df, blocks = 2, dim = 4, centStride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 0L)) === 0L && got((1L, 1L)) === 0L)
+    assert(got((3L, 0L)) === 2L && got((3L, 1L)) === 2L)
+    // codewords code to themselves (d = 0, lowest cid wins exact ties)
+    assert(got((0L, 0L)) === 0L && got((2L, 1L)) === 2L)
+  }
 }
