@@ -139,9 +139,14 @@ object Betweenness {
                 maxDepth: Int = DepthCap): DataFrame = {
     val e = edges.select(col("src").as("v"), col("dst").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // both loop states must be eager-TRUNCATED, not just persisted: a
+    // lazily-persisted frontier chains every prior level's AQE subplan
+    // into the next plan, and the nested InMemoryRelation/AQE tree's
+    // STRING rendering grows super-linearly — 12 levels of it OOM'd the
+    // driver on a fragmented sparse graph (round-4 g_bipartite).
     var visited = sources.select(col("id").as("s"), col("id"),
         lit(0).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.engine.Materialize.eager)
     var frontier = visited
     var level = 0
     var go = true
@@ -156,20 +161,15 @@ object Betweenness {
       val candidate = expanded
         .join(seen, col("es") === col("vs") && col("nid") === col("vid"), "left_anti")
         .select(col("es").as("s"), col("nid").as("id"), lit(level).as("dist"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.engine.Materialize.eager)
       if (candidate.count() == 0L) {
         go = false
-        candidate.unpersist(blocking = false)
       } else {
-        val nv = visited.union(candidate)
+        visited = visited.union(candidate)
           .transform(graft.engine.Materialize.eager)
-        if (frontier ne visited) frontier.unpersist(blocking = false)
-        visited.unpersist(blocking = false)
-        visited = nv
         frontier = candidate
       }
     }
-    if (frontier ne visited) frontier.unpersist(blocking = false)
     e.unpersist(blocking = false)
     visited.select(col("s").as("source"), col("id"),
       col("dist").cast("long").as("dist"))

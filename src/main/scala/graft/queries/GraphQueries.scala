@@ -1494,6 +1494,11 @@ object GraphQueries {
     // sketched ANF path serves hub-heavy graphs)
     "g_ball2" -> ((s, dir) => GraphOps.ballSizes2(demoEdges(s, dir))),
 
+    // per-component bipartiteness (odd-cycle detection by BFS parity) on
+    // the sparse demo graph, whose small components include real trees
+    "g_bipartite" -> ((s, dir) =>
+      graft.algo.Bipartite.check(sparseDemoEdges(s, dir))),
+
     // L-Spar edge sparsification: per-vertex top-2 nominations by
     // common-neighbor count, union of nominations
     "g_sparsify_top2" -> ((s, dir) =>
@@ -3391,7 +3396,41 @@ object GraphQueries {
 
     // percolation oracle: the same md5 edge draw per level, recursive
     // closure per surviving subgraph
-    "g_percolation" -> percolationSql(Seq(300, 600, 900), 11L))
+    "g_percolation" -> percolationSql(Seq(300, 600, 900), 11L),
+
+    // bipartite oracle: CC closure for roots, recursive BFS layers,
+    // same-parity edge count per component
+    "g_bipartite" ->
+      s"""WITH RECURSIVE $sparseCte,
+         |reachc(id, lab) AS (
+         |  SELECT id, id FROM sverts
+         |  UNION
+         |  SELECT se0.dst, reachc.lab FROM reachc
+         |  JOIN se0 ON se0.src = reachc.id),
+         |cclab AS (SELECT id, min(lab) AS label FROM reachc GROUP BY id),
+         |srcs AS (SELECT DISTINCT label AS id FROM cclab),
+         |reachb(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM srcs
+         |  UNION
+         |  SELECT r.source, se0.dst, r.dist + 1 FROM reachb r
+         |  JOIN se0 ON se0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |lvb AS (SELECT source, id, min(dist) AS dist FROM reachb
+         |        GROUP BY 1, 2),
+         |own AS (SELECT c.label AS component, c.id, lvb.dist % 2 AS p
+         |        FROM cclab c JOIN lvb ON lvb.source = c.label
+         |                             AND lvb.id = c.id),
+         |odd AS (SELECT a.component, count(*) // 2 AS n_odd
+         |        FROM se0 JOIN own a ON a.id = se0.src
+         |        JOIN own b ON b.id = se0.dst AND b.component = a.component
+         |        WHERE a.p = b.p GROUP BY 1),
+         |sz AS (SELECT label AS component, count(*) AS n_vertices
+         |       FROM cclab GROUP BY 1)
+         |SELECT sz.component, sz.n_vertices,
+         |       CAST(coalesce(odd.n_odd, 0) AS BIGINT) AS n_odd_edges,
+         |       CAST(CASE WHEN coalesce(odd.n_odd, 0) = 0 THEN 1 ELSE 0 END
+         |            AS BIGINT) AS bipartite
+         |FROM sz LEFT JOIN odd ON odd.component = sz.component""".stripMargin)
 
   /** Per-level percolation + CC closure mirroring the engine's
     * md5Uniform(least:greatest:seed) draw.

@@ -633,6 +633,17 @@ object PipelineQueries {
     "e_pq_codes" -> ((s, dir) =>
       graft.functions.Similarity.pqCodes(emb(s, dir))),
 
+    // BPE-ish pre-token counts next to whitespace words — LM token-
+    // budget accounting (regex verified char-identical across engines)
+    "d_bpe_tokens" -> ((s, dir) =>
+      graft.text.CorpusClean.tokenStats(docs(s, dir))),
+
+    // T5 span-corruption masks: 15% deterministic md5 draw, maximal
+    // masked runs as (span_id, start, len) — regenerable at audit time
+    "d_spans" -> ((s, dir) =>
+      graft.text.CorpusClean.spanMasks(docs(s, dir), permille = 150,
+        seed = 5L)),
+
     // the composed production filter with priority semantics: short →
     // non-English → exact-dup among survivors → kept
     "d_filter_status" -> ((s, dir) => {
@@ -1520,6 +1531,37 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, b
         |        ORDER BY d, cid) AS rk FROM ad) t
         |WHERE rk = 1""".stripMargin,
+
+    // BPE-ish oracle: the same RE2-safe pattern
+    "d_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    // span oracle: same md5 position draw, islands-and-gaps run merge
+    "d_spans" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |             FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(len(arr))) AS pos FROM tok),
+        |mk AS (SELECT doc_id, pos FROM pos
+        |       WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |           CAST(pos AS VARCHAR) || ':' || '5'), 1, 15))::BIGINT
+        |           % 1000 < 150),
+        |g AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |          AS grp
+        |      FROM mk),
+        |runs AS (SELECT doc_id, grp, CAST(min(pos) AS BIGINT) AS start,
+        |           count(*) AS span_len
+        |         FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+        |       AS BIGINT) AS span_id,
+        |  start, span_len
+        |FROM runs""".stripMargin,
 
     // filter-status oracle: same priority chain; dedup keepers computed
     // among survivors only

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus hygiene operators for LLM training-data preparation (SURVEY
@@ -95,6 +96,52 @@ object CorpusClean {
       .select(col("doc_id"), col("chunk_id"),
         size(col("ck")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("ck"))).as("chunk_hash"))
+  }
+
+  /** GPT-2-style pre-tokenizer shape: letter runs, digit runs, and
+    * punctuation runs, each optionally absorbing one leading space —
+    * identical under Java regex (Spark) and RE2 (DuckDB), verified
+    * character-for-character in the gate. The "BPE-ish" count tracks LM
+    * token cost far better than whitespace words (digits and punctuation
+    * split out), which is what token-budget accounting needs.
+    */
+  val BpeishRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** Whitespace-word vs BPE-ish pre-token counts per document — the
+    * token-budget accounting pass (pure scan, no shuffle).
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokensCol).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeishRe), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** T5-style span-corruption masks: each token position is masked by a
+    * deterministic md5 draw (`permille`/1000 rate), and maximal runs of
+    * masked positions merge into spans — emitted as (doc_id, span_id,
+    * start, span_len) with spans numbered by start. The islands-and-gaps
+    * trick (pos − row_number) finds the runs with one doc-partitioned
+    * window; the draw replays in any engine, so the SAME spans can be
+    * regenerated at training and at audit time — the property that
+    * matters when the corpus is 100 TB and masks are never stored.
+    */
+  def spanMasks(docs: DataFrame, permille: Int, seed: Long): DataFrame = {
+    require(permille >= 0 && permille <= 1000)
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokensCol).as(Seq("pos", "tok")))
+    val masked = toks.filter(
+      TextIndex.md5Uniform(concat_ws(":", col("doc_id"), col("pos"),
+        lit(seed))) % 1000 < permille)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = masked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("start"),
+        count(lit(1)).as("span_len"))
+    runs.select(col("doc_id"),
+        (row_number().over(Window.partitionBy("doc_id")
+          .orderBy("start")) - 1).cast("long").as("span_id"),
+        col("start"), col("span_len"))
   }
 
   /** Email pattern — ASCII-only, identical under Java regex and RE2. */

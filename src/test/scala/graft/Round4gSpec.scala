@@ -280,4 +280,44 @@ class Round4gSpec extends GraftSuite {
     // codewords code to themselves (d = 0, lowest cid wins exact ties)
     assert(got((0L, 0L)) === 0L && got((2L, 1L)) === 2L)
   }
+
+  test("tokenStats: BPE-ish pre-tokens split digits and punctuation out") {
+    val d = docsDf(1L -> "Window merge spark2 a,b")
+    val r = CorpusClean.tokenStats(d).collect()(0)
+    // ws: [Window, merge, spark2, a,b] = 4
+    // bpe: [window, merge, spark, 2, a, ",", b] = 7
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 7L)))
+  }
+
+  test("spanMasks merges masked runs and numbers spans by start") {
+    val text = (0 until 60).map(i => s"t$i").mkString(" ")
+    val d = docsDf(9L -> text)
+    val rows = CorpusClean.spanMasks(d, permille = 300, seed = 5L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // independent replay of the position draw
+    val md = MessageDigest.getInstance("MD5")
+    def h60(s: String) = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val masked = (0 until 60).filter(p => h60(s"9:$p:5") % 1000 < 300)
+    // reconstruct runs
+    val runs = masked.foldLeft(List.empty[(Int, Int)]) {
+      case ((s0, l) :: rest, p) if p == s0 + l => (s0, l + 1) :: rest
+      case (acc, p) => (p, 1) :: acc
+    }.reverse
+    assert(rows.map(r => (r._2.toInt, r._3.toInt)) === runs)
+    assert(rows.map(_._1) === rows.indices.map(_.toLong))
+  }
+
+  test("bipartite check separates even cycles from odd") {
+    import graft.algo.Bipartite
+    val e = edgesDf(undirected(Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),   // C4: bipartite
+      (10L, 11L), (11L, 12L), (12L, 10L),       // triangle: odd cycle
+      (20L, 21L))))                             // edge: bipartite
+    val got = Bipartite.check(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(0L -> ((4L, 0L, 1L)), 10L -> ((3L, 1L, 0L)),
+      20L -> ((2L, 0L, 1L))))
+  }
 }
