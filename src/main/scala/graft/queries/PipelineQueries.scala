@@ -638,6 +638,11 @@ object PipelineQueries {
     "d_bpe_tokens" -> ((s, dir) =>
       graft.text.CorpusClean.tokenStats(docs(s, dir))),
 
+    // feature-hashing doc vectors (16 dims, signed counts, sparse rows)
+    // — the vocabulary-free featurizer
+    "d_feature_hash" -> ((s, dir) =>
+      graft.text.TextIndex.featureHash(docs(s, dir), dim = 16)),
+
     // T5 span-corruption masks: 15% deterministic md5 draw, maximal
     // masked runs as (span_id, start, len) — regenerable at audit time
     "d_spans" -> ((s, dir) =>
@@ -1531,6 +1536,20 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, b
         |        ORDER BY d, cid) AS rk FROM ad) t
         |WHERE rk = 1""".stripMargin,
+
+    // hashing-trick oracle: same 60-bit hash, dim and sign derivations
+    "d_feature_hash" ->
+      """WITH t AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |           AS term
+        |       FROM documents),
+        |hh AS (SELECT doc_id,
+        |         ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM t)
+        |SELECT doc_id, h % 16 AS dim,
+        |       CAST(sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+        |            AS BIGINT) AS val
+        |FROM hh GROUP BY 1, 2
+        |HAVING sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
 
     // BPE-ish oracle: the same RE2-safe pattern
     "d_bpe_tokens" ->

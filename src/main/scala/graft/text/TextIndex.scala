@@ -147,6 +147,28 @@ object TextIndex {
         col("n"), col("pmi_e6"))
   }
 
+  /** Feature-hashing document vectors (the hashing trick): each term
+    * maps to dimension md5(term) % dim with sign ± from the next hash
+    * bit, and the document's vector is the signed term-count sum — the
+    * fixed-width featurizer that needs NO vocabulary, so it runs as one
+    * scan + one hash aggregation at any corpus size (Weinberger et al.).
+    * Emitted sparse as (doc_id, dim, val) rows — exact integers, and the
+    * sparse form is what a downstream trainer ingests.
+    */
+  def featureHash(docs: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 2)
+    val terms = docs.select(col("doc_id"), explode(termsCol).as("term"))
+    val h = md5Uniform(col("term"))
+    terms
+      .select(col("doc_id"), (h % dim).as("dim"),
+        // sign = the hash bit just above the dim bits: h % 2dim < dim
+        // (Column./ is DOUBLE division — keep this in pure modular math)
+        when(h % (2L * dim) < dim, lit(1L)).otherwise(lit(-1L)).as("sgn"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("sgn")).cast("long").as("val"))
+      .filter(col("val") =!= 0)
+  }
+
   /** Deterministic quality-weighted document sampling.
     *
     * Each document's keep-probability (in permille) is an exact integer

@@ -308,6 +308,20 @@ class Round4gSpec extends GraftSuite {
     assert(rows.map(_._1) === rows.indices.map(_.toLong))
   }
 
+  test("featureHash maps terms by the md5 draw with the bit-4 sign") {
+    val d = docsDf(1L -> "alpha alpha beta")
+    val got = TextIndex.featureHash(d, dim = 16).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val md = MessageDigest.getInstance("MD5")
+    def h60(s: String) = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def entry(t: String, n: Long) =
+      (h60(t) % 16, if (h60(t) % 32 < 16) n else -n)
+    val want = Seq(entry("alpha", 2L), entry("beta", 1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 != 0).toMap
+    assert(got === want)
+  }
+
   test("bipartite check separates even cycles from odd") {
     import graft.algo.Bipartite
     val e = edgesDf(undirected(Seq(
