@@ -419,6 +419,31 @@ object GraphQueries {
        |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r$t""".stripMargin
   }
 
+  /** Personalized-PageRank CTE chain (deg/srcs/rst/r0..rt) over e0 with
+    * the id%10 teleport set — shared by the PPR gate and the sweep cut.
+    */
+  private def pprStepsSql(t: Int): String = {
+    val steps = (1 to t).map { k =>
+      s"""x$k AS (
+         |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+         |  FROM e0 JOIN r${k - 1} p ON e0.src = p.id JOIN deg d ON e0.src = d.id
+         |  GROUP BY 1
+         |), r$k AS (
+         |  SELECT v.id, (1.0 - 0.85) * v.reset + 0.85 * coalesce(x.s, 0) AS r
+         |  FROM rst v LEFT JOIN x$k x ON v.id = x.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""deg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+       |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+       |rst AS (
+       |  SELECT v.id,
+       |    CASE WHEN s.id IS NULL THEN 0.0
+       |         ELSE 1.0 / (SELECT count(*) FROM srcs) END AS reset
+       |  FROM verts v LEFT JOIN srcs s ON v.id = s.id),
+       |r0 AS (SELECT id, reset AS r FROM rst),
+       |$steps""".stripMargin
+  }
+
   /** Name-prefixed PageRank chain over an arbitrary symmetric edge CTE —
     * the [[prSql]] recurrence, reusable several times in one statement.
     */
@@ -998,6 +1023,17 @@ object GraphQueries {
       PageRank.runPersonalizedFixed(e, sources, iterations = 5)
         .select(col("id"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))
+    }),
+
+    // ACL sweep cut over the PPR ordering: conductance of every top-64
+    // prefix — the certified local-community extractor around the seeds
+    "g_ppr_sweep_t5" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      val scores = PageRank.runPersonalizedFixed(e, sources, iterations = 5)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("score_e6"))
+      graft.algo.SweepCut.conductanceSweep(e, scores, m = 64)
     }),
 
     // 2 synchronous Louvain move rounds (modularity-ascent community
@@ -2849,29 +2885,41 @@ object GraphQueries {
     // personalized PageRank: prSql's power iteration with the teleport
     // mass routed to the sampled source set (graph is symmetrized ⇒ no
     // dangling term)
-    "g_ppr_t5" -> {
-      val steps = (1 to 5).map { k =>
-        s"""x$k AS (
-           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
-           |  FROM e0 JOIN r${k - 1} p ON e0.src = p.id JOIN deg d ON e0.src = d.id
-           |  GROUP BY 1
-           |), r$k AS (
-           |  SELECT v.id, (1.0 - 0.85) * v.reset + 0.85 * coalesce(x.s, 0) AS r
-           |  FROM rst v LEFT JOIN x$k x ON v.id = x.id
-           |)""".stripMargin
-      }.mkString(",\n")
+    "g_ppr_t5" ->
       s"""WITH $cte,
-         |deg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
-         |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
-         |rst AS (
-         |  SELECT v.id,
-         |    CASE WHEN s.id IS NULL THEN 0.0
-         |         ELSE 1.0 / (SELECT count(*) FROM srcs) END AS reset
-         |  FROM verts v LEFT JOIN srcs s ON v.id = s.id),
-         |r0 AS (SELECT id, reset AS r FROM rst),
-         |$steps
-         |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r5""".stripMargin
-    },
+         |${pprStepsSql(5)}
+         |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r5""".stripMargin,
+
+    // sweep-cut oracle: the shared PPR chain, top-64 prefix ranking,
+    // max-rank internal-edge grouping, cumulative windows
+    "g_ppr_sweep_t5" ->
+      s"""WITH $cte,
+         |${pprStepsSql(5)},
+         |sc AS (SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS score_e6
+         |       FROM r5),
+         |top AS (SELECT id, score_e6, CAST(k AS BIGINT) AS k FROM (
+         |  SELECT id, score_e6, row_number() OVER (
+         |    ORDER BY score_e6 DESC, id ASC) AS k FROM sc) t
+         |  WHERE k <= 64),
+         |dg AS (SELECT src AS id, count(*) AS dd FROM e0 GROUP BY 1),
+         |rk AS (SELECT top.id, top.score_e6, top.k, dg.dd
+         |       FROM top JOIN dg ON dg.id = top.id),
+         |ie AS (SELECT greatest(a.k, b.k) AS k, count(*) AS ne
+         |       FROM e0 JOIN rk a ON a.id = e0.src
+         |       JOIN rk b ON b.id = e0.dst
+         |       WHERE e0.src < e0.dst GROUP BY 1),
+         |tt AS (SELECT count(*) AS t FROM e0),
+         |sw AS (SELECT rk.k, rk.id, rk.score_e6,
+         |         CAST(sum(rk.dd) OVER (ORDER BY rk.k) AS BIGINT) AS vol,
+         |         CAST(sum(coalesce(ie.ne, 0)) OVER (ORDER BY rk.k)
+         |              AS BIGINT) AS intern
+         |       FROM rk LEFT JOIN ie ON ie.k = rk.k)
+         |SELECT k, id, score_e6, vol, vol - 2 * intern AS cut,
+         |  CASE WHEN least(vol, t - vol) = 0 THEN CAST(1000000 AS BIGINT)
+         |       ELSE CAST(ROUND(CAST(vol - 2 * intern AS DOUBLE) * 1000000
+         |              / least(vol, t - vol)) AS BIGINT)
+         |  END AS cond_e6
+         |FROM sw, tt""".stripMargin,
 
     "g_read_txt" ->
       """WITH fx(sn, dn) AS (VALUES

@@ -322,6 +322,24 @@ class Round4gSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("conductance sweep bottoms out at the planted community") {
+    // two K4s joined by one bridge; scores order the seed K4 first
+    def k4(off: Long) =
+      for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a + off, b + off)
+    val e = edgesDf(undirected(k4(0) ++ k4(4) :+ (3L, 4L)))
+    val scores = (0L to 7L).map(i => (i, 1000L - i)).toDF("id", "score_e6")
+    val sw = graft.algo.SweepCut.conductanceSweep(e, scores, m = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    // k=4 prefix = the seed K4: vol 13, cut 1 (the bridge)
+    assert(sw(4L) === ((13L, 1L, 76923L)))
+    assert(sw(3L) === ((9L, 3L, 333333L)))
+    // the full prefix swallows all volume -> conventional 10^6
+    assert(sw(8L)._3 === 1000000L)
+    val best = sw.minBy { case (k, (_, _, c)) => (c, k) }._1
+    assert(best === 4L)
+  }
+
   test("bipartite check separates even cycles from odd") {
     import graft.algo.Bipartite
     val e = edgesDf(undirected(Seq(
