@@ -497,6 +497,36 @@ object Main {
       println(s"[graft] compress: gamma bits natural=$bn reordered=$br " +
         f"(${100.0 * (bn - br) / bn}%.1f%% saved)")
     }
+    def runBipartite(): Unit = {
+      val b = graft.algo.Bipartite.check(edges)
+      b.write.mode("overwrite").parquet(s"$outDir/bipartite")
+      val bad = b.filter(col("bipartite") === 0).count()
+      println(s"[graft] bipartite: ${b.count()} components, " +
+        s"$bad with odd cycles")
+    }
+    def runSweep(): Unit = {
+      val sources = GraphOps.vertices(edges).filter(col("id") % 100 === 0)
+      val scores = graft.algo.PageRank
+        .runPersonalizedFixed(edges, sources, iterations = 5)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("score_e6"))
+      val sw = graft.algo.SweepCut.conductanceSweep(edges, scores, m = 64)
+      sw.write.mode("overwrite").parquet(s"$outDir/sweep")
+      val best = sw.orderBy(col("cond_e6").asc, col("k").asc).limit(1)
+        .collect()(0)
+      println(s"[graft] sweep: best prefix k=${best.getLong(0)} " +
+        s"cond_e6=${best.getLong(5)}")
+    }
+    def runPercolation(): Unit = {
+      Seq(300, 600, 900).foreach { p =>
+        val kept = GraphOps.percolate(edges, p, seed = 11L)
+        val comps = graft.algo.ConnectedComponents.runAlternating(kept)
+          .groupBy("label").agg(count(lit(1)).as("sz"))
+        val r = comps.agg(count(lit(1)), max(col("sz"))).collect()(0)
+        println(s"[graft] percolation p=$p: components=${r.getLong(0)} " +
+          s"giant=${r.getLong(1)}")
+      }
+    }
     def runMis(): Unit = {
       val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "7").toLong
       val m = graft.algo.Mis.mis(edges, seed)
@@ -571,6 +601,9 @@ object Main {
       case "densest"     => runDensest()
       case "cliques"     => runCliques()
       case "compress"    => runCompress()
+      case "bipartite"   => runBipartite()
+      case "sweep"       => runSweep()
+      case "percolation" => runPercolation()
       case "walks"       => runWalks()
       case "sage"        => runSage()
       case "all"         => runLp(); runCc(); runPr(); runTri()
