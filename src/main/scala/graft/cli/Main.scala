@@ -32,8 +32,16 @@ import graft.sources.{PagesSynth, TextExtract}
 object Main {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: Main <lp|lp-semisync|lp-async|cc|pagerank|triangles|all> " +
-        "<synth:N|pages:PATH|edges:PATH> <outDir> [maxIter] [partitions]")
+      "usage: Main <mode> <synth:N|pages:PATH|edges:PATH> <outDir> " +
+        "[maxIter] [partitions]\n" +
+        "  core:      lp lp-semisync lp-async cc pagerank triangles all\n" +
+        "  distance:  sssp centrality lcc diameter bfstree\n" +
+        "  ranking:   ppr hits salsa katz eigen spammass hostpr sweep\n" +
+        "  structure: louvain scc condense bowtie truss kcore coreness\n" +
+        "             motifs cliques densest matching bipartite wl mis\n" +
+        "  resilience/misc: percolation richclub redirects msf cocite\n" +
+        "             simrank overlap anf compress sample rmat triapprox\n" +
+        "  embeddings: walks sage")
     val algo = args(0)
     val input = args(1)
     val outDir = args(2)
