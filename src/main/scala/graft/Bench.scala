@@ -28,6 +28,17 @@ import graft.sources.{PagesSynth, TextExtract}
   * hardware calibration inside its own window, and the JSON carries the
   * full per-rep (sec_n, sec_4n, hw_factor) series.
   *
+  * Hot-window robustness (round 5, VERDICT r4 task 1): headline children
+  * now bracket their run with the same in-window hash-mix calibration the
+  * scaling children carry, the parent records loadavg around every fork,
+  * the two convergence-path queries get a third (conv-only, cheap) rep,
+  * and each phase gets at most ONE retry when its winning time provably
+  * came from a window >1.3× slower than the run's best (headline) or the
+  * raw efficiency missed 0.8 while per-rep calibrations disagreed >1.3×
+  * (scaling). The full per-rep window evidence ships in the JSON as
+  * `headline_windows` + `hot_retries`, so a contended capture is
+  * distinguishable from an engine regression in the record of truth.
+  *
   * Prints exactly ONE JSON line:
   *   {"metric":"lp_edges_per_sec_4n","value":...,"unit":"edges/sec",
   *    "queries":{...per-stage min-of-reps seconds at local[32]...},"sf":...,
@@ -54,7 +65,7 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  def runAt(cores: Int, nPages: Long): RunStats = {
+  private def headlineSession(cores: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -64,13 +75,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  /** Headline graph build, shared by the full and conv-only children:
+    * pages → edges, persisted and counted. Returns (edges, slots, nNodes).
+    */
+  private def buildHeadlineGraph(spark: SparkSession, cores: Int, nPages: Long)
+      : (DataFrame, Long, Long) = {
+    val pages = PagesSynth.pages(spark, nPages)
+    val (raw, _) = TextExtract.buildEdges(pages, scalableDict = true)
+    val edges = GraphOps.prepareForGather(
+      GraphOps.symmetrize(GraphOps.dropSelfLoops(raw)), cores)
+    val slots = edges.count() // materializes the persisted edge table
+    val nNodes = GraphOps.vertices(edges).count()
+    (edges, slots, nNodes)
+  }
+
+  def runAt(cores: Int, nPages: Long): RunStats = {
+    val spark = headlineSession(cores)
     try {
-      val pages = PagesSynth.pages(spark, nPages)
-      val (raw, _) = TextExtract.buildEdges(pages, scalableDict = true)
-      val edges = GraphOps.prepareForGather(
-        GraphOps.symmetrize(GraphOps.dropSelfLoops(raw)), cores)
-      val slots = edges.count() // materializes the persisted edge table
-      val nNodes = GraphOps.vertices(edges).count()
+      val (edges, slots, nNodes) = buildHeadlineGraph(spark, cores, nPages)
 
       // Fixed 5 supersteps: the throughput measurement (identical work at
       // every parallelism level). packedArgmax asserted: dictionary ids
@@ -107,6 +132,29 @@ object Bench {
         lpConvSec, lpConv.iterations,
         ccSec, cc.iterations,
         prSec, triSec, tri, labelHash)
+    } finally spark.stop()
+  }
+
+  /** Conv-only headline repetition: graph build + lp_fixed5 + lp_converge,
+    * skipping cc/pagerank/triangles — the cheap third sample for the two
+    * convergence-path queries (VERDICT r4 task 1: 2 reps of the
+    * convergence loop aren't enough when the box swings ±50%).
+    * Returns (slots, lpFixedSec, lpConvSec, lpIters, labelHash).
+    */
+  def runConvAt(cores: Int, nPages: Long): (Long, Double, Double, Int, Long) = {
+    val spark = headlineSession(cores)
+    try {
+      val (edges, slots, nNodes) = buildHeadlineGraph(spark, cores, nPages)
+      val supersteps = 5
+      val (labelHash, lpFixedSec) = time {
+        LabelPropagation
+          .runFixed(edges, supersteps, symmetric = true, packedArgmax = Some(true))
+          .agg(bit_xor(xxhash64(col("id"), col("label")))).first().getLong(0)
+      }
+      val (lpConv, lpConvSec) = time {
+        LabelPropagation.run(edges, nNodes, earlyStop = true, symmetric = true)
+      }
+      (slots, lpFixedSec, lpConvSec, lpConv.iterations, labelHash)
     } finally spark.stop()
   }
 
@@ -222,18 +270,62 @@ object Bench {
         (slots, sec, hash, (calPre + calPost) / 2.0)
     }
 
-  /** One forked headline repetition (all five query timings at local[32]).
-    * Falls back to in-process on spawn failure.
+  /** 1-minute loadavg — parent-side window evidence around each fork. */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  final case class HeadRep(stats: RunStats, cal: Double,
+                           loadBefore: Double, loadAfter: Double)
+  final case class ConvRep(slots: Long, lpFixedSec: Double, lpConvSec: Double,
+                           lpIters: Int, hash: Long, cal: Double,
+                           loadBefore: Double, loadAfter: Double)
+
+  /** One forked headline repetition (all five query timings at local[32]),
+    * bracketed by the child's OWN 32-thread hash-mix calibration — the
+    * same in-window evidence the scaling phase has carried since round 3,
+    * now on the headline too (VERDICT r4 task 1: a rep that lands on a
+    * hot window must be distinguishable from an engine regression in the
+    * driver record itself). Falls back to in-process on spawn failure.
     */
-  def headlineRunForked(nPages: Long): RunStats =
-    forkChild(Seq("headline-child", nPages.toString), "HEADLINE ") match {
+  def headlineRunForked(nPages: Long): HeadRep = {
+    val lb = loadAvg()
+    val rep = forkChild(Seq("headline-child", nPages.toString), "HEADLINE ") match {
       case Some(line) =>
         val f = line.trim.split(" ")
-        RunStats(f(1).toLong, f(2).toDouble, f(3).toDouble, f(4).toDouble,
+        HeadRep(RunStats(f(1).toLong, f(2).toDouble, f(3).toDouble, f(4).toDouble,
           f(5).toInt, f(6).toDouble, f(7).toInt, f(8).toDouble,
-          f(9).toDouble, f(10).toLong, f(11).toLong)
-      case None => runAt(32, nPages)
+          f(9).toDouble, f(10).toLong, f(11).toLong),
+          (f(12).toDouble + f(13).toDouble) / 2.0, lb, -1.0)
+      case None =>
+        val calPre = calibratePerCore(32, 1500L)
+        val r = runAt(32, nPages)
+        val calPost = calibratePerCore(32, 1500L)
+        HeadRep(r, (calPre + calPost) / 2.0, lb, -1.0)
     }
+    rep.copy(loadAfter = loadAvg())
+  }
+
+  /** One forked conv-only repetition (lp_fixed5 + lp_converge at
+    * local[32]) with the same in-window calibration bracket.
+    */
+  def convRunForked(nPages: Long): ConvRep = {
+    val lb = loadAvg()
+    val rep = forkChild(Seq("conv-child", nPages.toString), "CONV ") match {
+      case Some(line) =>
+        val f = line.trim.split(" ")
+        ConvRep(f(1).toLong, f(2).toDouble, f(3).toDouble, f(4).toInt,
+          f(5).toLong, (f(6).toDouble + f(7).toDouble) / 2.0, lb, -1.0)
+      case None =>
+        val calPre = calibratePerCore(32, 1500L)
+        val (slots, lpF, lpC, iters, hash) = runConvAt(32, nPages)
+        val calPost = calibratePerCore(32, 1500L)
+        ConvRep(slots, lpF, lpC, iters, hash, (calPre + calPost) / 2.0, lb, -1.0)
+    }
+    rep.copy(loadAfter = loadAvg())
+  }
 
   /** Chained-superstep LP throughput on a `nVerts`-vertex Zipf graph:
     * one action runs `supersteps` gather/agg rounds; returns
@@ -327,10 +419,20 @@ object Bench {
     }
     if (args.headOption.contains("headline-child")) {
       val Array(_, pages) = args
+      val calPre = calibratePerCore(32, 1500L)
       val r = runAt(32, pages.toLong)
+      val calPost = calibratePerCore(32, 1500L)
       println(s"HEADLINE ${r.slots} ${r.lpFixedSec} ${r.lpEdgesPerSec} " +
         s"${r.lpConvSec} ${r.lpIters} ${r.ccSec} ${r.ccIters} ${r.prSec} " +
-        s"${r.triSec} ${r.triangles} ${r.labelHash}")
+        s"${r.triSec} ${r.triangles} ${r.labelHash} $calPre $calPost")
+      return
+    }
+    if (args.headOption.contains("conv-child")) {
+      val Array(_, pages) = args
+      val calPre = calibratePerCore(32, 1500L)
+      val (slots, lpF, lpC, iters, hash) = runConvAt(32, pages.toLong)
+      val calPost = calibratePerCore(32, 1500L)
+      println(s"CONV $slots $lpF $lpC $iters $hash $calPre $calPost")
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -389,15 +491,19 @@ object Bench {
     final case class ScaleRep(slots: Long, secN: Double, hashN: Long, calN: Double,
                               sec4N: Double, hash4N: Long, cal4N: Double)
     val scaleReps = scala.collection.mutable.ArrayBuffer.empty[ScaleRep]
-    val headlines = scala.collection.mutable.ArrayBuffer.empty[RunStats]
+    val headlines = scala.collection.mutable.ArrayBuffer.empty[HeadRep]
+    val convs = scala.collection.mutable.ArrayBuffer.empty[ConvRep]
     def cooldown(): Unit = Thread.sleep(cooldownMs)
+    def scalingPair(): Unit = {
+      val (sl, sn, hn, cn) = scalingRunForked(nCores, scaleVerts, steps)
+      val (_, s4, h4, c4) = scalingRunForked(n4Cores, scaleVerts, steps)
+      scaleReps += ScaleRep(sl, sn, hn, cn, s4, h4, c4)
+    }
     var r = 1
     val rounds = math.max(reps, headlineReps)
     while (r <= rounds) {
       if (r <= reps) {
-        val (sl, sn, hn, cn) = scalingRunForked(nCores, scaleVerts, steps)
-        val (_, s4, h4, c4) = scalingRunForked(n4Cores, scaleVerts, steps)
-        scaleReps += ScaleRep(sl, sn, hn, cn, s4, h4, c4)
+        scalingPair()
         if (r <= headlineReps || r < rounds) cooldown()
       }
       if (r <= headlineReps) {
@@ -407,20 +513,79 @@ object Bench {
       r += 1
     }
 
-    // headline: per-query minimum across repetitions (noise-robust);
-    // hashes must agree across reps (determinism evidence)
-    val high =
-      if (headlines.isEmpty) RunStats(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-      else headlines.reduce { (a, b) =>
-        RunStats(a.slots,
-          math.min(a.lpFixedSec, b.lpFixedSec),
-          math.max(a.lpEdgesPerSec, b.lpEdgesPerSec),
-          math.min(a.lpConvSec, b.lpConvSec), a.lpIters,
-          math.min(a.ccSec, b.ccSec), a.ccIters,
-          math.min(a.prSec, b.prSec),
-          math.min(a.triSec, b.triSec), a.triangles, a.labelHash)
+    // Third sample for the convergence-path queries (cheap conv-only
+    // child), then ONE bounded hot-window retry: if the rep that holds
+    // the winning lp_converge time ran in a window whose calibration is
+    // >1.3× below the run's best window, that minimum itself is suspect —
+    // spend one more conv rep on a hopefully-cooler window (VERDICT r4
+    // task 1; the retry is capped at 1 so a permanently-hot box costs at
+    // most one extra ~1-minute phase).
+    val hotFactor = sys.env.getOrElse("SPARK_GRAFT_HOT_FACTOR", "1.3").toDouble
+    var headlineRetries = 0
+    if (headlines.nonEmpty) {
+      cooldown()
+      convs += convRunForked(nPages)
+      def bestCal = (headlines.map(_.cal) ++ convs.map(_.cal)).max
+      def minConvCal: Double = {
+        val samples = headlines.map(h => (h.stats.lpConvSec, h.cal)) ++
+          convs.map(c => (c.lpConvSec, c.cal))
+        samples.minBy(_._1)._2
       }
-    val headlineHashMatch = headlines.map(_.labelHash).distinct.size <= 1
+      if (minConvCal < bestCal / hotFactor) {
+        headlineRetries += 1
+        cooldown()
+        convs += convRunForked(nPages)
+      }
+    }
+
+    // Scaling hot-window retry, same bound: when the per-level-minima raw
+    // efficiency misses the ≥0.8 target AND the per-rep calibrations show
+    // the windows disagreed by >1.3× at either level, the miss is
+    // window-shaped — spend one more pair.
+    var scalingRetries = 0
+    if (scaleReps.nonEmpty && reps > 0) {
+      def rawEffNow = {
+        val sn = scaleReps.map(_.secN).min
+        val s4 = scaleReps.map(_.sec4N).min
+        (sn / s4) / (n4Cores.toDouble / nCores)
+      }
+      def spread(xs: Seq[Double]) = xs.max / math.max(xs.min, 1e-9)
+      if (rawEffNow < 0.8 &&
+          (spread(scaleReps.map(_.calN).toSeq) > hotFactor ||
+            spread(scaleReps.map(_.cal4N).toSeq) > hotFactor)) {
+        scalingRetries += 1
+        cooldown()
+        scalingPair()
+      }
+    }
+
+    // headline: per-query minimum across repetitions (noise-robust);
+    // hashes must agree across ALL reps incl. conv-only ones
+    // (determinism evidence). The conv reps contribute to the two
+    // convergence-path minima only — they don't run cc/pr/tri.
+    val high = {
+      val full =
+        if (headlines.isEmpty) RunStats(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        else headlines.map(_.stats).reduce { (a, b) =>
+          RunStats(a.slots,
+            math.min(a.lpFixedSec, b.lpFixedSec),
+            math.max(a.lpEdgesPerSec, b.lpEdgesPerSec),
+            math.min(a.lpConvSec, b.lpConvSec), a.lpIters,
+            math.min(a.ccSec, b.ccSec), a.ccIters,
+            math.min(a.prSec, b.prSec),
+            math.min(a.triSec, b.triSec), a.triangles, a.labelHash)
+        }
+      convs.foldLeft(full) { (a, c) =>
+        a.copy(
+          lpFixedSec = math.min(a.lpFixedSec, c.lpFixedSec),
+          lpEdgesPerSec = math.max(a.lpEdgesPerSec,
+            a.slots.toDouble * 5 / c.lpFixedSec),
+          lpConvSec = math.min(a.lpConvSec, c.lpConvSec))
+      }
+    }
+    val headlineHashMatch =
+      (headlines.map(_.stats.labelHash) ++ convs.map(_.hash))
+        .distinct.size <= 1
 
     // Per-rep efficiency, each paired with the hw calibration sampled in
     // ITS OWN window; the full per-rep series goes into the payload so a
@@ -455,6 +620,24 @@ object Bench {
       s"""{"lp_fixed5":${f(high.lpFixedSec)},"lp_converge":${f(high.lpConvSec)},""" +
         s""""cc_converge":${f(high.ccSec)},"pagerank_10":${f(high.prSec)},""" +
         s""""triangles":${f(high.triSec)}}"""
+    // per-rep window evidence for the headline phase — mirrors the
+    // scaling phase's per-rep series so a hot capture window is visible
+    // in the record itself (the round-4 driver capture was ~35-45% above
+    // six builder captures of identical code with no way to tell why)
+    val headlineWindows = (headlines.map { h =>
+      s"""{"kind":"full","lp_fixed5":${f(h.stats.lpFixedSec)},""" +
+        s""""lp_converge":${f(h.stats.lpConvSec)},""" +
+        s""""cc_converge":${f(h.stats.ccSec)},""" +
+        s""""pagerank_10":${f(h.stats.prSec)},""" +
+        s""""triangles":${f(h.stats.triSec)},""" +
+        s""""cal":${f(h.cal)},"load_before":${f(h.loadBefore)},""" +
+        s""""load_after":${f(h.loadAfter)}}"""
+    } ++ convs.map { c =>
+      s"""{"kind":"conv","lp_fixed5":${f(c.lpFixedSec)},""" +
+        s""""lp_converge":${f(c.lpConvSec)},""" +
+        s""""cal":${f(c.cal)},"load_before":${f(c.loadBefore)},""" +
+        s""""load_after":${f(c.loadAfter)}}"""
+    }).mkString("[", ",", "]")
     val repsJson = evals.map { e =>
       s"""{"sec_n":${f(e.secN)},"sec_4n":${f(e.sec4N)},""" +
         s""""cal_n":${f(e.calN)},"cal_4n":${f(e.cal4N)},""" +
@@ -479,7 +662,11 @@ object Bench {
         s""""lp_iters":${high.lpIters},"cc_iters":${high.ccIters},""" +
         s""""triangles":${high.triangles}},""" +
         s""""headline_reps":${headlines.size},""" +
+        s""""conv_reps":${convs.size},""" +
         s""""headline_hash_match":$headlineHashMatch,""" +
+        s""""hot_retries":{"headline":$headlineRetries,""" +
+        s""""scaling":$scalingRetries},""" +
+        s""""headline_windows":$headlineWindows,""" +
         s""""scaling":$scaling}"""
     // The driver parses the JSON line from stdout (run/outputStrategy in
     // build.sbt keeps it free of sbt's "[info] " prefix); the file copy is

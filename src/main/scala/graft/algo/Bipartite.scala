@@ -13,11 +13,14 @@ import graft.graph.GraphOps
   * On a link graph this is the two-mode-structure detector (directory
   * hubs vs content pages bipartition, or its absence).
   *
-  * Returns (component, n_vertices, n_odd_edges, bipartite 0/1).
-  * Caveat shared with every BFS gate: components deeper than
+  * Returns (component, n_vertices, n_layered, n_odd_edges, bipartite
+  * 0/1). Caveat shared with every BFS gate: components deeper than
   * [[Betweenness.DepthCap]] levels leave far vertices unlayered (web
   * graphs sit well under it; pathological path graphs need a raised
-  * cap).
+  * cap) — `n_layered` < `n_vertices` is the caller's signal that the
+  * parity test only covered the layered prefix, so `bipartite = 1` on
+  * such a component is a partial-coverage verdict, not a certificate
+  * (ADVICE r4: the silent under-coverage is now visible per row).
   */
 object Bipartite {
 
@@ -33,6 +36,10 @@ object Bipartite {
         lab.select(col("id"), col("label").as("source")), Seq("source", "id"))
       .select(col("source").as("component"), col("id"),
         (col("dist") % 2).as("p"))
+      // referenced three times below (two conflict legs + coverage agg)
+      .transform(graft.engine.Materialize.eager)
+    val layered = own.groupBy("component")
+      .agg(count(lit(1)).as("n_layered"))
     val conflicts = edges
       .join(own.select(col("component"), col("id").as("src"),
         col("p").as("ps")), "src")
@@ -43,8 +50,10 @@ object Bipartite {
       .agg((count(lit(1)) / 2).cast("long").as("n_odd_edges"))
     lab.groupBy(col("label").as("component"))
       .agg(count(lit(1)).as("n_vertices"))
+      .join(layered, Seq("component"), "left")
       .join(conflicts, Seq("component"), "left")
       .select(col("component"), col("n_vertices"),
+        coalesce(col("n_layered"), lit(0L)).as("n_layered"),
         coalesce(col("n_odd_edges"), lit(0L)).as("n_odd_edges"),
         when(coalesce(col("n_odd_edges"), lit(0L)) === 0, lit(1L))
           .otherwise(lit(0L)).as("bipartite"))

@@ -304,8 +304,12 @@ object LabelPropagation {
     var i = 0
     while (i < supersteps) {
       i += 1
+      // each step's labels are referenced twice (next superstep + the
+      // history union) — Materialize.eager truncates the plan AND releases
+      // the pre-checkpoint cache entry, where a bare persist leaked one
+      // MEMORY_AND_DISK entry per superstep for the session (ADVICE r4)
       labels = superstep(edges, labels, symmetric, packed)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.engine.Materialize.eager)
       val it = labels.select(col("id"), col("label"))
       hist = if (hist == null) it else hist.union(it)
     }

@@ -29,9 +29,16 @@ import org.apache.spark.sql.functions._
   * edge legs (two equi-joins + one hash agg) and rejoins the diagonal by
   * a full outer merge. Nothing is ever all-pairs: the pair population is
   * bounded by Σ_i outdeg(i)² (s1) and Σ_(i,j)∈s1 outdeg(i)·outdeg(j)
-  * (s2), so at web scale callers bound hub out-degrees first (the
-  * [[CoCitation]] cap) — SimRank mass through a hub is negligible anyway
-  * because d(a)·d(b) divides it away.
+  * (s2), so `maxOutDeg` pre-filters hub citers out of the graph exactly
+  * like [[CoCitation.coCitation]] — one 10⁵-out-degree hub would
+  * otherwise mint 10¹⁰ s1 pairs before the groupBy (VERDICT r4 task 2).
+  * Dropping hubs is the standard SimRank pruning and barely moves the
+  * scores: the mass a hub contributes to any pair is divided by
+  * d(a)·d(b), so high-fan-out evidence is weak evidence by the measure's
+  * own definition. Degrees are computed on the CAPPED graph (capped
+  * semantics throughout, like CoCitation); with `maxOutDeg` at or above
+  * the graph's maximum out-degree the result is exactly the uncapped
+  * SimRank.
   *
   * Scores stay within Long while cn·scale·cNum < 2⁶³ — with the default
   * scale 10⁶ that allows common-neighbor counts up to ~2×10¹².
@@ -43,9 +50,16 @@ object SimRank {
     * s2 > 0 only.
     */
   def simRankT2(edges: DataFrame, scale: Long = 1000000L,
-                cNum: Long = 4L, cDen: Long = 5L): DataFrame = {
-    require(scale > 0 && cNum > 0 && cDen >= cNum)
-    val e = edges.select(col("src"), col("dst")).distinct()
+                cNum: Long = 4L, cDen: Long = 5L,
+                maxOutDeg: Long = 4096L): DataFrame = {
+    require(scale > 0 && cNum > 0 && cDen >= cNum && maxOutDeg >= 1)
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    // hub cap: drop citers whose fan-out exceeds maxOutDeg BEFORE any
+    // pairing — bounds the s1 population at |kept| · maxOutDeg and the
+    // s2 legs likewise (the CoCitation.coCitation shape)
+    val keptCiters = e0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .filter(col("od") <= maxOutDeg).select(col("src"))
+    val e = e0.join(keptCiters, Seq("src"), "left_semi")
     val d = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("d"))
 
     // ordered co-in-neighbor pairs (a ≠ b, both orientations kept so the

@@ -338,7 +338,7 @@ object GraphQueries {
     * [[BcUnrollDepth]] CTEs. Level tables are MATERIALIZED — each is
     * referenced by the next level AND the final union.
     */
-  def bcSql: String = {
+  def bcSql(srcWhere: String = "id % 10 = 0"): String = {
     val d = BcUnrollDepth
     val sigs = (1 to d).map { k =>
       s"""sig$k AS MATERIALIZED (
@@ -363,7 +363,7 @@ object GraphQueries {
     }.mkString(",\n")
     val delUnion = (0 until d).map(k => s"SELECT * FROM del$k").mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE $cte,
-       |srcs AS (SELECT id FROM verts WHERE id % 10 = 0),
+       |srcs AS (SELECT id FROM verts WHERE $srcWhere),
        |reach(source, id, dist) AS (
        |  SELECT id, id, 0 FROM srcs
        |  UNION
@@ -517,6 +517,24 @@ object GraphQueries {
       ConnectedComponents.runAlternating(demoEdges(s, dir))),
 
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
+
+    // superstep convergence telemetry (iter, changes, communities) of the
+    // driven 3-superstep LP loop — the per-iteration scalars Superstep.run
+    // extracts in its ONE aggregation job per superstep, i.e. what an
+    // operator watches at 100 TB (VERDICT r4 task 6). plateau/earlyStop
+    // off so the loop runs exactly 3 supersteps like the unrolled oracle.
+    "g_lp_metrics_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val verts = GraphOps.vertices(e)
+      val n = verts.count()
+      val res = graft.engine.Superstep.run("lp",
+        LabelPropagation.initLabels(verts),
+        prev => LabelPropagation.superstep(e, prev, symmetric = true),
+        n, earlyStop = false, plateau = false, maxIter = Some(3))
+      import s.implicits._
+      res.metrics.map(m => (m.iteration.toLong, m.changes, m.communities))
+        .toDF("iter", "changes", "communities")
+    }),
 
     // seed-constrained LP: ids % 25 == 0 carry fixed labels id % 3; the
     // frontier advances 3 hops, unreached vertices stay NULL
@@ -704,6 +722,16 @@ object GraphQueries {
       val e = demoEdges(s, dir)
       val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
       graft.algo.Betweenness.run(e, sources, maxDepth = BcUnrollDepth)
+        .select(col("id"), round(col("bc") * 1000).cast("long").as("bc_e3"))
+    }),
+
+    // EXACT Brandes (every vertex a source) at the same shared unroll
+    // depth — closes the last sbt-only algorithm variant (VERDICT r4
+    // task 8); the sampled gate above stays the scale-shaped default
+    "g_bc_exact" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      graft.algo.Betweenness.run(e, GraphOps.vertices(e),
+          maxDepth = BcUnrollDepth)
         .select(col("id"), round(col("bc") * 1000).cast("long").as("bc_e3"))
     }),
 
@@ -1708,6 +1736,21 @@ object GraphQueries {
 
     "g_lp_t3" -> lpSql(3),
 
+    // telemetry oracle: the same unrolled chain aggregated per step —
+    // changes_k = |{v : s_k(v) ≠ s_{k−1}(v)}|, communities_k = |s_k labels|
+    "g_lp_metrics_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS iter,
+           |  (SELECT CAST(coalesce(sum(CASE WHEN a.label <> b.label
+           |       THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |   FROM s$k a JOIN s${k - 1} b ON a.id = b.id) AS changes,
+           |  (SELECT count(DISTINCT label) FROM s$k) AS communities""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $cte,
+         |${lpStepsSql(3)}
+         |$steps""".stripMargin
+    },
+
     "g_lp_seeded_t3" -> {
       val steps = (1 to 3).map { k =>
         s"""k$k AS (SELECT e0.src AS id, p.label, count(*) AS cnt
@@ -1741,7 +1784,10 @@ object GraphQueries {
     "g_lp_semisync_t2" -> semisyncSql(4, 2),
     "g_lp_semisync_colored" -> semisyncColoredSql(sweeps = 2),
 
-    "g_bc_sampled" -> bcSql,
+    "g_bc_sampled" -> bcSql(),
+
+    // exact-Brandes oracle: the same σ/δ unroll with EVERY vertex a source
+    "g_bc_exact" -> bcSql("TRUE"),
 
     "g_lp_weighted_t2" ->
       s"""WITH rawp AS (
@@ -2261,22 +2307,29 @@ object GraphQueries {
          |UNION ALL
          |SELECT source, id, dist, parent FROM par""".stripMargin,
 
-    // WL oracle: the same md5 chain with string_agg(... ORDER BY color)
-    // as the sorted multiset join
+    // WL oracle: the same md5 chain over (color, count)-pair signatures —
+    // per-(vertex, color) counts, then "color:count" pairs ordered by
+    // color (the engine's hub-safe default form)
     "g_wl_t2" ->
       s"""WITH $cte,
          |c0 AS (SELECT src AS id,
          |         md5('d:' || count(*)::VARCHAR) AS color
          |       FROM e0 GROUP BY src),
-         |n1 AS (SELECT e0.dst AS id,
-         |         string_agg(c0.color, ',' ORDER BY c0.color) AS sig
-         |       FROM e0 JOIN c0 ON c0.id = e0.src GROUP BY 1),
+         |p1 AS (SELECT e0.dst AS id, c0.color AS nc, count(*) AS cnt
+         |       FROM e0 JOIN c0 ON c0.id = e0.src GROUP BY 1, 2),
+         |n1 AS (SELECT id,
+         |         string_agg(nc || ':' || cnt::VARCHAR, ',' ORDER BY nc)
+         |           AS sig
+         |       FROM p1 GROUP BY 1),
          |c1 AS (SELECT c0.id,
          |         md5(c0.color || '|' || coalesce(n1.sig, '')) AS color
          |       FROM c0 LEFT JOIN n1 ON n1.id = c0.id),
-         |n2 AS (SELECT e0.dst AS id,
-         |         string_agg(c1.color, ',' ORDER BY c1.color) AS sig
-         |       FROM e0 JOIN c1 ON c1.id = e0.src GROUP BY 1),
+         |p2 AS (SELECT e0.dst AS id, c1.color AS nc, count(*) AS cnt
+         |       FROM e0 JOIN c1 ON c1.id = e0.src GROUP BY 1, 2),
+         |n2 AS (SELECT id,
+         |         string_agg(nc || ':' || cnt::VARCHAR, ',' ORDER BY nc)
+         |           AS sig
+         |       FROM p2 GROUP BY 1),
          |c2 AS (SELECT c1.id,
          |         md5(c1.color || '|' || coalesce(n2.sig, '')) AS color
          |       FROM c1 LEFT JOIN n2 ON n2.id = c1.id)
@@ -3472,13 +3525,17 @@ object GraphQueries {
          |        FROM se0 JOIN own a ON a.id = se0.src
          |        JOIN own b ON b.id = se0.dst AND b.component = a.component
          |        WHERE a.p = b.p GROUP BY 1),
+         |lay AS (SELECT component, count(*) AS n_layered FROM own
+         |        GROUP BY 1),
          |sz AS (SELECT label AS component, count(*) AS n_vertices
          |       FROM cclab GROUP BY 1)
          |SELECT sz.component, sz.n_vertices,
+         |       CAST(coalesce(lay.n_layered, 0) AS BIGINT) AS n_layered,
          |       CAST(coalesce(odd.n_odd, 0) AS BIGINT) AS n_odd_edges,
          |       CAST(CASE WHEN coalesce(odd.n_odd, 0) = 0 THEN 1 ELSE 0 END
          |            AS BIGINT) AS bipartite
-         |FROM sz LEFT JOIN odd ON odd.component = sz.component""".stripMargin)
+         |FROM sz LEFT JOIN lay ON lay.component = sz.component
+         |        LEFT JOIN odd ON odd.component = sz.component""".stripMargin)
 
   /** Per-level percolation + CC closure mirroring the engine's
     * md5Uniform(least:greatest:seed) draw.

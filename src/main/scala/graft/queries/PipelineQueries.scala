@@ -462,10 +462,13 @@ object PipelineQueries {
         .filter(col("sim_e6") >= 250000)
     }),
 
-    // event-stream hourly rollup (batch form of the streaming agg)
+    // event-stream hourly rollup (batch form of the streaming agg);
+    // TZ-independent integer hour floor (ADVICE r4, hourlyAnomaly)
     "ev_hourly" -> ((s, dir) =>
       events(s, dir).groupBy(
-          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          (col("ts").cast("timestamp").cast("long")
+            - col("ts").cast("timestamp").cast("long") % 3600)
+            .as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value")) * 1000).cast("long").as("sum_value_e3"))),

@@ -113,6 +113,14 @@ object GraphReaders {
       .select(col("dic.name"), col("lab.label"))
       .write.mode("overwrite").option("sep", "\t").csv(path)
 
+  /** Parity formats ONLY (reference `.txt`/`.net`/ground-truth files,
+    * which are small by construction): uses the single-partition-window
+    * [[GraphOps.dictionaryEncode]] to reproduce the reference's exact
+    * first-seen id order. The flagship pages→edges path uses the
+    * distributed [[GraphOps.dictionaryEncodeScalable]] default
+    * ([[TextExtract.buildEdges]]) — do not point this reader at a
+    * billion-name edge list.
+    */
   private def encodePairs(pairs: DataFrame, directed: Boolean, dedup: Boolean)
       : (DataFrame, DataFrame) = {
     val names = pairs.select(col("srcName").as("name"))

@@ -37,12 +37,16 @@ object EventStreams {
   /** Same rollup keyed by epoch instead of window struct — byte-equal to
     * the batch `ev_hourly` query.
     */
-  def hourlyRollup(events: DataFrame): DataFrame =
+  def hourlyRollup(events: DataFrame): DataFrame = {
+    // integer hour floor: TZ-independent, unlike date_trunc('hour') which
+    // buckets in the session timezone (ADVICE r4)
+    val epoch = col("ts").cast("timestamp").cast("long")
     events.groupBy(
-        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        (epoch - epoch % 3600).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")) * 1000).cast("long").as("sum_value_e3"))
+  }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

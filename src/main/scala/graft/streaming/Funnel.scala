@@ -80,8 +80,13 @@ object Funnel {
     * join; the per-type stats table is tiny at any event volume.
     */
   def hourlyAnomaly(events: DataFrame): DataFrame = {
+    // TZ-independent hour buckets (epoch − epoch % 3600, like retention's
+    // week floor): date_trunc('hour') truncates in the session timezone,
+    // which diverges from the naive-UTC oracle on non-whole-hour offsets
+    // such as +05:30 (ADVICE r4)
+    val epoch = col("ts").cast("timestamp").cast("long")
     val hourly = events.groupBy(
-        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        (epoch - epoch % 3600).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
     val stats = hourly.groupBy("event_type")

@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * hash agg → broadcast the scalar (N, total) and the tiny query-term
   * table back — three aggregates and two broadcast joins, nothing
   * corpus-pairwise.
+  *
+  * Integer envelope (ADVICE r4, the labelAssortativity precedent): the
+  * saturation terms 10·tf·total and 9·len·N stay inside int64 while
+  * tf·total and len·N < ~9.2×10¹⁷, i.e. up to ~10¹⁴ total corpus tokens
+  * at tf, len ≤ 10⁴ — comfortably past 100 TB of text, but NOT unbounded.
+  * Past that, lift the two products to Decimal(38,0) (the ratio is
+  * consumed as a double anyway, so the swap is local to this select);
+  * the exact-integer form is kept because it is what makes the gate
+  * bit-reproducible.
   */
 object Bm25 {
 

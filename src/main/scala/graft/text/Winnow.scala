@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * The gram hash is the engine's replayable 60-bit md5 prefix
   * ([[TextIndex.md5Uniform]]), the window minimum is a doc-partitioned
   * frame (partition-local, no global sort), and the rightmost-on-tie
-  * selection is an equi-join on (doc, window-min hash) restricted to the
-  * window's position range — per document O(n·w) candidate pairs, linear
-  * in the corpus for fixed w. Everything replays bit-for-bit in ANSI SQL.
+  * selection is an equi-join on (doc, window-min hash, coarse position
+  * bucket ⌊pos/w⌋) — each window probes at most the two buckets its
+  * position range spans, so the join itself bounds candidates to O(w)
+  * per window even on a degenerate document whose minimum hash recurs in
+  * every window (ADVICE r4: keying only on (doc, hash) made such
+  * documents O(n²)). Per document O(n·w) candidate pairs, linear in the
+  * corpus for fixed w. Everything replays bit-for-bit in ANSI SQL.
   */
 object Winnow {
 
@@ -48,11 +52,19 @@ object Winnow {
         count(lit(1)).over(frame).as("wn"))
       .filter(col("wn") === w) // complete windows only
     // fresh key names on the lookup side: both legs derive from `grams`,
-    // and Spark's ambiguous-self-join detector rejects reused references
+    // and Spark's ambiguous-self-join detector rejects reused references.
+    // The ⌊pos/w⌋ bucket is part of the equi-join key: a window's range
+    // [wpos, wpos+w−1] spans at most two buckets, enumerated on the
+    // window side, so the hash-join build per (doc, hash, bucket) cell is
+    // window-bounded regardless of how often the min hash recurs
     val g2 = grams.select(col("doc_id").as("doc2"), col("pos").as("gpos"),
-      col("h").as("gh"))
-    wins.join(g2,
+      col("h").as("gh"), expr(s"pos div $w").as("gbk"))
+    val winsB = wins.select(col("doc_id"), col("wpos"), col("wm"),
+      explode(array_distinct(array(
+        expr(s"wpos div $w"), expr(s"(wpos + ${w - 1}) div $w")))).as("bk"))
+    winsB.join(g2,
         col("doc_id") === col("doc2") && col("gh") === col("wm") &&
+          col("bk") === col("gbk") &&
           col("gpos") >= col("wpos") && col("gpos") <= col("wpos") + (w - 1))
       .groupBy(col("doc_id"), col("wpos"), col("wm"))
       .agg(max(col("gpos")).as("pos")) // rightmost min in the window

@@ -67,6 +67,29 @@ class ReferenceParitySpec extends GraftSuite {
     envelope("karate.net", 2, 5, 0.12, 0.46)
   }
 
+  /** VERDICT r4 task 5: the reference's headline is community QUALITY, so
+    * the multi-level algorithm must match the canonical published figure
+    * (Louvain karate Q ≈ 0.42, Blondel et al. 2008), not just beat the
+    * degenerate sync collapse. Fixed level budget 3; the deterministic
+    * alternating-move schedule lands at Q = 0.441 / 4 communities
+    * (measured, KarateLouvainProbe) — asserted ≥ 0.40.
+    */
+  test("karate.net multi-level Louvain reaches the published quality point") {
+    assume(new java.io.File(s"$datasets/karate.net").isFile,
+      "reference dataset karate.net not present")
+    val (weighted, _) = GraphReaders.readPajekNet(spark, s"$datasets/karate.net")
+    val edges = GraphOps.prepareForGather(
+      weighted.select(col("src"), col("dst")), 8)
+    val (assign, _) = graft.algo.Louvain.run(
+      edges.withColumn("weight", lit(1L)), maxLevels = 3)
+    val q = Measures.modularity(edges, assign.withColumnRenamed("com", "label"))
+    val c = assign.select("com").distinct().count()
+    info(s"karate.net louvain(3 levels): $c communities, Q=$q")
+    assert(q >= 0.40, s"karate multi-level Louvain modularity $q < 0.40")
+    assert(c >= 2 && c <= 6, s"karate Louvain communities $c outside [2, 6]")
+    edges.unpersist(blocking = false)
+  }
+
   test("football.net lands in the reference's published envelope") {
     envelope("football.net", 9, 13, 0.50, 0.62)
   }
