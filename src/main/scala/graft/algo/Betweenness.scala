@@ -36,7 +36,23 @@ object Betweenness {
   val DepthCap = 40
 
   def run(edges: DataFrame, sources: DataFrame,
-          maxDepth: Int = DepthCap): DataFrame = {
+          maxDepth: Int = DepthCap): DataFrame =
+    brandesCore(edges, sources, maxDepth, wantEdges = false)._1
+
+  /** Edge betweenness (the Girvan–Newman primitive): per DIRECTED slot
+    * (src, dst), Σ over sources s of σs(src)/σs(dst)·(1+δs(dst)) for
+    * slots on a shortest-path DAG — the same backward pass as [[run]]
+    * aggregated per edge instead of per tail vertex. Every slot of the
+    * input appears in the output (0.0 off all shortest paths). Same
+    * sampled-sources scale contract as vertex BC.
+    */
+  def runEdges(edges: DataFrame, sources: DataFrame,
+               maxDepth: Int = DepthCap): DataFrame =
+    brandesCore(edges, sources, maxDepth, wantEdges = true)._2
+
+  private def brandesCore(edges: DataFrame, sources: DataFrame,
+                          maxDepth: Int, wantEdges: Boolean)
+      : (DataFrame, DataFrame) = {
     val spark = edges.sparkSession
     val e = edges.select(col("src").as("v"), col("dst").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,6 +102,7 @@ object Betweenness {
     // successors(s, v, w): dist(s,w) = dist(s,v) + 1 and edge v→w
     var delta = visited.select(col("s"), col("id"), lit(0.0).as("delta"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeLevels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var l = maxLevel
     while (l > 0) {
       val wLev = visited.filter(col("dist") === l)
@@ -98,11 +115,19 @@ object Betweenness {
       val vLev = visited.filter(col("dist") === l - 1)
         .select(col("s").as("vs"), col("id").as("v"), col("sigma").as("sigmaV"))
       val e2 = e.select(col("v").as("ev"), col("w").as("ew"))
-      val contrib = vLev
+      val pairC = vLev
         .join(e2, col("v") === col("ev"))
         .join(wSide, col("vs") === col("ws") && col("ew") === col("w"))
-        .select(col("vs").as("cs"), col("v").as("cid"),
+        .select(col("vs").as("cs"), col("v").as("cid"), col("w").as("cw"),
           (col("sigmaV") / col("sigmaW") * (lit(1.0) + col("deltaW"))).as("c"))
+      if (wantEdges) {
+        // each DAG edge (v, w) appears at exactly one level per source, so
+        // the per-level per-edge partial sums union to the full edge score
+        edgeLevels += pairC.groupBy(col("cid").as("v"), col("cw").as("w"))
+          .agg(sum("c").as("ec"))
+          .transform(graft.engine.Materialize.eager)
+      }
+      val contrib = pairC
         .groupBy(col("cs"), col("cid")).agg(sum("c").as("add"))
       val nd = delta
         .join(contrib, delta("s") === col("cs") && delta("id") === col("cid"), "left")
@@ -116,11 +141,29 @@ object Betweenness {
 
     val bc = delta.filter(col("s") =!= col("id"))
       .groupBy("id").agg(sum("delta").as("bc"))
+    val eb =
+      if (!wantEdges) null
+      else {
+        val slots = edges.select(col("src"), col("dst"))
+        val scored =
+          if (edgeLevels.isEmpty)
+            // depth-0 graph (no BFS progress): no shortest-path edges
+            slots.select(col("src"), col("dst"), lit(0.0).as("ec")).limit(0)
+          else edgeLevels.reduce(_ union _).groupBy("v", "w")
+            .agg(sum("ec").as("ec"))
+            .select(col("v").as("src"), col("w").as("dst"), col("ec"))
+        // every input slot appears in the output, 0.0 off all DAGs;
+        // built from the CALLER's edge frame (the per-level partials are
+        // eager-materialized), so the persisted copy can be released
+        slots.join(scored, Seq("src", "dst"), "left")
+          .select(col("src"), col("dst"),
+            coalesce(col("ec"), lit(0.0)).as("eb"))
+      }
     // the final delta is eagerly checkpointed (truncated lineage), so the
     // sigma table behind it can be released now
     visited.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    bc
+    (bc, eb)
   }
 
   /** Exact BC: every vertex a source. */

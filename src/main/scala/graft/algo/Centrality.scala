@@ -2,6 +2,7 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.graph.GraphOps
 
 /** Distance-based centralities over the multi-source BFS levels that
   * betweenness already computes ([[Betweenness.bfsLevels]]) — the
@@ -150,5 +151,35 @@ object Centrality {
       .select(col("dist").as("eff_diameter"),
         col("total").as("reached_pairs"),
         (col("distsum").cast("double") / col("total")).as("mean_dist"))
+  }
+
+  /** Double-sweep diameter lower bound (Magnien–Latapy–Habib): BFS from a
+    * deterministic start (the minimum vertex id), then BFS again from the
+    * farthest vertex found (max dist, min id on ties) — two BFS passes
+    * whose second eccentricity is the classic tight diameter lower bound
+    * on real graphs, vs the full O(n·E) exact sweep. The two scalars
+    * crossing the driver are 1-row argmax/argmin lookups (TakeOrdered);
+    * the BFS machinery is the shared [[Betweenness.bfsLevels]].
+    *
+    * @return one row: (start_id, far_id, lb_diameter) — the second
+    *         sweep's eccentricity from `far_id`, restricted to the start
+    *         vertex's component (the BFS reaches exactly that component)
+    */
+  def doubleSweep(edges: DataFrame,
+                  maxDepth: Int = Betweenness.DepthCap): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val verts = GraphOps.vertices(edges)
+    val start = verts.agg(min(col("id"))).first().getLong(0)
+    val lv1 = Betweenness.bfsLevels(edges,
+      verts.filter(col("id") === start), maxDepth)
+    val farRow = lv1.orderBy(col("dist").desc, col("id").asc)
+      .select(col("id")).limit(1).first()
+    val farId = farRow.getLong(0)
+    val lv2 = Betweenness.bfsLevels(edges,
+      verts.filter(col("id") === farId), maxDepth)
+    val lb = lv2.agg(max(col("dist")).cast("long")).first().getLong(0)
+    Seq((start, farId, lb))
+      .toDF("start_id", "far_id", "lb_diameter")
   }
 }

@@ -343,6 +343,82 @@ object PageRank {
     ranks
   }
 
+  /** Batch topic-sensitive PageRank (Haveliwala, WWW 2002): k
+    * personalization vectors computed in ONE edge-scan loop. Ranks live in
+    * LONG format (topic, id, rank), so every iteration is the same
+    * edge-join + hash aggregation as single-vector PPR keyed by
+    * (topic, dst) — the shuffle count is independent of k, where k
+    * separate [[runPersonalizedFixed]] runs would scan the edge table
+    * k times per iteration. This is how a production ranking stack
+    * maintains its topic portfolio at 100 TB: amortize the edge scan
+    * across all vectors.
+    *
+    * Per-topic dangling mass is handled IN-PLAN (a topic-count-sized
+    * aggregate broadcast back into the update), never a driver collect.
+    *
+    * @param topicSeeds (topic, id) seed memberships; reset(t, v) = 1/|S_t|
+    * @return (topic, id, rank) for every (topic, vertex) pair
+    */
+  def runTopicsFixed(edges: DataFrame, topicSeeds: DataFrame,
+                     iterations: Int, damping: Double = 0.85,
+                     partitions: Int = 32): DataFrame = {
+    val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(edges("src"), edges("dst"), col("outdeg"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = verts.join(outDeg, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = dangling.count() > 0L
+
+    val sizes = topicSeeds.groupBy("topic").agg(count(lit(1)).as("ns"))
+    // reset(t, v) carried as a column on the (topic × vertex) state table
+    val reset = sizes.select(col("topic"), col("ns")).crossJoin(verts)
+      .join(topicSeeds.select(col("topic").as("st"), col("id").as("sid"),
+          lit(1).as("isSeed")),
+        col("topic") === col("st") && col("id") === col("sid"), "left")
+      .select(col("topic"), col("id"),
+        when(col("isSeed").isNotNull, lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("reset"))
+      .transform(graft.engine.Materialize.eager)
+
+    var ranks = reset.select(col("topic"), col("id"), col("reset").as("rank"))
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      // per-topic dangling mass, broadcast back in-plan (k rows)
+      val dMass =
+        if (!hasDangling) null
+        else ranks.join(dangling, Seq("id"), "left_semi")
+          .groupBy(col("topic").as("dt")).agg(sum("rank").as("dmass"))
+      val contribs = edgesDeg
+        .join(ranks.select(col("topic"), col("id").as("rid"), col("rank")),
+          edgesDeg("src") === col("rid"))
+        .select(col("topic"), edgesDeg("dst").as("id"),
+          (col("rank") / col("outdeg")).as("c"))
+      val sums = contribs.groupBy("topic", "id").agg(sum("c").as("s"))
+      var next = reset.join(sums, Seq("topic", "id"), "left")
+      next =
+        if (hasDangling)
+          next.join(broadcast(dMass), col("topic") === col("dt"), "left")
+            .select(col("topic"), col("id"),
+              ((lit(1.0 - damping) +
+                lit(damping) * coalesce(col("dmass"), lit(0.0))) * col("reset") +
+                lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        else
+          next.select(col("topic"), col("id"),
+            (lit(1.0 - damping) * col("reset") +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      // referenced twice next iteration (dangling probe + contribs)
+      ranks = next.transform(graft.engine.Materialize.eager)
+    }
+    edgesDeg.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    ranks
+  }
+
   /** Spam-mass estimate (Gyöngyi–Berkhin–Garcia-Molina–Pedersen "Link
     * Spam Detection Based on Mass Estimation"): how much of a page's
     * PageRank is NOT explainable by a trusted seed set.

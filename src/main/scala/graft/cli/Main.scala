@@ -35,8 +35,9 @@ object Main {
       "usage: Main <mode> <synth:N|pages:PATH|edges:PATH> <outDir> " +
         "[maxIter] [partitions]\n" +
         "  core:      lp lp-semisync lp-async cc pagerank triangles all\n" +
-        "  distance:  sssp centrality lcc diameter bfstree\n" +
-        "  ranking:   ppr hits salsa katz eigen spammass hostpr sweep\n" +
+        "  distance:  sssp centrality lcc diameter diameter2 bfstree\n" +
+        "  ranking:   ppr pprtopics hits salsa katz eigen spammass hostpr\n" +
+        "             sweep edgebc\n" +
         "  structure: louvain scc condense bowtie truss kcore coreness\n" +
         "             motifs cliques densest matching bipartite wl mis\n" +
         "  resilience/misc: percolation richclub redirects msf cocite\n" +
@@ -565,6 +566,29 @@ object Main {
       g.write.mode("overwrite").parquet(s"$outDir/sage_sample")
       println(s"[graft] sage: sampled_edges=${g.count()}")
     }
+    def runEdgeBc(): Unit = {
+      val eb = graft.algo.Betweenness.runEdges(edges, sampledSources())
+      eb.write.mode("overwrite").parquet(s"$outDir/edge_betweenness")
+      val top = eb.orderBy(col("eb").desc).limit(1).collect().head
+      println(s"[graft] edgebc: slots=${eb.count()} " +
+        s"top=(${top.getLong(0)},${top.getLong(1)})=${top.getDouble(2)}")
+    }
+    def runDiameter2(): Unit = {
+      val r = graft.algo.Centrality.doubleSweep(edges).collect().head
+      println(s"[graft] diameter2: start=${r.getLong(0)} far=${r.getLong(1)} " +
+        s"lb=${r.getLong(2)}")
+    }
+    def runPprTopics(): Unit = {
+      val v = GraphOps.vertices(edges)
+      val seeds = v.filter(col("id") % 100 === 0)
+        .select(lit(0L).as("topic"), col("id"))
+        .union(v.filter(col("id") % 100 === 50)
+          .select(lit(1L).as("topic"), col("id")))
+      val r = graft.algo.PageRank.runTopicsFixed(edges, seeds,
+        maxIter.getOrElse(10), partitions = partitions)
+      r.write.mode("overwrite").parquet(s"$outDir/ppr_topics")
+      println(s"[graft] pprtopics: rows=${r.count()}")
+    }
 
     algo match {
       case "lp"          => runLp()
@@ -614,6 +638,9 @@ object Main {
       case "percolation" => runPercolation()
       case "walks"       => runWalks()
       case "sage"        => runSage()
+      case "edgebc"      => runEdgeBc()
+      case "diameter2"   => runDiameter2()
+      case "pprtopics"   => runPprTopics()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }

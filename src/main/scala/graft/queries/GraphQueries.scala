@@ -338,7 +338,33 @@ object GraphQueries {
     * [[BcUnrollDepth]] CTEs. Level tables are MATERIALIZED — each is
     * referenced by the next level AND the final union.
     */
-  def bcSql(srcWhere: String = "id % 10 = 0"): String = {
+  def bcSql(srcWhere: String = "id % 10 = 0"): String =
+    s"""${bcCtes(srcWhere)}
+       |SELECT d.id, CAST(ROUND(sum(coalesce(dl.delta, 0)) * 1000) AS BIGINT) AS bc_e3
+       |FROM dist d LEFT JOIN del dl ON dl.source = d.source AND dl.id = d.id
+       |WHERE d.source <> d.id
+       |GROUP BY d.id""".stripMargin
+
+  /** Edge-betweenness oracle final: per directed slot, Σ over sources of
+    * σ(u)/σ(v)·(1+δ(v)) across the pred DAG — the same CTE chain as
+    * [[bcSql]] aggregated per edge (each vertex has ONE δ row: it is
+    * computed in full at its own BFS level).
+    */
+  def bcEdgeSql(srcWhere: String = "id % 10 = 0"): String =
+    s"""${bcCtes(srcWhere)}
+       |SELECT e0.src, e0.dst,
+       |       CAST(FLOOR(coalesce(s.c, 0) * 1000 + 0.5 + 0.00000001)
+       |            AS BIGINT) AS eb_e3
+       |FROM e0 LEFT JOIN (
+       |  SELECT p.u AS src, p.v AS dst,
+       |         sum(su.sigma / sv.sigma * (1 + coalesce(dl.delta, 0))) AS c
+       |  FROM pred p
+       |  JOIN sig su ON su.source = p.source AND su.id = p.u
+       |  JOIN sig sv ON sv.source = p.source AND sv.id = p.v
+       |  LEFT JOIN del dl ON dl.source = p.source AND dl.id = p.v
+       |  GROUP BY 1, 2) s ON s.src = e0.src AND s.dst = e0.dst""".stripMargin
+
+  private def bcCtes(srcWhere: String): String = {
     val d = BcUnrollDepth
     val sigs = (1 to d).map { k =>
       s"""sig$k AS MATERIALIZED (
@@ -385,11 +411,7 @@ object GraphQueries {
        |  $sigUnion),
        |$dels,
        |del AS MATERIALIZED (
-       |  $delUnion)
-       |SELECT d.id, CAST(ROUND(sum(coalesce(dl.delta, 0)) * 1000) AS BIGINT) AS bc_e3
-       |FROM dist d LEFT JOIN del dl ON dl.source = d.source AND dl.id = d.id
-       |WHERE d.source <> d.id
-       |GROUP BY d.id""".stripMargin
+       |  $delUnion)""".stripMargin
   }
 
   /** Unrolled PageRank SQL for `t` iterations (graph is symmetrized ⇒ no
@@ -735,6 +757,29 @@ object GraphQueries {
         .select(col("id"), round(col("bc") * 1000).cast("long").as("bc_e3"))
     }),
 
+    // EDGE betweenness (Girvan–Newman primitive), sampled sources at the
+    // shared unroll depth: the same backward pass aggregated per directed
+    // slot; every slot appears (0 off all shortest-path DAGs).
+    // Quantization is an epsilon-shifted half-up floor, NOT round(): true
+    // edge scores are σ-ratio rationals that land EXACTLY on k+0.5
+    // permille (e.g. 27/80 → 337.5), where each engine's float-sum order
+    // puts it on a different side of the tie; shifting the boundary 1e-8
+    // below the tie makes both engines agree (float noise is ~1e-10 at
+    // this magnitude, true values never sit within 1e-8 of the shifted
+    // boundary on denominators this small)
+    "g_edge_bc" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sources = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      graft.algo.Betweenness.runEdges(e, sources, maxDepth = BcUnrollDepth)
+        .select(col("src"), col("dst"),
+          floor(col("eb") * 1000 + 0.5 + 1e-8).cast("long").as("eb_e3"))
+    }),
+
+    // double-sweep diameter lower bound: BFS from min id, BFS again from
+    // the farthest vertex found — the 2-BFS estimator vs the exact sweep
+    "g_double_sweep" -> ((s, dir) =>
+      graft.algo.Centrality.doubleSweep(demoEdges(s, dir))),
+
     // 3 fixed supersteps over the CSR-blocked adjacency form — gates
     // [[LabelPropagation.superstepCsr]] (+ csrBlocks/cooFromCsr) against
     // the SAME unrolled-superstep SQL as the COO plan: the storage form
@@ -1042,6 +1087,21 @@ object GraphQueries {
       PageRank.runFixedWeighted(demoWeightedEdges(s, dir), iterations = 3)
         .select(col("id"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
+
+    // batch topic-sensitive PageRank (Haveliwala): TWO personalization
+    // vectors in one long-format (topic, id, rank) loop — the shuffle
+    // count is k-independent, the portfolio shape a ranking stack runs
+    "g_ppr_topics_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val v = GraphOps.vertices(e)
+      val seeds = v.filter(col("id") % 50 === 0)
+        .select(lit(0L).as("topic"), col("id"))
+        .union(v.filter(col("id") % 50 === 25)
+          .select(lit(1L).as("topic"), col("id")))
+      PageRank.runTopicsFixed(e, seeds, iterations = 3)
+        .select(col("topic"), col("id"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))
+    }),
 
     // personalized PageRank, 5 fixed iterations, teleport mass pinned to
     // the sampled source set
@@ -1600,6 +1660,31 @@ object GraphQueries {
     // crawl-freshness: top-10 PageRank shifts between the line-1 and
     // line≤2 link-graph snapshots, 3 fixed iterations each — integer-
     // scaled ranks so the TakeOrdered ranking is exact
+    // WARM-START (incremental) PageRank: rank the line≤2 crawl snapshot
+    // for 2 iterations starting FROM the line-1 snapshot's 3-iteration
+    // ranks (new vertices seeded uniform) — the re-rank a production
+    // crawler runs per delta instead of iterating from scratch; at 100 TB
+    // warm starts converge in a few iterations because most mass is
+    // already in place
+    "g_pr_warm_t2" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))))
+      val old = PageRank.runFixed(snap(1), 3)
+      val eNew = snap(2)
+      val vNew = GraphOps.vertices(eNew)
+      val nNew = vNew.count()
+      val init = vNew
+        .join(old.select(col("id"), col("rank").as("r0")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("r0"), lit(1.0 / nNew)).as("rank"))
+      PageRank.run(eNew, eps = 0.0, maxIter = 2, initRanks = Some(init),
+          autoSkew = false)
+        .ranks
+        .select(col("id"), round(col("rank") * 1000000).cast("long").as("rank_e6"))
+    }),
+
     "g_pr_shift_top10" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
@@ -1788,6 +1873,66 @@ object GraphQueries {
 
     // exact-Brandes oracle: the same σ/δ unroll with EVERY vertex a source
     "g_bc_exact" -> bcSql("TRUE"),
+
+    // edge-betweenness oracle: same CTE chain, per-slot aggregation
+    "g_edge_bc" -> bcEdgeSql(),
+
+    // topic-sensitive PPR oracle: the pprStepsSql recurrence with a topic
+    // dimension threaded through every CTE
+    "g_ppr_topics_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""x$k AS (
+           |  SELECT p.topic, e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN r${k - 1} p ON e0.src = p.id
+           |  JOIN deg d ON e0.src = d.id
+           |  GROUP BY 1, 2
+           |), r$k AS (
+           |  SELECT v.topic, v.id,
+           |    (1.0 - 0.85) * v.reset + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM rst v LEFT JOIN x$k x ON x.topic = v.topic AND x.id = v.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |seeds AS (SELECT CAST(0 AS BIGINT) AS topic, id FROM verts
+         |            WHERE id % 50 = 0
+         |          UNION ALL
+         |          SELECT CAST(1 AS BIGINT), id FROM verts
+         |            WHERE id % 50 = 25),
+         |sz AS (SELECT topic, count(*) AS ns FROM seeds GROUP BY 1),
+         |rst AS (SELECT sz.topic, v.id,
+         |          CASE WHEN s.id IS NULL THEN 0.0
+         |               ELSE 1.0 / sz.ns END AS reset
+         |        FROM sz CROSS JOIN verts v
+         |        LEFT JOIN seeds s ON s.topic = sz.topic AND s.id = v.id),
+         |r0 AS (SELECT topic, id, reset AS r FROM rst),
+         |$steps
+         |SELECT topic, id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6
+         |FROM r3""".stripMargin
+    },
+
+    // double-sweep oracle: two bounded recursive closures, the same
+    // (dist desc, id asc) far-vertex pick
+    "g_double_sweep" ->
+      s"""WITH RECURSIVE $cte,
+         |st AS (SELECT min(id) AS id FROM verts),
+         |r1(id, dist) AS (
+         |  SELECT id, 0 FROM st
+         |  UNION
+         |  SELECT e0.dst, r1.dist + 1 FROM r1 JOIN e0 ON e0.src = r1.id
+         |  WHERE r1.dist < ${graft.algo.Betweenness.DepthCap}),
+         |l1 AS (SELECT id, min(dist) AS dist FROM r1 GROUP BY 1),
+         |far AS (SELECT id FROM l1 ORDER BY dist DESC, id ASC LIMIT 1),
+         |r2(id, dist) AS (
+         |  SELECT id, 0 FROM far
+         |  UNION
+         |  SELECT e0.dst, r2.dist + 1 FROM r2 JOIN e0 ON e0.src = r2.id
+         |  WHERE r2.dist < ${graft.algo.Betweenness.DepthCap}),
+         |l2 AS (SELECT id, min(dist) AS dist FROM r2 GROUP BY 1)
+         |SELECT (SELECT id FROM st) AS start_id,
+         |       (SELECT id FROM far) AS far_id,
+         |       (SELECT CAST(max(dist) AS BIGINT) FROM l2) AS lb_diameter"""
+        .stripMargin,
 
     "g_lp_weighted_t2" ->
       s"""WITH rawp AS (
@@ -3477,6 +3622,52 @@ object GraphQueries {
     // PageRank-shift oracle: two snapshot chains side by side, integer-
     // scaled ranks, full outer join, exact TakeOrdered ranking
     "g_pr_shift_top10" -> prShiftSql(3),
+
+    // warm-start oracle: the line-1 chain (3 steps, prChainSql) feeds w0
+    // over the line≤2 snapshot (uniform for new vertices), 2 warm steps
+    "g_pr_warm_t2" -> {
+      val warmSteps = (1 to 2).map { k =>
+        s"""wx$k AS (
+           |  SELECT ne0.dst AS id, sum(q.r / d.od) AS s
+           |  FROM ne0 JOIN w${k - 1} q ON ne0.src = q.id
+           |  JOIN ndeg d ON ne0.src = d.id
+           |  GROUP BY 1
+           |), w$k AS (
+           |  SELECT v.id, (1.0 - 0.85) / (SELECT count(*) FROM nverts)
+           |         + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM nverts v LEFT JOIN wx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH oe0 AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT l_orderkey % $NodeSpace AS src,
+         |           l_partkey % $NodeSpace AS dst
+         |    FROM lineitem WHERE l_linenumber = 1
+         |      AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace
+         |    UNION ALL
+         |    SELECT l_partkey % $NodeSpace, l_orderkey % $NodeSpace
+         |    FROM lineitem WHERE l_linenumber = 1
+         |      AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace) u),
+         |${prChainSql("og", "oe0", 3)},
+         |ne0 AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT l_orderkey % $NodeSpace AS src,
+         |           l_partkey % $NodeSpace AS dst
+         |    FROM lineitem WHERE l_linenumber <= 2
+         |      AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace
+         |    UNION ALL
+         |    SELECT l_partkey % $NodeSpace, l_orderkey % $NodeSpace
+         |    FROM lineitem WHERE l_linenumber <= 2
+         |      AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace) u),
+         |nverts AS (SELECT DISTINCT src AS id FROM ne0),
+         |ndeg AS (SELECT src AS id, count(*) AS od FROM ne0 GROUP BY 1),
+         |w0 AS (SELECT v.id,
+         |         coalesce(o.r, 1.0 / (SELECT count(*) FROM nverts)) AS r
+         |       FROM nverts v LEFT JOIN ogr3 o ON o.id = v.id),
+         |$warmSteps
+         |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6
+         |FROM w2""".stripMargin
+    },
 
     // assortativity oracle: identical integer mixing sums + one divide
     "g_label_assort" ->

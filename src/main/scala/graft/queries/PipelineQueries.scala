@@ -665,7 +665,52 @@ object PipelineQueries {
             .when(col("lang") =!= "en", lit("lang"))
             .when(col("doc_id") =!= col("keep_id"), lit("dup"))
             .otherwise(lit("kept")).as("status"))
-    }))
+    }),
+
+    // count-min sketch estimates vs exact counts for the 20 heaviest
+    // terms (depth 3 × width 256, md5 buckets — replayable sketch)
+    "d_cms_topk" -> ((s, dir) =>
+      graft.text.Sketch.cmsTopK(docs(s, dir), width = 256, k = 20)),
+
+    // URL canonicalization over deterministic messy variants (5 per
+    // page id): scheme/host case, www, default port, fragment,
+    // index.html, trailing slash, tracking params
+    "d_url_canon" -> ((s, dir) =>
+      messyUrls(s, dir).select(col("doc_id"), col("url"),
+        graft.text.UrlCanon.canonical(col("url")).as("canon"))),
+
+    // canonical-URL dedup groups — the frontier keep-one table
+    "d_url_groups" -> ((s, dir) =>
+      graft.text.UrlCanon.dedupGroups(messyUrls(s, dir))),
+
+    // Heaps-law vocabulary growth at 4 corpus-prefix checkpoints
+    "d_vocab_growth" -> ((s, dir) =>
+      graft.text.TextIndex.vocabularyGrowth(docs(s, dir))))
+
+  /** Deterministic messy-URL table derived from document ids: five
+    * syntactic variants of one canonical page per id-group, exercising
+    * every [[graft.text.UrlCanon]] rule (synthetic `.example.com` hosts,
+    * LEAKCHECK-safe).
+    */
+  private def messyUrls(s: SparkSession, dir: String): DataFrame = {
+    val pid = expr("doc_id div 5") // integer div (Column./ is double)
+    val host = concat(lit("H"), (pid % 20).cast("string"), lit(".EXAMPLE.com"))
+    val base = concat(lit("/p/"), pid.cast("string"))
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("HTTP://WWW."), host, lit(":80"), base,
+          lit("?utm_source=feed&utm_medium=rss")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("http://"), lower(host), base))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://"), lower(host), base, lit("/")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://"), lower(host), base, lit("/index.html#top")))
+        .otherwise(
+          concat(lit("http://"), lower(host), base,
+            lit("?a=1&utm_campaign=x&b=2")))
+        .as("url"))
+  }
 
   /** 60-bit simhash → 9 pigeonhole chunks (ci, bit offset, width): any two
     * hashes within Hamming distance 8 agree exactly on ≥ 1 chunk.
@@ -1598,5 +1643,106 @@ object PipelineQueries {
         |       WHEN lang <> 'en' THEN 'lang'
         |       WHEN doc_id <> keep_id THEN 'dup'
         |       ELSE 'kept' END AS status
-        |FROM d LEFT JOIN keep ON d.h = keep.h""".stripMargin)
+        |FROM d LEFT JOIN keep ON d.h = keep.h""".stripMargin,
+
+    // CMS oracle: identical md5 buckets, three width-256 re-aggregations
+    // of the exact term-count table, least-of-rows estimate
+    "d_cms_topk" -> {
+      val bucket = (r: Int) =>
+        s"('0x' || substr(md5('$r:' || term), 1, 15))::BIGINT % 256"
+      val rows = (0 until 3).map { r =>
+        s"""sk$r AS (SELECT ${bucket(r)} AS bucket,
+           |  CAST(sum(exact_n) AS BIGINT) AS n FROM tc GROUP BY 1)""".stripMargin
+      }
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+         |    '[a-z0-9]+')) AS term FROM documents),
+         |tc AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY 1),
+         |${rows.mkString(",\n")},
+         |probes AS (SELECT term, exact_n FROM tc
+         |           ORDER BY exact_n DESC, term ASC LIMIT 20)
+         |SELECT p.term, p.exact_n, least(s0.n, s1.n, s2.n) AS est_n
+         |FROM probes p
+         |JOIN sk0 s0 ON s0.bucket = ${bucket(0).replace("term", "p.term")}
+         |JOIN sk1 s1 ON s1.bucket = ${bucket(1).replace("term", "p.term")}
+         |JOIN sk2 s2 ON s2.bucket = ${bucket(2).replace("term", "p.term")}"""
+        .stripMargin
+    },
+
+    "d_url_canon" ->
+      s"""WITH $urlCanonCtes
+         |SELECT doc_id, url, canon FROM canon""".stripMargin,
+
+    "d_url_groups" ->
+      s"""WITH $urlCanonCtes
+         |SELECT canon, count(*) AS n_urls, min(doc_id) AS min_doc
+         |FROM canon GROUP BY 1""".stripMargin,
+
+    // Heaps oracle: first-occurrence doc per term, broadcast <=-join
+    // against the permille checkpoint table
+    "d_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |cp AS (SELECT CAST(p AS BIGINT) AS permille, m * p // 1000 AS cap
+        |       FROM (VALUES (125), (250), (500), (1000)) c(p), mx),
+        |dt AS (SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok
+        |       FROM documents),
+        |fd AS (SELECT term, min(doc_id) AS first_doc FROM (
+        |         SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |           '[a-z0-9]+')) AS term FROM documents) t GROUP BY 1),
+        |toks AS (SELECT permille, cap, count(*) AS n_docs,
+        |           CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |         FROM cp JOIN dt ON dt.doc_id <= cp.cap GROUP BY 1, 2),
+        |typs AS (SELECT permille, count(*) AS n_types
+        |         FROM cp JOIN fd ON fd.first_doc <= cp.cap GROUP BY 1)
+        |SELECT toks.permille, cap, n_docs, n_tokens,
+        |       CAST(coalesce(n_types, 0) AS BIGINT) AS n_types
+        |FROM toks LEFT JOIN typs ON typs.permille = toks.permille"""
+        .stripMargin)
+
+  /** Shared messy-URL + canonicalization CTE chain (mirrors
+    * [[messyUrls]] + [[graft.text.UrlCanon.canonical]] rule by rule;
+    * RE2 regexes, no lookaround).
+    */
+  private def urlCanonCtes: String = // def: declared after its use site
+    """hb AS (SELECT doc_id,
+      |         'H' || CAST((doc_id // 5) % 20 AS VARCHAR) ||
+      |           '.EXAMPLE.com' AS h,
+      |         '/p/' || CAST(doc_id // 5 AS VARCHAR) AS b
+      |       FROM documents),
+      |urls AS (SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'HTTP://WWW.' || h || ':80' || b ||
+      |      '?utm_source=feed&utm_medium=rss'
+      |    WHEN 1 THEN 'http://' || lower(h) || b
+      |    WHEN 2 THEN 'http://' || lower(h) || b || '/'
+      |    WHEN 3 THEN 'http://' || lower(h) || b || '/index.html#top'
+      |    ELSE 'http://' || lower(h) || b || '?a=1&utm_campaign=x&b=2'
+      |  END AS url FROM hb),
+      |uc AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |    AS scheme,
+      |  regexp_replace(regexp_replace(
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+      |    '^www\.', ''), ':(80|443)$', '') AS host,
+      |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+      |    AS pathq
+      |  FROM urls),
+      |pq AS (SELECT *,
+      |  regexp_replace(regexp_replace(
+      |    regexp_extract(pathq, '^([^?]*)', 1),
+      |    '/index\.html?$', '/'), '/+$', '') AS path0,
+      |  regexp_extract(pathq, '\?(.*)$', 1) AS q
+      |  FROM uc),
+      |qf AS (SELECT *,
+      |  coalesce(array_to_string(list_filter(string_split(q, '&'),
+      |    x -> x <> '' AND NOT regexp_matches(x,
+      |      '^(utm_[a-z0-9_]*|fbclid|gclid|ref|sessionid)=')), '&'), '')
+      |    AS q2
+      |  FROM pq),
+      |canon AS (SELECT doc_id, url,
+      |  scheme || '://' || host ||
+      |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon
+      |  FROM qf)""".stripMargin
 }

@@ -187,4 +187,42 @@ object TextIndex {
       .filter(md5Uniform(concat_ws(":", col("doc_id"), lit(seed))) % 1000
         < col("p_permille"))
   }
+
+  /** Vocabulary-growth (Heaps-law) checkpoints: at each corpus prefix —
+    * documents with `doc_id ≤ ⌊max_doc·permille/1000⌋` — the document,
+    * token, and distinct-type counts. The type-vs-token curve is the
+    * corpus-health diagnostic a training-data pipeline tracks while
+    * ingesting (a flattening curve means the new data stopped adding
+    * vocabulary — duplication or domain collapse).
+    *
+    * No ordered scan anywhere: types-at-checkpoint comes from each term's
+    * FIRST document (one hash aggregation), then a broadcast ≤-join
+    * against the fixed checkpoint table — cumulative counting without a
+    * cumulative window, the only shape that holds at corpus scale.
+    * Checkpoints are permilles of max(doc_id), so the output is
+    * |permilles| rows at any corpus size.
+    */
+  def vocabularyGrowth(docs: DataFrame,
+                       permilles: Seq[Int] = Seq(125, 250, 500, 1000))
+      : DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxDoc = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val caps = permilles.map(p => (p.toLong, maxDoc * p / 1000))
+      .toDF("permille", "cap")
+    val docTokens = docs.select(col("doc_id"),
+      size(termsCol).cast("long").as("ntok"))
+    val firstDoc = docs.select(col("doc_id"), explode(termsCol).as("term"))
+      .groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+    val tokensAt = broadcast(caps).join(docTokens, col("doc_id") <= col("cap"))
+      .groupBy("permille", "cap")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long").as("n_tokens"))
+    val typesAt = broadcast(caps.select(col("permille").as("p2"), col("cap").as("c2")))
+      .join(firstDoc, col("first_doc") <= col("c2"))
+      .groupBy("p2").agg(count(lit(1)).as("n_types"))
+    tokensAt.join(typesAt, col("permille") === col("p2"), "left")
+      .select(col("permille"), col("cap"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"))
+  }
 }

@@ -346,10 +346,12 @@ class Round4gSpec extends GraftSuite {
       (0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),   // C4: bipartite
       (10L, 11L), (11L, 12L), (12L, 10L),       // triangle: odd cycle
       (20L, 21L))))                             // edge: bipartite
+    // columns: component, n_vertices, n_layered (round 5), n_odd, bipartite
     val got = Bipartite.check(e).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    assert(got === Map(0L -> ((4L, 0L, 1L)), 10L -> ((3L, 1L, 0L)),
-      20L -> ((2L, 0L, 1L))))
+    assert(got === Map(0L -> ((4L, 4L, 0L, 1L)), 10L -> ((3L, 3L, 1L, 0L)),
+      20L -> ((2L, 2L, 0L, 1L))))
   }
 }
