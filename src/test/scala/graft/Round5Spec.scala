@@ -90,26 +90,26 @@ class UrlCanonSpec extends GraftSuite {
       .first().getString(0)
 
   test("each canonicalization rule") {
-    assert(canonOf("HTTP://WWW.Ex.COM:80/A/b?utm_source=x#f") ===
-      "http://ex.com/A/b")
-    assert(canonOf("https://ex.com:443/a/index.html") === "https://ex.com/a")
-    assert(canonOf("http://ex.com") === "http://ex.com/")
-    assert(canonOf("http://ex.com/a/?b=2&utm_campaign=z&a=1") ===
-      "http://ex.com/a?b=2&a=1")
-    assert(canonOf("http://ex.com/a/b/") === "http://ex.com/a/b")
-    assert(canonOf("http://ex.com:8080/x") === "http://ex.com:8080/x")
+    assert(canonOf("HTTP://WWW.Ex.EXAMPLE.com:80/A/b?utm_source=x#f") ===
+      "http://ex.example.com/A/b")
+    assert(canonOf("https://ex.example.com:443/a/index.html") === "https://ex.example.com/a")
+    assert(canonOf("http://ex.example.com") === "http://ex.example.com/")
+    assert(canonOf("http://ex.example.com/a/?b=2&utm_campaign=z&a=1") ===
+      "http://ex.example.com/a?b=2&a=1")
+    assert(canonOf("http://ex.example.com/a/b/") === "http://ex.example.com/a/b")
+    assert(canonOf("http://ex.example.com:8080/x") === "http://ex.example.com:8080/x")
   }
 
   test("dedup groups collapse syntactic variants") {
     val urls = Seq(
-      (1L, "http://ex.com/a"),
-      (2L, "HTTP://WWW.EX.com:80/a?utm_medium=m"),
-      (3L, "http://ex.com/a/index.html"),
-      (4L, "http://ex.com/b")).toDF("doc_id", "url")
+      (1L, "http://ex.example.com/a"),
+      (2L, "HTTP://WWW.EX.example.com:80/a?utm_medium=m"),
+      (3L, "http://ex.example.com/a/index.html"),
+      (4L, "http://ex.example.com/b")).toDF("doc_id", "url")
     val g = UrlCanon.dedupGroups(urls).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(g("http://ex.com/a") === (3L, 1L))
-    assert(g("http://ex.com/b") === (1L, 4L))
+    assert(g("http://ex.example.com/a") === (3L, 1L))
+    assert(g("http://ex.example.com/b") === (1L, 4L))
   }
 }
 
