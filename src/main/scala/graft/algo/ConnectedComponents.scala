@@ -119,6 +119,16 @@ object ConnectedComponents {
   /** @param autoSkew as in [[LabelPropagation.run]]: derive the hot-vertex
     *        threshold from the in-degree distribution and route through
     *        the broadcast hot/cold split when a hot set exists.
+    * @param initLabels warm start (id, label) — the incremental-CC entry
+    *        point for a crawl delta that only ADDS edges: seed with the
+    *        previous crawl's labels (new vertices keep their own id) and
+    *        min-propagation converges to the same fixpoint as from
+    *        scratch in rounds proportional to the MERGE depth, not the
+    *        component diameter. Correctness: every old label names a
+    *        vertex of the old component, edge additions keep it connected
+    *        to its holder, so the per-new-component minimum of seed
+    *        labels IS the new component's minimum id. (An edge-REMOVING
+    *        delta invalidates this — re-run from scratch there.)
     */
   def run(
       edges: DataFrame,
@@ -126,8 +136,11 @@ object ConnectedComponents {
       checkpointer: Option[Checkpointer] = None,
       checkpointEvery: Int = 5,
       maxIter: Option[Int] = None,
-      autoSkew: Boolean = true): Superstep.Result = {
-    val init = LabelPropagation.initLabels(GraphOps.vertices(edges))
+      autoSkew: Boolean = true,
+      initLabels: Option[DataFrame] = None): Superstep.Result = {
+    val init = initLabels
+      .map(_.select(col("id"), col("label")))
+      .getOrElse(LabelPropagation.initLabels(GraphOps.vertices(edges)))
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val derivedPlan =
       if (autoSkew) GraphOps.planSkewAuto(edges, parts) else None

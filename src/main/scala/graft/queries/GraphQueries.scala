@@ -538,6 +538,27 @@ object GraphQueries {
     "g_cc_star" -> ((s, dir) =>
       ConnectedComponents.runAlternating(demoEdges(s, dir))),
 
+    // WARM-START (incremental) CC on the crawl delta: min-propagation on
+    // the line≤2 snapshot seeded from the line-1 snapshot's labels (new
+    // vertices keep their own id) — edge additions only, so the warm
+    // fixpoint equals from-scratch (proof in ConnectedComponents.run
+    // scaladoc); the re-label a crawler runs per delta
+    "g_cc_warm" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))))
+      val old = ConnectedComponents.runAlternating(snap(1))
+      val eNew = snap(2)
+      val vNew = GraphOps.vertices(eNew)
+      val init = vNew
+        .join(old.withColumnRenamed("label", "ol"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("ol"), col("id")).as("label"))
+      ConnectedComponents.run(eNew, vNew.count(),
+        initLabels = Some(init)).labels
+    }),
+
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
 
     // superstep convergence telemetry (iter, changes, communities) of the
@@ -1818,6 +1839,25 @@ object GraphQueries {
 
     "g_cc" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
     "g_cc_star" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
+
+    // warm-start CC oracle: the from-scratch closure on the NEW snapshot
+    // (the whole claim under test is warm == scratch)
+    "g_cc_warm" ->
+      s"""WITH RECURSIVE nraw AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2),
+         |ne0 AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM nraw WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst, src FROM nraw WHERE src <> dst) u),
+         |nverts AS (SELECT DISTINCT src AS id FROM ne0),
+         |reachw(id, lab) AS (
+         |  SELECT id, id FROM nverts
+         |  UNION
+         |  SELECT ne0.dst, reachw.lab FROM reachw
+         |  JOIN ne0 ON ne0.src = reachw.id)
+         |SELECT id, min(lab) AS label FROM reachw GROUP BY id""".stripMargin,
 
     "g_lp_t3" -> lpSql(3),
 

@@ -323,6 +323,13 @@ object PipelineQueries {
     "d_bigram_lm" -> ((s, dir) =>
       graft.text.NgramLm.kneserNey(docs(s, dir), minCount = 3L, topK = 3)),
 
+    // per-document LM NLL under the corpus's own KN bigram model — the
+    // quality-filter-by-LM-score pass; per-bigram terms are integers
+    // derived from the exact integer probability, so the per-doc sum is
+    // order-independent (no float summation enters the hash)
+    "d_doc_nll" -> ((s, dir) =>
+      graft.text.NgramLm.docNll(docs(s, dir))),
+
     // domain-mixing budget: waterfilling token cap across hosts at half
     // the corpus's total tokens — over-represented domains truncate to τ,
     // the tail keeps everything
@@ -1190,6 +1197,36 @@ object PipelineQueries {
         |           ORDER BY p_e9 DESC, w2 ASC) AS BIGINT) AS rn
         |       FROM scored)
         |SELECT w1, w2, c12, p_e9, rn FROM rk WHERE rn <= 3""".stripMargin,
+
+    // doc-NLL oracle: the same model CTEs at minCount 1, per-bigram
+    // integer term ROUND(−ln(p)·1e6), integer per-doc sum
+    "d_doc_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+        |  FROM tok WHERE len(arr) >= 2),
+        |big AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM idx),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |               count(*) AS n1p FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS nl FROM c12 GROUP BY 1),
+        |np AS (SELECT count(*) AS np FROM c12),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |    greatest((((4 * c12.c12 - 3) * np.np + 3 * ctx.n1p * cont.nl)
+        |      * 1000000000) // (4 * ctx.c1 * np.np), 1) AS p_e9
+        |  FROM c12 JOIN ctx ON c12.w1 = ctx.w1
+        |           JOIN cont ON c12.w2 = cont.w2, np),
+        |terms AS (
+        |  SELECT big.doc_id,
+        |    CAST(ROUND(-ln(model.p_e9 / 1000000000.0) * 1000000) AS BIGINT)
+        |      AS t
+        |  FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(t) AS BIGINT) AS nll_e6
+        |FROM terms GROUP BY 1""".stripMargin,
 
     // waterfilling oracle: same sorted-prefix closed form; the pinning
     // row's candidate is non-negative (funded prefixes never exceed the

@@ -43,24 +43,65 @@ object NgramLm {
       .select(col("p.w1"), col("p.w2"))
   }
 
-  /** Interpolated-KN bigram probabilities, top `topK` continuations per
-    * context among bigrams seen at least `minCount` times. Returns
-    * (w1, w2, c12, p_e9, rn).
+  /** The full KN probability table (w1, w2, c12, p_e9) for bigrams seen
+    * at least `minCount` times — the model every scorer joins against.
     */
-  def kneserNey(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
-    require(minCount >= 1 && topK >= 1)
+  def probabilities(docs: DataFrame, minCount: Long): DataFrame = {
+    require(minCount >= 1)
     val c12 = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = c12.groupBy("w1")
       .agg(sum(col("c12")).cast("long").as("c1"), count(lit(1)).as("n1p"))
     val cont = c12.groupBy("w2").agg(count(lit(1)).as("nl"))
     val np = c12.agg(count(lit(1)).as("np"))
-    val scored = c12.filter(col("c12") >= minCount)
+    c12.filter(col("c12") >= minCount)
       .join(ctx, "w1").join(cont, "w2").crossJoin(np)
       .select(col("w1"), col("w2"), col("c12"),
         expr("(((4 * c12 - 3) * np + 3 * n1p * nl) * 1000000000L)" +
           " div (4 * c1 * np)").as("p_e9"))
+  }
+
+  /** Interpolated-KN bigram probabilities, top `topK` continuations per
+    * context among bigrams seen at least `minCount` times. Returns
+    * (w1, w2, c12, p_e9, rn).
+    */
+  def kneserNey(docs: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    require(topK >= 1)
+    val scored = probabilities(docs, minCount)
     val w = Window.partitionBy("w1").orderBy(col("p_e9").desc, col("w2").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= topK)
+  }
+
+  /** Per-document LM negative log-likelihood under the corpus's own KN
+    * bigram model — the "quality filter by LM score" pass a training-data
+    * pipeline runs (low-perplexity ≈ fluent text, extreme values flag
+    * boilerplate or garbage). Returns (doc_id, n_bigrams, nll_e6): the
+    * per-bigram term is ROUND(−ln(p_e9/10⁹)·10⁶) — an INTEGER computed
+    * from the exact integer probability, so the per-doc sum is
+    * order-independent and the gate replays bit-for-bit (the edge-BC
+    * lesson: never hash a float sum whose addend order the engine does
+    * not pin). Plan: the bigram scan joined to the vocabulary-sized
+    * model table + one doc-keyed hash aggregation; the model join is a
+    * bigram-type-table join, never corpus × corpus.
+    */
+  def docNll(docs: DataFrame): DataFrame = {
+    val arr = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val db = docs.select(col("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("arr"), lit(1), size(col("arr")) - 1),
+        slice(col("arr"), lit(2), size(col("arr")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    // minCount 1 over the same corpus ⇒ every document bigram has a row
+    val model = probabilities(docs, minCount = 1L)
+      .select(col("w1"), col("w2"), greatest(col("p_e9"), lit(1L)).as("p_e9"))
+    db.join(model, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        round(-log(col("p_e9").cast("double") / 1e9) * 1000000)
+          .cast("long").as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("t")).cast("long").as("nll_e6"))
   }
 }

@@ -234,6 +234,53 @@ class TopicPprSpec extends GraftSuite {
   }
 }
 
+class WarmCcSpec extends GraftSuite {
+  import graft.algo.ConnectedComponents
+
+  test("warm-start CC from old labels equals from-scratch on the delta") {
+    // old: two paths {0..4} and {10..14}; delta ADDS a bridge 4-10 and a
+    // new vertex 20 attached to 0
+    val oldE = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))))
+    val newE = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (4L, 10L), (0L, 20L))))
+    val old = ConnectedComponents.runAlternating(oldE)
+    val vNew = graft.graph.GraphOps.vertices(newE)
+    val init = vNew.join(old.withColumnRenamed("label", "ol"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("ol"), col("id")).as("label"))
+    val warm = ConnectedComponents.run(newE, vNew.count(),
+      initLabels = Some(init))
+    val scratch = ConnectedComponents.run(newE, vNew.count())
+    assert(labelsMap(warm.labels) === labelsMap(scratch.labels))
+    // everything merged into the 0-component
+    assert(labelsMap(warm.labels).values.toSet === Set(0L))
+    // warm start converges in fewer supersteps than the scratch run
+    assert(warm.iterations <= scratch.iterations)
+  }
+}
+
+class DocNllSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("identical documents score identically; common text scores lower") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "the quick brown fox"),
+      (4L, "zp qx vw kj")).toDF("doc_id", "text")
+    val out = graft.text.NgramLm.docNll(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every doc has 3 bigrams
+    assert(out.values.forall(_._1 == 3L))
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    // the thrice-repeated text is higher-probability under the corpus LM
+    // than the singleton gibberish — lower NLL
+    assert(out(1L)._2 < out(4L)._2,
+      s"common ${out(1L)._2} should score below rare ${out(4L)._2}")
+  }
+}
+
 class BipartiteCoverageSpec extends GraftSuite {
 
   test("n_layered reports full coverage on a shallow bipartite component") {
