@@ -181,6 +181,58 @@ object TriangleCount {
           .as("est_triangles"))
   }
 
+  /** Incremental triangle count over a crawl delta: the number of
+    * triangles in `unionEdges` that do NOT exist in `oldEdges`, computed
+    * WITHOUT a census of the union graph — the companion to warm-start
+    * CC/PageRank for the only-edges-added re-crawl.
+    *
+    * Every new triangle contains ≥1 delta edge, so it is found by
+    * scanning the delta: for each delta pair (u,v) (canonical), each
+    * common neighbor w in the union closes a triangle. A triangle with
+    * k ∈ {1,2,3} new edges is found once per its delta edges, so each
+    * (delta-edge, w) hit is weighted 1/k with
+    * k = 1 + isNew(u,w) + isNew(v,w); summing in SIXTHS (6/k ∈ {6,3,2})
+    * keeps the arithmetic integer-exact — no float enters the count.
+    *
+    * Scale shape: two equi-joins keyed on the delta's endpoints — the
+    * candidate row count is Σ_{(u,v)∈Δ} deg_U(u), i.e. proportional to
+    * the DELTA size × average degree, never the union's O(E^1.5) wedge
+    * census. The flagged canonical table is built once (one anti-ish
+    * left join) and persisted for its two probe sides. A hub endpoint
+    * inside Δ contributes its full degree (common neighbors cannot be
+    * orientation-pruned); at web scale cap or defer hub deltas the same
+    * way CoCitation caps citers.
+    *
+    * Returns one row (delta_edges, new_triangles).
+    */
+  def deltaTriangles(unionEdges: DataFrame, oldEdges: DataFrame): DataFrame = {
+    val cu = GraphOps.canonical(unionEdges)
+    val co = GraphOps.canonical(oldEdges).withColumn("old", lit(1))
+    val flagged = cu.join(co, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        when(col("old").isNull, lit(1)).otherwise(lit(0)).as("f"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = flagged.select(col("src").as("x"), col("dst").as("w"), col("f"))
+      .union(flagged.select(col("dst").as("x"), col("src").as("w"), col("f")))
+    val delta = flagged.filter(col("f") === 1)
+      .select(col("src").as("u"), col("dst").as("v"))
+    val cand = delta
+      .join(adj.select(col("x").as("u"), col("w"), col("f").as("f1")), Seq("u"))
+      .join(adj.select(col("x").as("v"), col("w"), col("f").as("f2")),
+        Seq("v", "w"))
+    val sixths = cand
+      .agg(coalesce(sum(expr("6 div (1 + f1 + f2)")), lit(0L))
+        .cast("long").as("w6"))
+    val nDelta = delta.agg(count(lit(1)).as("delta_edges"))
+    val out = nDelta.crossJoin(sixths) // two 1-row aggregates
+      .select(col("delta_edges"),
+        expr("w6 div 6").cast("long").as("new_triangles"))
+    val materialized = out.cache()
+    materialized.count()
+    flagged.unpersist(blocking = false)
+    materialized
+  }
+
   def localClustering(edges: DataFrame): DataFrame = {
     val canon = GraphOps.canonical(edges)
     val deg = canon

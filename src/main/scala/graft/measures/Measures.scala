@@ -428,4 +428,49 @@ object Measures {
         round(col("sum_d2").cast("double") * 1000000 / col("n_slots"))
           .cast("long").as("kappa_e6"))
   }
+
+  /** Distributed dense rank of an integer score table (id, score) by
+    * (score desc, id asc) — rank 1 is the best score. Same sort-based
+    * zipWithIndex shape as [[graft.graph.GraphOps.dictionaryEncodeScalable]]
+    * (range-partitioned sort + per-partition offsets), so there is no
+    * single-partition window even at 10⁹ vertices; the RDD hop is the
+    * documented exception (Catalyst has no distributed dense-rank without
+    * a global window).
+    */
+  def rankByScore(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val sorted = scored
+      .select(col("id").cast("long"), col("score").cast("long"))
+      .orderBy(col("score").desc, col("id").asc)
+    val indexed = sorted.as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, _), i) => (id, i + 1L) }
+    spark.createDataFrame(indexed).toDF("id", "rnk")
+  }
+
+  /** Spearman rank correlation between two integer score tables over the
+    * same ids — the "is in-degree a good PageRank proxy?" diagnostic run
+    * before replacing an expensive centrality with a cheap one at crawl
+    * scale. Both tables are ranked by the pinned total order
+    * (score desc, id asc), so ties are deterministic and the statistic
+    * replays bit-for-bit on any engine:
+    *
+    *   ρ = 1 − 6·Σd² / (n³ − n),   d = rank_a − rank_b
+    *
+    * Σd² is an exact integer (int64-exact to n < 2²¹ ≈ 2M vertices; past
+    * that rank on a sampled or top-k id set, or lift the sum to decimal —
+    * same envelope note as labelAssortativity); the one float division is
+    * the final ρ. Returns one row (n, sum_d2, rho).
+    */
+  def spearman(a: DataFrame, b: DataFrame): DataFrame = {
+    val ra = rankByScore(a)
+    val rb = rankByScore(b).withColumnRenamed("rnk", "rnk_b")
+    ra.join(rb, "id")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(expr("(rnk - rnk_b) * (rnk - rnk_b)")).cast("long").as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        (lit(1.0) - lit(6.0) * col("sum_d2") /
+          (col("n").cast("double") * col("n") * col("n") - col("n")))
+          .as("rho"))
+  }
 }

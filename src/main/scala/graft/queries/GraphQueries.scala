@@ -559,6 +559,33 @@ object GraphQueries {
         initLabels = Some(init)).labels
     }),
 
+    // INCREMENTAL triangle census on the crawl delta: triangles closed
+    // by the line-2 edge additions, counted by scanning ONLY the delta
+    // (each new triangle weighted 1/k per delta edge, summed in exact
+    // sixths) — never a wedge census of the union graph
+    "g_tri_delta" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))))
+      TriangleCount.deltaTriangles(snap(2), snap(1))
+    }),
+
+    // Spearman rank agreement between cheap in-degree and PageRank-5 on
+    // the e6 integer scale — the "can the frontier use in-degree as the
+    // PR proxy?" diagnostic; ranks over the pinned (score desc, id asc)
+    // order via the distributed sort-zipWithIndex, no global window
+    "g_rank_corr" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val indeg = GraphOps.degrees(e)
+        .select(col("id"), col("degree").cast("long").as("score"))
+      val pr = PageRank.runFixed(e, 5)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("score"))
+      Measures.spearman(indeg, pr)
+    }),
+
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
 
     // superstep convergence telemetry (iter, changes, communities) of the
@@ -1858,6 +1885,52 @@ object GraphQueries {
          |  SELECT ne0.dst, reachw.lab FROM reachw
          |  JOIN ne0 ON ne0.src = reachw.id)
          |SELECT id, min(lab) AS label FROM reachw GROUP BY id""".stripMargin,
+
+    // delta-triangles oracle: the difference of two full censuses (the
+    // whole claim under test is incremental == census difference), plus
+    // the canonical-pair anti-join for the delta size
+    "g_tri_delta" ->
+      s"""WITH r1 AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 1),
+         |r2 AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2),
+         |c1 AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |       FROM r1 WHERE src <> dst),
+         |c2 AS (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+         |       FROM r2 WHERE src <> dst),
+         |t1 AS (SELECT count(*) AS t FROM c1 e1
+         |       JOIN c1 e2 ON e1.dst = e2.src
+         |       JOIN c1 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |t2 AS (SELECT count(*) AS t FROM c2 e1
+         |       JOIN c2 e2 ON e1.dst = e2.src
+         |       JOIN c2 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |d AS (SELECT c2.src, c2.dst FROM c2 WHERE NOT EXISTS (
+         |        SELECT 1 FROM c1 WHERE c1.src = c2.src AND c1.dst = c2.dst))
+         |SELECT (SELECT count(*) FROM d) AS delta_edges,
+         |       t2.t - t1.t AS new_triangles
+         |FROM t1, t2""".stripMargin,
+
+    // Spearman oracle: the same PR-5 chain (e6 rounding) + degree table,
+    // row_number over the identical pinned order, one Σd² aggregate
+    "g_rank_corr" ->
+      s"""WITH $cte,
+         |${prChainSql("p", "e0", 5)},
+         |prs AS (SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS score
+         |        FROM pr5),
+         |dg AS (SELECT src AS id, count(*) AS score FROM e0 GROUP BY 1),
+         |ra AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk
+         |       FROM dg),
+         |rb AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk
+         |       FROM prs),
+         |ag AS (SELECT count(*) AS n,
+         |              CAST(sum((ra.rnk - rb.rnk) * (ra.rnk - rb.rnk))
+         |                AS BIGINT) AS sum_d2
+         |       FROM ra JOIN rb ON ra.id = rb.id)
+         |SELECT n, sum_d2,
+         |       1 - 6.0 * sum_d2 / (CAST(n AS DOUBLE) * n * n - n) AS rho
+         |FROM ag""".stripMargin,
 
     "g_lp_t3" -> lpSql(3),
 

@@ -260,6 +260,59 @@ class WarmCcSpec extends GraftSuite {
   }
 }
 
+class DeltaTrianglesSpec extends GraftSuite {
+  import graft.algo.TriangleCount
+
+  test("incremental delta count equals census difference on planted deltas") {
+    // old: square 0-1-2-3 (no triangles) plus the bare pair 10-11
+    val oldE = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (10L, 11L))))
+    // delta adds: diagonal 0-2 (closes TWO triangles, each with 1 new
+    // edge), 10-12 + 11-12 (one triangle with 2 new edges), and the fully
+    // new triangle 20-21-22 (3 new edges) — all three 1/k weights fire
+    val newE = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (10L, 11L), (0L, 2L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L))))
+    val row = TriangleCount.deltaTriangles(newE, oldE).collect().head
+    assert(row.getLong(0) === 6L, "canonical delta pairs")
+    assert(row.getLong(1) === 4L, "new triangles")
+    val diff = TriangleCount.countTriangles(newE) -
+      TriangleCount.countTriangles(oldE)
+    assert(row.getLong(1) === diff)
+  }
+
+  test("empty delta reports zero without a census") {
+    val e = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (0L, 2L))))
+    val row = TriangleCount.deltaTriangles(e, e).collect().head
+    assert(row.getLong(0) === 0L && row.getLong(1) === 0L)
+  }
+}
+
+class SpearmanSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.measures.Measures
+
+  test("perfect agreement is rho 1, perfect reversal is rho -1") {
+    val ids = (1L to 10L)
+    val up = ids.map(i => (i, i * 10)).toDF("id", "score")
+    val down = ids.map(i => (i, 1000 - i * 10)).toDF("id", "score")
+    val same = Measures.spearman(up, up).collect().head
+    assert(same.getLong(0) === 10L && same.getLong(1) === 0L)
+    assert(same.getDouble(2) === 1.0)
+    val rev = Measures.spearman(up, down).collect().head
+    // reversal: sum d^2 = n(n^2-1)/3 = 330 -> rho exactly -1
+    assert(rev.getLong(1) === 330L)
+    assert(rev.getDouble(2) === -1.0)
+  }
+
+  test("rank ties break by id ascending") {
+    val tied = Seq((5L, 7L), (2L, 7L), (9L, 3L)).toDF("id", "score")
+    val ranks = Measures.rankByScore(tied).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks === Map(2L -> 1L, 5L -> 2L, 9L -> 3L))
+  }
+}
+
 class DocNllSpec extends GraftSuite {
   import spark.implicits._
 
