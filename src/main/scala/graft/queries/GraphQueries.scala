@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.algo.{Absorbing, ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
 import graft.graph.GraphOps
 import graft.measures.Measures
 
@@ -584,6 +584,17 @@ object GraphQueries {
         .select(col("id"),
           round(col("rank") * 1000000).cast("long").as("score"))
       Measures.spearman(indeg, pr)
+    }),
+
+    // bounded-horizon absorbing hit probability toward the id%50 target
+    // set — 4 uniform-walk steps, targets absorbing at 1; the spam-reach
+    // quarantine diagnostic (PageRank gather skeleton, lazy chain)
+    "g_hitting_t4" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val targets = GraphOps.vertices(e).filter(col("id") % 50 === 0)
+      Absorbing.hitProbabilityFixed(e, targets, steps = 4)
+        .select(col("id"),
+          round(col("p") * 1000000).cast("long").as("p_e6"))
     }),
 
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
@@ -1931,6 +1942,34 @@ object GraphQueries {
          |SELECT n, sum_d2,
          |       1 - 6.0 * sum_d2 / (CAST(n AS DOUBLE) * n * n - n) AS rho
          |FROM ag""".stripMargin,
+
+    // absorbing-walk oracle: the same 4-step chain — gather sum over
+    // neighbors, divide by degree, targets pinned to 1 each step
+    "g_hitting_t4" -> {
+      val steps = (1 to 4).map { k =>
+        s"""hx$k AS (
+           |  SELECT e0.src AS id, sum(h.h) AS s
+           |  FROM e0 JOIN h${k - 1} h ON e0.dst = h.id GROUP BY 1
+           |), h$k AS (
+           |  SELECT v.id,
+           |         CASE WHEN t.id IS NOT NULL THEN 1.0
+           |              ELSE coalesce(x.s, 0) / d.d END AS h
+           |  FROM verts v
+           |  LEFT JOIN htgt t ON v.id = t.id
+           |  LEFT JOIN hx$k x ON v.id = x.id
+           |  JOIN hdeg d ON v.id = d.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |htgt AS (SELECT id FROM verts WHERE id % 50 = 0),
+         |hdeg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |h0 AS (SELECT v.id,
+         |              CASE WHEN t.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS h
+         |       FROM verts v LEFT JOIN htgt t ON v.id = t.id),
+         |$steps
+         |SELECT id, CAST(ROUND(h * 1000000) AS BIGINT) AS p_e6
+         |FROM h4""".stripMargin
+    },
 
     "g_lp_t3" -> lpSql(3),
 

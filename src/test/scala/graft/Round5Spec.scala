@@ -354,3 +354,49 @@ class BipartiteCoverageSpec extends GraftSuite {
     assert(row.getAs[Long]("n_layered") === 3L)
   }
 }
+
+class AbsorbingSpec extends GraftSuite {
+  import graft.algo.Absorbing
+  import spark.implicits._
+
+  private def probs(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("path graph matches the hand-unrolled chain") {
+    // 0 - 1 - 2, target {0}: h1 = (1, .5, 0), h2 = (1, .5, .5),
+    // h3 = (1, .75, .5)
+    val e = edgesDf(undirected(Seq((0L, 1L), (1L, 2L))))
+    val t = Seq(Tuple1(0L)).toDF("id")
+    assert(probs(Absorbing.hitProbabilityFixed(e, t, 1)) ===
+      Map(0L -> 1.0, 1L -> 0.5, 2L -> 0.0))
+    assert(probs(Absorbing.hitProbabilityFixed(e, t, 2)) ===
+      Map(0L -> 1.0, 1L -> 0.5, 2L -> 0.5))
+    assert(probs(Absorbing.hitProbabilityFixed(e, t, 3)) ===
+      Map(0L -> 1.0, 1L -> 0.75, 2L -> 0.5))
+  }
+
+  test("steps=0 is the target indicator; horizon is monotone") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val t = Seq(Tuple1(1L), Tuple1(34L)).toDF("id")
+    val h0 = probs(Absorbing.hitProbabilityFixed(e, t, 0))
+    assert(h0(1L) === 1.0 && h0(34L) === 1.0)
+    assert(h0.count(_._2 == 0.0) === h0.size - 2)
+    val h2 = probs(Absorbing.hitProbabilityFixed(e, t, 2))
+    val h4 = probs(Absorbing.hitProbabilityFixed(e, t, 4))
+    h2.foreach { case (id, p) =>
+      assert(p >= h0(id) - 1e-12 && h4(id) >= p - 1e-12,
+        s"non-monotone at $id: ${h0(id)} / $p / ${h4(id)}")
+    }
+    // karate is connected with diameter 5: by t=8 everything hits
+    val h8 = probs(Absorbing.hitProbabilityFixed(e, t, 8))
+    assert(h8.values.forall(_ > 0.0))
+  }
+
+  test("a sink vertex outside the target set stays at 0 on directed input") {
+    // 1 -> 2 (sink), 3 -> 1; target {9} unreachable from all of them
+    val e = Seq((1L, 2L), (3L, 1L), (9L, 1L)).toDF("src", "dst")
+    val t = Seq(Tuple1(9L)).toDF("id")
+    val h = probs(Absorbing.hitProbabilityFixed(e, t, 6))
+    assert(h(2L) === 0.0 && h(1L) === 0.0 && h(3L) === 0.0 && h(9L) === 1.0)
+  }
+}
