@@ -448,4 +448,30 @@ object PageRank {
         (col("rank") - col("trust")).as("spam_mass"),
         ((col("rank") - col("trust")) / col("rank")).as("rel_mass"))
   }
+
+  /** Anti-TrustRank (Krishnan & Raj): personalized PageRank from a
+    * KNOWN-SPAM seed set propagated along REVERSED links — a page that
+    * links into the spam neighborhood inherits anti-trust, so high
+    * scores flag likely spam even off the seed list. The complement of
+    * [[spamMass]]: spam mass asks "how little trust reaches this page?",
+    * anti-trust asks "how strongly does this page feed spam?"; crawlers
+    * run both and demote the intersection.
+    *
+    * Implementation is one edge transposition (a projection — no
+    * shuffle; the PPR repartitions by its own gather key anyway) feeding
+    * [[runPersonalizedFixed]] unchanged, so the scale shape is the PPR
+    * one: degree table persisted once, per-iteration gather join + hash
+    * agg, seed reset carried as a vertex column. Directed inputs only —
+    * on a symmetrized graph transposition is the identity and anti-trust
+    * degenerates to trusted-set PPR.
+    *
+    * @return (id, antitrust) with Σ antitrust ≈ 1 (exactly 1 once the
+    *         reversed graph has no dangling vertices)
+    */
+  def antiTrust(edges: DataFrame, spamSeeds: DataFrame, iterations: Int,
+                damping: Double = 0.85, partitions: Int = 32): DataFrame = {
+    val reversed = edges.select(col("dst").as("src"), col("src").as("dst"))
+    runPersonalizedFixed(reversed, spamSeeds, iterations, damping, partitions)
+      .select(col("id"), col("rank").as("antitrust"))
+  }
 }

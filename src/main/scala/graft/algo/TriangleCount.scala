@@ -97,6 +97,37 @@ object TriangleCount {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-vertex egonet density (the OddBall link-farm signal): for the
+    * egonet of v — v plus its neighbors — the edge count is
+    *
+    *   ego_edges(v) = deg(v) + tri(v)
+    *
+    * (the deg(v) star edges plus one edge per triangle through v, which
+    * is exactly the neighbor-neighbor edge count), so no egonet is ever
+    * materialized: the whole operator is the [[perVertex]] census plus a
+    * degree aggregation and one vertex-sized join. density_e6 =
+    * ⌊ego_edges / C(deg+1, 2) · 10⁶⌉ — near-clique egonets (density → 1
+    * at high degree) are the OddBall paper's link-farm / spam-cluster
+    * signature, near-star egonets (density → 2/deg) its telemarketer
+    * shape. Integer inputs, one multiply + one divide, both
+    * IEEE-replayable.
+    *
+    * Input must be symmetrized and self-loop-free (the [[perVertex]]
+    * contract); every vertex appears (deg ≥ 1 by membership).
+    */
+  def egonetDensity(edges: DataFrame): DataFrame = {
+    val deg = GraphOps.degrees(edges)
+    val tri = perVertex(edges)
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .select(col("id"), col("degree"), col("triangles"),
+        (col("degree") + col("triangles")).as("ego_edges"))
+      .withColumn("density_e6",
+        round(col("ego_edges") * lit(2000000.0) /
+          ((col("degree") + 1) * col("degree"))).cast("long"))
+  }
+
   /** Local clustering coefficient per vertex (Watts–Strogatz):
     *
     *   lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),  0 when deg(v) < 2

@@ -597,6 +597,26 @@ object GraphQueries {
           round(col("p") * 1000000).cast("long").as("p_e6"))
     }),
 
+    // anti-TrustRank: PPR from the id%9 spam seed set on the REVERSED
+    // directed demo graph — pages feeding the spam neighborhood score high
+    "g_antitrust_t4" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val spam = GraphOps.vertices(directed).filter(col("id") % 9 === 0)
+      PageRank.antiTrust(directed, spam, iterations = 4)
+        .select(col("id"),
+          round(col("antitrust") * 1000000).cast("long").as("antitrust_e6"))
+    }),
+
+    // egonet density (OddBall): ego_edges = deg + tri per vertex, density
+    // vs the full clique on deg+1 vertices — the link-farm signature
+    "g_egonet" -> ((s, dir) =>
+      TriangleCount.egonetDensity(demoEdges(s, dir))),
+
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
 
     // superstep convergence telemetry (iter, changes, communities) of the
@@ -1970,6 +1990,66 @@ object GraphQueries {
          |SELECT id, CAST(ROUND(h * 1000000) AS BIGINT) AS p_e6
          |FROM h4""".stripMargin
     },
+
+    // anti-trust oracle: the PPR recurrence on the transposed directed
+    // edges, dangling mass re-folded into the reset each step exactly as
+    // runPersonalizedFixed does: r_k = ((1-d) + d*m_k)*reset + d*gather
+    "g_antitrust_t4" -> {
+      val steps = (1 to 4).map { k =>
+        s"""adm$k AS (
+           |  SELECT coalesce(sum(p.r), 0) AS m FROM ar${k - 1} p
+           |  LEFT JOIN tdeg d ON p.id = d.id WHERE d.id IS NULL
+           |), ax$k AS (
+           |  SELECT tre.dst AS id, sum(p.r / d.od) AS s
+           |  FROM tre JOIN ar${k - 1} p ON tre.src = p.id
+           |  JOIN tdeg d ON tre.src = d.id
+           |  GROUP BY 1
+           |), ar$k AS (
+           |  SELECT v.id,
+           |         ((1.0 - 0.85) + 0.85 * (SELECT m FROM adm$k)) * v.reset
+           |           + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM trst v LEFT JOIN ax$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |tre AS (SELECT dst AS src, src AS dst FROM rawd),
+         |tdeg AS (SELECT src AS id, count(*) AS od FROM tre GROUP BY 1),
+         |spam AS (SELECT id FROM vd WHERE id % 9 = 0),
+         |trst AS (
+         |  SELECT v.id,
+         |    CASE WHEN s.id IS NULL THEN 0.0
+         |         ELSE 1.0 / (SELECT count(*) FROM spam) END AS reset
+         |  FROM vd v LEFT JOIN spam s ON v.id = s.id),
+         |ar0 AS (SELECT id, reset AS r FROM trst),
+         |$steps
+         |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS antitrust_e6
+         |FROM ar4""".stripMargin
+    },
+
+    // egonet oracle: the tri-per-vertex census left-joined onto degrees
+    "g_egonet" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM canon e1
+         |  JOIN canon e2 ON e1.dst = e2.src
+         |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pv AS (SELECT id, count(*) AS triangles FROM (
+         |  SELECT a AS id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) u GROUP BY id),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1)
+         |SELECT d.id, d.degree, coalesce(pv.triangles, 0) AS triangles,
+         |       d.degree + coalesce(pv.triangles, 0) AS ego_edges,
+         |       CAST(ROUND((d.degree + coalesce(pv.triangles, 0)) * 2000000.0
+         |         / ((d.degree + 1) * d.degree)) AS BIGINT) AS density_e6
+         |FROM deg d LEFT JOIN pv ON d.id = pv.id""".stripMargin,
 
     "g_lp_t3" -> lpSql(3),
 

@@ -400,3 +400,60 @@ class AbsorbingSpec extends GraftSuite {
     assert(h(2L) === 0.0 && h(1L) === 0.0 && h(3L) === 0.0 && h(9L) === 1.0)
   }
 }
+
+class AntiTrustSpec extends GraftSuite {
+  import graft.algo.PageRank
+  import spark.implicits._
+
+  test("pages linking into the spam set inherit anti-trust; clean pages get 0") {
+    // a -> s (spam), b -> c (clean chain); anti-trust flows s -> a only
+    val e = Seq((1L, 9L), (2L, 3L)).toDF("src", "dst")
+    val spam = Seq(Tuple1(9L)).toDF("id")
+    val at = PageRank.antiTrust(e, spam, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(at(9L) > at(1L) && at(1L) > 0.0,
+      s"spam seed should dominate its citer: $at")
+    assert(at(2L) === 0.0 && at(3L) === 0.0)
+  }
+
+  test("every page upstream of spam scores positive; the farthest scores least") {
+    // 1 -> 2 -> 3 -> spam(4): the seed pulse travels the reversed chain
+    // (so per-hop ordering oscillates), but reach and the far-end minimum
+    // are invariant
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val spam = Seq(Tuple1(4L)).toDF("id")
+    val at = PageRank.antiTrust(e, spam, iterations = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(at.values.forall(_ > 0.0), s"all upstream pages reachable: $at")
+    assert(at(1L) === at.values.min, s"farthest citer scores least: $at")
+  }
+}
+
+class EgonetDensitySpec extends GraftSuite {
+  import graft.algo.TriangleCount
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("clique egonets are density 1; star centers are sparse") {
+    // triangle {1,2,3} plus star center 10 with leaves {11,12,13}
+    val e = edgesDf(undirected(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L))))
+    val m = rows(TriangleCount.egonetDensity(e))
+    // triangle members: deg 2, 1 triangle, 3 ego edges over C(3,2)=3
+    Seq(1L, 2L, 3L).foreach(v => assert(m(v) === ((2L, 1L, 3L, 1000000L))))
+    // star center: deg 3, no triangles, 3 of C(4,2)=6 edges
+    assert(m(10L) === ((3L, 0L, 3L, 500000L)))
+    // leaves: the 1-edge egonet is complete
+    Seq(11L, 12L, 13L).foreach(v => assert(m(v) === ((1L, 0L, 1L, 1000000L))))
+  }
+
+  test("4-clique egonets are complete") {
+    val e = edgesDf(undirected(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L))))
+    rows(TriangleCount.egonetDensity(e)).values.foreach { v =>
+      assert(v === ((3L, 3L, 6L, 1000000L)))
+    }
+  }
+}
