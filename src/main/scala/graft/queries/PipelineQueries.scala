@@ -88,6 +88,22 @@ object PipelineQueries {
         size(tokensCol).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_m"))),
 
+    // lexical diversity: type-token ratio per document (low tail =
+    // template/keyword-stuffed output) — pure scan, array_distinct
+    "d_ttr" -> ((s, dir) =>
+      graft.text.CorpusClean.typeTokenRatio(docs(s, dir))),
+
+    // Zipf rank-frequency slope over the 200 hottest terms — integer
+    // (ln rank, ln count) pairs make the regression sums order-free
+    "d_zipf" -> ((s, dir) =>
+      graft.text.TextIndex.zipfFit(docs(s, dir), topN = 200)),
+
+    // per-doc KL divergence from the corpus unigram distribution — the
+    // off-distribution outlier filter; e6-integer log-ratio terms keep
+    // the per-doc sum order-free
+    "d_kl" -> ((s, dir) =>
+      graft.text.TextIndex.klFromCorpus(docs(s, dir))),
+
     // within-doc repetition: duplicate word-2-gram fraction (the Gopher
     // quality filter's dup-n-gram statistic) — all counts exact integers,
     // one division per output row; per-doc aggregation is
@@ -958,6 +974,61 @@ object PipelineQueries {
       """SELECT doc_id,
         |CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
         |CAST(len(text) AS BIGINT) AS n_chars_m FROM documents""".stripMargin,
+
+    "d_ttr" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |    AS BIGINT) AS n_types,
+        |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0
+        |       THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(ROUND(
+        |         len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |         * 1000000.0
+        |         / len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |         AS BIGINT) END AS ttr_e6
+        |FROM documents""".stripMargin,
+
+    "d_zipf" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |               AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+        |top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term ASC LIMIT 200),
+        |rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC)
+        |         AS rank FROM top),
+        |xy AS (SELECT CAST(ROUND(ln(rank) * 1000000) AS BIGINT) AS x,
+        |              CAST(ROUND(ln(tf) * 1000000) AS BIGINT) AS y FROM rk),
+        |ag AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |              sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS slope_e6,
+        |  CAST(ROUND((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_e6
+        |FROM ag""".stripMargin,
+
+    "d_kl" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+        |         FROM tfd GROUP BY 1),
+        |tfc AS (SELECT term, count(*) AS tfc FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |terms AS (
+        |  SELECT t.doc_id, l.len,
+        |         t.tf * CAST(ROUND(ln((CAST(t.tf AS DOUBLE) / l.len)
+        |           / (CAST(c.tfc AS DOUBLE) / (SELECT total FROM tot)))
+        |           * 1000000) AS BIGINT) AS c
+        |  FROM tfd t JOIN dlen l ON t.doc_id = l.doc_id
+        |  JOIN tfc c ON t.term = c.term)
+        |SELECT doc_id, min(len) AS n_tokens,
+        |  CAST(ROUND(CAST(sum(c) AS DOUBLE) / min(len)) AS BIGINT) AS kl_e6
+        |FROM terms GROUP BY doc_id""".stripMargin,
 
     "d_tfidf_topk" ->
       """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+'))

@@ -116,6 +116,23 @@ object CorpusClean {
       size(regexp_extract_all(lower(col("text")), lit(BpeishRe), lit(0)))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Type–token ratio per document — the lexical-diversity filter signal
+    * (Gopher-family pipelines drop the low-TTR tail: template output and
+    * keyword stuffing repeat a tiny vocabulary). Pure scan — tokenize,
+    * `array_distinct`, one integer divide at e6 — no shuffle, no UDF.
+    * Empty documents report ttr 0 rather than dividing by zero.
+    */
+  def typeTokenRatio(docs: DataFrame): DataFrame = {
+    val terms = graft.text.TextIndex.termsCol
+    docs.select(col("doc_id"),
+        size(terms).cast("long").as("n_tokens"),
+        size(array_distinct(terms)).cast("long").as("n_types"))
+      .withColumn("ttr_e6",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(round(col("n_types") * lit(1000000.0) / col("n_tokens"))
+            .cast("long")))
+  }
+
   /** T5-style span-corruption masks: each token position is masked by a
     * deterministic md5 draw (`permille`/1000 rate), and maximal runs of
     * masked positions merge into spans — emitted as (doc_id, span_id,

@@ -225,4 +225,77 @@ object TextIndex {
       .select(col("permille"), col("cap"), col("n_docs"), col("n_tokens"),
         coalesce(col("n_types"), lit(0L)).as("n_types"))
   }
+
+  /** Zipf rank–frequency slope over the `topN` hottest terms — the
+    * corpus-health curve fit: natural text sits near slope −1, template
+    * farms and generator spam bend the head of the curve, so an ingest
+    * pipeline tracks the fitted slope per snapshot next to
+    * [[vocabularyGrowth]].
+    *
+    * Least squares of ln(count) on ln(rank). Each term's (x, y) =
+    * (⌊ln rank·10⁶⌉, ⌊ln count·10⁶⌉) is an INTEGER pair, so the four
+    * regression sums are order-free integer aggregations (the edge-BC
+    * lesson) and the slope/intercept are each one double expression over
+    * them — bit-replayable. Integer envelope: n·Σxy stays under 2⁶³ for
+    * topN ≤ 200 up to corpus counts of e⁶⁰ tokens, i.e. unconditionally.
+    *
+    * Scale shape: one corpus term-count agg, a TakeOrdered top-N, a
+    * window over the topN-row (bounded) table, one 1-row agg.
+    *
+    * @return 1 row: (n_terms, slope_e6, intercept_e6) — intercept in
+    *         ln-count units ×10⁶
+    */
+  def zipfFit(docs: DataFrame, topN: Int): DataFrame = {
+    val tf = docs.select(explode(termsCol).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("term").asc).limit(topN)
+    val ranked = top.withColumn("rank", row_number()
+      .over(Window.orderBy(col("tf").desc, col("term").asc)).cast("long"))
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")) * 1000000).cast("long").as("x"),
+      round(log(col("tf").cast("double")) * 1000000).cast("long").as("y"))
+    val ag = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    ag.select(col("n").cast("long").as("n_terms"),
+      round(slope * 1000000).cast("long").as("slope_e6"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double")).cast("long").as("intercept_e6"))
+  }
+
+  /** Per-document KL divergence from the corpus unigram distribution —
+    * KL(doc ‖ corpus) = Σ_t (tf_d/len_d)·ln((tf_d/len_d)/(tf_c/total)):
+    * the domain-outlier / off-distribution filter signal (machine
+    * translations, generator spam, and wrong-language residue all sit in
+    * the high-KL tail; boilerplate mirrors sit near 0).
+    *
+    * Determinism: each (doc, term)'s log-ratio is rounded to an e6
+    * INTEGER and weighted by the integer tf_d, so the per-doc sum is
+    * order-free; one final divide by len_d. The ratio itself is computed
+    * as (tf_d/len_d)/(tf_c/total) in that exact operand order. Scale
+    * shape: one corpus term agg joined back onto the per-doc term table
+    * (both hash-partitioned by term), one per-doc agg; the corpus total
+    * is a 1-row broadcast.
+    *
+    * @return (doc_id, n_tokens, kl_e6), kl ≥ 0 by Gibbs' inequality
+    */
+  def klFromCorpus(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(termsCol).as("term"))
+    val tfd = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val len = tfd.groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
+    val tfc = toks.groupBy("term").agg(count(lit(1)).as("tfc"))
+    val total = toks.agg(count(lit(1)).cast("long").as("total"))
+    val ratio = (col("tf").cast("double") / col("len")) /
+      (col("tfc").cast("double") / col("total"))
+    val terms = tfd.join(len, "doc_id").join(tfc, "term")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("len"),
+        (col("tf") * round(log(ratio) * 1000000).cast("long")).as("c"))
+    terms.groupBy("doc_id")
+      .agg(first(col("len")).as("len"), sum(col("c")).as("s"))
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        round(col("s").cast("double") / col("len")).cast("long").as("kl_e6"))
+  }
 }

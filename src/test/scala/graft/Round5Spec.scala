@@ -457,3 +457,53 @@ class EgonetDensitySpec extends GraftSuite {
     }
   }
 }
+
+class CorpusStatsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("type-token ratio: exact values, repetition lowers it") {
+    val docs = Seq(
+      (1L, "a b c d"),            // 4 types / 4 tokens
+      (2L, "a a a a"),            // 1 / 4
+      (3L, "a b a b"),            // 2 / 4
+      (4L, "")).toDF("doc_id", "text")
+    val m = graft.text.CorpusClean.typeTokenRatio(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(1L) === ((4L, 4L, 1000000L)))
+    assert(m(2L) === ((4L, 1L, 250000L)))
+    assert(m(3L) === ((4L, 2L, 500000L)))
+    assert(m(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("zipf fit recovers the slope of an exact power law") {
+    // counts = floor(1e6 / rank): ln(count) ~ ln(1e6) - ln(rank),
+    // slope -1, intercept ln(1e6)
+    val docs = (1 to 50).flatMap { r =>
+      val cnt = 1000000 / r
+      Seq((r.toLong, (s"t$r " * cnt).trim))
+    }.toDF("doc_id", "text")
+    val row = graft.text.TextIndex.zipfFit(docs, topN = 50).first()
+    assert(row.getLong(0) === 50L)
+    val slope = row.getLong(1) / 1e6
+    val icept = row.getLong(2) / 1e6
+    assert(math.abs(slope - (-1.0)) < 0.001, s"slope $slope")
+    assert(math.abs(icept - math.log(1e6)) < 0.01, s"intercept $icept")
+  }
+
+  test("KL from corpus: representative docs score 0, outliers positive") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b c d"),
+      (4L, "zz zz zz zz")).toDF("doc_id", "text")
+    val m = graft.text.TextIndex.klFromCorpus(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.values.forall(_._1 == 4L))
+    // docs 1-3 share the majority distribution: small positive KL
+    // (corpus includes doc 4's mass); doc 4 is far off-distribution
+    assert(m(4L)._2 > m(1L)._2, s"outlier should dominate: $m")
+    assert(m(1L) === m(2L) && m(2L) === m(3L))
+    assert(m.values.forall(_._2 >= 0L), s"KL must be non-negative: $m")
+  }
+}
