@@ -177,4 +177,37 @@ object Spectral {
         when(col("_t") =!= 0L, col("walks").cast("double") / col("_t"))
           .otherwise(lit(0.0)).as("score"))
   }
+
+  /** Spectral-radius (λ_max) estimate from the walk-count power method:
+    *
+    *   λ̂_k = Σ_v w_k(v) / Σ_v w_{k-1}(v)
+    *
+    * — the total number of length-k walks over length-(k−1) walks, which
+    * converges to the adjacency spectral radius (the L1 analogue of the
+    * Rayleigh quotient, exact on regular graphs at every k). λ_max is
+    * the epidemic/percolation threshold (spread dies iff rate < 1/λ) and
+    * the densest-core size proxy watched when a crawl region suddenly
+    * densifies. Both sums are EXACT integers from
+    * [[eigenvectorWalkCounts]], so the estimate is one integer-to-double
+    * divide — bit-replayable. Same integer envelope as the walk counts:
+    * n·d_max^k < 2^63.
+    *
+    * @return 1 row (w_prev, w_next, lambda) with lambda = w_next/w_prev
+    */
+  def spectralRadius(edges: DataFrame, iterations: Int,
+                     partitions: Int = 32): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val wPrev = eigenvectorWalkCounts(edges, iterations - 1, partitions)
+    val gathered = edges
+      .join(wPrev.select(col("id").as("wid"), col("walks")),
+        col("src") === col("wid"))
+      .groupBy(col("dst").as("id")).agg(sum(col("walks")).as("s"))
+    val sPrev = wPrev.agg(sum(col("walks")).cast("long").as("w_prev"))
+    val sNext = gathered.agg(sum(col("s")).cast("long").as("w_next"))
+    sPrev.crossJoin(sNext)
+      .select(col("w_prev"), col("w_next"),
+        when(col("w_prev") =!= 0L,
+          col("w_next").cast("double") / col("w_prev"))
+          .otherwise(lit(0.0)).as("lambda"))
+  }
 }

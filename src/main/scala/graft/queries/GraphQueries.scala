@@ -1459,6 +1459,35 @@ object GraphQueries {
         .select(col("host"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
 
+    // per-host outlink leakage: intra vs inter link counts + ratio —
+    // near-0 = walled garden, near-1 = link farm/redirector
+    "g_host_leakage" -> ((s, dir) =>
+      graft.sources.HostGraph.leakage(hostPairs(s, dir))),
+
+    // community exemplars: top-2 pages per LP(3) community by PR(5) —
+    // the per-community audit listing (rank rounded before the ordering
+    // so the tie-break is engine-independent)
+    "g_comm_top_pages" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val labels = LabelPropagation.runFixed(e, 3, symmetric = true)
+      val pr = PageRank.runFixed(e, 5)
+        .select(col("id").as("pid"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))
+      val sc = labels.join(pr, labels("id") === col("pid"))
+        .select(col("label"), col("id"), col("rank_e6"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("rank_e6").desc, col("id").asc)
+      sc.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+    }),
+
+    // spectral radius estimate: total length-4 walks over length-3 walks
+    // (exact integer sums, one divide) — the epidemic-threshold monitor
+    "g_spectral_radius" -> ((s, dir) =>
+      graft.algo.Spectral.spectralRadius(demoEdges(s, dir), iterations = 4)
+        .select(col("w_prev"), col("w_next"),
+          round(col("lambda") * 1000000).cast("long").as("lambda_e6"))),
+
     // seeded vertex permutation with explicit positions — the md5 sort
     // key makes the exact ordering cross-engine-replayable
     "g_permutation" -> ((s, dir) =>
@@ -2210,6 +2239,76 @@ object GraphQueries {
          |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     "g_host_edges" -> s"WITH $hostCte\nSELECT src_host, dst_host, weight FROM he",
+
+    // leakage oracle: the same host extraction WITHOUT the intra-host
+    // drop, one grouped CASE count
+    "g_host_leakage" ->
+      // hostCte is interpolated pre-stripped (its own continuation lines
+      // START with "||"), so this template must NOT re-stripMargin it
+      (s"WITH $hostCte\n" +
+        """SELECT sh AS host, count(*) AS n_links,
+          |  CAST(sum(CASE WHEN sh = dh THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_intra,
+          |  count(*) - CAST(sum(CASE WHEN sh = dh THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_inter,
+          |  CAST(ROUND((count(*)
+          |      - CAST(sum(CASE WHEN sh = dh THEN 1 ELSE 0 END) AS BIGINT))
+          |    * 1000000.0 / count(*)) AS BIGINT) AS leakage_e6
+          |FROM hp WHERE sh <> '' AND dh <> ''
+          |GROUP BY 1""".stripMargin),
+
+    // community exemplars oracle: LP(3) chain × PR(5) chain, rank rounded
+    // to e6 BEFORE the per-community ordering (engine-independent ties)
+    "g_comm_top_pages" -> {
+      val prSteps = (1 to 5).map { k =>
+        s"""qx$k AS (
+           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN qr${k - 1} p ON e0.src = p.id
+           |  JOIN qdeg d ON e0.src = d.id
+           |  GROUP BY 1
+           |), qr$k AS (
+           |  SELECT v.id, 0.15 / (SELECT count(*) FROM verts)
+           |         + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM verts v LEFT JOIN qx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |qdeg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |qr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS r
+         |        FROM verts),
+         |$prSteps,
+         |sc AS (
+         |  SELECT s3.label, s3.id,
+         |         CAST(ROUND(r.r * 1000000) AS BIGINT) AS rank_e6
+         |  FROM s3 JOIN qr5 r ON s3.id = r.id)
+         |SELECT label, id, rank_e6, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY rank_e6 DESC, id ASC) AS rn FROM sc) t
+         |WHERE rn <= 2""".stripMargin
+    },
+
+    // spectral radius oracle: the unrolled integer walk-count chain,
+    // sums at steps 3 and 4
+    "g_spectral_radius" -> {
+      val steps = (1 to 4).map { k =>
+        s"""ww$k AS (
+           |  SELECT v.id, coalesce(x.s, 0) AS w
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e0.dst AS id, sum(p.w) AS s
+           |    FROM e0 JOIN ww${k - 1} p ON e0.src = p.id GROUP BY 1) x
+           |  ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |ww0 AS (SELECT id, CAST(1 AS BIGINT) AS w FROM verts),
+         |$steps
+         |SELECT CAST((SELECT sum(w) FROM ww3) AS BIGINT) AS w_prev,
+         |       CAST((SELECT sum(w) FROM ww4) AS BIGINT) AS w_next,
+         |       CAST(ROUND(CAST((SELECT sum(w) FROM ww4) AS DOUBLE)
+         |         / (SELECT sum(w) FROM ww3) * 1000000) AS BIGINT)
+         |         AS lambda_e6""".stripMargin
+    },
 
     // weighted power iteration over the host graph with the per-step
     // dangling-mass scalar (hosts never seen as a link SOURCE), mirroring

@@ -52,6 +52,32 @@ object HostGraph {
   def fromPages(pages: DataFrame): DataFrame =
     contract(TextExtract.linkPairs(pages))
 
+  /** Per-host outlink leakage: of a host's url-level outlinks, how many
+    * stay on the host (intra) vs leave it (inter), plus the leakage
+    * ratio at e6. The site-structure diagnostic read next to the host
+    * graph — near-0 leakage marks walled-garden/template sites whose
+    * PageRank self-inflates, near-1 marks link farms and redirectors
+    * that only point outward (TrustRank-era spam heuristics threshold
+    * exactly this ratio). Unlike [[contract]], intra-host links are
+    * KEPT — they are the numerator's complement. One projection + one
+    * partial-aggregated groupBy(host); integer counts, one divide.
+    *
+    * @return (host, n_links, n_intra, n_inter, leakage_e6)
+    */
+  def leakage(pairs: DataFrame): DataFrame =
+    pairs.select(
+        hostOf(col("src_url")).as("host"),
+        hostOf(col("dst_url")).as("dst_host"))
+      .filter(col("host") =!= "" && col("dst_host") =!= "")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_links"),
+        sum(when(col("host") === col("dst_host"), 1L).otherwise(0L))
+          .cast("long").as("n_intra"))
+      .select(col("host"), col("n_links"), col("n_intra"),
+        (col("n_links") - col("n_intra")).as("n_inter"))
+      .withColumn("leakage_e6",
+        round(col("n_inter") * lit(1000000.0) / col("n_links")).cast("long"))
+
   /** Host-level weighted PageRank over the directed host graph: rank flows
     * proportionally to the url-link multiplicity between hosts; hosts that
     * are only ever linked TO (no crawled outlinks) contribute dangling

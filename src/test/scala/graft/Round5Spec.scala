@@ -507,3 +507,43 @@ class CorpusStatsSpec extends GraftSuite {
     assert(m.values.forall(_._2 >= 0L), s"KL must be non-negative: $m")
   }
 }
+
+class HostLeakageSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("intra/inter split and ratio per host") {
+    val pairs = Seq(
+      ("http://a.example/1", "http://a.example/2"),   // intra
+      ("http://a.example/1", "http://b.example/x"),   // inter
+      ("http://a.example/3", "http://a.example/4"),   // intra
+      ("http://a.example/3", "http://c.example/y"),   // inter
+      ("http://f.example/1", "http://b.example/z")    // farm: all outward
+    ).toDF("src_url", "dst_url")
+    val m = graft.sources.HostGraph.leakage(pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m("a.example") === ((4L, 2L, 2L, 500000L)))
+    assert(m("f.example") === ((1L, 0L, 1L, 1000000L)))
+    assert(!m.contains("b.example")) // link target only: no outlinks
+  }
+}
+
+class SpectralRadiusSpec extends GraftSuite {
+
+  test("2-regular cycle: lambda exactly 2 at any horizon") {
+    val cyc = edgesDf(undirected(Seq((0L, 1L), (1L, 2L), (2L, 3L),
+      (3L, 4L), (4L, 0L))))
+    for (k <- Seq(1, 3, 6)) {
+      val r = graft.algo.Spectral.spectralRadius(cyc, iterations = k).first()
+      assert(r.getDouble(2) === 2.0, s"k=$k")
+    }
+  }
+
+  test("complete graph K4: lambda exactly 3") {
+    val k4 = edgesDf(undirected(Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (2L, 3L))))
+    val r = graft.algo.Spectral.spectralRadius(k4, iterations = 4).first()
+    assert(r.getLong(0) * 3L === r.getLong(1))
+    assert(r.getDouble(2) === 3.0)
+  }
+}
