@@ -637,6 +637,16 @@ object PipelineQueries {
     "ev_retention" -> ((s, dir) =>
       graft.streaming.Funnel.retention(events(s, dir))),
 
+    // per-user bot signals: min inter-event gap, sub-second burst count,
+    // smoothed events-per-minute rate — the behavioral-corpus pre-filter
+    "ev_bot_score" -> ((s, dir) =>
+      graft.streaming.Funnel.botSignals(events(s, dir))),
+
+    // DAU / trailing-7-day WAU / stickiness per epoch day (bounded 7x
+    // explode, never a day-range self-join)
+    "ev_dau" -> ((s, dir) =>
+      graft.streaming.Funnel.activeUsers(events(s, dir))),
+
     // collocations: PMI over adjacent index-term bigrams, marginals on
     // the full bigram table, output thresholded at 5 occurrences
     "d_collocations" -> ((s, dir) =>
@@ -1615,6 +1625,33 @@ object PipelineQueries {
         |FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     // retention oracle: epoch-week floors, distinct active weeks
+    "ev_bot_score" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(ts) // 1000000 AS es FROM events),
+        |g AS (SELECT user_id, es,
+        |        es - lag(es) OVER (PARTITION BY user_id
+        |          ORDER BY es ASC, event_id ASC) AS gap
+        |      FROM ev)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(max(es) - min(es) AS BIGINT) AS span_s,
+        |  CAST(coalesce(min(gap), -1) AS BIGINT) AS min_gap_s,
+        |  CAST(sum(CASE WHEN gap <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_burst,
+        |  CAST(ROUND(count(*) * 60000.0 / (max(es) - min(es) + 60))
+        |    AS BIGINT) AS rate_epm_e3
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "ev_dau" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |              (epoch_us(ts) // 1000000) // 86400 AS day FROM events),
+        |days AS (SELECT day, count(*) AS dau FROM ev GROUP BY 1),
+        |wau AS (SELECT d.day, count(DISTINCT e.user_id) AS wau
+        |        FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+        |        GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        |  CAST(ROUND(d.dau * 1000000.0 / w.wau) AS BIGINT) AS stickiness_e6
+        |FROM days d JOIN wau w ON d.day = w.day""".stripMargin,
+
     "ev_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |              (epoch_us(ts) // 1000000) // 604800 AS week

@@ -116,4 +116,60 @@ object Funnel {
         (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Per-user bot signals: inter-event gap statistics — the pre-training
+    * filter behavioral corpora run before any modeling (scripted clients
+    * fire at machine rate; humans don't sub-second-burst for hours).
+    *
+    *   min_gap_s   minimum gap between consecutive events (−1 if only one)
+    *   n_burst     gaps ≤ 1 s
+    *   rate_epm_e3 events per minute over the active span, +60 s smoothed
+    *
+    * Gaps come from one user-partitioned `lag` window ordered by
+    * (epoch, event_id) — the deterministic tie-break — so nothing ever
+    * concentrates beyond one user's history; epoch seconds are exact
+    * integers and the rate is one double divide.
+    */
+  def botSignals(events: DataFrame): DataFrame = {
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val ev = events.select(col("user_id"), col("event_id"), epoch.as("es"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+    ev.withColumn("gap", col("es") - lag(col("es"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("es")) - min(col("es"))).as("span_s"),
+        coalesce(min(col("gap")), lit(-1L)).as("min_gap_s"),
+        sum(when(col("gap") <= 1, 1L).otherwise(0L)).cast("long")
+          .as("n_burst"))
+      .withColumn("rate_epm_e3",
+        round(col("n_events") * lit(60000.0) / (col("span_s") + 60))
+          .cast("long"))
+  }
+
+  /** Daily/weekly active users and stickiness: DAU per epoch day, WAU =
+    * distinct users active in the trailing 7 days, stickiness = DAU/WAU —
+    * the engagement ratio product dashboards track. The rolling distinct
+    * is computed WITHOUT a range join: each (user, day) row explodes to
+    * its 7 covering window-days (a bounded 7× fan-out), then one distinct
+    * + count per window-day — the shape that holds at any event volume,
+    * unlike a day-range self-join whose skew is the hot day squared.
+    * Days are TZ-free integer floors of epoch seconds.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val ud = events.select(col("user_id"), epoch.as("es"))
+      .select(col("user_id"), expr("es div 86400").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") * lit(1000000.0) / col("wau")).cast("long")
+          .as("stickiness_e6"))
+  }
 }

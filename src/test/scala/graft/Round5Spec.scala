@@ -547,3 +547,45 @@ class SpectralRadiusSpec extends GraftSuite {
     assert(r.getDouble(2) === 3.0)
   }
 }
+
+class BehavioralSignalsSpec extends GraftSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def ev(rows: Seq[(Long, Long, Long)]) = // (event_id, user, epoch)
+    rows.toDF("event_id", "user_id", "es")
+      .select(col("event_id"), col("user_id"),
+        col("es").cast("timestamp").as("ts"))
+
+  test("bot signals: gaps, bursts, span, smoothed rate") {
+    val events = ev(Seq((1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 100L),
+      (4L, 2L, 50L)))
+    val m = graft.streaming.Funnel.botSignals(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // user 1: gaps 1 and 99 -> min 1, one burst; 3 ev / 160 smoothed secs
+    assert(m(1L) === ((3L, 100L, 1L, 1L, 1125L)))
+    // singleton user: no gaps, -1 sentinel, rate = 1 ev / 60 s = 1000 e3
+    assert(m(2L) === ((1L, 0L, -1L, 0L, 1000L)))
+  }
+
+  test("simultaneous events count as a zero-second burst") {
+    val events = ev(Seq((1L, 7L, 10L), (2L, 7L, 10L)))
+    val r = graft.streaming.Funnel.botSignals(events).first()
+    assert(r.getLong(3) === 0L && r.getLong(4) === 1L) // min_gap 0, 1 burst
+  }
+
+  test("DAU / trailing-7-day WAU / stickiness") {
+    val events = ev(Seq(
+      (1L, 1L, 0L),            // user 1, day 0
+      (2L, 2L, 3600L),         // user 2, day 0
+      (3L, 1L, 3L * 86400L)))  // user 1, day 3
+    val m = graft.streaming.Funnel.activeUsers(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m(0L) === ((2L, 2L, 1000000L)))
+    // day 3 window [−3, 3] still covers both users
+    assert(m(3L) === ((1L, 2L, 500000L)))
+    assert(m.size === 2) // only days with activity are reported
+  }
+}
