@@ -66,6 +66,41 @@ object KCore {
     alive
   }
 
+  /** Weighted (s-)core: exactly `rounds` peel rounds keeping vertices
+    * whose STRENGTH — the sum of incident edge weights to still-alive
+    * neighbors — stays ≥ `s` (Eidsaa–Almaas s-core, the k-core analogue
+    * on weighted link graphs where a host pair's weight is its url-link
+    * multiplicity). Input must already be symmetric with integer weights
+    * (the Pajek/host-graph contract), so strength is an exact integer
+    * and every round is bit-replayable. Same two-semi-join + hash-agg
+    * round shape as [[peelFixed]]; after convergence it equals the true
+    * s-core.
+    */
+  def weightedCoreFixed(weightedEdges: DataFrame, s: Long,
+                        rounds: Int): DataFrame = {
+    require(s >= 1, s"s-core requires s >= 1, got $s")
+    val e = weightedEdges.select(col("src"), col("dst"), col("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = GraphOps.vertices(e)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val sub = e
+        .join(alive.select(col("id").as("sid")), col("src") === col("sid"), "left_semi")
+        .join(alive.select(col("id").as("did")), col("dst") === col("did"), "left_semi")
+      val next = sub.groupBy(col("src").as("id"))
+        .agg(sum(col("weight")).cast("long").as("strength"))
+        .filter(col("strength") >= s)
+        .select(col("id"))
+        .localCheckpoint(eager = true)
+      alive.unpersist(blocking = false)
+      alive = next
+    }
+    e.unpersist(blocking = false)
+    alive
+  }
+
   /** Peel to the fixed point: the exact k-core vertex set. Returns
     * (core vertices, rounds run, converged).
     */

@@ -165,6 +165,42 @@ object Similarity {
         col("cid").as("code"), col("d").as("d_e6"))
   }
 
+  /** IVF cell audit: assign every vector to its nearest coarse-quantizer
+    * cell (the [[ivfTopK]] assignment, distances rounded ×1e6 with a
+    * cid tie-break before the argmin) and report per-cell occupancy and
+    * scatter — cell size, total assigned distance (an e6 INTEGER sum, so
+    * it is order-free), and its per-vector mean. The index-health monitor
+    * run before serving an IVF index at scale: empty/overfull cells mean
+    * the quantizer no longer matches the data distribution and probe
+    * recall degrades — this table is what triggers a retrain.
+    *
+    * Scale shape: one broadcast of the centroid table, a map-side |V|×K
+    * distance scan, one per-vector argmin window (partitioned by vector,
+    * never global), one hash agg.
+    *
+    * @return (cid, n_vectors, inertia_e6, mean_d_e6)
+    */
+  def ivfCells(vectors: DataFrame, centStride: Int = 29): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val assign = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        round(sqDist(col("v"), col("cv")) * 1e6).cast("long").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
+      .filter(col("rk") === 1)
+    assign.groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d")).cast("long").as("inertia_e6"))
+      .withColumn("mean_d_e6",
+        round(col("inertia_e6").cast("double") / col("n_vectors"))
+          .cast("long"))
+  }
+
   /** Lloyd-trained centroids (k-means) for IVF: `iters` rounds of
     * assign + elementwise mean. Engine-side only — the cross-row mean is
     * float-summation-order-dependent, so this variant is validated by

@@ -1058,6 +1058,19 @@ object GraphQueries {
           when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
     }),
 
+    // weighted (s-)core, 3 peel rounds at s = floor(total weight / n) —
+    // strength = exact integer sum of incident weights to live neighbors
+    "g_wcore_t3" -> ((s, dir) => {
+      val we = demoWeightedEdges(s, dir)
+      val verts = GraphOps.vertices(we)
+      val thr = we.agg(sum(col("weight")).cast("long")).first().getLong(0) /
+        verts.count() // floor(avg strength), mirrored in SQL
+      val core = graft.algo.KCore.weightedCoreFixed(we, thr, rounds = 3)
+      verts.join(core.select(col("id").as("cid")), col("id") === col("cid"), "left")
+        .select(col("id"),
+          when(col("cid").isNotNull, lit(1L)).otherwise(lit(0L)).as("in_core"))
+    }),
+
     // deterministic random walks (DeepWalk-corpus shape), 4 steps from
     // the sampled starts; step choice = LCG mix mod degree, replayable
     // by the oracle
@@ -3158,6 +3171,40 @@ object GraphQueries {
          |SELECT v.id,
          |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
          |FROM verts v LEFT JOIN v3 c ON v.id = c.id""".stripMargin
+    },
+
+    // s-core oracle: the kcore peel with strength sums over the weighted
+    // symmetric edge table (ew, as in g_modularity_weighted)
+    "g_wcore_t3" -> {
+      val peels = (1 to 3).map { t =>
+        s"""ws$t AS MATERIALIZED (
+           |  SELECT ew.src AS id, CAST(sum(ew.weight) AS BIGINT) AS st
+           |  FROM ew
+           |  JOIN wv${t - 1} a ON ew.src = a.id
+           |  JOIN wv${t - 1} b ON ew.dst = b.id
+           |  GROUP BY 1),
+           |wv$t AS MATERIALIZED (
+           |  SELECT id FROM ws$t, ss WHERE st >= ss.s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |wverts AS (SELECT DISTINCT src AS id FROM ew),
+         |ss AS (SELECT CAST(FLOOR(
+         |         (SELECT sum(weight) FROM ew) / (SELECT count(*) FROM wverts))
+         |       AS BIGINT) AS s),
+         |wv0 AS (SELECT id FROM wverts),
+         |$peels
+         |SELECT v.id,
+         |  CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+         |FROM wverts v LEFT JOIN wv3 c ON v.id = c.id""".stripMargin
     },
 
     // step-mix constants mirror RandomWalks.StepMixA/B exactly — small

@@ -190,6 +190,26 @@ object PipelineQueries {
         en.cast("long").as("score_en"))
     }),
 
+    // declared-vs-detected language confusion matrix — the metadata
+    // audit run before trusting a crawl's self-reported lang tags
+    "d_lang_confusion" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scores = langMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => wordCount(padded, w)).reduce(_ + _)
+      }
+      val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(scores)
+      docs(s, dir).select(col("lang"),
+          when(en >= es && en >= de && en >= fr, "en")
+            .when(es >= de && es >= fr, "es")
+            .when(de >= fr, "de").otherwise("fr").as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // IVF cell audit: per-cell occupancy + integer-e6 scatter under the
+    // strided coarse quantizer — the retrain trigger for a served index
+    "e_ivf_cells" -> ((s, dir) =>
+      graft.functions.Similarity.ivfCells(emb(s, dir))),
+
     // quality scoring: alpha ratio + token-count saturation
     "d_quality" -> ((s, dir) => {
       val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
@@ -1070,6 +1090,38 @@ object PipelineQueries {
          |  CAST(en AS BIGINT) AS score_en
          |FROM s""".stripMargin
     },
+
+    "d_lang_confusion" -> {
+      def score(lang: String) =
+        langMarkers(lang).map(wordCountSql).mkString("(", " + ", ")")
+      s"""WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS pad
+         |           FROM documents),
+         |s AS (SELECT lang, ${score("en")} AS en, ${score("es")} AS es,
+         |             ${score("de")} AS de, ${score("fr")} AS fr FROM p)
+         |SELECT lang,
+         |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es >= de AND es >= fr THEN 'es'
+         |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang,
+         |  count(*) AS n_docs
+         |FROM s GROUP BY 1, 2""".stripMargin
+    },
+
+    "e_ivf_cells" ->
+      """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |            FROM embeddings),
+        |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 29 = 0),
+        |ad AS (SELECT vv.vec_id, ct.cid,
+        |         CAST(ROUND(list_sum([(v[i+1]-cv[i+1])*(v[i+1]-cv[i+1])
+        |           for i in range(64)]) * 1000000) AS BIGINT) AS d
+        |       FROM vv, ct),
+        |assign AS (SELECT vec_id, cid, d FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |  FROM ad) t WHERE rk = 1)
+        |SELECT cid, count(*) AS n_vectors,
+        |  CAST(sum(d) AS BIGINT) AS inertia_e6,
+        |  CAST(ROUND(CAST(sum(d) AS DOUBLE) / count(*)) AS BIGINT)
+        |    AS mean_d_e6
+        |FROM assign GROUP BY 1""".stripMargin,
 
     "d_quality" ->
       """SELECT doc_id,

@@ -589,3 +589,51 @@ class BehavioralSignalsSpec extends GraftSuite {
     assert(m.size === 2) // only days with activity are reported
   }
 }
+
+class WeightedCoreSpec extends GraftSuite {
+  import spark.implicits._
+
+  // weighted triangle: strong edge (1,2,w5), weak spokes to 3
+  private def wtri = {
+    val half = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 1L))
+    (half ++ half.map { case (a, b, w) => (b, a, w) })
+      .toDF("src", "dst", "weight")
+  }
+
+  test("peeling at s=3 drops the weak vertex, then stabilizes") {
+    val alive = graft.algo.KCore.weightedCoreFixed(wtri, s = 3L, rounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(alive === Set(1L, 2L)) // vertex 3 has strength 2 < 3
+  }
+
+  test("a threshold above every strength empties the core") {
+    assert(graft.algo.KCore.weightedCoreFixed(wtri, s = 7L, rounds = 2)
+      .count() === 0L)
+  }
+
+  test("s=1 keeps everything") {
+    assert(graft.algo.KCore.weightedCoreFixed(wtri, s = 1L, rounds = 3)
+      .count() === 3L)
+  }
+}
+
+class IvfCellsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("occupancy and integer inertia per cell") {
+    // three well-separated clusters; centroids = even ids (stride 2)
+    val vecs = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)),
+      (2L, Seq(10.0f, 0.0f)), (3L, Seq(10.1f, 0.0f)),
+      (4L, Seq(20.0f, 0.0f)), (5L, Seq(20.2f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val m = graft.functions.Similarity.ivfCells(vecs, centStride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m.keySet === Set(0L, 2L, 4L))
+    assert(m(0L)._1 === 2L && m(2L)._1 === 2L && m(4L)._1 === 2L)
+    // scatter = the one off-centroid member's rounded e6 distance
+    assert(m(0L)._2 === 10000L && m(0L)._3 === 5000L)
+    assert(m(4L)._2 === 40000L && m(4L)._3 === 20000L)
+  }
+}
