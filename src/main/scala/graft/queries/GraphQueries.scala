@@ -1377,6 +1377,33 @@ object GraphQueries {
       ConnectedComponents.runAlternating(rest)
     }),
 
+    // targeted-attack robustness curve: remove the top-k hubs for
+    // k in {0,5,10} (degree desc, id asc — the g_hub_removal selection)
+    // and report surviving component structure per level — the
+    // resilience profile dual to g_percolation's random-failure curve.
+    // Hub set is tiny (broadcast anti-join); each level is one CC run
+    "g_attack_curve" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val deg = GraphOps.degrees(e)
+      Seq(0, 5, 10).map { k =>
+        val hubs = deg.orderBy(col("degree").desc, col("id").asc)
+          .limit(k).select(col("id"))
+        val rest = e
+          .join(broadcast(hubs.select(col("id").as("h1"))),
+            col("src") === col("h1"), "left_anti")
+          .join(broadcast(hubs.select(col("id").as("h2"))),
+            col("dst") === col("h2"), "left_anti")
+          .select(col("src"), col("dst"))
+        val comps = ConnectedComponents.runAlternating(rest)
+          .groupBy("label").agg(count(lit(1)).as("sz"))
+        comps.agg(sum(col("sz")).cast("long").as("n_vertices"),
+            count(lit(1)).as("n_components"),
+            max(col("sz")).as("giant_size"))
+          .select(lit(k.toLong).as("k_removed"), col("n_vertices"),
+            col("n_components"), col("giant_size"))
+      }.reduce(_ union _)
+    }),
+
     // related-pages top-2 per page: the co-citation pairs of
     // g_cocitation expanded to both directions and ranked per page
     // (count desc, id asc) — the user-facing "related" API shape
@@ -4068,6 +4095,9 @@ object GraphQueries {
     // closure per surviving subgraph
     "g_percolation" -> percolationSql(Seq(300, 600, 900), 11L),
 
+    // targeted-attack oracle: hub top-k per level + closure per level
+    "g_attack_curve" -> attackSql(Seq(0, 5, 10)),
+
     // bipartite oracle: CC closure for roots, recursive BFS layers,
     // same-parity edge count per component
     "g_bipartite" ->
@@ -4131,6 +4161,39 @@ object GraphQueries {
     }.mkString(",\n")
     val out = levels.map(p => s"SELECT * FROM out$p").mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE $cte,
+       |$blocks
+       |$out""".stripMargin
+  }
+
+  /** Targeted-attack oracle: per k, drop the top-k (degree desc, id asc)
+    * hubs from the symmetric slot table and close the survivors.
+    * Mirrors the g_hub_removal hub selection; k = 0 keeps everything
+    * (NOT IN over an empty hub set is vacuously true).
+    */
+  private def attackSql(ks: Seq[Int]): String = {
+    val blocks = ks.map { k =>
+      s"""h$k AS (SELECT id FROM (
+         |  SELECT id, row_number() OVER (ORDER BY degree DESC, id ASC) AS rn
+         |  FROM adeg) t WHERE rn <= $k),
+         |r$k AS (SELECT src, dst FROM e0
+         |        WHERE src NOT IN (SELECT id FROM h$k)
+         |          AND dst NOT IN (SELECT id FROM h$k)),
+         |rv$k AS (SELECT DISTINCT src AS id FROM r$k),
+         |are$k(id, lab) AS (
+         |  SELECT id, id FROM rv$k
+         |  UNION
+         |  SELECT r$k.dst, are$k.lab FROM are$k JOIN r$k ON r$k.src = are$k.id),
+         |acc$k AS (SELECT id, min(lab) AS label FROM are$k GROUP BY id),
+         |asz$k AS (SELECT label, count(*) AS sz FROM acc$k GROUP BY 1),
+         |aout$k AS (SELECT CAST($k AS BIGINT) AS k_removed,
+         |             CAST(sum(sz) AS BIGINT) AS n_vertices,
+         |             count(*) AS n_components,
+         |             CAST(max(sz) AS BIGINT) AS giant_size
+         |           FROM asz$k)""".stripMargin
+    }.mkString(",\n")
+    val out = ks.map(k => s"SELECT * FROM aout$k").mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $cte,
+       |adeg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
        |$blocks
        |$out""".stripMargin
   }

@@ -56,6 +56,42 @@ object PipelineQueries {
       .distinct()
   }
 
+  /** Embedding-cosine near-dup pairs (same label, vec_id%5 sample,
+    * sim_e6 >= 250000) — shared by e_cos_dups and e_semantic_clusters.
+    * Label-bucketed self-join, never all-pairs.
+    */
+  private def cosDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val v = emb(s, dir).filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n = v.select(col("vec_id"), col("label"), col("v"),
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+    val a = n.select(col("vec_id").as("a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, "label").filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")) * 1000000)
+          .cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= 250000)
+  }
+
+  /** Oracle CTE block for [[cosDupPairs]]: defines `cdp(a, b, sim_e6)`. */
+  private val cosDupPairsSql: String =
+    """cv AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+      |       FROM embeddings WHERE vec_id % 5 = 0),
+      |cn AS (SELECT vec_id, label, v,
+      |         sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+      |       FROM cv),
+      |cdp AS (SELECT a, b, sim_e6 FROM (
+      |    SELECT x.vec_id AS a, y.vec_id AS b,
+      |      CAST(ROUND(list_sum([x.v[i+1] * y.v[i+1] for i in range(64)])
+      |        / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS sim_e6
+      |    FROM cn x JOIN cn y ON x.label = y.label AND x.vec_id < y.vec_id) p
+      |  WHERE sim_e6 >= 250000)""".stripMargin
+
   private val shinglesSql: String =
     """tok AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS arr
       |        FROM documents),
@@ -154,6 +190,27 @@ object PipelineQueries {
             round(col("n_boiler") * lit(1000000.0) / col("n_shingles"))
               .cast("long"))
             .otherwise(lit(0L)).as("boiler_frac_e6"))
+    }),
+
+    // n-gram novelty: the share of a doc's distinct 3-gram shingles seen
+    // in NO other document (corpus df == 1) — the memorization /
+    // off-distribution signal dual to d_boilerplate's df >= 5; same
+    // shingle-df hash agg, so the 100 TB cost is one groupBy reused
+    "d_ngram_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = shingles(d)
+      val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val per = sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("ns"),
+          sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("nv"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ns"), lit(0L)).as("n_shingles"),
+          coalesce(col("nv"), lit(0L)).as("n_novel"),
+          when(col("ns") > 0,
+            round(col("nv") * lit(1000000.0) / col("ns")).cast("long"))
+            .otherwise(lit(0L)).as("novelty_e6"))
     }),
 
     // TF-IDF keyword extraction: top-3 terms per document by
@@ -487,22 +544,21 @@ object PipelineQueries {
     }),
 
     // embedding-cosine near-dup pairs (same label, sampled, sim >= 0.25)
-    "e_cos_dups" -> ((s, dir) => {
-      val v = emb(s, dir).filter(col("vec_id") % 5 === 0)
-        .select(col("vec_id"), col("label"),
-          transform(col("embedding"), x => x.cast("double")).as("v"))
-      val n = v.select(col("vec_id"), col("label"), col("v"),
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
-      val a = n.select(col("vec_id").as("a"), col("label"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("b"), col("label"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, "label").filter(col("a") < col("b"))
-        .select(col("a"), col("b"),
-          round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")) * 1000000)
-            .cast("long").as("sim_e6"))
-        .filter(col("sim_e6") >= 250000)
+    "e_cos_dups" -> ((s, dir) => cosDupPairs(s, dir)),
+
+    // semantic dedup clusters: the cosine near-dup pairs of e_cos_dups
+    // fed through alternating CC — the embedding-space analogue of
+    // d_dedup_clusters (pair graph is label-bucketed, never all-pairs;
+    // the CC is O(log n) rounds); singletons keep their own id
+    "e_semantic_clusters" -> ((s, dir) => {
+      val pairEdges = cosDupPairs(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
+        .withColumnRenamed("id", "vec_id")
+      emb(s, dir).filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("label"), col("vec_id")).as("cluster"))
     }),
 
     // event-stream hourly rollup (batch form of the streaming agg);
@@ -916,6 +972,30 @@ object PipelineQueries {
         |FROM documents d
         |LEFT JOIN tot ON d.doc_id = tot.doc_id
         |LEFT JOIN boiler ON d.doc_id = boiler.doc_id""".stripMargin,
+
+    // novelty oracle: same shingle table, df == 1 instead of df >= 5
+    "d_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         unnest([arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+        |                 for i in range(len(arr) - 2)]) AS sh
+        |       FROM tok WHERE len(arr) >= 3),
+        |uq AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+        |       WHERE df = 1),
+        |tot AS (SELECT doc_id, count(*) AS t FROM sh GROUP BY 1),
+        |nov AS (SELECT doc_id, count(*) AS nv FROM sh
+        |        WHERE sh IN (SELECT sh FROM uq) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(tot.t, 0) AS n_shingles,
+        |  coalesce(nov.nv, 0) AS n_novel,
+        |  CASE WHEN coalesce(tot.t, 0) > 0
+        |       THEN CAST(round(coalesce(nov.nv, 0) * 1000000.0 / tot.t)
+        |            AS BIGINT)
+        |       ELSE 0 END AS novelty_e6
+        |FROM documents d
+        |LEFT JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN nov ON d.doc_id = nov.doc_id""".stripMargin,
 
     "d_simhash" -> s"WITH $simhashSql SELECT doc_id, simhash FROM sm",
 
@@ -1507,17 +1587,25 @@ object PipelineQueries {
         |WHERE rank <= 5""".stripMargin,
 
     "e_cos_dups" ->
-      """WITH v AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |           FROM embeddings WHERE vec_id % 5 = 0),
-        |n AS (SELECT vec_id, label, v,
-        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
-        |      FROM v)
-        |SELECT x.vec_id AS a, y.vec_id AS b,
-        |  CAST(ROUND(list_sum([x.v[i+1] * y.v[i+1] for i in range(64)])
-        |    / (x.nrm * y.nrm) * 1000000) AS BIGINT) AS sim_e6
-        |FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id
-        |WHERE CAST(ROUND(list_sum([x.v[i+1] * y.v[i+1] for i in range(64)])
-        |    / (x.nrm * y.nrm) * 1000000) AS BIGINT) >= 250000""".stripMargin,
+      s"""WITH $cosDupPairsSql
+         |SELECT a, b, sim_e6 FROM cdp""".stripMargin,
+
+    // semantic clusters oracle: the same pair table closed transitively
+    // (recursive closure over the symmetric expansion), min-id labels,
+    // singletons keep their own id
+    "e_semantic_clusters" ->
+      s"""WITH RECURSIVE $cosDupPairsSql,
+         |spe AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT a AS src, b AS dst FROM cdp
+         |          UNION ALL SELECT b, a FROM cdp) u),
+         |sreach(id, lab) AS (
+         |  SELECT src, src FROM spe
+         |  UNION
+         |  SELECT spe.dst, sreach.lab FROM sreach JOIN spe ON spe.src = sreach.id),
+         |scl AS (SELECT id, min(lab) AS label FROM sreach GROUP BY id)
+         |SELECT e.vec_id, coalesce(scl.label, e.vec_id) AS cluster
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) e
+         |LEFT JOIN scl ON e.vec_id = scl.id""".stripMargin,
 
     "ev_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
