@@ -723,6 +723,19 @@ object PipelineQueries {
     "ev_dau" -> ((s, dir) =>
       graft.streaming.Funnel.activeUsers(events(s, dir))),
 
+    // power-user concentration: Gini over per-user event counts —
+    // rank sums from count-value blocks, never a per-user global window
+    "ev_gini" -> ((s, dir) =>
+      graft.streaming.Funnel.giniConcentration(events(s, dir))),
+
+    // inter-event gap histogram in log2 buckets (gamma-bits trick)
+    "ev_gap_hist" -> ((s, dir) =>
+      graft.streaming.Funnel.gapHistogram(events(s, dir))),
+
+    // concat-and-chunk sequence packing into ~512-token packs per source
+    "d_seq_pack" -> ((s, dir) =>
+      graft.text.CorpusClean.packSequences(docs(s, dir), binTokens = 512L)),
+
     // collocations: PMI over adjacent index-term bigrams, marginals on
     // the full bigram table, output thresholded at 5 occurrences
     "d_collocations" -> ((s, dir) =>
@@ -1791,6 +1804,51 @@ object PipelineQueries {
         |SELECT d.day, d.dau, w.wau,
         |  CAST(ROUND(d.dau * 1000000.0 / w.wau) AS BIGINT) AS stickiness_e6
         |FROM days d JOIN wau w ON d.day = w.day""".stripMargin,
+
+    // Gini oracle: same count-value rank-block identity; the only window
+    // runs over distinct count values
+    "ev_gini" ->
+      """WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |bc AS (SELECT c, count(*) AS mc FROM pu GROUP BY 1),
+        |blk AS (SELECT c, mc,
+        |          coalesce(sum(mc) OVER (ORDER BY c ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS cum
+        |        FROM bc),
+        |agg AS (SELECT CAST(sum(mc) AS BIGINT) AS n_users,
+        |          CAST(sum(c * mc) AS BIGINT) AS total_events,
+        |          CAST(sum(c * (((2 * cum + mc + 1) * mc) // 2))
+        |            AS BIGINT) AS s
+        |        FROM blk)
+        |SELECT n_users, total_events,
+        |  CAST(ROUND((2.0 * s - (n_users + 1) * total_events) * 1000000.0
+        |    / (n_users * total_events)) AS BIGINT) AS gini_e6
+        |FROM agg""".stripMargin,
+
+    // gap histogram oracle: the botSignals lag window + the gamma-bits
+    // log2 bucket (bin() matches between engines on BIGINT)
+    "ev_gap_hist" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(ts) // 1000000 AS es FROM events),
+        |g AS (SELECT es - lag(es) OVER (PARTITION BY user_id
+        |        ORDER BY es ASC, event_id ASC) AS gap FROM ev)
+        |SELECT CAST(len(bin(gap + 1)) - 1 AS BIGINT) AS bucket,
+        |       count(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // packing oracle: per-source cumulative token sums in doc_id order
+    "d_seq_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
 
     "ev_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,

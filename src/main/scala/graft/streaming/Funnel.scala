@@ -172,4 +172,61 @@ object Funnel {
         round(col("dau") * lit(1000000.0) / col("wau")).cast("long")
           .as("stickiness_e6"))
   }
+
+  /** Power-user concentration: the Gini coefficient of the per-user event
+    * count distribution — the one-number skew summary a behavioral corpus
+    * reports before per-user capping (G → 0 uniform, → 1 one user owns
+    * the log).
+    *
+    * Uses the rank-weighted identity G = (2·Σᵢ i·xᵢ)/(n·T) − (n+1)/n with
+    * ranks ascending by (count, user). The rank sum is NEVER computed via
+    * a global per-user window: users are grouped by count value c (mc
+    * users tied at c get the contiguous rank block [cum+1, cum+mc], whose
+    * rank sum is c·(2·cum+mc+1)·mc/2 — always even, exact in int64), and
+    * the only window runs over the DISTINCT count values — a table of
+    * activity levels, thousands of rows when users are billions. Integer
+    * envelope: needs 2·S and n·T < 2⁶³ — S ≤ n·T, so fine while
+    * n_users·total_events < 4.6e18 (document-scale logs; beyond that,
+    * lift to decimal).
+    */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("c"))
+    val byCount = perUser.groupBy("c").agg(count(lit(1)).as("mc"))
+    val wc = Window.orderBy(col("c").asc)
+    val blocks = byCount
+      .withColumn("cum", coalesce(sum(col("mc")).over(
+        wc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("c"), col("mc"),
+        // (2·cum+mc+1)·mc is provably even — shiftright halves exactly
+        (col("c") * shiftright(
+          (lit(2L) * col("cum") + col("mc") + 1L) * col("mc"), 1))
+          .as("rank_sum"))
+    blocks.agg(
+        sum(col("mc")).cast("long").as("n_users"),
+        sum(col("c") * col("mc")).cast("long").as("total_events"),
+        sum(col("rank_sum")).cast("long").as("s"))
+      .select(col("n_users"), col("total_events"),
+        round((lit(2.0) * col("s") - (col("n_users") + 1L)
+            * col("total_events")) * 1000000.0
+          / (col("n_users") * col("total_events"))).cast("long")
+          .as("gini_e6"))
+  }
+
+  /** Inter-event gap histogram: per-user consecutive gaps (the botSignals
+    * lag window — user-partitioned, (epoch, event_id)-ordered) bucketed
+    * into log2 bins, bucket = ⌊log2(gap_s + 1)⌋ computed exactly as
+    * length(bin(gap+1)) − 1 on integers (the gamma-gap trick) — the
+    * latency-scale activity profile (sub-second bursts in bucket 0,
+    * daily returns around bucket 16). One window + one hash agg.
+    */
+  def gapHistogram(events: DataFrame): DataFrame = {
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val ev = events.select(col("user_id"), col("event_id"), epoch.as("es"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("es").asc, col("event_id").asc)
+    ev.withColumn("gap", col("es") - lag(col("es"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
+  }
 }

@@ -98,6 +98,26 @@ object CorpusClean {
         md5(concat_ws(" ", col("ck"))).as("chunk_hash"))
   }
 
+  /** Concat-and-chunk sequence packing: assign each document to a pack
+    * of ~`binTokens` tokens by the running token total within its source
+    * shard, in doc_id order — the deterministic batch-packing pass a
+    * pretraining pipeline runs to fill fixed-length contexts (a document
+    * STARTS in pack ⌊(cum − len)/B⌋; the trainer splits stragglers at
+    * the boundary). The cumulative-sum window partitions by `source`, so
+    * nothing concentrates beyond one shard's documents — at 100 TB the
+    * shard key is (source, path-bucket) and the shape is unchanged.
+    */
+  def packSequences(docs: DataFrame, binTokens: Long): DataFrame = {
+    require(binTokens >= 1, s"need binTokens >= 1, got $binTokens")
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"),
+        size(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / binTokens)
+          .cast("long").as("pack_id"))
+  }
+
   /** GPT-2-style pre-tokenizer shape: letter runs, digit runs, and
     * punctuation runs, each optionally absorbing one leading space —
     * identical under Java regex (Spark) and RE2 (DuckDB), verified

@@ -89,3 +89,84 @@ class NgramNoveltySpec extends GraftSuite {
     assert(bad === 0L)
   }
 }
+
+class GiniConcentrationSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.streaming.Funnel
+
+  private def ev(userEvents: Seq[(Long, Int)]) =
+    userEvents.flatMap { case (u, n) => Seq.fill(n)(u) }.zipWithIndex
+      .map { case (u, i) => (u, i.toLong, i.toLong) }
+      .toDF("user_id", "event_id", "es")
+      .select(col("user_id"), col("event_id"),
+        col("es").cast("timestamp").as("ts"))
+
+  test("uniform activity has zero Gini") {
+    val r = Funnel.giniConcentration(ev(Seq(1L -> 4, 2L -> 4, 3L -> 4)))
+      .first()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 12L)
+    assert(r.getLong(2) === 0L)
+  }
+
+  test("one dominant user concentrates the mass") {
+    // counts (1, 1, 98): G = (2*297 - 4*100) / (3*100) = 0.646667
+    val r = Funnel.giniConcentration(
+      ev(Seq(1L -> 1, 2L -> 1, 3L -> 98))).first()
+    assert(r.getLong(2) === 646667L)
+  }
+
+  test("rank-block identity matches the brute-force rank sum") {
+    val counts = Seq(5, 2, 9, 2, 7, 1, 2, 9)
+    val r = Funnel.giniConcentration(
+      ev(counts.zipWithIndex.map { case (n, u) => (u.toLong, n) })).first()
+    val sorted = counts.sorted
+    val s = sorted.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val n = counts.size.toLong
+    val t = counts.sum.toLong
+    val expect = math.round((2.0 * s - (n + 1) * t) * 1000000.0 / (n * t))
+    assert(r.getLong(2) === expect)
+  }
+}
+
+class GapHistogramSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.streaming.Funnel
+
+  test("gaps land in their log2 buckets") {
+    // user 1 at t = 0,1,3,10 → gaps 1,2,7 → buckets 1,1,3
+    // user 2 at t = 5,5 (tie broken by event_id) → gap 0 → bucket 0
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 3L), (1L, 4L, 10L),
+      (2L, 5L, 5L), (2L, 6L, 5L))
+      .toDF("user_id", "event_id", "es")
+      .select(col("user_id"), col("event_id"),
+        col("es").cast("timestamp").as("ts"))
+    val m = Funnel.gapHistogram(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(0L -> 1L, 1L -> 2L, 3L -> 1L))
+  }
+}
+
+class PackSequencesSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.text.CorpusClean
+
+  test("packs advance with the running token total per source") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f g h i", "s1"),
+      (4L, "j", "s1"), (10L, "x y z w v u", "s2"), (11L, "q", "s2"))
+      .toDF("doc_id", "text", "source")
+    val m = CorpusClean.packSequences(docs, binTokens = 2L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // s1 starts: 0, 3, 5, 9 → packs 0, 1, 2, 4 ; s2 starts: 0, 6 → 0, 3
+    assert(m(1L) === ((3L, 0L)) && m(2L) === ((2L, 1L)))
+    assert(m(3L) === ((4L, 2L)) && m(4L) === ((1L, 4L)))
+    assert(m(10L) === ((6L, 0L)) && m(11L) === ((1L, 3L)))
+  }
+
+  test("bin size must be positive") {
+    val docs = Seq((1L, "a", "s")).toDF("doc_id", "text", "source")
+    intercept[IllegalArgumentException] {
+      CorpusClean.packSequences(docs, binTokens = 0L)
+    }
+  }
+}
