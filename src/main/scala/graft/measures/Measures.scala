@@ -473,4 +473,41 @@ object Measures {
           (col("n").cast("double") * col("n") * col("n") - col("n")))
           .as("rho"))
   }
+
+  /** Average best-match F1 between a predicted and a reference
+    * clustering (the community-recovery score LP/Louvain papers report
+    * next to NMI): every predicted community is matched to the reference
+    * community maximizing F1 = 2·|p∩g| / (|p|+|g|) and vice versa; the
+    * score is the mean of the two directions' size-unweighted averages.
+    *
+    * One confusion-matrix hash agg; sizes from its marginals; the argmax
+    * windows partition BY COMMUNITY (label-table-sized, never
+    * vertex-sized). Each best F1 is rounded to an e9 integer before
+    * averaging so the final sums are order-free and replayable.
+    */
+  def communityF1(predLabels: DataFrame, trueLabels: DataFrame): DataFrame = {
+    val joint = confusionMatrix(trueLabels, predLabels)
+    val sp = joint.groupBy("predLabel").agg(sum(col("n")).as("np"))
+    val st = joint.groupBy("trueLabel").agg(sum(col("n")).as("nt"))
+    val f1 = joint.join(sp, "predLabel").join(st, "trueLabel")
+      .select(col("predLabel"), col("trueLabel"),
+        round(col("n") * lit(2000000000.0) / (col("np") + col("nt")))
+          .cast("long").as("f1_e9"))
+    def best(key: String, other: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key).orderBy(col("f1_e9").desc, col(other).asc)
+      f1.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .agg(count(lit(1)).cast("long").as(s"n_$key"),
+          sum(col("f1_e9")).cast("long").as(s"s_$key"))
+    }
+    best("predLabel", "trueLabel").crossJoin(best("trueLabel", "predLabel"))
+      .select(col("n_predLabel").as("n_pred"), col("n_trueLabel").as("n_true"),
+        round(col("s_predLabel") / col("n_predLabel") / 1000.0).cast("long")
+          .as("pred_f1_e6"),
+        round(col("s_trueLabel") / col("n_trueLabel") / 1000.0).cast("long")
+          .as("true_f1_e6"),
+        round((col("s_predLabel") / col("n_predLabel")
+            + col("s_trueLabel") / col("n_trueLabel")) / 2000.0)
+          .cast("long").as("f1_e6"))
+  }
 }

@@ -619,6 +619,23 @@ object GraphQueries {
 
     "g_lp_t3" -> ((s, dir) => LabelPropagation.runFixed(demoEdges(s, dir), 3, symmetric = true)),
 
+    // SCAN structural clustering at eps=0.25, mu=2 — neighborhood-
+    // agreement communities with explicit core/border/outlier roles;
+    // the sqrt-free integer comparison replays exactly in the oracle
+    "g_scan_t2" -> ((s, dir) =>
+      graft.algo.Scan.structuralClusters(demoEdges(s, dir),
+        epsE3 = 250L, mu = 2L)),
+
+    // average best-match community F1: the 3-superstep LP labeling
+    // scored against the id%7 attribute partition (the g_nmi pairing)
+    "g_comm_f1" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val pred = LabelPropagation.runFixed(e, 3, symmetric = true)
+      val truth = GraphOps.vertices(e)
+        .select(col("id"), (col("id") % 7).as("label"))
+      Measures.communityF1(pred, truth)
+    }),
+
     // superstep convergence telemetry (iter, changes, communities) of the
     // driven 3-superstep LP loop — the per-iteration scalars Superstep.run
     // extracts in its ONE aggregation job per superstep, i.e. what an
@@ -2121,6 +2138,81 @@ object GraphQueries {
          |FROM deg d LEFT JOIN pv ON d.id = pv.id""".stripMargin,
 
     "g_lp_t3" -> lpSql(3),
+
+    // SCAN oracle: wedge-count common neighbors per canonical edge, the
+    // same sqrt-free eps comparison (eps_e3 = 250 → 62500), core =
+    // eps-degree >= 2, closure over core-core eps-edges, borders by min
+    // core cluster
+    "g_scan_t2" ->
+      s"""WITH RECURSIVE $cte,
+         |sdeg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |sce AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |scm AS (SELECT sce.src, sce.dst, count(*) AS cm
+         |        FROM sce
+         |        JOIN e0 a ON a.src = sce.src
+         |        JOIN e0 b ON b.src = sce.dst AND b.dst = a.dst
+         |        GROUP BY 1, 2),
+         |seps AS (SELECT sce.src, sce.dst FROM sce
+         |         LEFT JOIN scm ON scm.src = sce.src AND scm.dst = sce.dst
+         |         JOIN sdeg du ON du.id = sce.src
+         |         JOIN sdeg dv ON dv.id = sce.dst
+         |         WHERE (coalesce(cm, 0) + 2) * (coalesce(cm, 0) + 2)
+         |                 * 1000000
+         |               >= 62500 * (du.d + 1) * (dv.d + 1)),
+         |sboth AS (SELECT src, dst FROM seps
+         |          UNION ALL SELECT dst, src FROM seps),
+         |score AS (SELECT src AS id FROM sboth
+         |          GROUP BY 1 HAVING count(*) >= 2),
+         |scedge AS (SELECT s.src, s.dst FROM seps s
+         |           JOIN score a ON a.id = s.src
+         |           JOIN score b ON b.id = s.dst),
+         |scboth AS (SELECT src, dst FROM scedge
+         |           UNION ALL SELECT dst, src FROM scedge),
+         |sreach(id, lab) AS (
+         |  SELECT id, id FROM score
+         |  UNION
+         |  SELECT scboth.dst, sreach.lab FROM sreach
+         |  JOIN scboth ON scboth.src = sreach.id),
+         |sclus AS (SELECT id, min(lab) AS cluster FROM sreach GROUP BY id),
+         |sbord AS (SELECT b.src AS id, min(c.cluster) AS cluster
+         |          FROM sboth b JOIN sclus c ON c.id = b.dst
+         |          WHERE b.src NOT IN (SELECT id FROM score)
+         |          GROUP BY 1)
+         |SELECT v.id,
+         |  CAST(CASE WHEN c.id IS NOT NULL THEN 2
+         |            WHEN b.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS role,
+         |  coalesce(c.cluster, b.cluster, -1) AS cluster
+         |FROM verts v
+         |LEFT JOIN sclus c ON v.id = c.id
+         |LEFT JOIN sbord b ON v.id = b.id""".stripMargin,
+
+    // best-match F1 oracle: confusion counts + marginals, per-direction
+    // argmax windows over the label tables, e9-rounded bests averaged
+    "g_comm_f1" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |fj AS (SELECT s3.label AS p, v.id % 7 AS g, count(*) AS i
+         |       FROM s3 JOIN verts v ON s3.id = v.id GROUP BY 1, 2),
+         |fsp AS (SELECT p, sum(i) AS np FROM fj GROUP BY 1),
+         |fst AS (SELECT g, sum(i) AS ng FROM fj GROUP BY 1),
+         |f1 AS (SELECT fj.p, fj.g,
+         |         CAST(ROUND(fj.i * 2000000000.0 / (np + ng)) AS BIGINT)
+         |           AS f1_e9
+         |       FROM fj JOIN fsp ON fj.p = fsp.p JOIN fst ON fj.g = fst.g),
+         |bp AS (SELECT count(*) AS n_pred, sum(f1_e9) AS sp FROM (
+         |    SELECT p, f1_e9, row_number() OVER (PARTITION BY p
+         |      ORDER BY f1_e9 DESC, g ASC) AS rn FROM f1) t WHERE rn = 1),
+         |bt AS (SELECT count(*) AS n_true, sum(f1_e9) AS st FROM (
+         |    SELECT g, f1_e9, row_number() OVER (PARTITION BY g
+         |      ORDER BY f1_e9 DESC, p ASC) AS rn FROM f1) t WHERE rn = 1)
+         |SELECT CAST(n_pred AS BIGINT) AS n_pred,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(ROUND(sp / n_pred / 1000.0) AS BIGINT) AS pred_f1_e6,
+         |  CAST(ROUND(st / n_true / 1000.0) AS BIGINT) AS true_f1_e6,
+         |  CAST(ROUND((sp / n_pred + st / n_true) / 2000.0) AS BIGINT)
+         |    AS f1_e6
+         |FROM bp, bt""".stripMargin,
 
     // telemetry oracle: the same unrolled chain aggregated per step —
     // changes_k = |{v : s_k(v) ≠ s_{k−1}(v)}|, communities_k = |s_k labels|

@@ -144,6 +144,52 @@ object PipelineQueries {
     // quality filter's dup-n-gram statistic) — all counts exact integers,
     // one division per output row; per-doc aggregation is
     // partial-aggregated, nothing crosses the wire but (doc, counts)
+    // composed Gopher-style intrinsic-quality rules — every comparison
+    // is pure integer (no float thresholds anywhere), fail_mask carries
+    // one bit per rule so the filter is auditable per document:
+    //   bit 1  token count outside [40, 100000]
+    //   bit 2  mean word length outside [2, 12]  (chars vs 2·nt..12·nt)
+    //   bit 4  alphabetic fraction < 0.55        (100·alpha < 55·len)
+    //   bit 8  duplicate-2-gram fraction > 0.25  (4·(t−u) > t)
+    //   bit 16 fewer than 2 distinct stop markers
+    "d_gopher_rules" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val nStops = langMarkers("en")
+        .map(w => when(wordCount(padded, w) > 0, 1L).otherwise(0L))
+        .reduce(_ + _)
+      val base = d.select(col("doc_id"),
+        size(tokensCol).cast("long").as("nt"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long")
+          .as("chars"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("long").as("alpha"),
+        length(col("text")).cast("long").as("len"),
+        nStops.as("nstops"))
+      val g2 = d.select(col("doc_id"), tokensCol.as("arr"))
+        .filter(size(col("arr")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("arr")) - 2),
+            j => concat_ws(" ",
+              element_at(col("arr"), j + 1),
+              element_at(col("arr"), j + 2)))).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("t2"), countDistinct(col("g")).as("u2"))
+      base.join(g2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt").as("n_tokens"),
+          (when(col("nt") < 40 || col("nt") > 100000, 1L).otherwise(0L)
+            + when(col("chars") < col("nt") * 2L
+                || col("chars") > col("nt") * 12L, 2L).otherwise(0L)
+            + when(col("alpha") * 100L < col("len") * 55L, 4L).otherwise(0L)
+            + when(lit(4L) * (coalesce(col("t2"), lit(0L))
+                - coalesce(col("u2"), lit(0L)))
+                > coalesce(col("t2"), lit(0L)), 8L).otherwise(0L)
+            + when(col("nstops") < 2, 16L).otherwise(0L)).as("fail_mask"))
+        .select(col("doc_id"), col("n_tokens"), col("fail_mask"),
+          when(col("fail_mask") === 0, lit(1L)).otherwise(lit(0L))
+            .as("keep"))
+    }),
+
     "d_repetition" -> ((s, dir) => {
       val d = docs(s, dir)
       val g2 = d.select(col("doc_id"), tokensCol.as("arr"))
@@ -946,6 +992,44 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Gopher-rules oracle: same integer comparisons, same marker counts
+    "d_gopher_rules" -> {
+      val stopHits = langMarkers("en")
+        .map(w => s"CASE WHEN ${wordCountSql(w)} > 0 THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"""WITH p AS (SELECT doc_id, text,
+         |             ' ' || lower(text) || ' ' AS pad FROM documents),
+         |base AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt,
+         |    CAST(len(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+         |      AS chars,
+         |    CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+         |      AS BIGINT) AS alpha,
+         |    CAST(len(text) AS BIGINT) AS l,
+         |    $stopHits AS nstops
+         |  FROM p),
+         |tok AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS arr
+         |        FROM documents),
+         |gg2 AS (SELECT doc_id,
+         |          unnest([arr[i+1] || ' ' || arr[i+2]
+         |                  for i in range(len(arr) - 1)]) AS g
+         |        FROM tok WHERE len(arr) >= 2),
+         |gagg AS (SELECT doc_id, count(*) AS t2, count(DISTINCT g) AS u2
+         |         FROM gg2 GROUP BY 1),
+         |m AS (SELECT b.doc_id, b.nt,
+         |        (CASE WHEN b.nt < 40 OR b.nt > 100000 THEN 1 ELSE 0 END
+         |         + CASE WHEN b.chars < 2 * b.nt OR b.chars > 12 * b.nt
+         |                THEN 2 ELSE 0 END
+         |         + CASE WHEN b.alpha * 100 < b.l * 55 THEN 4 ELSE 0 END
+         |         + CASE WHEN 4 * (coalesce(g.t2, 0) - coalesce(g.u2, 0))
+         |                     > coalesce(g.t2, 0) THEN 8 ELSE 0 END
+         |         + CASE WHEN b.nstops < 2 THEN 16 ELSE 0 END) AS fm
+         |      FROM base b LEFT JOIN gagg g ON b.doc_id = g.doc_id)
+         |SELECT doc_id, nt AS n_tokens, CAST(fm AS BIGINT) AS fail_mask,
+         |  CAST(CASE WHEN fm = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m""".stripMargin
+    },
+
     "d_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS arr
         |             FROM documents),

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch-3 operators: SCAN structural clustering, best-match
+  * community F1, and the composed Gopher-style quality rules.
+  */
+class ScanSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.algo.Scan
+
+  private def run(pairs: Seq[(Long, Long)], epsE3: Long, mu: Long) =
+    Scan.structuralClusters(edgesDf(undirected(pairs)), epsE3, mu)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+  test("two triangles over a weak bridge split into two core clusters") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val m = run(pairs, epsE3 = 700L, mu = 2L)
+    // bridge sigma = 2/4 = 0.5 < 0.7; intra-triangle >= 0.866
+    assert(m(1L) === ((2L, 1L)) && m(2L) === ((2L, 1L)) && m(3L) === ((2L, 1L)))
+    assert(m(4L) === ((2L, 4L)) && m(5L) === ((2L, 4L)) && m(6L) === ((2L, 4L)))
+  }
+
+  test("a triangle-free star is all outliers") {
+    val pairs = (1L to 5L).map(v => (0L, v))
+    val m = run(pairs, epsE3 = 700L, mu = 2L)
+    assert(m.values.forall(_ == ((0L, -1L))))
+  }
+
+  test("a pendant on a core triangle becomes a border") {
+    // sigma(1,7) = 2/sqrt(4*2) = 0.7071 >= 0.7 but 7 has eps-degree 1
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 7L))
+    val m = run(pairs, epsE3 = 700L, mu = 2L)
+    assert(m(1L)._1 === 2L && m(2L)._1 === 2L && m(3L)._1 === 2L)
+    assert(m(7L) === ((1L, 1L)))
+  }
+
+  test("parameter guards") {
+    val e = edgesDf(undirected(Seq((1L, 2L))))
+    intercept[IllegalArgumentException] {
+      Scan.structuralClusters(e, epsE3 = 0L, mu = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      Scan.structuralClusters(e, epsE3 = 500L, mu = 0L)
+    }
+  }
+}
+
+class CommunityF1Spec extends GraftSuite {
+  import spark.implicits._
+  import graft.measures.Measures
+
+  test("identical labelings score a perfect 1.0") {
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("id", "label")
+    val r = Measures.communityF1(lab, lab).first()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getLong(4) === 1000000L)
+  }
+
+  test("one blob against two equal halves scores 2/3") {
+    val pred = (1L to 8L).map(i => (i, 0L)).toDF("id", "label")
+    val truth = (1L to 8L).map(i => (i, i % 2)).toDF("id", "label")
+    val r = Measures.communityF1(pred, truth).first()
+    // every direction's best F1 = 2*4/(8+4) = 2/3
+    assert(r.getLong(2) === 666667L)
+    assert(r.getLong(3) === 666667L)
+    assert(r.getLong(4) === 666667L)
+  }
+}
+
+class GopherRulesSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def runOn(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val dir = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.queries.PipelineQueries.queries("d_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("rule bits fire independently and keep = no failed rule") {
+    val good = ("the and of is " +
+      (1 to 40).map(i =>
+        s"${('a' + i % 26).toChar}${('a' + i / 26).toChar}x").mkString(" "))
+    val short = "the and of is tiny"                    // bit 1 only
+    val loop = (1 to 50).map(_ => "zz").mkString(" ")   // bits 8 + 16
+    val m = runOn(Seq((1L, good), (2L, short), (3L, loop)))
+    assert(m(1L) === ((0L, 1L)), s"good doc: ${m(1L)}")
+    assert(m(2L) === ((1L, 0L)), s"short doc: ${m(2L)}")
+    assert(m(3L) === ((24L, 0L)), s"loop doc: ${m(3L)}")
+  }
+
+  test("corpus invariants at sf0.001") {
+    val rows = graft.queries.PipelineQueries
+      .queries("d_gopher_rules")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (mask, keep) =>
+      assert(mask >= 0L && mask <= 31L)
+      assert(keep === (if (mask == 0L) 1L else 0L))
+    }
+  }
+}
