@@ -333,6 +333,67 @@ object PipelineQueries {
     // 2 bands of 4 → band-bucket self-join
     "d_minhash_pairs" -> ((s, dir) => minhashPairs(s, docs(s, dir))),
 
+    // MinHash calibration audit: for every banded candidate pair, the
+    // signature-based Jaccard ESTIMATE (matching minhashes / 8 — exact
+    // integer ×125000) against the exact shingle Jaccard — the
+    // sketch-quality table that says whether 8 hashes are still enough
+    // before anyone trusts the dedup at the next scale-up. Candidates
+    // only (never all pairs); signatures are 8 rows/doc
+    "d_minhash_calib" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = minhashPairs(s, d)
+      val sig = minhashSigs(s, d)
+      val est = cand
+        .join(sig.select(col("doc_id").as("a"), col("i"), col("h").as("ha")),
+          "a")
+        .join(sig.select(col("doc_id").as("b"), col("i"), col("h").as("hb")),
+          Seq("b", "i"))
+        .groupBy("a", "b")
+        .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+          .cast("long").as("n_match"))
+      val sh = shingles(d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = cand
+        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("cm"))
+      est
+        .join(common, Seq("a", "b"), "left")
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), col("n_match"),
+          (col("n_match") * 125000L).as("est_e6"),
+          round(coalesce(col("cm"), lit(0L)) * lit(1000000.0)
+            / (col("na") + col("nb") - coalesce(col("cm"), lit(0L))))
+            .cast("long").as("jac_e6"))
+    }),
+
+    // per-doc language-marker entropy — the code-switching signal: docs
+    // whose marker mass spreads across languages are mixed-language and
+    // most pipelines drop them; entropy over the 4 marker scores in
+    // fixed en/es/de/fr order (deterministic IEEE expression, no agg)
+    "d_lang_entropy" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scores = Seq("en", "es", "de", "fr").map { lang =>
+        langMarkers(lang).map(w => wordCount(padded, w)).reduce(_ + _)
+          .cast("long")
+      }
+      val m = scores.reduce(_ + _)
+      val terms = scores.map { sc =>
+        when(sc > 0,
+          -(sc.cast("double") / m) * log(sc.cast("double") / m))
+          .otherwise(lit(0.0))
+      }
+      docs(s, dir).select(col("doc_id"), m.as("n_markers"),
+        when(m > 0, round(terms.reduce(_ + _) * 1000000).cast("long"))
+          .otherwise(lit(0L)).as("entropy_e6"))
+    }),
+
+    // steady-state event-type mix: 3 power-iteration steps over the
+    // transition matrix, floor-divided e9 integer masses (exact replay)
+    "ev_markov_stationary" -> ((s, dir) =>
+      graft.streaming.Funnel.markovStationary(events(s, dir), iters = 3)),
+
     // corpus-level dedup CLUSTERS: the candidate-pair graph contracted by
     // connected components (large-star/small-star O(log n) path — the
     // pipeline composing with the link-graph engine), canonical document
@@ -914,13 +975,18 @@ object PipelineQueries {
   /** Banded-MinHash near-dup candidate pairs (a < b): 8 minhashes over
     * word-3-gram shingles, 2 bands of 4, band-signature equi-join.
     */
-  private[graft] def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
-    val sh = shingles(d)
-    val mh = sh.crossJoin(
+  /** Per-doc 8-row MinHash signatures (doc_id, i, h) — shared by the
+    * banded pair join and the calibration audit.
+    */
+  private def minhashSigs(s: SparkSession, d: DataFrame): DataFrame =
+    shingles(d).crossJoin(
         s.range(8).select(col("id").as("i")))
       .select(col("doc_id"), col("i"),
         md5(concat(col("i").cast("string"), lit(":"), col("sh"))).as("h"))
       .groupBy("doc_id", "i").agg(min(col("h")).as("h"))
+
+  private[graft] def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
+    val mh = minhashSigs(s, d)
     val band = mh.groupBy(col("doc_id"), (col("i") / 4).cast("long").as("b"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("h")))),
         x => x.getField("h")), "|").as("sig"))
@@ -992,6 +1058,59 @@ object PipelineQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // calibration oracle: same signatures, same bands, matches from the
+    // 8-row signature join, exact Jaccard from the shingle tables
+    "d_minhash_calib" ->
+      s"""WITH $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |         WHERE x.doc_id < y.doc_id),
+         |est AS (SELECT c.a, c.b,
+         |          CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_match
+         |        FROM cand c
+         |        JOIN mh ma ON ma.doc_id = c.a
+         |        JOIN mh mb ON mb.doc_id = c.b AND mb.i = ma.i
+         |        GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |cmn AS (SELECT c.a, c.b, count(*) AS cm
+         |        FROM cand c
+         |        JOIN sh x ON x.doc_id = c.a
+         |        JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+         |        GROUP BY 1, 2)
+         |SELECT e.a, e.b, e.n_match, e.n_match * 125000 AS est_e6,
+         |  CAST(ROUND(coalesce(cmn.cm, 0) * 1000000.0
+         |    / (za.n + zb.n - coalesce(cmn.cm, 0))) AS BIGINT) AS jac_e6
+         |FROM est e
+         |LEFT JOIN cmn ON cmn.a = e.a AND cmn.b = e.b
+         |JOIN sz za ON za.doc_id = e.a
+         |JOIN sz zb ON zb.doc_id = e.b""".stripMargin,
+
+    // entropy oracle: same 4 marker scores, same fixed en/es/de/fr term
+    // order (both engines evaluate the written expression left-to-right)
+    "d_lang_entropy" -> {
+      def score(lang: String) =
+        langMarkers(lang).map(wordCountSql).mkString("(", " + ", ")")
+      def term(c: String) =
+        s"CASE WHEN $c > 0 THEN -($c * 1.0 / m) * ln($c * 1.0 / m) ELSE 0.0 END"
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad
+         |           FROM documents),
+         |s AS (SELECT doc_id, ${score("en")} AS sen, ${score("es")} AS ses,
+         |             ${score("de")} AS sde, ${score("fr")} AS sfr FROM p),
+         |m AS (SELECT doc_id, sen, ses, sde, sfr,
+         |        sen + ses + sde + sfr AS m FROM s)
+         |SELECT doc_id, CAST(m AS BIGINT) AS n_markers,
+         |  CASE WHEN m > 0 THEN CAST(ROUND((${term("sen")} + ${term("ses")}
+         |    + ${term("sde")} + ${term("sfr")}) * 1000000) AS BIGINT)
+         |  ELSE 0 END AS entropy_e6
+         |FROM m""".stripMargin
+    },
+
     // Gopher-rules oracle: same integer comparisons, same marker counts
     "d_gopher_rules" -> {
       val stopHits = langMarkers("en")
@@ -1860,6 +1979,41 @@ object PipelineQueries {
         |SELECT event_type AS from_type, next_type AS to_type,
         |       count(*) AS n
         |FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // stationary-mix oracle: the same transition matrix, row-normalized
+    // by floor-divided e9 probabilities, 3 unrolled power steps with
+    // e9-floored mass flow (non-emitting types hold their mass)
+    "ev_markov_stationary" -> {
+      val steps = (1 to 3).map { i =>
+        s"""fl$i AS (SELECT p.to_type AS t,
+           |    CAST(sum((pi.pi_e9 * p.p_e9) // 1000000000) AS BIGINT) AS fl
+           |  FROM pi${i - 1} pi JOIN pm p ON pi.t = p.f GROUP BY 1),
+           |hd$i AS (SELECT pi.t, pi.pi_e9 AS hd FROM pi${i - 1} pi
+           |         WHERE pi.t NOT IN (SELECT f FROM tot)),
+           |pi$i AS (SELECT ty.t,
+           |    CAST(coalesce(f.fl, 0) + coalesce(h.hd, 0) AS BIGINT)
+           |      AS pi_e9
+           |  FROM ty LEFT JOIN fl$i f ON ty.t = f.t
+           |  LEFT JOIN hd$i h ON ty.t = h.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (SELECT event_type,
+         |             lead(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) AS next_type
+         |           FROM events),
+         |tr AS (SELECT event_type AS f, next_type AS to_type,
+         |         count(*) AS n
+         |       FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM tr
+         |        GROUP BY 1),
+         |pm AS (SELECT tr.f, tr.to_type,
+         |         CAST((tr.n * 1000000000) // tot.tot AS BIGINT) AS p_e9
+         |       FROM tr JOIN tot ON tr.f = tot.f),
+         |ty AS (SELECT DISTINCT event_type AS t FROM events),
+         |pi0 AS (SELECT t, CAST(1000000000 // (SELECT count(*) FROM ty)
+         |          AS BIGINT) AS pi_e9 FROM ty),
+         |$steps
+         |SELECT t AS event_type, pi_e9 FROM pi3""".stripMargin
+    },
 
     // retention oracle: epoch-week floors, distinct active weeks
     "ev_bot_score" ->

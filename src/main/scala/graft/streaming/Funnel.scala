@@ -212,6 +212,48 @@ object Funnel {
           .as("gini_e6"))
   }
 
+  /** Steady-state event-type mix of the behavioral Markov chain: fixed
+    * power-iteration steps of π' = πP over the [[transitions]] matrix,
+    * with row probabilities and masses held as FLOOR-DIVIDED e9 integers
+    * so every step replays exactly on any engine (the mass lost to
+    * floors is ≤ |T|²·1e-9 per step — diagnostic noise). Types with no
+    * outgoing transition hold their mass (self-loop), mirroring
+    * PageRank's dangling treatment without a global refold. All tables
+    * are event-TYPE-sized (the chain has a handful of states even when
+    * the log has 10¹² events); the one big pass is the transitions
+    * window itself. Int64 envelope: per-pair transition counts must stay
+    * < 9.2e9 (n·1e9 in the row normalizer) — count in shards past that.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val tr = transitions(events)
+    val tot = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val pmat = tr.join(tot, "from_type")
+      .select(col("from_type").as("f"), col("to_type"),
+        expr("(n * 1000000000) div tot").as("p_e9"))
+    val types = events.select(col("event_type")).distinct()
+    val k = types.count()
+    require(k > 0, "empty event log")
+    val emitting = tot.select(col("from_type").as("f2"))
+    var pi = types.select(col("event_type").as("t"),
+      lit(1000000000L / k).as("pi_e9"))
+    for (_ <- 1 to iters) {
+      val flow = pi.join(pmat, col("t") === col("f"))
+        .select(col("to_type").as("t2"),
+          expr("(pi_e9 * p_e9) div 1000000000").as("c"))
+        .groupBy("t2").agg(sum(col("c")).as("fl"))
+      val hold = pi.join(emitting, col("t") === col("f2"), "left_anti")
+        .select(col("t").as("t3"), col("pi_e9").as("hd"))
+      pi = types.select(col("event_type").as("t"))
+        .join(flow, col("t") === col("t2"), "left")
+        .join(hold, col("t") === col("t3"), "left")
+        .select(col("t"),
+          (coalesce(col("fl"), lit(0L)) + coalesce(col("hd"), lit(0L)))
+            .cast("long").as("pi_e9"))
+    }
+    pi.select(col("t").as("event_type"), col("pi_e9"))
+  }
+
   /** Inter-event gap histogram: per-user consecutive gaps (the botSignals
     * lag window — user-partitioned, (epoch, event_id)-ordered) bucketed
     * into log2 bins, bucket = ⌊log2(gap_s + 1)⌋ computed exactly as

@@ -107,3 +107,75 @@ class GopherRulesSpec extends GraftSuite {
     }
   }
 }
+
+class MarkovStationarySpec extends GraftSuite {
+  import spark.implicits._
+  import graft.streaming.Funnel
+
+  private def ev(seq: Seq[(Long, String)]) =
+    seq.zipWithIndex.map { case ((u, t), i) => (u, i.toLong, i.toLong, t) }
+      .toDF("user_id", "event_id", "es", "event_type")
+      .select(col("user_id"), col("event_id"),
+        col("es").cast("timestamp").as("ts"), col("event_type"))
+
+  test("a 2-cycle keeps the uniform split") {
+    val df = ev(Seq((1L, "a"), (1L, "b"), (1L, "a"), (1L, "b")))
+    val m = Funnel.markovStationary(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("a" -> 500000000L, "b" -> 500000000L))
+  }
+
+  test("an absorbing state collects all mass") {
+    val df = ev(Seq((1L, "a"), (1L, "b")))
+    val m = Funnel.markovStationary(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("a" -> 0L, "b" -> 1000000000L))
+  }
+
+  test("iters guard") {
+    intercept[IllegalArgumentException] {
+      Funnel.markovStationary(ev(Seq((1L, "a"), (1L, "b"))), iters = 0)
+    }
+  }
+}
+
+class MinhashCalibSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("identical documents calibrate to a perfect match") {
+    val dir = java.nio.file.Files.createTempDirectory("calib").toString
+    val text = (1 to 30).map(i =>
+      s"${('a' + i % 26).toChar}${('a' + i / 26).toChar}q").mkString(" ")
+    Seq((1L, text, "en", "s", text.length.toLong),
+      (2L, text, "en", "s", text.length.toLong),
+      (3L, "completely different words here now", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.PipelineQueries
+      .queries("d_minhash_calib")(spark, dir).collect()
+    val r = rows.find(x => x.getLong(0) == 1L && x.getLong(1) == 2L)
+    assert(r.isDefined, s"pair (1,2) not a candidate: ${rows.toSeq}")
+    assert(r.get.getLong(2) === 8L)      // all 8 minhashes match
+    assert(r.get.getLong(3) === 1000000L)
+    assert(r.get.getLong(4) === 1000000L)
+  }
+}
+
+class LangEntropySpec extends GraftSuite {
+  import spark.implicits._
+
+  test("pure and perfectly mixed marker profiles") {
+    val dir = java.nio.file.Files.createTempDirectory("langent").toString
+    Seq((1L, "the and of is", "en", "s", 13L),
+      (2L, "the el und le", "xx", "s", 13L),
+      (3L, "zz qq ww", "xx", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = graft.queries.PipelineQueries
+      .queries("d_lang_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(1L) === ((4L, 0L)))            // all-en: zero entropy
+    assert(m(2L) === ((4L, 1386294L)))      // 4-way uniform: ln 4
+    assert(m(3L) === ((0L, 0L)))            // no markers at all
+  }
+}
