@@ -685,6 +685,26 @@ object GraphQueries {
         .select(col("id"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
 
+    // PageRank convergence telemetry: per-iteration L1 rank movement
+    // Σ|r_k − r_{k−1}| — the residual curve an operator watches to pick
+    // the iteration budget at 100 TB; per-vertex deltas rounded to e12
+    // integers BEFORE the sum so the aggregate is order-free
+    "g_pr_delta_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val verts = GraphOps.vertices(e)
+      val n = verts.count()
+      val chain: Seq[DataFrame] =
+        verts.select(col("id"), lit(1.0 / n).as("rank")) +:
+          (1 to 3).map(k => PageRank.runFixed(e, k))
+      (1 to 3).map { k =>
+        chain(k).select(col("id"), col("rank").as("rk"))
+          .join(chain(k - 1).select(col("id"), col("rank").as("rp")), "id")
+          .agg(sum(round(abs(col("rk") - col("rp")) * 1000000000000L)
+            .cast("long")).cast("long").as("delta_e12"))
+          .select(lit(k.toLong).as("iter"), col("delta_e12"))
+      }.reduce(_ union _)
+    }),
+
     // global top-10 by rank (integer-scaled, id tie-break): plans as
     // TakeOrderedAndProject — per-partition k-row reduction, no global
     // sort — the "give me the most important pages" staple
@@ -2476,6 +2496,20 @@ object GraphQueries {
     },
 
     "g_pagerank_t5" -> prSql(5),
+
+    // PR residual-curve oracle: the shared rank chain, per-vertex e12
+    // rounding before each per-iteration sum (order-free aggregation)
+    "g_pr_delta_t3" -> {
+      val deltas = (1 to 3).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS iter,
+           |  CAST(sum(CAST(ROUND(abs(a.r - b.r) * 1000000000000.0)
+           |    AS BIGINT)) AS BIGINT) AS delta_e12
+           |FROM pr$k a JOIN pr${k - 1} b ON a.id = b.id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $cte,
+         |${prChainSql("p", "e0", 3)}
+         |$deltas""".stripMargin
+    },
 
     "g_pr_top10" ->
       s"""WITH pq AS (

@@ -650,6 +650,33 @@ object PipelineQueries {
           col("sim_e6"))
     }),
 
+    // ANN recall audit: LSH top-5 measured against the exact brute-force
+    // top-5 per query — recall@5, the index-quality number every vector
+    // store reports; hits via one left-semi join of two top-k tables
+    "e_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      val lsh = graft.functions.Similarity.lshTopK(e, q, k = 5, nPlanes = 4)
+        .select(col("qid"), col("vec_id"))
+      val brute = graft.functions.Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("qid"), col("vec_id"))
+      val hits = brute.join(lsh, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+          (coalesce(col("h"), lit(0L)) * 200000L).as("recall_e6"))
+    }),
+
+    // packing-efficiency audit: per (source, pack) document and token
+    // totals — the fill-ratio table that says whether the packing bin
+    // size matches the corpus's document length distribution
+    "d_pack_stats" -> ((s, dir) =>
+      graft.text.CorpusClean.packSequences(docs(s, dir), binTokens = 512L)
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))),
+
     // embedding-cosine near-dup pairs (same label, sampled, sim >= 0.25)
     "e_cos_dups" -> ((s, dir) => cosDupPairs(s, dir)),
 
@@ -1023,7 +1050,7 @@ object PipelineQueries {
     * plan uses, embedded as list literals — generated from one source of
     * truth ([[graft.functions.Similarity.planeCoefs]]).
     */
-  private def annLshSql: String = {
+  private def annLshCtes: String = {
     val coefs = graft.functions.Similarity.planeCoefs(4, 64)
     def lst(a: Array[Double]) = a.mkString("[", ", ", "]")
     val cs = coefs.zipWithIndex
@@ -1032,7 +1059,7 @@ object PipelineQueries {
       s"""(CASE WHEN ROUND(list_sum([v[i+1] * c$p[i+1] for i in range(64)])
          |      * 1000000.0) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
     }.mkString("\n      + ")
-    s"""WITH ve AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+    s"""ve AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
        |            FROM embeddings),
        |cs AS (SELECT $cs),
        |sg AS (SELECT vec_id, v,
@@ -1050,12 +1077,41 @@ object PipelineQueries {
        |           CAST(ROUND(list_sum([q.qv[i+1] * s.v[i+1] for i in range(64)])
        |             / (q.qn * s.nrm) * 1000000) AS BIGINT) AS sim_e6
        |         FROM cand c JOIN q ON c.qid = q.qid
-       |         JOIN sg s ON c.vec_id = s.vec_id)
+       |         JOIN sg s ON c.vec_id = s.vec_id)""".stripMargin
+  }
+
+  private def annLshSql: String =
+    s"""WITH $annLshCtes
        |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY qid
        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM sims) t
        |WHERE rank <= 5""".stripMargin
-  }
+
+  /** e_ann_recall oracle: LSH top-5 vs the brute-force top-5 over the
+    * same sg table — recall@5 per query, the standard ANN index-quality
+    * audit.
+    */
+  private def annRecallSql: String =
+    s"""WITH $annLshCtes,
+       |lsh AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM sims) t
+       |  WHERE rank <= 5),
+       |bsims AS (SELECT q.qid, s.vec_id,
+       |            CAST(ROUND(list_sum([q.qv[i+1] * s.v[i+1]
+       |                for i in range(64)])
+       |              / (q.qn * s.nrm) * 1000000) AS BIGINT) AS sim_e6
+       |          FROM q, sg s WHERE q.qid <> s.vec_id),
+       |brute AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM bsims) t
+       |  WHERE rank <= 5),
+       |hits AS (SELECT b.qid, count(*) AS n_hit FROM brute b
+       |         JOIN lsh l ON l.qid = b.qid AND l.vec_id = b.vec_id
+       |         GROUP BY 1)
+       |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
+       |  CAST(coalesce(h.n_hit, 0) * 200000 AS BIGINT) AS recall_e6
+       |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // calibration oracle: same signatures, same bands, matches from the
@@ -1243,6 +1299,22 @@ object PipelineQueries {
          |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id""".stripMargin,
 
     "e_ann_lsh" -> annLshSql,
+
+    "e_ann_recall" -> annRecallSql,
+
+    // pack-stats oracle: the d_seq_pack assignment aggregated per pack
+    "d_pack_stats" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source
+        |          ORDER BY doc_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // IVF: nearest-of-sampled-centroids assignment (squared L2 rounded
     // ×1e6 before the argmin, tie → centroid id), top-2 probed cells,

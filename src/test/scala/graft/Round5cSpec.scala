@@ -179,3 +179,54 @@ class LangEntropySpec extends GraftSuite {
     assert(m(3L) === ((0L, 0L)))            // no markers at all
   }
 }
+
+class PrDeltaSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("the L1 residual curve is positive and decreasing") {
+    val rows = graft.queries.GraphQueries.queries("g_pr_delta_t3")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val d = rows.map(_._2)
+    assert(d.forall(_ > 0L), s"degenerate deltas: ${d.toSeq}")
+    assert(d(1) < d(0) && d(2) < d(1),
+      s"residual not contracting: ${d.toSeq}")
+  }
+}
+
+class AnnRecallSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("recall is bounded and consistent with the two top-k tables") {
+    val rows = graft.queries.PipelineQueries
+      .queries("e_ann_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, h, e6) =>
+      assert(h >= 0L && h <= 5L)
+      assert(e6 === h * 200000L)
+    }
+    // the LSH index should find SOMETHING on the demo embeddings
+    assert(rows.map(_._2).sum > 0L)
+  }
+}
+
+class PackStatsSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pack totals add back up to the corpus token count") {
+    val packed = graft.queries.PipelineQueries
+      .queries("d_pack_stats")(spark, dir)
+    val total = packed.agg(sum(col("n_tokens"))).first().getLong(0)
+    val direct = graft.text.CorpusClean
+      .packSequences(
+        spark.read.parquet(s"$dir/documents.parquet"), 512L)
+      .agg(sum(col("n_tokens"))).first().getLong(0)
+    assert(total === direct)
+    // every non-final pack of a source holds at least one doc
+    assert(packed.filter(col("n_docs") < 1).count() === 0L)
+  }
+}
