@@ -636,6 +636,16 @@ object GraphQueries {
       Measures.communityF1(pred, truth)
     }),
 
+    // LP convergence stability: best-match F1 between supersteps 2 and 3
+    // — how much the partition still moves per superstep, the community-
+    // level convergence diagnostic next to g_lp_metrics' change counts
+    "g_lp_stability_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      Measures.communityF1(
+        LabelPropagation.runFixed(e, 2, symmetric = true),
+        LabelPropagation.runFixed(e, 3, symmetric = true))
+    }),
+
     // superstep convergence telemetry (iter, changes, communities) of the
     // driven 3-superstep LP loop — the per-iteration scalars Superstep.run
     // extracts in its ONE aggregation job per superstep, i.e. what an
@@ -2214,25 +2224,15 @@ object GraphQueries {
          |${lpStepsSql(3)},
          |fj AS (SELECT s3.label AS p, v.id % 7 AS g, count(*) AS i
          |       FROM s3 JOIN verts v ON s3.id = v.id GROUP BY 1, 2),
-         |fsp AS (SELECT p, sum(i) AS np FROM fj GROUP BY 1),
-         |fst AS (SELECT g, sum(i) AS ng FROM fj GROUP BY 1),
-         |f1 AS (SELECT fj.p, fj.g,
-         |         CAST(ROUND(fj.i * 2000000000.0 / (np + ng)) AS BIGINT)
-         |           AS f1_e9
-         |       FROM fj JOIN fsp ON fj.p = fsp.p JOIN fst ON fj.g = fst.g),
-         |bp AS (SELECT count(*) AS n_pred, sum(f1_e9) AS sp FROM (
-         |    SELECT p, f1_e9, row_number() OVER (PARTITION BY p
-         |      ORDER BY f1_e9 DESC, g ASC) AS rn FROM f1) t WHERE rn = 1),
-         |bt AS (SELECT count(*) AS n_true, sum(f1_e9) AS st FROM (
-         |    SELECT g, f1_e9, row_number() OVER (PARTITION BY g
-         |      ORDER BY f1_e9 DESC, p ASC) AS rn FROM f1) t WHERE rn = 1)
-         |SELECT CAST(n_pred AS BIGINT) AS n_pred,
-         |  CAST(n_true AS BIGINT) AS n_true,
-         |  CAST(ROUND(sp / n_pred / 1000.0) AS BIGINT) AS pred_f1_e6,
-         |  CAST(ROUND(st / n_true / 1000.0) AS BIGINT) AS true_f1_e6,
-         |  CAST(ROUND((sp / n_pred + st / n_true) / 2000.0) AS BIGINT)
-         |    AS f1_e6
-         |FROM bp, bt""".stripMargin,
+         |$f1TailSql""".stripMargin,
+
+    // LP stability oracle: the same F1 machinery over supersteps 2 vs 3
+    "g_lp_stability_t3" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |fj AS (SELECT a.label AS p, b.label AS g, count(*) AS i
+         |       FROM s2 a JOIN s3 b ON a.id = b.id GROUP BY 1, 2),
+         |$f1TailSql""".stripMargin,
 
     // telemetry oracle: the same unrolled chain aggregated per step —
     // changes_k = |{v : s_k(v) ≠ s_{k−1}(v)}|, communities_k = |s_k labels|
@@ -4290,6 +4290,31 @@ object GraphQueries {
        |$blocks
        |$out""".stripMargin
   }
+
+  /** Best-match-F1 oracle tail: expects a CTE `fj(p, g, i)` of joint
+    * label counts; emits the [[graft.measures.Measures.communityF1]]
+    * output row (e9-rounded bests, size-unweighted direction averages).
+    */
+  private def f1TailSql: String =
+    """fsp AS (SELECT p, sum(i) AS np FROM fj GROUP BY 1),
+      |fst AS (SELECT g, sum(i) AS ng FROM fj GROUP BY 1),
+      |f1 AS (SELECT fj.p, fj.g,
+      |         CAST(ROUND(fj.i * 2000000000.0 / (np + ng)) AS BIGINT)
+      |           AS f1_e9
+      |       FROM fj JOIN fsp ON fj.p = fsp.p JOIN fst ON fj.g = fst.g),
+      |bp AS (SELECT count(*) AS n_pred, sum(f1_e9) AS sp FROM (
+      |    SELECT p, f1_e9, row_number() OVER (PARTITION BY p
+      |      ORDER BY f1_e9 DESC, g ASC) AS rn FROM f1) t WHERE rn = 1),
+      |bt AS (SELECT count(*) AS n_true, sum(f1_e9) AS st FROM (
+      |    SELECT g, f1_e9, row_number() OVER (PARTITION BY g
+      |      ORDER BY f1_e9 DESC, p ASC) AS rn FROM f1) t WHERE rn = 1)
+      |SELECT CAST(n_pred AS BIGINT) AS n_pred,
+      |  CAST(n_true AS BIGINT) AS n_true,
+      |  CAST(ROUND(sp / n_pred / 1000.0) AS BIGINT) AS pred_f1_e6,
+      |  CAST(ROUND(st / n_true / 1000.0) AS BIGINT) AS true_f1_e6,
+      |  CAST(ROUND((sp / n_pred + st / n_true) / 2000.0) AS BIGINT)
+      |    AS f1_e6
+      |FROM bp, bt""".stripMargin
 
   /** Targeted-attack oracle: per k, drop the top-k (degree desc, id asc)
     * hubs from the symmetric slot table and close the survivors.

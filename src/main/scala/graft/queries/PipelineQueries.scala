@@ -78,6 +78,21 @@ object PipelineQueries {
       .filter(col("sim_e6") >= 250000)
   }
 
+  /** Semantic dedup clusters: [[cosDupPairs]] → alternating CC, min-id
+    * canonical labels, singletons keep their own id — shared by
+    * e_semantic_clusters and e_cluster_purity.
+    */
+  private def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairEdges = cosDupPairs(s, dir)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
+      .withColumnRenamed("id", "vec_id")
+    emb(s, dir).filter(col("vec_id") % 5 === 0).select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster"))
+  }
+
   /** Oracle CTE block for [[cosDupPairs]]: defines `cdp(a, b, sim_e6)`. */
   private val cosDupPairsSql: String =
     """cv AS (SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
@@ -668,6 +683,21 @@ object PipelineQueries {
           (coalesce(col("h"), lit(0L)) * 200000L).as("recall_e6"))
     }),
 
+    // data-mixture card: per-source doc/token counts and corpus token
+    // share — the mixture table every pretraining run publishes and the
+    // input the waterfilling budgeter (d_host_budget) consumes
+    "d_source_mix" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .select(col("source"), size(tokensCol).cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("n_tokens"))
+      per.crossJoin(per.agg(sum(col("n_tokens")).cast("long").as("tot")))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") * lit(1000000.0) / col("tot"))
+            .cast("long").as("share_e6"))
+    }),
+
     // packing-efficiency audit: per (source, pack) document and token
     // totals — the fill-ratio table that says whether the packing bin
     // size matches the corpus's document length distribution
@@ -684,15 +714,20 @@ object PipelineQueries {
     // fed through alternating CC — the embedding-space analogue of
     // d_dedup_clusters (pair graph is label-bucketed, never all-pairs;
     // the CC is O(log n) rounds); singletons keep their own id
-    "e_semantic_clusters" -> ((s, dir) => {
-      val pairEdges = cosDupPairs(s, dir)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
-        .withColumnRenamed("id", "vec_id")
-      emb(s, dir).filter(col("vec_id") % 5 === 0).select(col("vec_id"))
-        .join(labels, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("label"), col("vec_id")).as("cluster"))
+    "e_semantic_clusters" -> ((s, dir) => semanticClusters(s, dir)),
+
+    // purity of the semantic clusters against the embeddings' own label
+    // column — the clustering-quality scalar that says whether the
+    // cosine threshold is splitting or merging ground-truth groups
+    "e_cluster_purity" -> ((s, dir) => {
+      val pred = semanticClusters(s, dir)
+        .select(col("vec_id").as("id"), col("cluster").as("label"))
+      val truth = emb(s, dir).filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+      graft.measures.Measures.purityCounts(truth, pred)
+        .select(col("purity_num"), col("n_total"),
+          round(col("purity_num") * lit(1000000.0) / col("n_total"))
+            .cast("long").as("purity_e6"))
     }),
 
     // event-stream hourly rollup (batch form of the streaming agg);
@@ -1877,6 +1912,42 @@ object PipelineQueries {
     "e_cos_dups" ->
       s"""WITH $cosDupPairsSql
          |SELECT a, b, sim_e6 FROM cdp""".stripMargin,
+
+    // purity oracle: the semantic-cluster closure joined with the
+    // embeddings' label column, per-cluster max joint count
+    "e_cluster_purity" ->
+      s"""WITH RECURSIVE $cosDupPairsSql,
+         |spe AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT a AS src, b AS dst FROM cdp
+         |          UNION ALL SELECT b, a FROM cdp) u),
+         |sreach(id, lab) AS (
+         |  SELECT src, src FROM spe
+         |  UNION
+         |  SELECT spe.dst, sreach.lab FROM sreach JOIN spe ON spe.src = sreach.id),
+         |scl AS (SELECT id, min(lab) AS label FROM sreach GROUP BY id),
+         |cl AS (SELECT e.vec_id, coalesce(scl.label, e.vec_id) AS cluster,
+         |              e.label AS g
+         |       FROM (SELECT vec_id, label FROM embeddings
+         |             WHERE vec_id % 5 = 0) e
+         |       LEFT JOIN scl ON e.vec_id = scl.id),
+         |fj AS (SELECT cluster, g, count(*) AS n FROM cl GROUP BY 1, 2),
+         |px AS (SELECT cluster, max(n) AS mx FROM fj GROUP BY 1)
+         |SELECT CAST(sum(mx) AS BIGINT) AS purity_num,
+         |  (SELECT count(*) FROM cl) AS n_total,
+         |  CAST(ROUND(sum(mx) * 1000000.0 / (SELECT count(*) FROM cl))
+         |    AS BIGINT) AS purity_e6
+         |FROM px""".stripMargin,
+
+    // mixture-card oracle: per-source totals + one corpus total
+    "d_source_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(ROUND(n_tokens * 1000000.0
+        |    / (SELECT sum(n_tokens) FROM per)) AS BIGINT) AS share_e6
+        |FROM per""".stripMargin,
 
     // semantic clusters oracle: the same pair table closed transitively
     // (recursive closure over the symmetric expansion), min-id labels,

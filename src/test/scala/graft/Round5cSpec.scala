@@ -230,3 +230,49 @@ class PackStatsSpec extends GraftSuite {
     assert(packed.filter(col("n_docs") < 1).count() === 0L)
   }
 }
+
+class LpStabilitySpec extends GraftSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stability score is bounded and matches the direct computation") {
+    val r = graft.queries.GraphQueries
+      .queries("g_lp_stability_t3")(spark, dir).first()
+    assert(r.getLong(0) > 0L && r.getLong(1) > 0L)
+    val f1 = r.getLong(4)
+    assert(f1 > 0L && f1 <= 1000000L)
+    // identical inputs would score exactly 1.0 — steps 2 vs 3 must not
+    // (the sparse graph is still coarsening), so the gate discriminates
+    assert(f1 < 1000000L, "gate degenerate: steps 2 and 3 identical")
+  }
+}
+
+class ClusterPuritySpec extends GraftSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("label-bucketed near-dup clusters are perfectly pure") {
+    // cosDupPairs only ever joins same-label vectors, so every cluster
+    // is label-homogeneous by construction — purity must be exactly 1
+    val r = graft.queries.PipelineQueries
+      .queries("e_cluster_purity")(spark, dir).first()
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(2) === 1000000L)
+  }
+}
+
+class SourceMixSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("shares are a near-partition of unity over sources") {
+    val rows = graft.queries.PipelineQueries
+      .queries("d_source_mix")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, ntok, sh) =>
+      assert(nd > 0L && ntok > 0L && sh > 0L)
+    }
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1000000L) <= rows.length,
+      s"shares sum to $total")
+  }
+}
