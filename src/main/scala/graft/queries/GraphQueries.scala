@@ -818,6 +818,43 @@ object GraphQueries {
           round(col("transitivity") * 1000000).cast("long")
             .as("transitivity_e6"))),
 
+    // small-world diagnostic: measured transitivity against the
+    // configuration-model null C_null = (S2−S1)²/S1³ (Newman) — a ratio
+    // >> 1 is real community structure, ≈ 1 is what random wiring with
+    // the same degrees already gives; integer moments, scalar divides
+    "g_null_clustering" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val cActual = TriangleCount.motifCensus(e)
+        .select(col("transitivity").as("ca"))
+      val m = Measures.degreeMoments(e)
+        .select(col("n_slots").cast("double").as("s1"),
+          col("sum_d2").cast("double").as("s2"))
+      m.crossJoin(cActual)
+        .select(
+          round(col("ca") * 1000000).cast("long").as("c_actual_e6"),
+          round((col("s2") - col("s1")) * (col("s2") - col("s1"))
+            / (col("s1") * col("s1") * col("s1")) * 1000000)
+            .cast("long").as("c_null_e6"),
+          round(col("ca") * (col("s1") * col("s1") * col("s1"))
+            / ((col("s2") - col("s1")) * (col("s2") - col("s1"))) * 1000)
+            .cast("long").as("ratio_e3"))
+    }),
+
+    // rank-mass concentration: Shannon entropy of the 3-iteration
+    // PageRank distribution, per-vertex terms −r·ln r rounded to e12
+    // integers BEFORE the sum (order-free), plus H/ln(n) normalization —
+    // the "how centralized is the web graph" scalar next to ev_gini
+    "g_pr_entropy" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val r = PageRank.runFixed(e, 3)
+      r.agg(count(lit(1)).as("n"),
+          sum(round(-col("rank") * log(col("rank")) * 1000000000000L)
+            .cast("long")).cast("long").as("h_e12"))
+        .select(col("n").cast("long").as("n_vertices"), col("h_e12"),
+          round(col("h_e12") / (log(col("n").cast("double")) * 1000000.0))
+            .cast("long").as("norm_e6"))
+    }),
+
     "g_modularity" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val n = GraphOps.vertices(e).count()
@@ -2758,6 +2795,44 @@ object GraphQueries {
          |  CAST(ROUND(3.0 * t.triangles / w.wedges * 1000000) AS BIGINT)
          |    AS transitivity_e6
          |FROM wed w, tri t, sq s""".stripMargin,
+
+    // null-model oracle: same wedge/triangle census + the integer degree
+    // moments, identical expression order for every scalar divide
+    "g_null_clustering" ->
+      s"""WITH $cte,
+         |ndeg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |nm AS (SELECT CAST(sum(degree) AS DOUBLE) AS s1,
+         |         CAST(sum(degree * degree) AS DOUBLE) AS s2,
+         |         CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS wedges
+         |       FROM ndeg),
+         |canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (SELECT count(*) AS triangles
+         |        FROM canon e1
+         |        JOIN canon e2 ON e1.dst = e2.src
+         |        JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT
+         |  CAST(ROUND(3.0 * t.triangles / m.wedges * 1000000) AS BIGINT)
+         |    AS c_actual_e6,
+         |  CAST(ROUND((m.s2 - m.s1) * (m.s2 - m.s1)
+         |    / (m.s1 * m.s1 * m.s1) * 1000000) AS BIGINT) AS c_null_e6,
+         |  CAST(ROUND((3.0 * t.triangles / m.wedges)
+         |    * (m.s1 * m.s1 * m.s1)
+         |    / ((m.s2 - m.s1) * (m.s2 - m.s1)) * 1000) AS BIGINT)
+         |    AS ratio_e3
+         |FROM nm m, tri t""".stripMargin,
+
+    // entropy oracle: the shared rank chain, per-vertex e12 rounding
+    // before the sum, normalization by ln(n)
+    "g_pr_entropy" ->
+      s"""WITH $cte,
+         |${prChainSql("p", "e0", 3)}
+         |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         |  CAST(sum(CAST(ROUND(-r * ln(r) * 1000000000000.0) AS BIGINT))
+         |    AS BIGINT) AS h_e12,
+         |  CAST(ROUND(sum(CAST(ROUND(-r * ln(r) * 1000000000000.0)
+         |      AS BIGINT)) / (ln(count(*)) * 1000000.0)) AS BIGINT)
+         |    AS norm_e6
+         |FROM pr3""".stripMargin,
 
     "g_tri_per_vertex" ->
       s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),

@@ -78,6 +78,21 @@ object PipelineQueries {
       .filter(col("sim_e6") >= 250000)
   }
 
+  /** MinHash near-dup canonical assignment (doc_id, canon_id) — shared
+    * by d_dedup_clusters and the d_dup_stats savings report.
+    */
+  private def dedupCanon(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairEdges = minhashPairs(s, d)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
+      .withColumnRenamed("id", "doc_id")
+    d.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canon_id"))
+  }
+
   /** Semantic dedup clusters: [[cosDupPairs]] → alternating CC, min-id
     * canonical labels, singletons keep their own id — shared by
     * e_semantic_clusters and e_cluster_purity.
@@ -414,17 +429,17 @@ object PipelineQueries {
     // pipeline composing with the link-graph engine), canonical document
     // = minimum doc_id of the cluster, singletons canonical to themselves
     // — the keep-one-representative shape a 100 TB dedup actually ships
-    "d_dedup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairEdges = minhashPairs(s, d)
-        .select(col("a").as("src"), col("b").as("dst"))
-      val labels = graft.algo.ConnectedComponents.runAlternating(pairEdges)
-        .withColumnRenamed("id", "doc_id")
-      d.select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("canon_id"))
-    }),
+    "d_dedup_clusters" -> ((s, dir) => dedupCanon(s, dir)),
+
+    // dedup savings report: near-dup cluster-size histogram over the
+    // d_dedup_clusters assignment — n_clusters and docs per size; the
+    // sizes >1 rows are exactly the corpus shrink the dedup buys
+    "d_dup_stats" -> ((s, dir) =>
+      dedupCanon(s, dir)
+        .groupBy("canon_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("cluster_size")).cast("long").as("n_docs"))),
 
     // the composed near-dup pipeline — the shape that runs at 100 TB:
     // banded-MinHash CANDIDATES (bucketed equi-join) → exact n-gram
@@ -1552,6 +1567,33 @@ object PipelineQueries {
 
     // candidate pairs (as d_minhash_pairs) symmetrized, then the CC
     // recursive closure; canonical = min reachable doc_id
+    // savings-report oracle: the dedup-clusters closure + size histogram
+    "d_dup_stats" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2),
+         |mp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |       WHERE x.doc_id < y.doc_id),
+         |pe AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT a AS src, b AS dst FROM mp
+         |         UNION ALL SELECT b, a FROM mp) u),
+         |creach(id, lab) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, creach.lab FROM creach JOIN pe ON pe.src = creach.id),
+         |cl AS (SELECT id, min(lab) AS label FROM creach GROUP BY id),
+         |canon AS (SELECT d.doc_id, coalesce(cl.label, d.doc_id) AS canon_id
+         |          FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+         |szs AS (SELECT canon_id, count(*) AS cluster_size FROM canon
+         |        GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+         |FROM szs GROUP BY 1""".stripMargin,
+
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesSql,
          |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h

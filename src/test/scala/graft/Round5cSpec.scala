@@ -276,3 +276,58 @@ class SourceMixSpec extends GraftSuite {
       s"shares sum to $total")
   }
 }
+
+class NullClusteringSpec extends GraftSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("null model and ratio are consistent with the motif census") {
+    val r = graft.queries.GraphQueries
+      .queries("g_null_clustering")(spark, dir).first()
+    val (ca, cn, ratio) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(ca > 0L && cn > 0L && ratio > 0L)
+    // ratio_e3 should agree with the two e6 scalars to rounding slack
+    val recomputed = math.round(ca.toDouble / cn * 1000)
+    assert(math.abs(ratio - recomputed) <= 2L,
+      s"ratio $ratio vs recomputed $recomputed")
+  }
+}
+
+class PrEntropySpec extends GraftSuite {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("uniform ranks on a cycle maximize entropy (norm = 1)") {
+    // a 6-cycle is regular: PageRank stays exactly uniform, H = ln n
+    val cyc = (0L to 5L).map(i => (i, (i + 1) % 6))
+    val e = edgesDf(undirected(cyc))
+    val r = graft.algo.PageRank.runFixed(e, 3)
+    val h = r.agg(
+      sum(round(-col("rank") * log(col("rank")) * 1000000000000L)
+        .cast("long"))).first().getLong(0)
+    val expect = math.round(math.log(6) * 1e12)
+    assert(math.abs(h - expect) <= 6L, s"H=$h vs ln6=$expect")
+  }
+
+  test("demo-graph entropy is bounded by ln n") {
+    val r = graft.queries.GraphQueries
+      .queries("g_pr_entropy")(spark, "/root/testdata/sf0.001").first()
+    assert(r.getLong(1) > 0L)
+    assert(r.getLong(2) > 0L && r.getLong(2) <= 1000000L)
+  }
+}
+
+class DupStatsSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("the histogram re-aggregates the cluster assignment exactly") {
+    val canon = graft.queries.PipelineQueries
+      .queries("d_dedup_clusters")(spark, dir)
+    val nDocs = canon.count()
+    val hist = graft.queries.PipelineQueries
+      .queries("d_dup_stats")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hist.map(_._3).sum === nDocs)
+    hist.foreach { case (sz, nc, nd) => assert(nd === sz * nc) }
+  }
+}
