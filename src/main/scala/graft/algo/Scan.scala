@@ -55,6 +55,11 @@ object Scan {
       .filter(col("c2") * col("c2") * 1000000L >=
         lit(epsE3 * epsE3) * (col("du") + 1L) * (col("dv") + 1L))
       .select(col("src"), col("dst"))
+      // eps is a support-join plan referenced three times (both
+      // directions, core edges, borders) AND feeds the iterative CC —
+      // materialize it once or every CC round re-derives the wedge join
+      // and the task binaries carry the whole upstream plan
+      .transform(graft.engine.Materialize.eager)
     val epsBoth = eps.union(
       eps.select(col("dst").as("src"), col("src").as("dst")))
     val core = epsBoth.groupBy(col("src").as("id"))
@@ -66,9 +71,11 @@ object Scan {
       .join(core.select(col("id").as("dst")), "dst")
       .select(col("src"), col("dst"))
     val cc = ConnectedComponents.runAlternating(coreEdges)
-    // cores with no core-core eps-edge are their own singleton cluster
+    // cores with no core-core eps-edge are their own singleton cluster;
+    // materialized — referenced by borders AND the final assembly
     val coreClusters = core.join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster"))
+      .transform(graft.engine.Materialize.eager)
     // borders: eps-adjacent to a core, min cluster id for determinism
     val borderClusters = epsBoth
       .join(coreClusters.select(col("id").as("d2"), col("cluster")),

@@ -39,7 +39,7 @@ object Main {
         "  ranking:   ppr pprtopics hits salsa katz eigen spammass hostpr\n" +
         "             sweep edgebc\n" +
         "  structure: louvain scc condense bowtie truss kcore coreness\n" +
-        "             motifs cliques densest matching bipartite wl mis\n" +
+        "             motifs cliques densest matching bipartite wl mis scan\n" +
         "  resilience/misc: percolation richclub redirects msf cocite\n" +
         "             simrank overlap anf compress sample rmat triapprox\n" +
         "  embeddings: walks sage")
@@ -526,6 +526,20 @@ object Main {
       println(s"[graft] sweep: best prefix k=${best.getLong(0)} " +
         s"cond_e6=${best.getLong(5)}")
     }
+    def runScan(): Unit = {
+      val eps = sys.env.getOrElse("SPARK_GRAFT_SCAN_EPS_E3", "250").toLong
+      val mu = sys.env.getOrElse("SPARK_GRAFT_SCAN_MU", "2").toLong
+      val cl = graft.algo.Scan.structuralClusters(edges, eps, mu)
+      cl.write.mode("overwrite").parquet(s"$outDir/scan_clusters")
+      val roles = cl.groupBy("role").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nClusters = cl.filter(col("role") > 0)
+        .select(col("cluster")).distinct().count()
+      println(s"[graft] scan eps=${eps}e-3 mu=$mu: clusters=$nClusters " +
+        s"cores=${roles.getOrElse(2L, 0L)} " +
+        s"borders=${roles.getOrElse(1L, 0L)} " +
+        s"outliers=${roles.getOrElse(0L, 0L)}")
+    }
     def runPercolation(): Unit = {
       Seq(300, 600, 900).foreach { p =>
         val kept = GraphOps.percolate(edges, p, seed = 11L)
@@ -636,6 +650,7 @@ object Main {
       case "bipartite"   => runBipartite()
       case "sweep"       => runSweep()
       case "percolation" => runPercolation()
+      case "scan"        => runScan()
       case "walks"       => runWalks()
       case "sage"        => runSage()
       case "edgebc"      => runEdgeBc()
