@@ -78,6 +78,21 @@ object PipelineQueries {
       .filter(col("sim_e6") >= 250000)
   }
 
+  /** recall@5 of an approximate top-k table against the exact one:
+    * (qid, n_hit, recall_e6) for every query, zero-hit queries included.
+    */
+  private def recallAt5(approx: DataFrame, brute: DataFrame,
+                        queries: DataFrame): DataFrame = {
+    val hits = brute.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    queries.select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)) * 200000L).as("recall_e6"))
+  }
+
   /** MinHash near-dup canonical assignment (doc_id, canon_id) — shared
     * by d_dedup_clusters and the d_dup_stats savings report.
     */
@@ -686,16 +701,20 @@ object PipelineQueries {
     "e_ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 50 === 0)
-      val lsh = graft.functions.Similarity.lshTopK(e, q, k = 5, nPlanes = 4)
-        .select(col("qid"), col("vec_id"))
-      val brute = graft.functions.Similarity.bruteForceTopK(e, q, k = 5)
-        .select(col("qid"), col("vec_id"))
-      val hits = brute.join(lsh, Seq("qid", "vec_id"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("h"))
-      q.select(col("vec_id").as("qid"))
-        .join(hits, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
-          (coalesce(col("h"), lit(0L)) * 200000L).as("recall_e6"))
+      recallAt5(graft.functions.Similarity.lshTopK(e, q, k = 5, nPlanes = 4),
+        graft.functions.Similarity.bruteForceTopK(e, q, k = 5), q)
+    }),
+
+    // same audit for the IVF path (nProbe=2, sampled coarse quantizer) —
+    // together with e_ann_recall this scores both scale paths against
+    // the one exact baseline
+    "e_ivf_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      recallAt5(
+        graft.functions.Similarity.ivfTopK(e, q, k = 5, nProbe = 2,
+          centStride = 29),
+        graft.functions.Similarity.bruteForceTopK(e, q, k = 5), q)
     }),
 
     // data-mixture card: per-source doc/token counts and corpus token
@@ -1100,6 +1119,34 @@ object PipelineQueries {
     * plan uses, embedded as list literals — generated from one source of
     * truth ([[graft.functions.Similarity.planeCoefs]]).
     */
+  /** e_ann_ivf oracle CTE prefix (sampled coarse quantizer, nProbe = 2,
+    * queries vec_id%50): defines `vv`, `qp`, and `sims` — shared by the
+    * top-k gate and the recall audit.
+    */
+  private def annIvfCtes: String =
+    """vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+      |            FROM embeddings),
+      |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 29 = 0),
+      |ad AS (SELECT vv.vec_id, vv.v, ct.cid,
+      |         CAST(ROUND(list_sum([(v[i+1]-cv[i+1])*(v[i+1]-cv[i+1])
+      |           for i in range(64)]) * 1000000) AS BIGINT) AS d
+      |       FROM vv, ct),
+      |assign AS (SELECT vec_id, v, cid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |  FROM ad) t WHERE rk = 1),
+      |qp AS (SELECT vec_id AS qid, v AS qv, cid FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |  FROM ad WHERE vec_id % 50 = 0) t WHERE rk <= 2),
+      |cand AS (SELECT DISTINCT qp.qid, qp.qv, a.vec_id, a.v
+      |         FROM qp JOIN assign a ON qp.cid = a.cid
+      |         WHERE qp.qid <> a.vec_id),
+      |sims AS (SELECT qid, vec_id,
+      |          CAST(ROUND(list_sum([qv[i+1]*v[i+1] for i in range(64)])
+      |            / (sqrt(list_sum([qv[i+1]*qv[i+1] for i in range(64)]))
+      |             * sqrt(list_sum([v[i+1]*v[i+1] for i in range(64)])))
+      |            * 1000000) AS BIGINT) AS sim_e6
+      |         FROM cand)""".stripMargin
+
   private def annLshCtes: String = {
     val coefs = graft.functions.Similarity.planeCoefs(4, 64)
     def lst(a: Array[Double]) = a.mkString("[", ", ", "]")
@@ -1370,32 +1417,39 @@ object PipelineQueries {
     // ×1e6 before the argmin, tie → centroid id), top-2 probed cells,
     // exact cosine re-rank — the oracle recomputes the identical plan
     "e_ann_ivf" ->
-      """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-        |            FROM embeddings),
-        |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 29 = 0),
-        |ad AS (SELECT vv.vec_id, vv.v, ct.cid,
-        |         CAST(ROUND(list_sum([(v[i+1]-cv[i+1])*(v[i+1]-cv[i+1])
-        |           for i in range(64)]) * 1000000) AS BIGINT) AS d
-        |       FROM vv, ct),
-        |assign AS (SELECT vec_id, v, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-        |  FROM ad) t WHERE rk = 1),
-        |qp AS (SELECT vec_id AS qid, v AS qv, cid FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-        |  FROM ad WHERE vec_id % 50 = 0) t WHERE rk <= 2),
-        |cand AS (SELECT DISTINCT qp.qid, qp.qv, a.vec_id, a.v
-        |         FROM qp JOIN assign a ON qp.cid = a.cid
-        |         WHERE qp.qid <> a.vec_id),
-        |sims AS (SELECT qid, vec_id,
-        |          CAST(ROUND(list_sum([qv[i+1]*v[i+1] for i in range(64)])
-        |            / (sqrt(list_sum([qv[i+1]*qv[i+1] for i in range(64)]))
-        |             * sqrt(list_sum([v[i+1]*v[i+1] for i in range(64)])))
-        |            * 1000000) AS BIGINT) AS sim_e6
-        |         FROM cand)
-        |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid
-        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM sims) t
-        |WHERE rank <= 5""".stripMargin,
+      s"""WITH $annIvfCtes
+         |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM sims) t
+         |WHERE rank <= 5""".stripMargin,
+
+    // IVF recall oracle: IVF top-5 vs brute-force top-5 over vv
+    "e_ivf_recall" ->
+      s"""WITH $annIvfCtes,
+         |ivf AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM sims) t
+         |  WHERE rank <= 5),
+         |qq AS (SELECT DISTINCT qid, qv FROM qp),
+         |ibs AS (SELECT qq.qid, s.vec_id,
+         |          CAST(ROUND(list_sum([qq.qv[i+1]*s.v[i+1]
+         |              for i in range(64)])
+         |            / (sqrt(list_sum([qq.qv[i+1]*qq.qv[i+1]
+         |                for i in range(64)]))
+         |             * sqrt(list_sum([s.v[i+1]*s.v[i+1]
+         |                for i in range(64)])))
+         |            * 1000000) AS BIGINT) AS sim_e6
+         |        FROM qq, vv s WHERE qq.qid <> s.vec_id),
+         |ibrute AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM ibs) t
+         |  WHERE rank <= 5),
+         |ihits AS (SELECT b.qid, count(*) AS n_hit FROM ibrute b
+         |          JOIN ivf l ON l.qid = b.qid AND l.vec_id = b.vec_id
+         |          GROUP BY 1)
+         |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
+         |  CAST(coalesce(h.n_hit, 0) * 200000 AS BIGINT) AS recall_e6
+         |FROM qq q LEFT JOIN ihits h ON q.qid = h.qid""".stripMargin,
 
     "m_media_decode" ->
       """WITH b AS (SELECT doc_id AS media_id,

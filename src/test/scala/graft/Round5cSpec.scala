@@ -331,3 +331,19 @@ class DupStatsSpec extends GraftSuite {
     hist.foreach { case (sz, nc, nd) => assert(nd === sz * nc) }
   }
 }
+
+class IvfRecallSpec extends GraftSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("IVF recall is bounded and the probe finds real neighbors") {
+    val rows = graft.queries.PipelineQueries
+      .queries("e_ivf_recall")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, e6) =>
+      assert(h >= 0L && h <= 5L)
+      assert(e6 === h * 200000L)
+    }
+    assert(rows.map(_._1).sum > 0L)
+  }
+}
