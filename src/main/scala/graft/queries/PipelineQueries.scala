@@ -439,6 +439,14 @@ object PipelineQueries {
     "ev_markov_stationary" -> ((s, dir) =>
       graft.streaming.Funnel.markovStationary(events(s, dir), iters = 3)),
 
+    // per-user lifecycle: new / retained / churned vs the log's last day
+    "ev_lifecycle" -> ((s, dir) =>
+      graft.streaming.Funnel.lifecycle(events(s, dir))),
+
+    // corpus entropy rate H(W2|W1) from the raw bigram counts
+    "d_bigram_entropy" -> ((s, dir) =>
+      graft.text.NgramLm.conditionalEntropy(docs(s, dir))),
+
     // corpus-level dedup CLUSTERS: the candidate-pair graph contracted by
     // connected components (large-star/small-star O(log n) path — the
     // pipeline composing with the link-graph engine), canonical document
@@ -1804,6 +1812,43 @@ object PipelineQueries {
 
     // KN bigram-LM oracle: same exact fraction; bigrams via a correlated
     // generate_series over the 1-indexed token list
+    // entropy-rate oracle: per-type e6 terms, order-free integer sum
+    "d_bigram_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+        |  FROM documents),
+        |idx AS (
+        |  SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i
+        |  FROM tok WHERE len(arr) >= 2),
+        |big AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM idx),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12
+        |        GROUP BY 1),
+        |terms AS (SELECT c12.c12,
+        |    CAST(ROUND(c12.c12 * ln(CAST(ctx.c1 AS DOUBLE) / c12.c12)
+        |      * 1000000) AS BIGINT) AS t
+        |  FROM c12 JOIN ctx ON c12.w1 = ctx.w1)
+        |SELECT CAST(sum(c12) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_types,
+        |  CAST(ROUND(CAST(sum(t) AS BIGINT) / CAST(sum(c12) AS BIGINT))
+        |    AS BIGINT) AS h_e6
+        |FROM terms""".stripMargin,
+
+    // lifecycle oracle: the same integer day floors + thresholds
+    "ev_lifecycle" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              (epoch_us(ts) // 1000000) // 86400 AS day
+        |            FROM events),
+        |per AS (SELECT user_id, min(day) AS first_day, max(day) AS last_day,
+        |          count(*) AS n_days
+        |        FROM ud GROUP BY 1),
+        |mx AS (SELECT max(day) AS m FROM ud)
+        |SELECT user_id, first_day, last_day, n_days,
+        |  CASE WHEN first_day >= m - 6 THEN 'new'
+        |       WHEN last_day < m - 13 THEN 'churned'
+        |       ELSE 'retained' END AS status
+        |FROM per, mx""".stripMargin,
+
     "d_bigram_lm" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr

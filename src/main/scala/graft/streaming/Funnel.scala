@@ -212,6 +212,28 @@ object Funnel {
           .as("gini_e6"))
   }
 
+  /** Per-user lifecycle classification relative to the log's last day:
+    * `new` (first seen inside the trailing week), `churned` (not seen
+    * for two full weeks), `retained` otherwise — the growth-accounting
+    * table next to [[activeUsers]]. Days are TZ-free integer floors;
+    * one distinct + one hash agg + a broadcast 1-row max.
+    */
+  def lifecycle(events: DataFrame): DataFrame = {
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val ud = events.select(col("user_id"), epoch.as("es"))
+      .select(col("user_id"), expr("es div 86400").as("day"))
+      .distinct()
+    val per = ud.groupBy("user_id")
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"),
+        count(lit(1)).as("n_days"))
+    per.crossJoin(ud.agg(max(col("day")).as("m")))
+      .select(col("user_id"), col("first_day"), col("last_day"),
+        col("n_days"),
+        when(col("first_day") >= col("m") - 6, lit("new"))
+          .when(col("last_day") < col("m") - 13, lit("churned"))
+          .otherwise(lit("retained")).as("status"))
+  }
+
   /** Steady-state event-type mix of the behavioral Markov chain: fixed
     * power-iteration steps of π' = πP over the [[transitions]] matrix,
     * with row probabilities and masses held as FLOOR-DIVIDED e9 integers

@@ -104,4 +104,25 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("t")).cast("long").as("nll_e6"))
   }
+
+  /** Corpus entropy rate H(W₂|W₁) = −Σ (c₁₂/N)·ln(c₁₂/c₁) over the raw
+    * bigram counts — the one-number predictability summary tracked next
+    * to TTR and the Zipf slope (natural text ≈ 5–8 bits; templated or
+    * looping corpora collapse toward 0). Each bigram TYPE contributes
+    * one e6-rounded integer term c₁₂·ln(c₁/c₁₂), so the corpus sum is
+    * order-free; two hash aggs + one join, all bigram-type-sized.
+    */
+  def conditionalEntropy(docs: DataFrame): DataFrame = {
+    val c12 = bigrams(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = c12.groupBy("w1").agg(sum(col("c12")).cast("long").as("c1"))
+    c12.join(ctx, "w1")
+      .select(col("c12"),
+        round(col("c12") * log(col("c1").cast("double") / col("c12"))
+          * 1000000).cast("long").as("t"))
+      .agg(sum(col("c12")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_types"),
+        sum(col("t")).cast("long").as("st"))
+      .select(col("n_bigrams"), col("n_types"),
+        round(col("st") / col("n_bigrams")).cast("long").as("h_e6"))
+  }
 }

@@ -170,3 +170,45 @@ class PackSequencesSpec extends GraftSuite {
     }
   }
 }
+
+class ConditionalEntropySpec extends GraftSuite {
+  import spark.implicits._
+  import graft.text.NgramLm
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("a deterministic chain has zero entropy rate") {
+    val r = NgramLm.conditionalEntropy(docsOf("a b a b a b a b")).first()
+    assert(r.getLong(2) === 0L)
+  }
+
+  test("a uniform 2-way branch costs ln 2 per bigram") {
+    // contexts: after 'a' comes b or c equally often
+    val r = NgramLm.conditionalEntropy(
+      docsOf("a b", "a c", "a b", "a c")).first()
+    assert(r.getLong(0) === 4L)
+    assert(math.abs(r.getLong(2) - 693147L) <= 1L,
+      s"expected ~ln2: ${r.getLong(2)}")
+  }
+}
+
+class LifecycleSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.streaming.Funnel
+
+  test("new, retained, and churned users classify by day thresholds") {
+    // max day = 20: user 1 first seen day 15 (new); user 2 spans 0..15
+    // (retained); user 3 last seen day 2 (churned)
+    val df = Seq((1L, 1L, 15L * 86400), (1L, 2L, 20L * 86400),
+      (2L, 3L, 0L), (2L, 4L, 15L * 86400),
+      (3L, 5L, 0L), (3L, 6L, 2L * 86400))
+      .toDF("user_id", "event_id", "es")
+      .select(col("user_id"), col("event_id"),
+        col("es").cast("timestamp").as("ts"))
+    val m = Funnel.lifecycle(df).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(m === Map(1L -> "new", 2L -> "retained", 3L -> "churned"))
+  }
+}
