@@ -474,6 +474,47 @@ object Measures {
           .as("rho"))
   }
 
+  /** Directed degree-balance profile: page counts, dangling pages (no
+    * outlinks), orphan pages (no inlinks), and the in/out-degree Pearson
+    * correlation — the crawl-health row operators read before ranking
+    * (dangling mass decides the PageRank refold cost; a negative in/out
+    * correlation flags link farms that only emit). All sums exact
+    * integers over a vertex-sized profile table; one sqrt + divide at
+    * the end. Integer envelope: n·Σd² < 2⁶³ like labelAssortativity.
+    */
+  def inOutProfile(directed: DataFrame): DataFrame = {
+    val outd = directed.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("od"))
+    val ind = directed.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("indeg"))
+    val verts = directed.select(col("src").as("id"))
+      .union(directed.select(col("dst").as("id"))).distinct()
+    val prof = verts
+      .join(outd, Seq("id"), "left")
+      .join(ind, Seq("id"), "left")
+      .select(coalesce(col("od"), lit(0L)).as("x"),
+        coalesce(col("indeg"), lit(0L)).as("y"))
+    prof.agg(count(lit(1)).as("n"),
+        sum(when(col("x") === 0, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("y") === 0, 1L).otherwise(0L)).as("no"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").cast("long").as("n_pages"),
+        col("nd").cast("long").as("n_dangling"),
+        col("no").cast("long").as("n_orphan"),
+        round(col("nd") * lit(1000000.0) / col("n")).cast("long")
+          .as("dangling_e6"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            * lit(1000000.0)
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))
+          .cast("long").as("inout_r_e6"))
+  }
+
   /** Average best-match F1 between a predicted and a reference
     * clustering (the community-recovery score LP/Louvain papers report
     * next to NMI): every predicted community is matched to the reference

@@ -78,6 +78,25 @@ object Media {
     media.filter(col("kind") === "video")
       .select(col("media_id"),
         sequence(lit(0), col("meta.frames") - 1, lit(everyK)).as("frame_indices"))
+
+  /** WebDataset-style shard assignment: each blob goes to the shard its
+    * running byte total (per kind, media_id order) starts in — the
+    * deterministic tar-shard packer for multimodal corpora. Same
+    * concat-and-chunk shape as text sequence packing; the cumulative
+    * window partitions by kind (at 100 TB the shard key adds a
+    * path-bucket and the shape is unchanged).
+    */
+  def shardAssign(media: DataFrame, maxBytes: Long): DataFrame = {
+    require(maxBytes >= 1, s"need maxBytes >= 1, got $maxBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("kind").orderBy(col("media_id").asc)
+    media.select(col("media_id"), col("kind"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        floor((col("cum") - col("n_bytes")).cast("double") / maxBytes)
+          .cast("long").as("shard_id"))
+  }
 }
 
 /** The codec seam. */

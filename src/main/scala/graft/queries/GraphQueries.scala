@@ -1244,6 +1244,18 @@ object GraphQueries {
     // HITS hubs/authorities, 3 fixed iterations — the one gate that runs
     // on the raw DIRECTED edge set (hub and authority collapse to the
     // same vector on a symmetrized graph)
+    // crawl-health degree-balance row over the DIRECTED demo graph:
+    // dangling/orphan counts + in/out-degree Pearson
+    "g_inout_profile" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      Measures.inOutProfile(directed)
+    }),
+
     "g_hits_t3" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_linenumber") === 1)
@@ -3616,6 +3628,40 @@ object GraphQueries {
     // directed edge set, L1-normalized per half-step via scalar
     // subqueries; every state CTE MATERIALIZED (referenced by the next
     // half-step AND its own normalizer)
+    // degree-balance oracle: same directed table, exact integer moments,
+    // identical expression order in the final Pearson divide
+    "g_inout_profile" ->
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |odt AS (SELECT src AS id, count(*) AS od FROM rawd GROUP BY 1),
+         |idt AS (SELECT dst AS id, count(*) AS indeg FROM rawd GROUP BY 1),
+         |prof AS (SELECT CAST(coalesce(o.od, 0) AS BIGINT) AS x,
+         |                CAST(coalesce(i.indeg, 0) AS BIGINT) AS y
+         |         FROM vd v LEFT JOIN odt o ON v.id = o.id
+         |         LEFT JOIN idt i ON v.id = i.id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN x = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS nd,
+         |        CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS no,
+         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |        CAST(sum(x * y) AS BIGINT) AS sxy,
+         |        CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(y * y) AS BIGINT) AS syy
+         |      FROM prof)
+         |SELECT n AS n_pages, nd AS n_dangling, no AS n_orphan,
+         |  CAST(ROUND(nd * 1000000.0 / n) AS BIGINT) AS dangling_e6,
+         |  CAST(ROUND((n * sxy - sx * sy) * 1000000.0
+         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |      * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         |    AS inout_r_e6
+         |FROM m""".stripMargin,
+
     "g_hits_t3" -> {
       val steps = (1 to 3).map { k =>
         s"""ar$k AS (

@@ -443,6 +443,12 @@ object PipelineQueries {
     "ev_lifecycle" -> ((s, dir) =>
       graft.streaming.Funnel.lifecycle(events(s, dir))),
 
+    // WebDataset-style media shard assignment: ~4 KiB byte budget per
+    // shard, running byte totals per kind
+    "m_media_shard" -> ((s, dir) =>
+      graft.media.Media.shardAssign(
+        graft.media.Media.synthesize(docs(s, dir)), maxBytes = 4096L)),
+
     // corpus entropy rate H(W2|W1) from the raw bigram counts
     "d_bigram_entropy" -> ((s, dir) =>
       graft.text.NgramLm.conditionalEntropy(docs(s, dir))),
@@ -2123,6 +2129,22 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
         |FROM documents""".stripMargin,
+
+    // shard oracle: same kind mapping, byte lengths, per-kind cumsum
+    "m_media_shard" ->
+      """WITH b AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (SELECT media_id, kind, n_bytes,
+        |        sum(n_bytes) OVER (PARTITION BY kind
+        |          ORDER BY media_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM b)
+        |SELECT media_id, kind, n_bytes,
+        |  CAST((cum - n_bytes) // 4096 AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
 
     // (ts, event_id) is carried through every CTE and used in BOTH window
     // orderings — the exact total order the Spark side sessionizes in.

@@ -212,3 +212,50 @@ class LifecycleSpec extends GraftSuite {
     assert(m === Map(1L -> "new", 2L -> "retained", 3L -> "churned"))
   }
 }
+
+class InOutProfileSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.measures.Measures
+
+  test("dangling/orphan counts and a perfect-correlation chain") {
+    // ring: every vertex has od = ind = 1 → r undefined-free? variance 0
+    // use a graph where degrees vary together: 1→2, 1→3, 2→1, 3→1, 2→3?
+    // simpler exact case: star out = star in per vertex
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Measures.inOutProfile(e).first()
+    assert(r.getLong(0) === 3L)       // pages
+    assert(r.getLong(1) === 0L)       // no dangling (all emit)
+    assert(r.getLong(2) === 0L)       // no orphan
+    // degrees: v1 (2,2), v2 (1,1), v3 (1,1) → perfect correlation
+    assert(r.getLong(4) === 1000000L)
+  }
+
+  test("a pure chain counts one dangling and one orphan") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Measures.inOutProfile(e).first()
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 1L)       // 3 never emits
+    assert(r.getLong(2) === 1L)       // 1 never receives
+    assert(r.getLong(3) === 333333L)
+  }
+}
+
+class MediaShardSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.media.Media
+
+  test("shards advance with the per-kind running byte total") {
+    val media = Seq(
+      (1L, "image", Array.fill[Byte](3)(1)),
+      (2L, "image", Array.fill[Byte](2)(1)),
+      (3L, "image", Array.fill[Byte](4)(1)),
+      (10L, "audio", Array.fill[Byte](6)(1)))
+      .toDF("media_id", "kind", "bytes")
+    val m = Media.shardAssign(media, maxBytes = 4L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // image starts: 0, 3, 5 → shards 0, 0, 1 ; audio: 0 → shard 0
+    assert(m(1L) === ((3L, 0L)) && m(2L) === ((2L, 0L)))
+    assert(m(3L) === ((4L, 1L)) && m(10L) === ((6L, 0L)))
+  }
+}
