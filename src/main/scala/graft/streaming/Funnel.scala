@@ -266,12 +266,16 @@ object Funnel {
         .groupBy("t2").agg(sum(col("c")).as("fl"))
       val hold = pi.join(emitting, col("t") === col("f2"), "left_anti")
         .select(col("t").as("t3"), col("pi_e9").as("hd"))
+      // pi is referenced twice per step (flow + hold): left lazy the
+      // plan doubles per iteration — the Gauss-Seidel 2^n trap; the
+      // state is event-TYPE-sized, so the eager cut is free
       pi = types.select(col("event_type").as("t"))
         .join(flow, col("t") === col("t2"), "left")
         .join(hold, col("t") === col("t3"), "left")
         .select(col("t"),
           (coalesce(col("fl"), lit(0L)) + coalesce(col("hd"), lit(0L)))
             .cast("long").as("pi_e9"))
+        .transform(graft.engine.Materialize.eager)
     }
     pi.select(col("t").as("event_type"), col("pi_e9"))
   }
