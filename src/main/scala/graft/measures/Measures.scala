@@ -551,4 +551,44 @@ object Measures {
             + col("s_trueLabel") / col("n_trueLabel")) / 2000.0)
           .cast("long").as("f1_e6"))
   }
+
+  /** Flow-hierarchy profile of the directed graph: score each page
+    * s(v) = indeg(v) − outdeg(v) (authorities score high, pure emitters
+    * low) and classify every edge by whether it points up the score
+    * (forward), down (backward), or between equals (level). The forward
+    * share is the "how DAG-like is this web region" number crawl and
+    * ranking teams read before trusting degree-ordered processing — a
+    * large backward share means link direction fights the authority
+    * gradient (link-farm rings score exactly level).
+    *
+    * Deliberately NOT a ranking: no global order, no vertex-sized
+    * window. Scores equi-join onto the edge list, so the plan is two
+    * vertex-sized hash aggs + two shuffle joins + one scalar agg — the
+    * same shape at 60 k edges and at 100 TB. All counts exact integers;
+    * the share is an integer e6 floor division.
+    */
+  def hierarchy(directed: DataFrame): DataFrame = {
+    val outd = directed.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("od"))
+    val ind = directed.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("indeg"))
+    val score = directed.select(col("src").as("id"))
+      .union(directed.select(col("dst").as("id"))).distinct()
+      .join(outd, Seq("id"), "left")
+      .join(ind, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("indeg"), lit(0L)) - coalesce(col("od"), lit(0L)))
+          .as("s"))
+    directed
+      .join(score.select(col("id").as("src"), col("s").as("ss")), "src")
+      .join(score.select(col("id").as("dst"), col("s").as("sd")), "dst")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(when(col("ss") < col("sd"), 1L).otherwise(0L)).as("n_forward"),
+        sum(when(col("ss") > col("sd"), 1L).otherwise(0L)).as("n_backward"),
+        sum(when(col("ss") === col("sd"), 1L).otherwise(0L)).as("n_level"))
+      .select(col("n_edges"), col("n_forward").cast("long").as("n_forward"),
+        col("n_backward").cast("long").as("n_backward"),
+        col("n_level").cast("long").as("n_level"),
+        expr("n_forward * 1000000 DIV n_edges").as("forward_e6"))
+  }
 }

@@ -1256,6 +1256,19 @@ object GraphQueries {
       Measures.inOutProfile(directed)
     }),
 
+    // flow-hierarchy profile: forward/backward/level edge census under
+    // the indeg−outdeg score — no global ordering, scores equi-join
+    // onto the edge list
+    "g_hierarchy" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      Measures.hierarchy(directed)
+    }),
+
     "g_hits_t3" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
         .filter(col("l_linenumber") === 1)
@@ -3660,6 +3673,36 @@ object GraphQueries {
          |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
          |      * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
          |    AS inout_r_e6
+         |FROM m""".stripMargin,
+
+    // hierarchy oracle: same indeg−outdeg score, same edge census,
+    // same integer e6 floor division (DuckDB //)
+    "g_hierarchy" ->
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |odt AS (SELECT src AS id, count(*) AS od FROM rawd GROUP BY 1),
+         |idt AS (SELECT dst AS id, count(*) AS indeg FROM rawd GROUP BY 1),
+         |sc AS (SELECT v.id,
+         |         CAST(coalesce(i.indeg, 0) - coalesce(o.od, 0) AS BIGINT)
+         |           AS s
+         |       FROM vd v LEFT JOIN odt o ON v.id = o.id
+         |       LEFT JOIN idt i ON v.id = i.id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         |        CAST(sum(CASE WHEN a.s < b.s THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_forward,
+         |        CAST(sum(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_backward,
+         |        CAST(sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_level
+         |      FROM rawd r JOIN sc a ON r.src = a.id
+         |      JOIN sc b ON r.dst = b.id)
+         |SELECT n_edges, n_forward, n_backward, n_level,
+         |       n_forward * 1000000 // n_edges AS forward_e6
          |FROM m""".stripMargin,
 
     "g_hits_t3" -> {

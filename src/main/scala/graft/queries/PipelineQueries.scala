@@ -443,6 +443,21 @@ object PipelineQueries {
     "ev_lifecycle" -> ((s, dir) =>
       graft.streaming.Funnel.lifecycle(events(s, dir))),
 
+    // per-type session entry/exit profile (landing/bounce table) under
+    // the standard 1800 s gap rule
+    "ev_entry_exit" -> ((s, dir) =>
+      graft.streaming.Funnel.entryExit(events(s, dir))),
+
+    // politeness-aware crawl scheduling: per-host fetch slots by
+    // priority (here n_chars — biggest pages first), 10 s host delay
+    "d_politeness" -> ((s, dir) =>
+      graft.sources.HostGraph.politenessSchedule(
+        docs(s, dir).select(
+          concat(lit("h"), (col("doc_id") % 20).cast("string")).as("host"),
+          concat(lit("/p/"), col("doc_id").cast("string")).as("url"),
+          col("n_chars").as("priority")),
+        delaySec = 10L)),
+
     // WebDataset-style media shard assignment: ~4 KiB byte budget per
     // shard, running byte totals per kind
     "m_media_shard" -> ((s, dir) =>
@@ -1854,6 +1869,55 @@ object PipelineQueries {
         |       WHEN last_day < m - 13 THEN 'churned'
         |       ELSE 'retained' END AS status
         |FROM per, mx""".stripMargin,
+
+    // entry/exit oracle: the ev_sessions gaps-and-islands CTE with
+    // first/last row_numbers per (user, session), same (t, event_id)
+    // total order, integer e6 floor shares
+    "ev_entry_exit" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, event_id, event_type, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |f AS (SELECT event_type,
+        |        row_number() OVER (PARTITION BY user_id, sid
+        |                           ORDER BY t, event_id) AS rn,
+        |        row_number() OVER (PARTITION BY user_id, sid
+        |                           ORDER BY t DESC, event_id DESC) AS rx
+        |      FROM s),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_entry,
+        |          CAST(sum(CASE WHEN rx = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_exit
+        |        FROM f GROUP BY 1)
+        |SELECT event_type, n_events, n_entry, n_exit,
+        |       n_entry * 1000000 // n_events AS entry_e6,
+        |       n_exit * 1000000 // n_events AS exit_e6
+        |FROM agg""".stripMargin,
+
+    // politeness oracle: same per-host (priority desc, url asc)
+    // row_number slots and slot·delay etas
+    "d_politeness" ->
+      """WITH fr AS (SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+        |              '/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |              n_chars AS priority
+        |            FROM documents)
+        |SELECT host, url, priority,
+        |  CAST(row_number() OVER (PARTITION BY host
+        |         ORDER BY priority DESC, url) - 1 AS BIGINT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY host
+        |         ORDER BY priority DESC, url) - 1) * 10 AS BIGINT)
+        |    AS eta_sec
+        |FROM fr""".stripMargin,
 
     "d_bigram_lm" ->
       """WITH tok AS (

@@ -95,4 +95,29 @@ object HostGraph {
           col("src_host").as("src"), col("dst_host").as("dst"), col("weight")),
         iterations = iterations, damping = damping)
       .select(col("id").as("host"), col("rank"))
+
+  /** Politeness-aware crawl scheduling: a crawler may hit a host at most
+    * once per `delaySec`, so each host's frontier candidates are
+    * serialized into fetch slots by descending priority (url ascending
+    * on ties — a deterministic total order). slot k's earliest fetch
+    * time is k·delaySec from the host's crawl start; the eta column is
+    * what the fetch fleet sorts its global queue by.
+    *
+    * The window partitions BY HOST: per-task state is one host's
+    * frontier slice, never the global frontier — exactly how a
+    * 1000-executor scheduler shards (hosts hash across executors, each
+    * host's queue is built locally). A pathological single mega-host
+    * would skew one partition; real frontiers cap per-host candidates
+    * upstream (the waterfilling budget in [[graft.text.DomainMix]]).
+    *
+    * @param frontier (host, url, priority) — higher priority first
+    * @return (host, url, priority, slot, eta_sec)
+    */
+  def politenessSchedule(frontier: DataFrame, delaySec: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("priority").desc, col("url").asc)
+    frontier.select(col("host"), col("url"), col("priority"))
+      .withColumn("slot", row_number().over(w).cast("long") - 1)
+      .withColumn("eta_sec", col("slot") * lit(delaySec))
+  }
 }

@@ -297,4 +297,43 @@ object Funnel {
       .select((length(bin(col("gap") + 1)) - 1).cast("long").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_gaps"))
   }
+
+  /** Per-event-type session entry/exit profile: sessionize by the
+    * standard gap rule in the sessionization oracle's exact total order
+    * (epoch seconds, then event_id), flag each session's first and last
+    * event, and aggregate by type — which pages OPEN sessions and which
+    * pages LOSE them, the landing/bounce table behind every funnel
+    * review. Every window partitions by user (or user+session), so
+    * per-task state is one user's history regardless of log volume;
+    * shares are integer e6 floor divisions, replayable bit-for-bit.
+    */
+  def entryExit(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_id"),
+      col("event_type"), col("ts").cast("timestamp").cast("long").as("t"))
+    val wo = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val sid = ev
+      .withColumn("prev", lag(col("t"), 1).over(wo))
+      .withColumn("brk",
+        when(col("prev").isNull || col("t") - col("prev") > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val first = Window.partitionBy("user_id", "sid")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val last = Window.partitionBy("user_id", "sid")
+      .orderBy(col("t").desc, col("event_id").desc)
+    sid
+      .withColumn("rn", row_number().over(first))
+      .withColumn("rx", row_number().over(last))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_entry"),
+        sum(when(col("rx") === 1, 1L).otherwise(0L)).as("n_exit"))
+      .select(col("event_type"), col("n_events"),
+        col("n_entry").cast("long").as("n_entry"),
+        col("n_exit").cast("long").as("n_exit"),
+        expr("n_entry * 1000000 DIV n_events").as("entry_e6"),
+        expr("n_exit * 1000000 DIV n_events").as("exit_e6"))
+  }
 }
