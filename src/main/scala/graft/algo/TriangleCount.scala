@@ -157,6 +157,49 @@ object TriangleCount {
     * hot-vertex removal; all three aggregates are single-row map-side
     * combines.
     */
+  /** Weighted triangle census — the cohesion strength the unweighted
+    * count can't see on a link graph whose edges carry link
+    * multiplicities: per triangle the MIN edge weight (the bottleneck,
+    * the standard weighted-clustering numerator) and the weight total,
+    * both exact longs.
+    *
+    * Scale shape: the same degree-(id-tie) orientation as [[oriented]]
+    * with the weight column carried through, so the wedge blow-up stays
+    * capped at O(√E) out-degree per vertex; one final scalar agg.
+    *
+    * @param wEdges symmetrized weighted slots (src, dst, weight) with
+    *               weight(u,v) == weight(v,u)
+    * @return one row (n_triangles, sum_min_w, sum_w)
+    */
+  def weightedTriangles(wEdges: DataFrame): DataFrame = {
+    val canon = wEdges.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("weight"))
+    val deg = canon.select(col("src").as("id"))
+      .union(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val o = canon
+      .join(deg.withColumnRenamed("id", "src")
+        .withColumnRenamed("deg", "sdeg"), "src")
+      .join(deg.withColumnRenamed("id", "dst")
+        .withColumnRenamed("deg", "ddeg"), "dst")
+      .select(
+        when(struct(col("sdeg").as("d"), col("src").as("i")) <
+               struct(col("ddeg").as("d"), col("dst").as("i")),
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e"),
+        col("weight"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("weight"))
+    val e1 = o.select(col("u").as("a"), col("v").as("b"), col("weight").as("w1"))
+    val e2 = o.select(col("u").as("b2"), col("v").as("c"), col("weight").as("w2"))
+    val e3 = o.select(col("u").as("a3"), col("v").as("c3"), col("weight").as("w3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"),
+        coalesce(sum(least(col("w1"), col("w2"), col("w3"))), lit(0L))
+          .as("sum_min_w"),
+        coalesce(sum(col("w1") + col("w2") + col("w3")), lit(0L)).as("sum_w"))
+  }
+
   def motifCensus(edges: DataFrame): DataFrame = {
     // coalesce: sums over an empty degree/pair table are NULL, and the
     // census contract is zeros (the transitivity guard needs wedges = 0,

@@ -80,6 +80,46 @@ object Truss {
     canon
   }
 
+  /** Full truss decomposition on a FIXED schedule — the gate-able form,
+    * the edge analog of [[KCore.corenessFixed]]: for k = 3..maxK run
+    * exactly `roundsPerK` support-peel rounds, each level starting from
+    * the previous level's survivors (the (k+1)-truss is a subset of the
+    * k-truss, so restarting per level would redo dominated work).
+    * trussness(e) = the largest k whose survivor set still contains e;
+    * edges surviving no level report 2 (every edge is trivially a
+    * 2-truss member). With `roundsPerK` at least the true per-level
+    * round count this IS the exact trussness; under-provisioned rounds
+    * peel conservatively, identically on both engines.
+    *
+    * Scale shape: maxK·roundsPerK support passes, each the capped
+    * degree-oriented triangle enumeration over a monotonically shrinking
+    * edge set — the deeper levels run on the dense cohesive residue
+    * only. The level memberships union'd at the end are edge-sized ×
+    * (maxK−2) worst case but shrink geometrically on power-law graphs.
+    */
+  def trussnessFixed(edges: DataFrame, maxK: Int, roundsPerK: Int): DataFrame = {
+    require(maxK >= 3 && roundsPerK >= 1)
+    val all = GraphOps.canonical(edges)
+      .transform(graft.engine.Materialize.eager)
+    var alive = all
+    val memberships = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 3
+    while (k <= maxK) {
+      var r = 0
+      while (r < roundsPerK) {
+        r += 1
+        alive = peelOnce(alive, k)
+      }
+      memberships += alive.select(col("src"), col("dst"), lit(k.toLong).as("k"))
+      k += 1
+    }
+    val best = memberships.reduce(_ union _)
+      .groupBy("src", "dst").agg(max(col("k")).as("trussness"))
+    all.join(best, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("trussness"), lit(2L)).as("trussness"))
+  }
+
   /** Peel to convergence: the k-truss. An empty survivor set converges
     * (count stable at 0), mirroring [[KCore.kCore]]'s empty-core rule.
     */

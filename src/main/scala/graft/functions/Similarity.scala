@@ -233,6 +233,39 @@ object Similarity {
     cents
   }
 
+  /** One GNN message-passing layer over the link graph: the smoothed
+    * embedding of a vertex is the component-wise mean of its
+    * in-neighbors' embeddings (GCN/SAGE-mean aggregate — feature
+    * smoothing before any learned transform). Exact integer arithmetic:
+    * components quantized to e6 ONCE on input, neighbor sums exact
+    * longs, and the mean is returned as (sum_q, deg) so no division
+    * rounding enters — callers divide at the precision they need.
+    *
+    * Scale shape: one equi-join of the edge table against the exploded
+    * (src, component) table + one partial-aggregated hash agg keyed
+    * (dst, component) — shuffle bounded by |V|·dims after map-side
+    * combine, the textbook distributed GNN layer. Duplicate edges and
+    * self-loops contribute one message each (multiset mean), matching
+    * the adjacency-matrix formulation.
+    *
+    * @param edges (src, dst) — messages flow src → dst
+    * @param emb   (vec_id, embedding array<float>)
+    * @param dims  leading components to smooth (bounds output width)
+    * @return (vec_id, i, deg, sum_q): vec_id = dst, i = component index,
+    *         deg = in-messages carrying an embedding, sum_q = Σ q_src[i]
+    */
+  def smoothEmbeddings(edges: DataFrame, emb: DataFrame, dims: Int): DataFrame = {
+    require(dims >= 1)
+    val q = emb.select(col("vec_id").as("src"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .filter(col("i") < dims)
+      .select(col("src"), col("i").cast("long").as("i"),
+        round(col("x").cast("double") * 1e6).cast("long").as("q"))
+    edges.select(col("src"), col("dst")).join(q, "src")
+      .groupBy(col("dst").as("vec_id"), col("i"))
+      .agg(count(lit(1)).as("deg"), sum(col("q")).as("sum_q"))
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame =
     sims.withColumn("sim_e6", round(col("sim") * 1000000).cast("long"))
       .withColumn("rank", row_number().over(

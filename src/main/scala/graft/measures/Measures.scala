@@ -591,4 +591,36 @@ object Measures {
         col("n_level").cast("long").as("n_level"),
         expr("n_forward * 1000000 DIV n_edges").as("forward_e6"))
   }
+
+  /** Power-law exponent of the degree distribution by the Hill / discrete
+    * MLE estimator (Clauset–Shalizi–Newman eq. 3.1 continuous form):
+    *
+    *   α = 1 + n_tail / Σ_{d ≥ dMin} ln(d / dMin)
+    *
+    * — the one-number check that the graph IS the heavy-tailed web graph
+    * the skew plans assume (α ≈ 2.1 for the web's in-degree; α drifting
+    * toward 3+ means the hub machinery is idle, α < 2 means even the
+    * mean is sample-unstable and per-hub routing is mandatory).
+    *
+    * Degrees are undirected slot counts over the symmetrized graph. One
+    * hash agg + one scalar agg; the ln sum is a float fold over the
+    * degree table (deterministic order-independent sum of ≤ n values —
+    * cross-engine stable at e6 quantization on real degree tables, the
+    * NMI precedent). All-dMin tails (Σ = 0: a dMin-regular graph) report
+    * alpha_e6 = 0 — no tail evidence, callers treat as not-power-law.
+    *
+    * @return one row (n_tail, d_min, alpha_e6)
+    */
+  def powerLawAlpha(edges: DataFrame, dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1)
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= dMin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log(col("degree").cast("double") / dMin)).as("s"))
+      .select(col("n_tail"),
+        lit(dMin).as("d_min"),
+        when(col("s") > 0,
+          round((lit(1.0) + col("n_tail") / col("s")) * 1000000).cast("long"))
+          .otherwise(lit(0L)).as("alpha_e6"))
+  }
 }

@@ -809,6 +809,21 @@ object GraphQueries {
           coalesce(col("in_truss"), lit(0L)).as("in_truss"))
     }),
 
+    // full truss decomposition, fixed schedule (k = 3..5 × 2 rounds):
+    // max k whose survivor set keeps the edge, 2 = in no level
+    "g_trussness" -> ((s, dir) =>
+      graft.algo.Truss.trussnessFixed(demoEdges(s, dir),
+        maxK = 5, roundsPerK = 2)),
+
+    // weighted triangle census: bottleneck (min) weight + total weight
+    // per triangle, exact longs over the weighted demo graph
+    "g_tri_weighted" -> ((s, dir) =>
+      TriangleCount.weightedTriangles(demoWeightedEdges(s, dir))),
+
+    // Hill/MLE power-law exponent of the degree distribution (e6)
+    "g_powerlaw" -> ((s, dir) =>
+      Measures.powerLawAlpha(demoEdges(s, dir), dMin = 2L)),
+
     // global motif census — wedges / triangles / squares (4-cycles) /
     // transitivity; exact integer counts (each 4-cycle counted via its
     // two diagonal common-neighbor pairs, sum provably even)
@@ -2800,6 +2815,78 @@ object GraphQueries {
          |    AS in_truss
          |FROM c0 LEFT JOIN c2 ON c0.src = c2.src AND c0.dst = c2.dst""".stripMargin
     },
+
+    "g_trussness" -> {
+      val maxK = 5; val roundsPerK = 2
+      val levels = (3 to maxK).map { k =>
+        val rounds = (1 to roundsPerK).map { r =>
+          val prev = if (r == 1) s"c${k - 1}f" else s"c${k}_${r - 1}"
+          s"""t${k}_$r AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+             |  FROM $prev e1 JOIN $prev e2 ON e1.dst = e2.src
+             |  JOIN $prev e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+             |s${k}_$r AS (SELECT src, dst, count(*) AS s FROM (
+             |  SELECT a AS src, b AS dst FROM t${k}_$r
+             |  UNION ALL SELECT b, c FROM t${k}_$r
+             |  UNION ALL SELECT a, c FROM t${k}_$r) u GROUP BY 1, 2),
+             |c${k}_$r AS MATERIALIZED (SELECT c.src, c.dst FROM $prev c
+             |  JOIN s${k}_$r s ON s.src = c.src AND s.dst = c.dst
+             |  WHERE s.s >= ${k - 2})""".stripMargin
+        }.mkString(",\n")
+        s"""$rounds,
+           |c${k}f AS MATERIALIZED (SELECT src, dst FROM c${k}_$roundsPerK)"""
+          .stripMargin
+      }.mkString(",\n")
+      val caseArm = (maxK to 3 by -1).map { k =>
+        s"WHEN k$k.src IS NOT NULL THEN $k"
+      }.mkString(" ")
+      val joins = (3 to maxK).map { k =>
+        s"LEFT JOIN c${k}f k$k ON b.src = k$k.src AND b.dst = k$k.dst"
+      }.mkString("\n")
+      s"""WITH $cte,
+         |c2f AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src < dst),
+         |$levels
+         |SELECT b.src, b.dst,
+         |  CAST(CASE $caseArm ELSE 2 END AS BIGINT) AS trussness
+         |FROM c2f b
+         |$joins""".stripMargin
+    },
+
+    // weighted triangles enumerated canonically (a<b<c): min weight is
+    // the bottleneck, totals exact BIGINT
+    "g_tri_weighted" ->
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |c AS (SELECT src, dst, weight FROM ew WHERE src < dst),
+         |t AS (SELECT e1.weight AS w1, e2.weight AS w2, e3.weight AS w3
+         |      FROM c e1 JOIN c e2 ON e1.dst = e2.src
+         |      JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+         |  CAST(COALESCE(sum(least(w1, w2, w3)), 0) AS BIGINT) AS sum_min_w,
+         |  CAST(COALESCE(sum(w1 + w2 + w3), 0) AS BIGINT) AS sum_w
+         |FROM t""".stripMargin,
+
+    // Hill estimator: alpha = 1 + n / sum ln(d / dmin) over the d >= 2
+    // tail of the undirected degree table
+    "g_powerlaw" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |t AS (SELECT degree FROM deg WHERE degree >= 2),
+         |a AS (SELECT count(*) AS n_tail,
+         |        sum(ln(CAST(degree AS DOUBLE) / 2)) AS s FROM t)
+         |SELECT CAST(n_tail AS BIGINT) AS n_tail,
+         |  CAST(2 AS BIGINT) AS d_min,
+         |  CASE WHEN s > 0
+         |    THEN CAST(ROUND((1 + n_tail / s) * 1000000) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS alpha_e6
+         |FROM a""".stripMargin,
 
     "g_motifs" ->
       s"""WITH $cte,

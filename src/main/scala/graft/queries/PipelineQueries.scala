@@ -458,6 +458,37 @@ object PipelineQueries {
           col("n_chars").as("priority")),
         delaySec = 10L)),
 
+    // robots-rules frontier admission: longest-prefix-match, Allow wins
+    // length ties, no match = allowed; deterministic rules per host
+    "d_robots" -> ((s, dir) => {
+      val hosts = s.range(0, 20).select(
+        concat(lit("h"), col("id").cast("string")).as("host"), col("id"))
+      val rules = hosts.filter(col("id") % 4 === 0)
+        .select(col("host"), lit("/").as("prefix"), lit(0L).as("allow"))
+        .unionAll(hosts.filter(col("id") % 2 === 0)
+          .select(col("host"), lit("/p/").as("prefix"), lit(1L).as("allow")))
+        .unionAll(hosts
+          .select(col("host"), lit("/p/1").as("prefix"), lit(0L).as("allow")))
+      val frontier = docs(s, dir).select(
+        concat(lit("h"), (col("doc_id") % 20).cast("string")).as("host"),
+        concat(lit("/p/"), col("doc_id").cast("string")).as("url"))
+      graft.sources.HostGraph.robotsFilter(frontier, rules)
+    }),
+
+    // recrawl change-rate: per-url fingerprint-flip count over a 5-snap
+    // synthetic history (rate class = doc_id % 5 + 1 flips per 5 snaps)
+    "d_recrawl" -> ((s, dir) => {
+      val snaps = docs(s, dir)
+        .select(col("doc_id"),
+          concat(lit("/p/"), col("doc_id").cast("string")).as("url"))
+        .crossJoin(s.range(0, 5).select(col("id").as("snap_id")))
+        .select(col("url"), col("snap_id"),
+          concat(lit("f"),
+            expr("(snap_id * (doc_id % 5 + 1)) div 5").cast("string"))
+            .as("fingerprint"))
+      graft.sources.HostGraph.changeRate(snaps)
+    }),
+
     // WebDataset-style media shard assignment: ~4 KiB byte budget per
     // shard, running byte totals per kind
     "m_media_shard" -> ((s, dir) =>
@@ -772,6 +803,16 @@ object PipelineQueries {
 
     // embedding-cosine near-dup pairs (same label, sampled, sim >= 0.25)
     "e_cos_dups" -> ((s, dir) => cosDupPairs(s, dir)),
+
+    // one GNN mean-aggregate layer over a deterministic message graph:
+    // every vector feeds two hub targets (id%50, id%97); exact e6 sums
+    "e_smooth" -> ((s, dir) => {
+      val v = emb(s, dir)
+      val e = v.select(col("vec_id").as("src"), (col("vec_id") % 50).as("dst"))
+        .unionAll(v.select(col("vec_id").as("src"),
+          (col("vec_id") % 97).as("dst")))
+      graft.functions.Similarity.smoothEmbeddings(e, v, dims = 8)
+    }),
 
     // semantic dedup clusters: the cosine near-dup pairs of e_cos_dups
     // fed through alternating CC — the embedding-space analogue of
@@ -1919,6 +1960,52 @@ object PipelineQueries {
         |    AS eta_sec
         |FROM fr""".stripMargin,
 
+    "d_robots" ->
+      """WITH hosts AS (SELECT 'h' || CAST(g AS VARCHAR) AS host, g
+        |               FROM generate_series(0, 19) t(g)),
+        |rules AS (
+        |  SELECT host, '/' AS prefix, 0 AS allow FROM hosts WHERE g % 4 = 0
+        |  UNION ALL
+        |  SELECT host, '/p/' AS prefix, 1 AS allow FROM hosts WHERE g % 2 = 0
+        |  UNION ALL
+        |  SELECT host, '/p/1' AS prefix, 0 AS allow FROM hosts),
+        |fr AS (SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+        |              '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |       FROM documents),
+        |hits AS (SELECT f.host, f.url, r.prefix, r.allow
+        |         FROM fr f JOIN rules r ON f.host = r.host
+        |         WHERE substr(f.url, 1, len(r.prefix)) = r.prefix),
+        |best AS (SELECT host, url, prefix, allow FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY host, url
+        |             ORDER BY len(prefix) DESC, allow DESC, prefix) AS rn
+        |           FROM hits) WHERE rn = 1)
+        |SELECT f.host, f.url,
+        |  CAST(COALESCE(b.allow, 1) AS BIGINT) AS allowed,
+        |  COALESCE(b.prefix, '') AS rule
+        |FROM fr f
+        |LEFT JOIN best b ON f.host = b.host AND f.url = b.url""".stripMargin,
+
+    "d_recrawl" ->
+      """WITH sn AS (
+        |  SELECT '/p/' || CAST(doc_id AS VARCHAR) AS url, g AS snap_id,
+        |         'f' || CAST((g * (doc_id % 5 + 1)) // 5 AS VARCHAR)
+        |           AS fingerprint
+        |  FROM documents, generate_series(0, 4) t(g)),
+        |lagd AS (SELECT url, fingerprint,
+        |           lag(fingerprint) OVER (PARTITION BY url
+        |             ORDER BY snap_id) AS prev
+        |         FROM sn),
+        |agg AS (SELECT url, count(*) AS n_snaps,
+        |          CAST(sum(CASE WHEN prev IS NOT NULL
+        |                          AND prev <> fingerprint
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+        |        FROM lagd GROUP BY 1)
+        |SELECT url, n_snaps, n_changes,
+        |  CASE WHEN n_snaps > 1
+        |       THEN (n_changes * 1000000) // (n_snaps - 1)
+        |       ELSE CAST(0 AS BIGINT) END AS change_rate_e6
+        |FROM agg""".stripMargin,
+
     "d_bigram_lm" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
@@ -2123,6 +2210,21 @@ object PipelineQueries {
     "e_cos_dups" ->
       s"""WITH $cosDupPairsSql
          |SELECT a, b, sim_e6 FROM cdp""".stripMargin,
+
+    "e_smooth" ->
+      """WITH v AS (SELECT vec_id,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS src, i,
+        |        CAST(ROUND(v[i + 1] * 1000000) AS BIGINT) AS q
+        |      FROM v, range(8) t(i)),
+        |e AS (SELECT vec_id AS src, vec_id % 50 AS dst FROM embeddings
+        |      UNION ALL
+        |      SELECT vec_id AS src, vec_id % 97 AS dst FROM embeddings),
+        |m AS (SELECT e.dst AS vec_id, q.i, count(*) AS deg,
+        |        CAST(sum(q.q) AS BIGINT) AS sum_q
+        |      FROM e JOIN q ON e.src = q.src GROUP BY 1, 2)
+        |SELECT vec_id, i, deg, sum_q FROM m""".stripMargin,
 
     // purity oracle: the semantic-cluster closure joined with the
     // embeddings' label column, per-cluster max joint count

@@ -120,4 +120,73 @@ object HostGraph {
       .withColumn("slot", row_number().over(w).cast("long") - 1)
       .withColumn("eta_sec", col("slot") * lit(delaySec))
   }
+
+  /** Robots-rules frontier filter — the admission step between frontier
+    * prioritization (`g_frontier`) and fetch scheduling
+    * ([[politenessSchedule]]): each url keeps the LONGEST-prefix-matching
+    * rule of its host, Allow beating Disallow on equal prefix length
+    * (the Googlebot tie rule), no matching rule = allowed (the robots
+    * default). Deterministic total order inside a (host, url) group:
+    * (prefix length desc, allow desc, prefix asc).
+    *
+    * Scale shape: one equi-join on host (rules-per-host is a small
+    * constant in practice — broadcast the rules table when it fits) and
+    * one window PARTITIONED BY (host, url) over those few matched rules
+    * — per-task state is one url's rule matches, never a host's frontier
+    * slice, so even a mega-host skews nothing here.
+    *
+    * @param frontier (host, url)
+    * @param rules    (host, prefix, allow) — allow ∈ {0, 1}
+    * @return (host, url, allowed, rule) — rule = matched prefix, '' if none
+    */
+  def robotsFilter(frontier: DataFrame, rules: DataFrame): DataFrame = {
+    val f = frontier.select(col("host"), col("url"))
+    val hits = f.join(rules.select(col("host"), col("prefix"), col("allow")),
+        Seq("host"))
+      .filter(col("url").startsWith(col("prefix")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host", "url")
+      .orderBy(length(col("prefix")).desc, col("allow").desc,
+        col("prefix").asc)
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("host"), col("url"),
+        col("allow").cast("long").as("allowed"), col("prefix").as("rule"))
+    f.join(best, Seq("host", "url"), "left")
+      .select(col("host"), col("url"),
+        coalesce(col("allowed"), lit(1L)).as("allowed"),
+        coalesce(col("rule"), lit("")).as("rule"))
+  }
+
+  /** Per-url crawl change-rate estimation over a snapshot history — the
+    * signal a recrawl scheduler feeds back into frontier priority: pages
+    * that changed in most observed intervals get refetched often, static
+    * pages decay to archival cadence.
+    *
+    * `n_changes` counts consecutive-snapshot fingerprint flips in
+    * snap_id order; `change_rate_e6` = n_changes·10⁶ / (n_snaps − 1)
+    * (0 for single-snapshot urls — no evidence, callers treat as cold).
+    *
+    * Scale shape: one window PARTITIONED BY url over the per-url
+    * snapshot history (bounded by the retained snapshot count, single
+    * digits in practice) plus one hash agg — both partial-aggregated,
+    * nothing global.
+    *
+    * @param snapshots (url, snap_id, fingerprint)
+    * @return (url, n_snaps, n_changes, change_rate_e6)
+    */
+  def changeRate(snapshots: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy(col("snap_id").asc)
+    snapshots.select(col("url"), col("snap_id"), col("fingerprint"))
+      .withColumn("prev", lag(col("fingerprint"), 1).over(w))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_snaps"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("fingerprint"),
+          1L).otherwise(0L)).as("n_changes"))
+      .select(col("url"), col("n_snaps"), col("n_changes"),
+        when(col("n_snaps") > 1,
+          expr("(n_changes * 1000000) div (n_snaps - 1)"))
+          .otherwise(lit(0L)).as("change_rate_e6"))
+  }
 }
