@@ -620,6 +620,18 @@ object PipelineQueries {
 
     // BM25 relevance of the 3 highest-df terms against every matching doc
     // (per-term rows — no cross-term float summation inside the gate)
+    // BM25F: anchor hits count 3x body hits under one shared-length
+    // normalization; anchors = first 40 chars of every third doc
+    "d_bm25f" -> ((s, dir) => {
+      val anchors = docs(s, dir).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("anchor"))
+      graft.text.Bm25.scoreTopDfTermsF(docs(s, dir), anchors,
+        qTerms = 3, wAnchor = 3L)
+    }),
+
+    // Heaps'-law exponent over the vocabulary-growth checkpoints
+    "d_heaps" -> ((s, dir) => graft.text.TextIndex.heapsFit(docs(s, dir))),
+
     "d_bm25" -> ((s, dir) =>
       graft.text.Bm25.scoreTopDfTerms(docs(s, dir), qTerms = 3)),
 
@@ -976,6 +988,11 @@ object PipelineQueries {
     "ev_funnel" -> ((s, dir) =>
       graft.streaming.Funnel.stages(events(s, dir),
         Seq("signup", "view", "click", "purchase"))),
+
+    // any-touch view→purchase attribution: the stream-stream interval
+    // join run batch-wise (same plan; watermarks are no-ops on batch)
+    "ev_attrib" -> ((s, dir) =>
+      graft.streaming.EventStreams.attribution(events(s, dir))),
 
     // event-type transition matrix (Markov view of the behavior log),
     // tie order pinned by the unique event id
@@ -1850,6 +1867,80 @@ object PipelineQueries {
 
     // BM25 oracle: idf = ln((2N+2)/(2df+1)), saturation as the same exact
     // integer ratio, multiplied in the same order before one ROUND
+    "d_bm25f" ->
+      """WITH anch AS (SELECT doc_id, substr(text, 1, 40) AS anchor
+        |              FROM documents WHERE doc_id % 3 = 0),
+        |tokb AS (SELECT doc_id,
+        |           unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |             AS term
+        |         FROM documents),
+        |toka AS (SELECT doc_id,
+        |           unnest(regexp_extract_all(lower(anchor), '[a-z0-9]+'))
+        |             AS term
+        |         FROM anch),
+        |tfb AS (SELECT doc_id, term, count(*) AS tfb FROM tokb GROUP BY 1, 2),
+        |tfa AS (SELECT doc_id, term, count(*) AS tfa FROM toka GROUP BY 1, 2),
+        |wtf AS (SELECT COALESCE(tfb.doc_id, tfa.doc_id) AS doc_id,
+        |          COALESCE(tfb.term, tfa.term) AS term,
+        |          COALESCE(tfb.tfb, 0) + 3 * COALESCE(tfa.tfa, 0) AS wtf
+        |        FROM tfb FULL OUTER JOIN tfa
+        |          ON tfb.doc_id = tfa.doc_id AND tfb.term = tfa.term),
+        |lb AS (SELECT doc_id,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |           AS BIGINT) AS lb
+        |       FROM documents),
+        |la AS (SELECT doc_id,
+        |         CAST(sum(len(regexp_extract_all(lower(anchor),
+        |           '[a-z0-9]+'))) AS BIGINT) AS la
+        |       FROM anch GROUP BY 1),
+        |lens AS (SELECT lb.doc_id, lb.lb + 3 * COALESCE(la.la, 0) AS wlen
+        |         FROM lb LEFT JOIN la ON lb.doc_id = la.doc_id),
+        |dfq AS (SELECT term, count(*) AS df FROM wtf GROUP BY 1),
+        |q AS (SELECT term, df FROM dfq ORDER BY df DESC, term ASC LIMIT 3),
+        |scal AS (SELECT count(*) AS n, CAST(sum(wlen) AS BIGINT) AS total
+        |         FROM lens)
+        |SELECT wtf.doc_id, wtf.term, CAST(wtf.wtf AS BIGINT) AS wtf,
+        |  CAST(ROUND(ln((2 * scal.n + 2)::DOUBLE / (2 * q.df + 1))
+        |    * ((22 * wtf.wtf * scal.total)::DOUBLE
+        |       / (10 * wtf.wtf * scal.total + 3 * scal.total
+        |          + 9 * lens.wlen * scal.n))
+        |    * 1000000) AS BIGINT) AS score_e6
+        |FROM wtf JOIN q USING (term)
+        |         JOIN lens ON lens.doc_id = wtf.doc_id, scal""".stripMargin,
+
+    "d_heaps" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |cp AS (SELECT m * p // 1000 AS cap
+        |       FROM (VALUES (125), (250), (375), (500), (625), (750),
+        |                    (875), (1000)) c(p), mx),
+        |dt AS (SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ntok
+        |       FROM documents),
+        |fd AS (SELECT term, min(doc_id) AS first_doc FROM (
+        |         SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |           '[a-z0-9]+')) AS term FROM documents) t GROUP BY 1),
+        |toks AS (SELECT cap, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |         FROM cp JOIN dt ON dt.doc_id <= cp.cap GROUP BY 1),
+        |typs AS (SELECT cap, count(*) AS n_types
+        |         FROM cp JOIN fd ON fd.first_doc <= cp.cap GROUP BY 1),
+        |xy AS (SELECT CAST(ROUND(ln(n_tokens::DOUBLE) * 1000000) AS BIGINT)
+        |           AS x,
+        |         CAST(ROUND(ln(n_types::DOUBLE) * 1000000) AS BIGINT) AS y
+        |       FROM toks JOIN typs USING (cap)
+        |       WHERE n_tokens > 0 AND n_types > 0),
+        |ag AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  CAST(ROUND((n * sxy - sx * sy)::DOUBLE
+        |    / (n * sxx - sx * sx)::DOUBLE * 1000000) AS BIGINT) AS beta_e6,
+        |  CAST(ROUND((sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) / n::DOUBLE)
+        |    AS BIGINT) AS lnk_e6
+        |FROM ag""".stripMargin,
+
     "d_bm25" ->
       """WITH tok AS (SELECT doc_id,
         |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -2407,6 +2498,14 @@ object PipelineQueries {
 
     // funnel oracle: per-step conditional minima chained left-to-right,
     // truncated epoch seconds throughout
+    "ev_attrib" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts
+        |  AND p.ts <= v.ts + INTERVAL 21600 SECOND""".stripMargin,
+
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
         |              epoch_us(ts) // 1000000 AS t FROM events),

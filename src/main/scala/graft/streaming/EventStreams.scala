@@ -190,6 +190,65 @@ object EventStreams {
     spark.table(name)
   }
 
+  /** Any-touch view→purchase attribution: the stream-stream INTERVAL
+    * join — every purchase credits every view by the same user in the
+    * preceding `windowSec` seconds. The one Structured Streaming
+    * operator class the rest of the surface doesn't exercise: two
+    * watermarked streams joined on key + event-time range, with the
+    * state store holding each side only until the watermark passes its
+    * join horizon (views expire `windowSec` + watermark after their
+    * event time; purchases at the watermark) — bounded state on an
+    * unbounded ingest, the attribution shape every event pipeline ships.
+    *
+    * Identical plan on batch input (watermarks are no-ops): the
+    * `ev_attrib` gate runs this very function batch-wise, and
+    * AttributionStreamSpec asserts stream ≡ batch across micro-batch
+    * splits. Lag is exact integer microseconds.
+    *
+    * @return (user_id, view_id, purchase_id, lag_us)
+    */
+  def attribution(events: DataFrame, windowSec: Long = 21600L): DataFrame = {
+    require(windowSec > 0)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").cast("timestamp").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("pts"))
+      .withWatermark("pts", "1 hour")
+    views.join(buys,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr(s"INTERVAL $windowSec SECOND"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("vts"))).as("lag_us"))
+  }
+
+  /** Drive [[attribution]] over a parquet directory as a stream (append
+    * mode — inner interval joins emit matches as both sides arrive).
+    * `maxFilesPerTrigger` forces multi-micro-batch execution so
+    * cross-batch view/purchase pairings exercise the join state store.
+    */
+  def runAttributionStream(spark: SparkSession, path: String, name: String,
+                           maxFilesPerTrigger: Int = 0,
+                           windowSec: Long = 21600L): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val dir = asStreamDir(path)
+    val reader = spark.readStream.schema(schema)
+    val configured =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader
+    val q = attribution(configured.parquet(dir), windowSec)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming query over a parquet directory with the memory sink —
     * the local smoke harness (one batch ≙ the directory's files).
     */

@@ -65,4 +65,62 @@ object Bm25 {
                 lit(9) * col("len") * col("n"))) * 1000000)
           .cast("long").as("score_e6"))
   }
+
+  /** BM25F — the field-weighted web variant (Robertson–Zaragoza,
+    * simplified form with shared normalization): anchor-text hits count
+    * `wAnchor`× body hits, the classic web-ranking heuristic that makes
+    * a page rank for what OTHERS call it. With integer field weights the
+    * weighted pseudo-frequency wtf = tf_body + wAnchor·tf_anchor and
+    * weighted length wlen = len_body + wAnchor·len_anchor are exact
+    * longs, so the WHOLE BM25 algebra above applies verbatim with
+    * tf→wtf, len→wlen — same integer ratio, same two-division ln form,
+    * same envelope. df counts docs where wtf > 0 (either field hits).
+    *
+    * Plan: two tokenize scans (body corpus + the much smaller anchor
+    * table), a full-outer (doc, term) merge of the two tf tables, then
+    * the BM25 shape — hash aggs and broadcast joins only.
+    *
+    * @param anchors (doc_id, anchor) — inbound anchor text per doc
+    *                ([[graft.sources.TextExtract]] anchor aggregation
+    *                shape); docs absent here have empty anchor field
+    * @return (doc_id, term, wtf, score_e6) for the `qTerms` top-df terms
+    */
+  def scoreTopDfTermsF(docs: DataFrame, anchors: DataFrame, qTerms: Int,
+                       wAnchor: Long = 3L): DataFrame = {
+    require(qTerms >= 1 && wAnchor >= 1)
+    val anchArr =
+      regexp_extract_all(lower(col("anchor")), lit("[a-z0-9]+"), lit(0))
+    val tfB = docs.select(col("doc_id"), explode(arrCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tfb"))
+    val tfA = anchors.select(col("doc_id"), explode(anchArr).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tfa"))
+    val wtf = tfB.join(tfA, Seq("doc_id", "term"), "full_outer")
+      .select(col("doc_id"), col("term"),
+        (coalesce(col("tfb"), lit(0L)) +
+          lit(wAnchor) * coalesce(col("tfa"), lit(0L))).as("wtf"))
+      // anchors pointing outside the corpus score nothing and must not
+      // inflate df — keep corpus docs only
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val lensB = docs.select(col("doc_id"), size(arrCol).cast("long").as("lb"))
+    val lensA = anchors.select(col("doc_id"),
+        size(anchArr).cast("long").as("la_raw"))
+      .groupBy("doc_id").agg(sum(col("la_raw")).as("la"))
+    val lens = lensB.join(lensA, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("lb") + lit(wAnchor) * coalesce(col("la"), lit(0L))).as("wlen"))
+    val dfT = wtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scal = lens.agg(count(lit(1)).as("n"),
+      sum(col("wlen")).cast("long").as("total"))
+    val query = dfT.orderBy(col("df").desc, col("term").asc).limit(qTerms)
+    wtf.join(query, "term")
+      .join(lens, "doc_id")
+      .crossJoin(scal)
+      .select(col("doc_id"), col("term"), col("wtf"),
+        round(
+          log((lit(2) * col("n") + 2).cast("double") / (lit(2) * col("df") + 1)) *
+            ((lit(22) * col("wtf") * col("total")).cast("double") /
+              (lit(10) * col("wtf") * col("total") + lit(3) * col("total") +
+                lit(9) * col("wlen") * col("n"))) * 1000000)
+          .cast("long").as("score_e6"))
+  }
 }

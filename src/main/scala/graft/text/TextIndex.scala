@@ -265,6 +265,41 @@ object TextIndex {
         col("n").cast("double")).cast("long").as("intercept_e6"))
   }
 
+  /** Heaps'-law exponent over the [[vocabularyGrowth]] checkpoints —
+    * V(N) = K·N^β, fit as ln V = ln K + β·ln N by least squares. β ≈
+    * 0.4–0.6 on natural text; β drifting toward 1 means the vocabulary
+    * never saturates (OCR noise, random ids — every token novel), β
+    * near 0 means template spam. The pretraining-scale use: β measured
+    * on a 1% sample EXTRAPOLATES the full corpus's vocabulary, sizing
+    * the tokenizer/embedding table before the big run.
+    *
+    * Same determinism contract as [[zipfFit]]: each checkpoint's
+    * (⌊ln N·10⁶⌉, ⌊ln V·10⁶⌉) is an INTEGER pair, the four regression
+    * sums are order-free integer aggs, slope/intercept one double
+    * expression each. Envelope: |x| ≤ ln(10¹⁸)·10⁶ < 2²⁶, so n·Σx² <
+    * 2⁶³ for any checkpoint count below 2¹⁰.
+    *
+    * @return 1 row: (n_points, beta_e6, lnk_e6)
+    */
+  def heapsFit(docs: DataFrame,
+               permilles: Seq[Int] = Seq(125, 250, 375, 500, 625, 750, 875,
+                 1000)): DataFrame = {
+    val g = vocabularyGrowth(docs, permilles)
+    val xy = g.filter(col("n_tokens") > 0 && col("n_types") > 0)
+      .select(
+        round(log(col("n_tokens").cast("double")) * 1000000).cast("long").as("x"),
+        round(log(col("n_types").cast("double")) * 1000000).cast("long").as("y"))
+    val ag = xy.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    ag.select(col("n").cast("long").as("n_points"),
+      round(slope * 1000000).cast("long").as("beta_e6"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double")).cast("long").as("lnk_e6"))
+  }
+
   /** Per-document KL divergence from the corpus unigram distribution —
     * KL(doc ‖ corpus) = Σ_t (tf_d/len_d)·ln((tf_d/len_d)/(tf_c/total)):
     * the domain-outlier / off-distribution filter signal (machine
