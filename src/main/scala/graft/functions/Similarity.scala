@@ -165,6 +165,28 @@ object Similarity {
         col("cid").as("code"), col("d").as("d_e6"))
   }
 
+  /** PQ distortion audit — per-block quantization health over the
+    * [[pqCodes]] assignment: vectors covered, distinct codewords
+    * actually used (dead codewords = wasted code space), total and mean
+    * assigned distortion (e6 INTEGER sums, order-free). With the IVF
+    * cell audit this completes the index-health pair: IVF watches the
+    * coarse quantizer, this watches the fine one — rising distortion or
+    * collapsing codeword usage is what triggers a codebook retrain.
+    * One hash agg over the codes table.
+    *
+    * @return (block, n_vectors, n_codes_used, distortion_e6, mean_d_e6)
+    */
+  def pqDistortion(vectors: DataFrame, blocks: Int = 8, dim: Int = 64,
+                   centStride: Int = 37): DataFrame =
+    pqCodes(vectors, blocks, dim, centStride)
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("code")).as("n_codes_used"),
+        sum(col("d_e6")).as("distortion_e6"))
+      .select(col("block"), col("n_vectors"), col("n_codes_used"),
+        col("distortion_e6"),
+        expr("distortion_e6 div n_vectors").as("mean_d_e6"))
+
   /** IVF cell audit: assign every vector to its nearest coarse-quantizer
     * cell (the [[ivfTopK]] assignment, distances rounded ×1e6 with a
     * cid tie-break before the argmin) and report per-cell occupancy and

@@ -39,6 +39,27 @@ object Media {
         lit(16000).as("sampleRate"),
         (pmod(col("doc_id"), lit(100)) + 1).cast("int").as("frames")).as("meta"))
 
+  /** Exact content deduplication over the BINARY payload — the
+    * multimodal twin of the text pipeline's `d_dedup_exact`: identical
+    * encoded bytes (re-hosted images, mirrored video segments) collapse
+    * to the minimum media_id regardless of their metadata or kind. One
+    * codegen'd md5 scan + one hash agg + one equi-join back; at 100 TB
+    * the hash groupBy is the only shuffle and carries 16-byte digests,
+    * not payloads.
+    *
+    * @return (media_id, kind, content_md5, canonical_id, is_dup)
+    */
+  def dedupExact(media: DataFrame): DataFrame = {
+    val h = media.select(col("media_id"), col("kind"),
+      md5(col("bytes")).as("content_md5"))
+    val canon = h.groupBy("content_md5")
+      .agg(min(col("media_id")).as("canonical_id"))
+    h.join(canon, "content_md5")
+      .select(col("media_id"), col("kind"), col("content_md5"),
+        col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).cast("long").as("is_dup"))
+  }
+
   /** Batched decode + feature extraction. Batches of `batchSize` rows per
     * call into the codec — the same batch contract `mapInPandas` gives
     * Python workers (amortizes codec init across rows).

@@ -1048,6 +1048,19 @@ object PipelineQueries {
     "e_pq_codes" -> ((s, dir) =>
       graft.functions.Similarity.pqCodes(emb(s, dir))),
 
+    // PQ index health: per-block codeword usage + distortion totals
+    "e_pq_distortion" -> ((s, dir) =>
+      graft.functions.Similarity.pqDistortion(emb(s, dir))),
+
+    // behavioral 3-step paths: per-user consecutive type trigrams
+    "ev_trigrams" -> ((s, dir) =>
+      graft.streaming.Funnel.trigrams(events(s, dir))),
+
+    // exact multimodal dedup: identical payload bytes collapse to the
+    // minimum media_id across kinds
+    "m_media_dedup" -> ((s, dir) =>
+      graft.media.Media.dedupExact(graft.media.Media.synthesize(docs(s, dir)))),
+
     // BPE-ish pre-token counts next to whitespace words — LM token-
     // budget accounting (regex verified char-identical across engines)
     "d_bpe_tokens" -> ((s, dir) =>
@@ -2736,6 +2749,50 @@ object PipelineQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, b
         |        ORDER BY d, cid) AS rk FROM ad) t
         |WHERE rk = 1""".stripMargin,
+
+    "e_pq_distortion" ->
+      """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |            FROM embeddings),
+        |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 37 = 0),
+        |bl AS (SELECT range AS b FROM range(8)),
+        |ad AS (SELECT vv.vec_id, bl.b, ct.cid,
+        |         CAST(ROUND(list_sum([
+        |             (v[b*8+i+1] - cv[b*8+i+1]) * (v[b*8+i+1] - cv[b*8+i+1])
+        |             for i in range(8)]) * 1000000) AS BIGINT) AS d
+        |       FROM vv, ct, bl),
+        |codes AS (SELECT vec_id, b, cid, d FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY vec_id, b
+        |              ORDER BY d, cid) AS rk FROM ad) t
+        |          WHERE rk = 1)
+        |SELECT CAST(b AS BIGINT) AS block, count(*) AS n_vectors,
+        |  CAST(count(DISTINCT cid) AS BIGINT) AS n_codes_used,
+        |  CAST(sum(d) AS BIGINT) AS distortion_e6,
+        |  CAST(sum(d) AS BIGINT) // count(*) AS mean_d_e6
+        |FROM codes GROUP BY 1""".stripMargin,
+
+    "ev_trigrams" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS t2,
+        |             lead(event_type, 2) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS t3
+        |           FROM events)
+        |SELECT event_type AS e1, t2 AS e2, t3 AS e3, count(*) AS n
+        |FROM o WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "m_media_dedup" ->
+      """WITH h AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    md5(text) AS content_md5
+        |  FROM documents),
+        |c AS (SELECT content_md5, min(media_id) AS canonical_id
+        |      FROM h GROUP BY 1)
+        |SELECT h.media_id, h.kind, h.content_md5, c.canonical_id,
+        |  CAST(CASE WHEN h.media_id <> c.canonical_id THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_dup
+        |FROM h JOIN c ON h.content_md5 = c.content_md5""".stripMargin,
 
     // hashing-trick oracle: same 60-bit hash, dim and sign derivations
     "d_feature_hash" ->

@@ -70,6 +70,28 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-user consecutive event-type TRIGRAMS — the length-3 extension
+    * of [[transitions]]: behavioral path mining one step deeper than the
+    * Markov matrix (which 2-step contexts precede a purchase; which
+    * error→retry→error loops dominate). Same deterministic (ts,
+    * event_id) per-user total order; one user-partitioned window with
+    * two leads + one hash agg, shuffle bounded by the distinct-trigram
+    * count after map-side combine.
+    *
+    * @return (e1, e2, e3, n)
+    */
+  def trigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("t2").as("e2"),
+        col("t3").as("e3"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Hourly anomaly scores per event type: the z-score of each hour's
     * event count against that type's own hourly distribution. Both the
     * numerator and the variance argument are EXACT integers —

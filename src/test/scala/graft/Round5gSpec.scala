@@ -93,6 +93,69 @@ class Bm25fSpec extends GraftSuite {
   }
 }
 
+class TrigramSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.streaming.Funnel
+
+  private def ev(rows: Seq[(Long, String, Long, String)]) =
+    rows.toDF("event_id", "ets", "user_id", "event_type")
+      .select(col("event_id"), col("ets").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+
+  test("consecutive trigrams per user, event_id breaks same-second ties") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "a"),
+      (2L, "2024-01-01 00:00:02", 1L, "b"),
+      (3L, "2024-01-01 00:00:02", 1L, "c"), // same ts as b: id orders it
+      (4L, "2024-01-01 00:00:03", 1L, "d"),
+      (5L, "2024-01-01 00:00:01", 2L, "a"), // other user: 2 events only
+      (6L, "2024-01-01 00:00:02", 2L, "b")))
+    val got = Funnel.trigrams(events).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(got === Map(("a", "b", "c") -> 1L, ("b", "c", "d") -> 1L))
+  }
+}
+
+class MediaDedupSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.media.Media
+
+  test("identical payloads collapse to the min media_id across kinds") {
+    val media = Seq(
+      (3L, "image", "same-bytes"), (7L, "audio", "same-bytes"),
+      (5L, "video", "other")).toDF("media_id", "kind", "txt")
+      .select(col("media_id"), col("kind"),
+        encode(col("txt"), "UTF-8").as("bytes"))
+    val got = Media.dedupExact(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(got(3L) === (3L, 0L))
+    assert(got(7L) === (3L, 1L)) // dup of 3 despite a different kind
+    assert(got(5L) === (5L, 0L))
+  }
+}
+
+class PqDistortionSpec extends GraftSuite {
+  import graft.functions.Similarity
+
+  test("distortion audit re-aggregates the codes table exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codes = Similarity.pqCodes(emb).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = codes.groupBy(_._1).map { case (b, rows) =>
+      b -> (rows.length.toLong, rows.map(_._2).distinct.length.toLong,
+        rows.map(_._3).sum)
+    }
+    val got = Similarity.pqDistortion(emb).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (b, (n, u, s)) =>
+      assert(got(b) === (n, u, s, s / n), s"block $b")
+    }
+  }
+}
+
 class HeapsSpec extends GraftSuite {
   import spark.implicits._
   import graft.text.TextIndex
