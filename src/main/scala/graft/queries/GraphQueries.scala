@@ -89,6 +89,44 @@ object GraphQueries {
     GraphOps.symmetrize(GraphOps.dropSelfLoops(raw))
   }
 
+  /** Unrolled balanced-LP sharding CTEs mirroring
+    * [[graft.graph.Partition.balancedLp]] (capNum/capDen = 11/10): a0 is
+    * the hash layout, each iteration is census → per-vertex argmax →
+    * quota-ranked admission → reassignment, ending at a{iters}.
+    */
+  private def balancedLpCtes(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"a${i - 1}"
+      s"""sz$i AS (SELECT shard, count(*) AS sz FROM $prev GROUP BY 1),
+         |nb$i AS (SELECT e0.src AS id, a.shard AS s_nbr, count(*) AS cnt
+         |        FROM e0 JOIN $prev a ON e0.dst = a.id GROUP BY 1, 2),
+         |bs$i AS (SELECT id, s_nbr AS target, cnt AS tcnt FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY id
+         |            ORDER BY cnt DESC, s_nbr) AS rn FROM nb$i) t
+         |        WHERE rn = 1),
+         |cc$i AS (SELECT a.id, a.shard, COALESCE(nb$i.cnt, 0) AS ccnt
+         |        FROM $prev a LEFT JOIN nb$i
+         |          ON nb$i.id = a.id AND nb$i.s_nbr = a.shard),
+         |cd$i AS (SELECT cc$i.id, cc$i.shard, bs$i.target,
+         |          bs$i.tcnt - cc$i.ccnt AS gain
+         |        FROM cc$i JOIN bs$i ON bs$i.id = cc$i.id
+         |        WHERE bs$i.target <> cc$i.shard AND bs$i.tcnt > cc$i.ccnt),
+         |ad$i AS (SELECT id, target FROM (
+         |          SELECT cd$i.*, sz$i.sz, row_number() OVER (
+         |            PARTITION BY cd$i.target
+         |            ORDER BY gain DESC, id) AS rn
+         |          FROM cd$i LEFT JOIN sz$i ON sz$i.shard = cd$i.target) t
+         |        WHERE rn <= (SELECT count(*) * 11 // (${k} * 10) FROM verts)
+         |          - COALESCE(sz, 0)),
+         |a$i AS MATERIALIZED (SELECT a.id,
+         |          COALESCE(ad$i.target, a.shard) AS shard
+         |        FROM $prev a LEFT JOIN ad$i ON ad$i.id = a.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""a0 AS (SELECT id, id % $k AS shard FROM verts),
+       |$steps""".stripMargin
+  }
+
   /** Oracle CTE prefix mirroring [[sparseDemoEdges]]. */
   val sparseCte: String =
     s"""sraw AS (
@@ -819,6 +857,22 @@ object GraphQueries {
     // per triangle, exact longs over the weighted demo graph
     "g_tri_weighted" -> ((s, dir) =>
       TriangleCount.weightedTriangles(demoWeightedEdges(s, dir))),
+
+    // size-constrained balanced LP sharding, k=4, 2 fixed supersteps
+    "g_partition_t2" -> ((s, dir) =>
+      graft.graph.Partition.balancedLp(demoEdges(s, dir), k = 4, iters = 2)),
+
+    // layout audit of that sharding: edge-cut fraction + balance
+    "g_partition_cut" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      graft.graph.Partition.cutQuality(e,
+        graft.graph.Partition.balancedLp(e, k = 4, iters = 2))
+    }),
+
+    // PowerGraph vertex-cut baseline: md5 edge hashing to 8 shards,
+    // replication factor = mean shards per vertex
+    "g_vertex_cut" -> ((s, dir) =>
+      graft.graph.Partition.vertexCutStats(demoEdges(s, dir), k = 8)),
 
     // Hill/MLE power-law exponent of the degree distribution (e6)
     "g_powerlaw" -> ((s, dir) =>
@@ -2850,6 +2904,45 @@ object GraphQueries {
          |FROM c2f b
          |$joins""".stripMargin
     },
+
+    "g_partition_t2" -> {
+      s"""WITH $cte,
+         |${balancedLpCtes(k = 4, iters = 2)}
+         |SELECT id, CAST(shard AS BIGINT) AS shard FROM a2""".stripMargin
+    },
+
+    "g_partition_cut" -> {
+      s"""WITH $cte,
+         |${balancedLpCtes(k = 4, iters = 2)},
+         |lab AS (SELECT a.shard AS ss, b.shard AS ds FROM e0
+         |        JOIN a2 a ON e0.src = a.id JOIN a2 b ON e0.dst = b.id),
+         |cut AS (SELECT count(*) AS n_edges,
+         |          CAST(sum(CASE WHEN ss <> ds THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS cut_edges
+         |        FROM lab),
+         |bal AS (SELECT max(sz) AS max_sz, CAST(sum(sz) AS BIGINT)
+         |            AS n_vertices, count(*) AS kk
+         |        FROM (SELECT shard, count(*) AS sz FROM a2 GROUP BY 1))
+         |SELECT n_vertices, n_edges, cut_edges,
+         |  cut_edges * 1000000 // n_edges AS cut_e6,
+         |  max_sz * kk * 1000000 // n_vertices AS balance_e6
+         |FROM cut, bal""".stripMargin
+    },
+
+    "g_vertex_cut" ->
+      s"""WITH $cte,
+         |sh AS (SELECT src, dst,
+         |         ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
+         |           1, 15))::BIGINT % 8 AS eshard
+         |       FROM e0),
+         |r AS (SELECT DISTINCT id, eshard FROM (
+         |        SELECT src AS id, eshard FROM sh
+         |        UNION ALL SELECT dst AS id, eshard FROM sh) u)
+         |SELECT CAST(8 AS BIGINT) AS k,
+         |  CAST(count(DISTINCT id) AS BIGINT) AS n_vertices,
+         |  CAST(count(*) AS BIGINT) AS n_replicas,
+         |  count(*) * 1000000 // count(DISTINCT id) AS rf_e6
+         |FROM r""".stripMargin,
 
     // weighted triangles enumerated canonically (a<b<c): min weight is
     // the bottleneck, totals exact BIGINT

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch-15: graph sharding — balanced LP partitioning, layout
+  * audits, vertex-cut baseline.
+  */
+class PartitionSpec extends GraftSuite {
+  import graft.graph.Partition
+
+  // two 4-cliques joined by one bridge (4, 11), symmetrized slots
+  private def twoCliques = {
+    val a = for { x <- 1L to 4L; y <- 1L to 4L if x != y } yield (x, y)
+    val b = for { x <- 11L to 14L; y <- 11L to 14L if x != y } yield (x, y)
+    edgesDf((a ++ b ++ Seq((4L, 11L), (11L, 4L))).toSeq)
+  }
+
+  test("balanced LP converges to the two cliques under a 1.5x cap") {
+    val m = labelsMap(Partition.balancedLp(twoCliques, k = 2, iters = 2,
+      capNum = 3L, capDen = 2L))
+    val a = (1L to 4L).map(m)
+    val b = (11L to 14L).map(m)
+    assert(a.toSet.size === 1 && b.toSet.size === 1 && a.head != b.head)
+  }
+
+  test("a zero-headroom cap admits no moves: layout stays the hash init") {
+    // capNum = capDen gives cap = n/k exactly = the initial sizes
+    val m = labelsMap(Partition.balancedLp(twoCliques, k = 2, iters = 2,
+      capNum = 1L, capDen = 1L))
+    (Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L)).foreach { id =>
+      assert(m(id) === id % 2, s"vertex $id moved despite zero quota")
+    }
+  }
+
+  test("cutQuality on the converged layout: bridge-only cut, perfect balance") {
+    val e = twoCliques
+    val assign = Partition.balancedLp(e, k = 2, iters = 2,
+      capNum = 3L, capDen = 2L)
+    val r = Partition.cutQuality(e, assign).first()
+    assert(r.getLong(0) === 8L)    // n_vertices
+    assert(r.getLong(1) === 26L)   // 12 + 12 + 2 directed slots
+    assert(r.getLong(2) === 2L)    // both bridge slots cross
+    assert(r.getLong(3) === 2L * 1000000L / 26L)
+    assert(r.getLong(4) === 1000000L) // 4 * 2 / 8
+  }
+
+  test("vertex-cut stats: k=1 means one replica per vertex exactly") {
+    val r = graft.graph.Partition.vertexCutStats(twoCliques, k = 1).first()
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 8L)
+    assert(r.getLong(2) === 8L)
+    assert(r.getLong(3) === 1000000L)
+  }
+
+  test("vertex-cut replication grows with k but never exceeds degree+1") {
+    val r = graft.graph.Partition.vertexCutStats(twoCliques, k = 8).first()
+    val rf = r.getLong(3)
+    assert(rf >= 1000000L && rf <= 8000000L)
+    assert(r.getLong(2) > r.getLong(1)) // some replication at k=8
+  }
+}
