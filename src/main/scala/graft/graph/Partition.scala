@@ -121,6 +121,55 @@ object Partition {
         expr("max_sz * k * 1000000 div n_vertices").as("balance_e6"))
   }
 
+  /** 2D grid edge partitioning (the GraphX `EdgePartition2D` strategy):
+    * edge (src, dst) lands on shard (src % rows)·cols + (dst % cols), so
+    * a vertex's out-edges spread over at most `cols` shards and its
+    * in-edges over at most `rows` — replication is BOUNDED at
+    * rows + cols − 1 per vertex regardless of degree, the property that
+    * makes 2D layouts the default for power-law graphs (a 10⁸-degree hub
+    * costs 2√k replicas, not k). Same audit columns as
+    * [[vertexCutStats]] for side-by-side comparison.
+    *
+    * @return 1 row (k, n_vertices, n_replicas, rf_e6)
+    */
+  def grid2dStats(edges: DataFrame, rows: Int, cols: Int): DataFrame = {
+    require(rows >= 1 && cols >= 1)
+    val sharded = edges.select(col("src"), col("dst"),
+      ((col("src") % rows) * cols + col("dst") % cols).as("eshard"))
+    val reps = sharded.select(col("src").as("id"), col("eshard"))
+      .union(sharded.select(col("dst").as("id"), col("eshard")))
+      .distinct()
+    reps.agg(count(lit(1)).as("n_replicas"),
+        countDistinct(col("id")).as("n_vertices"))
+      .select(lit((rows * cols).toLong).as("k"), col("n_vertices"),
+        col("n_replicas").cast("long").as("n_replicas"),
+        expr("n_replicas * 1000000 div n_vertices").as("rf_e6"))
+  }
+
+  /** Community quotient graph — contract the edge table by a vertex
+    * labeling (communities, components, shards): one vertex per label,
+    * edge weight = inter-label slot count, intra-label slots kept as
+    * self-loop weight. THE graph-summarization step: a 10¹²-edge url
+    * graph becomes a community-level graph orders of magnitude smaller
+    * that downstream algorithms (PageRank-over-communities, macro
+    * structure, visual analytics) run on directly. Two equi-joins + one
+    * partial-aggregated groupBy — shuffle bounded by distinct label
+    * PAIRS, not edges (the HostGraph.contract economics, for any
+    * labeling).
+    *
+    * @param edges  directed slots (src, dst)
+    * @param labels (id, label)
+    * @return (src_label, dst_label, weight)
+    */
+  def quotient(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"), col("label").as("src_label")),
+        "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("dst_label")),
+        "dst")
+      .groupBy("src_label", "dst_label")
+      .agg(count(lit(1)).as("weight"))
+
   /** PowerGraph-style vertex-cut statistics: edges hash to `k` shards by
     * the md5 trick (DuckDB-replayable), every vertex is replicated onto
     * each shard holding one of its edges, and the replication factor —

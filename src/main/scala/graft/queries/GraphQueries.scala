@@ -874,6 +874,20 @@ object GraphQueries {
     "g_vertex_cut" -> ((s, dir) =>
       graft.graph.Partition.vertexCutStats(demoEdges(s, dir), k = 8)),
 
+    // GraphX EdgePartition2D layout: 4x4 grid, replication bounded at
+    // rows + cols - 1 per vertex regardless of degree
+    "g_grid_cut" -> ((s, dir) =>
+      graft.graph.Partition.grid2dStats(demoEdges(s, dir), rows = 4,
+        cols = 4)),
+
+    // community quotient graph over a deterministic 7-label partition
+    // (the conductance gate's labeling) — graph summarization
+    "g_quotient" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      graft.graph.Partition.quotient(e,
+        GraphOps.vertices(e).select(col("id"), (col("id") % 7).as("label")))
+    }),
+
     // Hill/MLE power-law exponent of the degree distribution (e6)
     "g_powerlaw" -> ((s, dir) =>
       Measures.powerLawAlpha(demoEdges(s, dir), dMin = 2L)),
@@ -2928,6 +2942,26 @@ object GraphQueries {
          |  max_sz * kk * 1000000 // n_vertices AS balance_e6
          |FROM cut, bal""".stripMargin
     },
+
+    "g_grid_cut" ->
+      s"""WITH $cte,
+         |sh AS (SELECT src, dst, (src % 4) * 4 + dst % 4 AS eshard FROM e0),
+         |r AS (SELECT DISTINCT id, eshard FROM (
+         |        SELECT src AS id, eshard FROM sh
+         |        UNION ALL SELECT dst AS id, eshard FROM sh) u)
+         |SELECT CAST(16 AS BIGINT) AS k,
+         |  CAST(count(DISTINCT id) AS BIGINT) AS n_vertices,
+         |  CAST(count(*) AS BIGINT) AS n_replicas,
+         |  count(*) * 1000000 // count(DISTINCT id) AS rf_e6
+         |FROM r""".stripMargin,
+
+    "g_quotient" ->
+      s"""WITH $cte,
+         |lab AS (SELECT id, id % 7 AS label FROM verts)
+         |SELECT a.label AS src_label, b.label AS dst_label,
+         |  count(*) AS weight
+         |FROM e0 JOIN lab a ON e0.src = a.id JOIN lab b ON e0.dst = b.id
+         |GROUP BY 1, 2""".stripMargin,
 
     "g_vertex_cut" ->
       s"""WITH $cte,

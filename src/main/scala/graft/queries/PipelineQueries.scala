@@ -632,6 +632,10 @@ object PipelineQueries {
     // Heaps'-law exponent over the vocabulary-growth checkpoints
     "d_heaps" -> ((s, dir) => graft.text.TextIndex.heapsFit(docs(s, dir))),
 
+    // out-of-vocabulary rate vs the corpus top-20 vocabulary
+    "d_oov" -> ((s, dir) =>
+      graft.text.TextIndex.oovRate(docs(s, dir), vocabK = 20)),
+
     "d_bm25" -> ((s, dir) =>
       graft.text.Bm25.scoreTopDfTerms(docs(s, dir), qTerms = 3)),
 
@@ -1920,6 +1924,21 @@ object PipelineQueries {
         |    * 1000000) AS BIGINT) AS score_e6
         |FROM wtf JOIN q USING (term)
         |         JOIN lens ON lens.doc_id = wtf.doc_id, scal""".stripMargin,
+
+    "d_oov" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |v AS (SELECT term FROM (
+        |        SELECT term, count(*) AS tfc FROM tok GROUP BY 1
+        |        ORDER BY tfc DESC, term ASC LIMIT 20) t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS oov_e6
+        |FROM tok LEFT JOIN v ON tok.term = v.term
+        |GROUP BY 1""".stripMargin,
 
     "d_heaps" ->
       """WITH mx AS (SELECT max(doc_id) AS m FROM documents),

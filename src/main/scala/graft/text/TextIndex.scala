@@ -265,6 +265,33 @@ object TextIndex {
         col("n").cast("double")).cast("long").as("intercept_e6"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus top-`vocabK`
+    * vocabulary (tf desc, term asc — deterministic cutoff) — the
+    * tokenizer-coverage filter feature: docs whose tokens mostly fall
+    * outside the working vocabulary are wrong-language residue, OCR
+    * noise, or id dumps, and OOV-rate is the cheap signal that catches
+    * them before an expensive LM pass. Zero-token docs emit no row.
+    *
+    * Scale shape: one corpus tf agg, a TakeOrdered top-K (broadcastable
+    * vocab), one left join + per-doc agg — no windows, no all-pairs.
+    *
+    * @return (doc_id, n_tokens, n_oov, oov_e6)
+    */
+  def oovRate(docs: DataFrame, vocabK: Int): DataFrame = {
+    require(vocabK >= 1)
+    val toks = docs.select(col("doc_id"), explode(termsCol).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tfc"))
+      .orderBy(col("tfc").desc, col("term").asc).limit(vocabK)
+      .select(col("term"), lit(1L).as("inv"))
+    toks.join(vocab, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_oov").cast("long").as("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_e6"))
+  }
+
   /** Heaps'-law exponent over the [[vocabularyGrowth]] checkpoints —
     * V(N) = K·N^β, fit as ln V = ln K + β·ln N by least squares. β ≈
     * 0.4–0.6 on natural text; β drifting toward 1 means the vocabulary

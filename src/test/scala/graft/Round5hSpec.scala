@@ -58,4 +58,44 @@ class PartitionSpec extends GraftSuite {
     assert(rf >= 1000000L && rf <= 8000000L)
     assert(r.getLong(2) > r.getLong(1)) // some replication at k=8
   }
+
+  test("2D grid layout: every two-clique vertex lands on exactly 3 shards") {
+    // rows=cols=2: out-edges span {2(v%2), 2(v%2)+1}, in-edges
+    // {v%2, 2+v%2}; both cliques mix parities, so each union is 3
+    val r = Partition.grid2dStats(twoCliques, rows = 2, cols = 2).first()
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 8L)
+    assert(r.getLong(2) === 24L)
+    assert(r.getLong(3) === 3000000L)
+  }
+
+  test("quotient graph: label-pair slot counts, self-loops kept") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val lab = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("id", "label")
+    val q = Partition.quotient(e, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(q === Map((10L, 10L) -> 2L, (10L, 20L) -> 1L))
+  }
+}
+
+class OovSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.text.TextIndex
+
+  test("OOV rate against a size-1 vocabulary by hand") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = TextIndex.oovRate(docs, vocabK = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m(1L) === (3L, 1L, 333333L))
+    assert(m(2L) === (2L, 1L, 500000L))
+  }
+
+  test("a vocabulary covering everything gives zero OOV") {
+    val docs = Seq((1L, "x y"), (2L, "y")).toDF("doc_id", "text")
+    val m = TextIndex.oovRate(docs, vocabK = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(m.values.toSet === Set(0L))
+  }
 }
