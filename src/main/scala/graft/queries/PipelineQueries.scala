@@ -1060,6 +1060,20 @@ object PipelineQueries {
     "ev_trigrams" -> ((s, dir) =>
       graft.streaming.Funnel.trigrams(events(s, dir))),
 
+    // per-user behavioral entropy rate (predictability next to bot score)
+    "ev_user_entropy" -> ((s, dir) =>
+      graft.streaming.Funnel.userEntropy(events(s, dir))),
+
+    // mirror-site detection over the synthetic host mapping: host pairs
+    // sharing identical content-prefix fingerprints (the fixture's full
+    // texts are dup-free, so the 40-char prefix is the shared-template
+    // signal), containment-normalized
+    "d_mirrors" -> ((s, dir) =>
+      graft.sources.HostGraph.mirrorPairs(
+        docs(s, dir).select(
+          concat(lit("h"), (col("doc_id") % 20).cast("string")).as("host"),
+          md5(substring(col("text"), 1, 40)).as("fp")))),
+
     // exact multimodal dedup: identical payload bytes collapse to the
     // minimum media_id across kinds
     "m_media_dedup" -> ((s, dir) =>
@@ -2530,6 +2544,41 @@ object PipelineQueries {
 
     // funnel oracle: per-step conditional minima chained left-to-right,
     // truncated epoch seconds throughout
+    "ev_user_entropy" ->
+      """WITH o AS (SELECT user_id, event_type AS a,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS b
+        |           FROM events),
+        |tr AS (SELECT user_id, a, b, count(*) AS nab FROM o
+        |       WHERE b IS NOT NULL GROUP BY 1, 2, 3),
+        |na AS (SELECT user_id, a, CAST(sum(nab) AS BIGINT) AS na
+        |       FROM tr GROUP BY 1, 2),
+        |t AS (SELECT tr.user_id, tr.nab,
+        |        CAST(ROUND(tr.nab * ln(na.na::DOUBLE / tr.nab) * 1000000)
+        |          AS BIGINT) AS t
+        |      FROM tr JOIN na ON tr.user_id = na.user_id AND tr.a = na.a)
+        |SELECT user_id, CAST(sum(nab) AS BIGINT) AS n_transitions,
+        |  CAST(ROUND(CAST(sum(t) AS BIGINT)
+        |    / CAST(sum(nab) AS BIGINT)) AS BIGINT) AS h_e6
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "d_mirrors" ->
+      """WITH h AS (SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR)
+        |             AS host, md5(substr(text, 1, 40)) AS fp
+        |           FROM documents),
+        |spread AS (SELECT fp FROM (SELECT fp, count(*) AS nh FROM h
+        |             GROUP BY 1) t WHERE nh <= 50),
+        |kept AS (SELECT h.host, h.fp FROM h JOIN spread USING (fp)),
+        |sizes AS (SELECT host, count(*) AS sz FROM kept GROUP BY 1),
+        |pairs AS (SELECT a.host AS host_a, b.host AS host_b,
+        |            count(*) AS shared
+        |          FROM kept a JOIN kept b ON a.fp = b.fp
+        |          WHERE a.host < b.host GROUP BY 1, 2)
+        |SELECT p.host_a, p.host_b, p.shared,
+        |  p.shared * 1000000 // least(sa.sz, sb.sz) AS mirror_e6
+        |FROM pairs p JOIN sizes sa ON p.host_a = sa.host
+        |             JOIN sizes sb ON p.host_b = sb.host""".stripMargin,
+
     "ev_attrib" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us

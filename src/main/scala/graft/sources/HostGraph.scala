@@ -158,6 +158,42 @@ object HostGraph {
         coalesce(col("rule"), lit("")).as("rule"))
   }
 
+  /** Mirror-site detection: host pairs sharing many identical content
+    * fingerprints — re-hosted archives, mirror farms, and scraped-copy
+    * sites, which inflate every host-level statistic until they are
+    * collapsed. `mirror_e6` = shared distinct fingerprints ÷ the SMALLER
+    * host's distinct-content count (containment: a full mirror of a
+    * small site scores 10⁶ even next to a huge host).
+    *
+    * Scale shape: the pairing is an equi-join ON THE FINGERPRINT, so
+    * candidate pairs are Σ_fp C(hosts(fp), 2) — duplicate-cluster sized,
+    * never all-host-pairs; `maxHostsPerFp` drops corpus-wide boilerplate
+    * fingerprints first (the CoCitation hub cap), bounding any one
+    * fingerprint's pair mint at C(cap, 2).
+    *
+    * @param docHosts (host, fp) — one row per hosted document content
+    * @return (host_a, host_b, shared, mirror_e6), host_a < host_b
+    */
+  def mirrorPairs(docHosts: DataFrame, maxHostsPerFp: Int = 50): DataFrame = {
+    require(maxHostsPerFp >= 2)
+    val h = docHosts.select(col("host"), col("fp")).distinct()
+    val spread = h.groupBy("fp").agg(count(lit(1)).as("nh"))
+      .filter(col("nh") <= maxHostsPerFp).select(col("fp"))
+    val kept = h.join(spread, Seq("fp"), "left_semi")
+    val sizes = kept.groupBy("host").agg(count(lit(1)).as("sz"))
+    val pairs = kept.select(col("fp"), col("host").as("host_a"))
+      .join(kept.select(col("fp"), col("host").as("host_b")), "fp")
+      .filter(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("sz").as("sza")),
+        "host_a")
+      .join(sizes.select(col("host").as("host_b"), col("sz").as("szb")),
+        "host_b")
+      .select(col("host_a"), col("host_b"), col("shared"),
+        expr("shared * 1000000 div least(sza, szb)").as("mirror_e6"))
+  }
+
   /** Per-url crawl change-rate estimation over a snapshot history — the
     * signal a recrawl scheduler feeds back into frontier priority: pages
     * that changed in most observed intervals get refetched often, static

@@ -70,6 +70,40 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-user behavioral entropy rate — H(next type | current type) of
+    * the user's OWN transition matrix, the predictability feature next
+    * to [[botSignals]]: scripted clients replay near-deterministic loops
+    * (H → 0 at high volume), organic users wander (H up to ln of the
+    * type alphabet). Same integer-rounding contract as the corpus
+    * entropy rate (`d_bigram_entropy`): each (a→b) cell contributes the
+    * e6-rounded INTEGER n_ab·ln(n_a/n_ab), so the per-user sum is
+    * order-free; one final divide by the user's transition count.
+    *
+    * Scale shape: per-user lead window + two hash aggs, everything
+    * keyed by user — embarrassingly user-parallel.
+    *
+    * @return (user_id, n_transitions, h_e6)
+    */
+  def userEntropy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("nt", lead(col("event_type"), 1).over(w))
+      .filter(col("nt").isNotNull)
+      .groupBy(col("user_id"), col("event_type").as("a"), col("nt").as("b"))
+      .agg(count(lit(1)).as("nab"))
+    val na = tr.groupBy("user_id", "a").agg(sum(col("nab")).cast("long").as("na"))
+    tr.join(na, Seq("user_id", "a"))
+      .select(col("user_id"), col("nab"),
+        round(col("nab") * log(col("na").cast("double") / col("nab"))
+          * 1000000).cast("long").as("t"))
+      .groupBy("user_id")
+      .agg(sum(col("nab")).cast("long").as("n_transitions"),
+        sum(col("t")).cast("long").as("st"))
+      .select(col("user_id"), col("n_transitions"),
+        round(col("st") / col("n_transitions")).cast("long").as("h_e6"))
+  }
+
   /** Per-user consecutive event-type TRIGRAMS — the length-3 extension
     * of [[transitions]]: behavioral path mining one step deeper than the
     * Markov matrix (which 2-step contexts precede a purchase; which

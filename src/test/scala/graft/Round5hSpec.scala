@@ -79,6 +79,59 @@ class PartitionSpec extends GraftSuite {
   }
 }
 
+class UserEntropySpec extends GraftSuite {
+  import spark.implicits._
+  import graft.streaming.Funnel
+
+  private def ev(rows: Seq[(Long, String, Long, String)]) =
+    rows.toDF("event_id", "ets", "user_id", "event_type")
+      .select(col("event_id"), col("ets").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+
+  test("a deterministic a-b loop has zero entropy; a branch has ln 2 bits") {
+    val events = ev(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "a"),
+      (2L, "2024-01-01 00:00:02", 1L, "b"),
+      (3L, "2024-01-01 00:00:03", 1L, "a"),
+      (4L, "2024-01-01 00:00:04", 1L, "b"),
+      (5L, "2024-01-01 00:00:05", 1L, "a"),
+      (6L, "2024-01-01 00:00:01", 2L, "a"),
+      (7L, "2024-01-01 00:00:02", 2L, "b"),
+      (8L, "2024-01-01 00:00:03", 2L, "a"),
+      (9L, "2024-01-01 00:00:04", 2L, "c")))
+    val m = Funnel.userEntropy(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) === (4L, 0L)) // scripted loop: fully predictable
+    // user 2: a->b, b->a, a->c; the two a-contexts each carry ln 2
+    val t = math.round(math.log(2.0) * 1000000)
+    assert(m(2L) === (3L, math.round(2.0 * t / 3.0)))
+  }
+}
+
+class MirrorSpec extends GraftSuite {
+  import spark.implicits._
+  import graft.sources.HostGraph
+
+  test("shared fingerprints pair hosts, containment-normalized") {
+    val dh = Seq(
+      ("A", "f1"), ("A", "f2"), ("A", "f3"),
+      ("B", "f1"), ("B", "f2"),
+      ("C", "f9")).toDF("host", "fp")
+    val got = HostGraph.mirrorPairs(dh).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(("A", "B") -> (2L, 1000000L))) // B fully mirrored
+  }
+
+  test("corpus-wide boilerplate fingerprints are capped out of the pairing") {
+    val dh = Seq(("A", "f1"), ("B", "f1"), ("C", "f1"), ("A", "f2"),
+      ("B", "f2")).toDF("host", "fp")
+    val got = HostGraph.mirrorPairs(dh, maxHostsPerFp = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("A", "B") -> 1L)) // f1 (3 hosts) dropped, f2 kept
+  }
+}
+
 class OovSpec extends GraftSuite {
   import spark.implicits._
   import graft.text.TextIndex
