@@ -474,4 +474,68 @@ object PageRank {
     runPersonalizedFixed(reversed, spamSeeds, iterations, damping, partitions)
       .select(col("id"), col("rank").as("antitrust"))
   }
+
+  /** OPIC — On-line Page Importance Computation (Abiteboul–Preda–Cobena,
+    * WWW'03), the crawl-ordering importance estimate computed WHILE
+    * crawling: every page holds cash, each step distributes its cash
+    * equally over its outlinks (dangling pages hand theirs to everyone —
+    * the paper's virtual root collapsed uniformly), and accumulated
+    * history ≈ importance long before a PageRank run would converge.
+    * Deterministic synchronous form, one step per superstep:
+    *
+    *   cash_k(v) = Σ_{u→v} cash_{k−1}(u)/od(u) + D_{k−1}/n
+    *   hist_k(v) = hist_{k−1}(v) + cash_k(v),   cash_0 = hist_0 = 1/n
+    *
+    * Un-damped (total cash is conserved at exactly 1 per step) — the
+    * frontier-prioritization signal next to [[runFixed]]'s damped ranks;
+    * unlike Katz/eigenvector walk counts the dangling mass is refolded,
+    * so the score is a probability at every step.
+    *
+    * Scale shape is [[runFixed]]'s: degree-decorated edges persisted
+    * once, per-step one gather join + hash agg; (cash, hist) ride one
+    * vertex-sized state table, eagerly truncated per step because it is
+    * referenced three times (dangling sum, gather, history add).
+    *
+    * @return (id, cash_e6, hist_e6) after `iterations` steps
+    */
+  def opicFixed(edges: DataFrame, iterations: Int,
+                partitions: Int = 32): DataFrame = {
+    val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(edges("src"), edges("dst"), col("outdeg"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = verts.join(outDeg, Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hasDangling = dangling.count() > 0L
+
+    var st = verts
+      .select(col("id"), lit(1.0 / n).as("cash"), lit(1.0 / n).as("hist"))
+      .transform(graft.engine.Materialize.eager)
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val dMass =
+        if (hasDangling)
+          dangling.join(st, "id").agg(sum("cash")).first().getDouble(0)
+        else 0.0
+      val contribs = edgesDeg
+        .join(st, edgesDeg("src") === st("id"))
+        .select(edgesDeg("dst").as("id"), (col("cash") / col("outdeg")).as("c"))
+      val sums = contribs.groupBy("id").agg(sum("c").as("s"))
+      st = st.select(col("id"), col("hist"))
+        .join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("s"), lit(0.0)) + lit(dMass / n)).as("cash"),
+          col("hist"))
+        .select(col("id"), col("cash"), (col("hist") + col("cash")).as("hist"))
+        .transform(graft.engine.Materialize.eager)
+    }
+    edgesDeg.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    st
+  }
 }

@@ -120,6 +120,49 @@ object Truss {
         coalesce(col("trussness"), lit(2L)).as("trussness"))
   }
 
+  /** Per-edge embeddedness profile (Granovetter / Onnela et al.): for
+    * every canonical (src < dst) edge, the common-neighbor count, the
+    * neighborhood-overlap ratio
+    *
+    *   overlap = common / (deg(u) + deg(v) − 2 − common)
+    *
+    * (Jaccard of the two neighborhoods minus the endpoints themselves;
+    * 0 when the union is empty, i.e. two degree-1 endpoints), and the
+    * local-bridge flag (common == 0: removing the edge puts its endpoints
+    * ≥ 3 hops apart — Granovetter's weak tie). On a link graph, organic
+    * intra-site links are highly embedded while spam/paid links and true
+    * cross-topic bridges sit at overlap ≈ 0, so this is the per-edge
+    * feature TrustRank-era link classifiers start from.
+    *
+    * Cost: one [[edgeSupport]] pass (degree-oriented triangle
+    * enumeration, O(√E) wedge cap) + a degree aggregation + two
+    * broadcastable joins — the k-truss round's exact shape, no window,
+    * no per-edge neighborhood materialization.
+    *
+    * @return (src, dst, common, overlap_e6, local_bridge)
+    */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val canon = GraphOps.canonical(edges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = GraphOps.degrees(edges)
+    val denom = col("du") + col("dv") - lit(2) - col("common")
+    val out = canon.join(edgeSupport(canon), Seq("src", "dst"), "left")
+      .join(deg.select(col("id").as("src"), col("degree").as("du")), "src")
+      .join(deg.select(col("id").as("dst"), col("degree").as("dv")), "dst")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("common"),
+        col("du"), col("dv"))
+      .select(col("src"), col("dst"), col("common"),
+        when(denom <= 0, lit(0L))
+          .otherwise(round(col("common") * lit(1000000.0) / denom)
+            .cast("long")).as("overlap_e6"),
+        when(col("common") === 0, lit(1L)).otherwise(lit(0L))
+          .as("local_bridge"))
+      .transform(graft.engine.Materialize.eager)
+    canon.unpersist(blocking = false)
+    out
+  }
+
   /** Peel to convergence: the k-truss. An empty survivor set converges
     * (count stable at 0), mirroring [[KCore.kCore]]'s empty-core rule.
     */

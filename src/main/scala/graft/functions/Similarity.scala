@@ -288,6 +288,37 @@ object Similarity {
       .agg(count(lit(1)).as("deg"), sum(col("q")).as("sum_q"))
   }
 
+  /** Per-dimension embedding distribution audit: n, exact e6-integer
+    * component sum, mean and variance per dimension — the
+    * embedding-collapse / drift monitor (a dimension whose variance
+    * pins to ~0 is dead; a shifted mean flags an encoder version skew)
+    * run before trusting any ANN index built on the column.
+    *
+    * Components are rounded to e6 INTEGERS first, so both sums are
+    * exact and order-free; mean/variance are one final double expression
+    * from the integer moments (identical text in the oracle). int64
+    * envelope: Σx² in e12 units needs n·max(x)²·10¹² < 2⁶³ — safe to
+    * ~9·10⁶ unit-normed vectors per audit; beyond, sample or lift the
+    * square sum to Decimal(38,0).
+    *
+    * @return (dim, n, sum_e6, mean_e6, var_e12)
+    */
+  def dimStats(vectors: DataFrame, dim: Int = 64): DataFrame = {
+    val ex = vectors
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
+    ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xe6")).as("sum_e6"),
+        sum(col("xe6") * col("xe6")).as("sumsq"))
+      .select(col("dim"), col("n"), col("sum_e6"),
+        round(col("sum_e6") / col("n")).cast("long").as("mean_e6"),
+        round(col("sumsq") / col("n")
+          - (col("sum_e6") / col("n")) * (col("sum_e6") / col("n")))
+          .cast("long").as("var_e12"))
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame =
     sims.withColumn("sim_e6", round(col("sim") * 1000000).cast("long"))
       .withColumn("rank", row_number().over(

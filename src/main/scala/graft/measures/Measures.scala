@@ -611,6 +611,48 @@ object Measures {
     *
     * @return one row (n_tail, d_min, alpha_e6)
     */
+  /** Coverage and performance of a vertex partition (Fortunato's survey
+    * §community-quality): coverage = intra-community edge fraction;
+    * performance = (correctly-classified pairs) / all pairs, where a pair
+    * is correct when it is an intra-community edge or an inter-community
+    * non-edge — the two partition-quality scalars reported next to
+    * modularity (coverage rewards dense communities, performance also
+    * rewards clean separation).
+    *
+    * Everything stays integer until the two final divides: intra-pair
+    * totals are carried DOUBLED (Σ c·(c−1), n·(n−1)) so no halving ever
+    * truncates, and the performance numerator
+    *
+    *   2·intra_edges + (n(n−1) − Σ c(c−1)) − 2·(m − intra_edges)
+    *
+    * is an exact int64 (envelope n < 3·10⁹ — beyond, lift to Decimal).
+    * Cost: one canonical-edge join against the labeling + two hash aggs
+    * over the label table — no windows, nothing vertex-quadratic.
+    *
+    * @param labels (id, label) covering every vertex of `edges`
+    * @return one row (n, m, intra_edges, coverage_e6, performance_e6)
+    */
+  def partitionQuality(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = graft.graph.GraphOps.canonical(edges)
+    val es = canon
+      .join(labels.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("intra"))
+    val nn = labels.agg(count(lit(1)).as("n"))
+    val ip = labels.groupBy("label").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("intra2x"))
+    es.crossJoin(nn).crossJoin(ip)
+      .select(col("n"), col("m"), col("intra").as("intra_edges"),
+        round(col("intra") * lit(1000000.0) / col("m")).cast("long")
+          .as("coverage_e6"),
+        round((lit(2) * col("intra")
+            + (col("n") * (col("n") - 1) - col("intra2x"))
+            - lit(2) * (col("m") - col("intra"))) * lit(1000000.0)
+          / (col("n") * (col("n") - 1))).cast("long")
+          .as("performance_e6"))
+  }
+
   def powerLawAlpha(edges: DataFrame, dMin: Long = 2L): DataFrame = {
     require(dMin >= 1)
     edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))

@@ -892,6 +892,54 @@ object GraphQueries {
     "g_powerlaw" -> ((s, dir) =>
       Measures.powerLawAlpha(demoEdges(s, dir), dMin = 2L)),
 
+    // per-edge embeddedness: common neighbors, Onnela neighborhood
+    // overlap, local-bridge flag (common = 0 — Granovetter's weak tie);
+    // the per-edge feature a link-spam classifier starts from
+    "g_embeddedness" -> ((s, dir) =>
+      graft.algo.Truss.edgeEmbeddedness(demoEdges(s, dir))),
+
+    // CheiRank: PageRank over the TRANSPOSED directed graph — ranks
+    // pages by how communicatively they LINK OUT (hub-ness), the dual
+    // axis to PageRank's authority on the 2D rank plane used in web
+    // spam taxonomy; dangling mass refolded per step by runFixed
+    "g_cheirank_t3" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      PageRank.runFixed(
+          directed.select(col("dst").as("src"), col("src").as("dst")),
+          iterations = 3)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("cheirank_e6"))
+    }),
+
+    // partition coverage + performance (Fortunato) of the 3-superstep
+    // LP labeling — the two community-quality scalars beside modularity
+    "g_part_quality" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      Measures.partitionQuality(e,
+        LabelPropagation.runFixed(e, 3, symmetric = true))
+    }),
+
+    // OPIC crawl-ordering importance (Abiteboul): un-damped cash
+    // propagation with uniform dangling refold + accumulated history,
+    // 3 synchronous steps on the directed demo graph
+    "g_opic_t3" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      PageRank.opicFixed(directed, iterations = 3)
+        .select(col("id"),
+          round(col("cash") * 1000000).cast("long").as("cash_e6"),
+          round(col("hist") * 1000000).cast("long").as("hist_e6"))
+    }),
+
     // global motif census — wedges / triangles / squares (4-cycles) /
     // transitivity; exact integer counts (each 4-cycle counted via its
     // two diagonal common-neighbor pairs, sum provably even)
@@ -2977,6 +3025,134 @@ object GraphQueries {
          |  CAST(count(*) AS BIGINT) AS n_replicas,
          |  count(*) * 1000000 // count(DISTINCT id) AS rf_e6
          |FROM r""".stripMargin,
+
+    // embeddedness oracle: common neighbors per canonical edge via the
+    // two-neighborhood join on the symmetrized slots (self-loop-free, so
+    // the shared neighbor can never be an endpoint), Onnela overlap at
+    // e6 with the identical double expression, local bridge = common 0
+    "g_embeddedness" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |sup AS (
+         |  SELECT c.src, c.dst, count(*) AS common
+         |  FROM canon c
+         |  JOIN e0 n1 ON n1.src = c.src
+         |  JOIN e0 n2 ON n2.src = c.dst AND n2.dst = n1.dst
+         |  GROUP BY 1, 2)
+         |SELECT c.src, c.dst,
+         |  CAST(coalesce(sup.common, 0) AS BIGINT) AS common,
+         |  CASE WHEN du.degree + dv.degree - 2 - coalesce(sup.common, 0) <= 0
+         |       THEN 0
+         |       ELSE CAST(ROUND(coalesce(sup.common, 0) * 1000000.0
+         |         / (du.degree + dv.degree - 2 - coalesce(sup.common, 0)))
+         |         AS BIGINT) END AS overlap_e6,
+         |  CASE WHEN coalesce(sup.common, 0) = 0
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |    AS local_bridge
+         |FROM canon c
+         |LEFT JOIN sup ON sup.src = c.src AND sup.dst = c.dst
+         |JOIN deg du ON du.id = c.src
+         |JOIN deg dv ON dv.id = c.dst""".stripMargin,
+
+    // CheiRank oracle: the runFixed recurrence on the TRANSPOSED
+    // directed edges with dangling mass refolded uniformly each step —
+    // r_k = 0.15/n + 0.85*(gather + m_k/n), exactly the engine order
+    "g_cheirank_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""cdm$k AS (
+           |  SELECT coalesce(sum(p.r), 0) AS m FROM cr${k - 1} p
+           |  LEFT JOIN cdeg d ON p.id = d.id WHERE d.id IS NULL
+           |), cx$k AS (
+           |  SELECT tre.dst AS id, sum(p.r / d.od) AS s
+           |  FROM tre JOIN cr${k - 1} p ON tre.src = p.id
+           |  JOIN cdeg d ON tre.src = d.id
+           |  GROUP BY 1
+           |), cr$k AS (
+           |  SELECT v.id,
+           |         0.15 / (SELECT count(*) FROM vd)
+           |           + 0.85 * (coalesce(x.s, 0)
+           |             + (SELECT m FROM cdm$k) / (SELECT count(*) FROM vd))
+           |           AS r
+           |  FROM vd v LEFT JOIN cx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |tre AS (SELECT dst AS src, src AS dst FROM rawd),
+         |cdeg AS (SELECT src AS id, count(*) AS od FROM tre GROUP BY 1),
+         |cr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM vd) AS r FROM vd),
+         |$steps
+         |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS cheirank_e6
+         |FROM cr3""".stripMargin
+    },
+
+    // partition-quality oracle over the 3-superstep LP labels: intra
+    // census on canonical edges, doubled pair totals kept integer, the
+    // two e6 ratios with identical double expressions
+    "g_part_quality" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |lab AS (SELECT id, label FROM s3),
+         |es AS (SELECT count(*) AS m,
+         |         sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS intra
+         |       FROM canon c
+         |       JOIN lab a ON a.id = c.src JOIN lab b ON b.id = c.dst),
+         |nn AS (SELECT count(*) AS n FROM lab),
+         |ip AS (SELECT coalesce(sum(c * (c - 1)), 0) AS intra2x FROM (
+         |         SELECT count(*) AS c FROM lab GROUP BY label) t)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+         |  CAST(intra AS BIGINT) AS intra_edges,
+         |  CAST(ROUND(intra * 1000000.0 / m) AS BIGINT) AS coverage_e6,
+         |  CAST(ROUND((2 * intra + (n * (n - 1) - intra2x)
+         |    - 2 * (m - intra)) * 1000000.0 / (n * (n - 1))) AS BIGINT)
+         |    AS performance_e6
+         |FROM es, nn, ip""".stripMargin,
+
+    // OPIC oracle: un-damped cash conservation with uniform dangling
+    // refold, history accumulated in the engine's addition order
+    // (h_k = h_{k-1} + c_k)
+    "g_opic_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""odm$k AS (
+           |  SELECT coalesce(sum(p.c), 0) AS m FROM oc${k - 1} p
+           |  LEFT JOIN odeg d ON p.id = d.id WHERE d.id IS NULL
+           |), ox$k AS (
+           |  SELECT rawd.dst AS id, sum(p.c / d.od) AS s
+           |  FROM rawd JOIN oc${k - 1} p ON rawd.src = p.id
+           |  JOIN odeg d ON rawd.src = d.id
+           |  GROUP BY 1
+           |), oc$k AS (
+           |  SELECT v.id,
+           |         coalesce(x.s, 0)
+           |           + (SELECT m FROM odm$k) / (SELECT count(*) FROM vd)
+           |           AS c,
+           |         v.h + (coalesce(x.s, 0)
+           |           + (SELECT m FROM odm$k) / (SELECT count(*) FROM vd))
+           |           AS h
+           |  FROM oc${k - 1} v LEFT JOIN ox$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |vd AS (SELECT src AS id FROM rawd UNION SELECT dst FROM rawd),
+         |odeg AS (SELECT src AS id, count(*) AS od FROM rawd GROUP BY 1),
+         |oc0 AS (SELECT id, 1.0 / (SELECT count(*) FROM vd) AS c,
+         |               1.0 / (SELECT count(*) FROM vd) AS h FROM vd),
+         |$steps
+         |SELECT id, CAST(ROUND(c * 1000000) AS BIGINT) AS cash_e6,
+         |       CAST(ROUND(h * 1000000) AS BIGINT) AS hist_e6
+         |FROM oc3""".stripMargin
+    },
 
     // weighted triangles enumerated canonically (a<b<c): min weight is
     // the bottleneck, totals exact BIGINT

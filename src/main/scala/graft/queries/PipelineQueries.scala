@@ -793,6 +793,40 @@ object PipelineQueries {
         graft.functions.Similarity.bruteForceTopK(e, q, k = 5), q)
     }),
 
+    // Matryoshka truncation audit: exact cosine top-5 using only the
+    // first 32 of 64 dimensions vs the full-width exact top-5 —
+    // recall@5 of the half-dim index a store deploys to halve ANN
+    // memory; second crossJoin is the documented exact baseline
+    "e_trunc_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      def half(v: DataFrame) = v.select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"))
+      recallAt5(
+        graft.functions.Similarity.bruteForceTopK(half(e), half(q), k = 5),
+        graft.functions.Similarity.bruteForceTopK(e, q, k = 5), q)
+    }),
+
+    // per-dimension embedding distribution audit: exact e6-integer
+    // moments per dimension — the collapse/drift monitor run before
+    // trusting an ANN index built on the column
+    "e_dim_stats" -> ((s, dir) =>
+      graft.functions.Similarity.dimStats(emb(s, dir))),
+
+    // DSIR importance weights: per-doc average unigram log-likelihood
+    // ratio of the English-slice LM over the raw-corpus LM (add-1
+    // smoothed over the corpus vocabulary) — the importance-resampling
+    // tilt toward a curated slice, no classifier training needed
+    "d_dsir" -> ((s, dir) =>
+      graft.text.TextIndex.dsirWeights(docs(s, dir), col("lang") === "en")),
+
+    // per-term gamma-coded posting-list cost over df-banded terms —
+    // the index-sizing audit (the adjacency g_gamma_bits, lifted to the
+    // inverted index); head terms dropped BEFORE the per-term window
+    "d_postings_bits" -> ((s, dir) =>
+      graft.text.TextIndex.postingsGammaCost(docs(s, dir), minDf = 3L,
+        maxDf = 400L)),
+
     // data-mixture card: per-source doc/token counts and corpus token
     // share — the mixture table every pretraining run publishes and the
     // input the waterfilling budgeter (d_host_budget) consumes
@@ -1568,6 +1602,106 @@ object PipelineQueries {
          |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
          |  CAST(coalesce(h.n_hit, 0) * 200000 AS BIGINT) AS recall_e6
          |FROM qq q LEFT JOIN ihits h ON q.qid = h.qid""".stripMargin,
+
+    // Matryoshka truncation oracle: the brute-force cosine top-5 at 32
+    // and at 64 dims over the same vectors, recall@5 of the former
+    "e_trunc_recall" ->
+      """WITH ve AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding]
+        |              AS v FROM embeddings),
+        |sg AS (SELECT vec_id, v,
+        |         sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm,
+        |         sqrt(list_sum([v[i+1] * v[i+1] for i in range(32)]))
+        |           AS nrm32
+        |       FROM ve),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, nrm32 AS qn32
+        |      FROM sg WHERE vec_id % 50 = 0),
+        |fbs AS (SELECT q.qid, s.vec_id,
+        |          CAST(ROUND(list_sum([q.qv[i+1] * s.v[i+1]
+        |              for i in range(64)])
+        |            / (q.qn * s.nrm) * 1000000) AS BIGINT) AS sim_e6
+        |        FROM q, sg s WHERE q.qid <> s.vec_id),
+        |brute AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM fbs) t
+        |  WHERE rank <= 5),
+        |tbs AS (SELECT q.qid, s.vec_id,
+        |          CAST(ROUND(list_sum([q.qv[i+1] * s.v[i+1]
+        |              for i in range(32)])
+        |            / (q.qn32 * s.nrm32) * 1000000) AS BIGINT) AS sim_e6
+        |        FROM q, sg s WHERE q.qid <> s.vec_id),
+        |trnc AS (SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM tbs) t
+        |  WHERE rank <= 5),
+        |hits AS (SELECT b.qid, count(*) AS n_hit FROM brute b
+        |         JOIN trnc l ON l.qid = b.qid AND l.vec_id = b.vec_id
+        |         GROUP BY 1)
+        |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) * 200000 AS BIGINT) AS recall_e6
+        |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin,
+
+    // per-dimension moments: e6-integer components summed exactly,
+    // mean/variance from the integer moments with the identical double
+    // expression
+    "e_dim_stats" ->
+      """WITH ex AS (SELECT r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |ag AS (SELECT dim, count(*) AS n, CAST(sum(xe6) AS BIGINT) AS sum_e6,
+        |         CAST(sum(xe6 * xe6) AS BIGINT) AS sumsq
+        |       FROM ex GROUP BY dim)
+        |SELECT CAST(dim AS BIGINT) AS dim, n, sum_e6,
+        |  CAST(ROUND(sum_e6 / n) AS BIGINT) AS mean_e6,
+        |  CAST(ROUND(sumsq / n - (sum_e6 / n) * (sum_e6 / n)) AS BIGINT)
+        |    AS var_e12
+        |FROM ag""".stripMargin,
+
+    // DSIR oracle: per-term add-1 log-likelihood ratio of the en-slice
+    // LM over the corpus LM, e6-rounded then tf-weighted (order-free)
+    "d_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+        |         FROM tfd GROUP BY 1),
+        |bt AS (SELECT term, count(*) AS cr,
+        |         CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |       FROM tok GROUP BY 1),
+        |sc AS (SELECT CAST(sum(cr) AS BIGINT) AS totr,
+        |         CAST(sum(ct) AS BIGINT) AS tott,
+        |         count(*) AS vocab FROM bt),
+        |terms AS (
+        |  SELECT t.doc_id,
+        |    t.tf * CAST(ROUND(ln(
+        |      ((b.ct + 1) / ((SELECT tott FROM sc) + (SELECT vocab FROM sc)))
+        |      / ((b.cr + 1)
+        |        / ((SELECT totr FROM sc) + (SELECT vocab FROM sc))))
+        |      * 1000000) AS BIGINT) AS c
+        |  FROM tfd t JOIN bt b ON t.term = b.term)
+        |SELECT t.doc_id, l.len AS n_tokens,
+        |  CAST(ROUND(CAST(sum(c) AS DOUBLE) / l.len) AS BIGINT) AS dsir_e6
+        |FROM terms t JOIN dlen l ON t.doc_id = l.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // postings gamma-cost oracle: df band, per-term doc-id delta gaps,
+    // Elias-gamma bits via the shared length(bin(gap)) trick
+    "d_postings_bits" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+        |dfb AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+        |band AS (SELECT term FROM dfb WHERE df >= 3 AND df <= 400),
+        |gaps AS (SELECT p.term,
+        |           coalesce(p.doc_id - lag(p.doc_id) OVER (
+        |             PARTITION BY p.term ORDER BY p.doc_id),
+        |             p.doc_id + 1) AS gap
+        |         FROM pairs p JOIN band b ON p.term = b.term)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(2 * (length(bin(gap)) - 1) + 1) AS BIGINT) AS gamma_bits
+        |FROM gaps GROUP BY term""".stripMargin,
 
     "m_media_decode" ->
       """WITH b AS (SELECT doc_id AS media_id,

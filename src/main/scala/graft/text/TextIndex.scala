@@ -360,4 +360,82 @@ object TextIndex {
       .select(col("doc_id"), col("len").as("n_tokens"),
         round(col("s").cast("double") / col("len")).cast("long").as("kl_e6"))
   }
+
+  /** DSIR-style importance weight (Xie et al., "Data Selection with
+    * Importance Resampling", 2023): per document the average unigram
+    * log-likelihood ratio of a TARGET subset's language model over the
+    * raw corpus's,
+    *
+    *   weight(d) = (1/len) Σ_w tf_d(w) · ln( p_target(w) / p_raw(w) )
+    *
+    * with add-1 smoothing over the shared corpus vocabulary. High-weight
+    * documents look like the target; sampling ∝ exp(weight) is the
+    * standard way to tilt a 100 TB crawl toward a curated slice without
+    * training a classifier.
+    *
+    * Determinism contract (the d_kl / edge-BC lesson): each per-TERM
+    * log-ratio is rounded to an e6 INTEGER and weighted by the exact
+    * integer tf, so the per-doc sum is order-free; one final divide.
+    * Cost: two corpus-sized tokenize+agg passes (target tf is a filtered
+    * re-aggregation) and a vocabulary-sized join onto the per-doc tf
+    * table — no windows, nothing quadratic.
+    *
+    * @param isTarget row predicate over `docs` selecting the target slice
+    * @return (doc_id, n_tokens, dsir_e6)
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), isTarget.as("tgt"),
+      explode(termsCol).as("term"))
+    val tfd = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val len = tfd.groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
+    // per-term counts in the raw corpus and in the target slice; the
+    // vocabulary is the raw corpus's (add-1 keeps every ratio finite)
+    val byTerm = toks.groupBy("term").agg(
+      count(lit(1)).cast("long").as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).cast("long").as("ct"))
+    val scal = byTerm.agg(
+      sum(col("cr")).cast("long").as("totr"),
+      sum(col("ct")).cast("long").as("tott"),
+      count(lit(1)).cast("long").as("vocab"))
+    val ratio = ((col("ct") + 1).cast("double") / (col("tott") + col("vocab")))
+      ./((col("cr") + 1).cast("double") / (col("totr") + col("vocab")))
+    val terms = tfd.join(byTerm, "term").crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        (col("tf") * round(log(ratio) * 1000000).cast("long")).as("c"))
+    terms.groupBy("doc_id").agg(sum(col("c")).as("s"))
+      .join(len, "doc_id")
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        round(col("s").cast("double") / col("len")).cast("long")
+          .as("dsir_e6"))
+  }
+
+  /** Per-term gamma-coded posting-list cost: document-id delta gaps per
+    * term (first gap doc_id+1 so id 0 stays codable), Elias-γ bits
+    * 2·⌊log₂ gap⌋+1 summed per term — the index-sizing audit next to the
+    * adjacency variant ([[graft.graph.Compress.gammaGapCost]]); run after
+    * a crawl-id remap to see how much locality the remap buys the index.
+    *
+    * The per-term window is bounded by `maxDf` BEFORE ranking (df from a
+    * plain hash agg, head terms dropped like [[coOccurrence]]'s band and
+    * the CoCitation hub cap) — a stopword's posting list is corpus-sized
+    * and would otherwise concentrate on one partition.
+    *
+    * @return (term, df, gamma_bits) for terms with df in [minDf, maxDf]
+    */
+  def postingsGammaCost(docs: DataFrame, minDf: Long = 2L,
+                        maxDf: Long = 1000000L): DataFrame = {
+    val pairs = docTermPairs(docs)
+    val banded = termDf(docs)
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("term"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    pairs.join(banded, Seq("term"), "left_semi")
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + 1))
+      .select(col("term"),
+        (lit(2) * (length(bin(col("gap"))) - 1) + 1).cast("long").as("bits"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("bits")).as("gamma_bits"))
+  }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 batch-16: edge embeddedness / local bridges, OPIC crawl
+  * ordering, partition coverage + performance.
+  */
+class EmbeddednessSpec extends GraftSuite {
+  import graft.algo.Truss
+
+  test("triangle + pendant: overlap exact, pendant is the local bridge") {
+    // triangle 1-2-3 with pendant 4 on vertex 3
+    val e = edgesDf(undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))))
+    val rows = Truss.edgeEmbeddedness(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows((1L, 2L)) === ((1L, 1000000L, 0L))) // union = {3} alone
+    assert(rows((1L, 3L)) === ((1L, 500000L, 0L)))  // union = {2, 4}
+    assert(rows((2L, 3L)) === ((1L, 500000L, 0L)))
+    assert(rows((3L, 4L)) === ((0L, 0L, 1L)))       // the weak tie
+  }
+
+  test("isolated dyad: empty neighborhood union reports overlap 0, bridge") {
+    val e = edgesDf(undirected(Seq((7L, 8L))))
+    val r = Truss.edgeEmbeddedness(e).first()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((0L, 0L, 1L)))
+  }
+}
+
+class OpicSpec extends GraftSuite {
+  import graft.algo.PageRank
+
+  test("3-cycle-ish directed graph: two hand-unrolled steps, cash conserved") {
+    // 1->2, 2->1, 3->1 : no dangling, n = 3
+    val e = edgesDf(Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    val r = PageRank.opicFixed(e, iterations = 2).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // step1 cash: (2/3, 1/3, 0); step2 cash: (1/3, 2/3, 0)
+    assert(math.abs(r(1L)._1 - 1.0 / 3) < 1e-12)
+    assert(math.abs(r(2L)._1 - 2.0 / 3) < 1e-12)
+    assert(math.abs(r(3L)._1) < 1e-12)
+    // hist: 1/3 + step1 + step2
+    assert(math.abs(r(1L)._2 - 4.0 / 3) < 1e-12)
+    assert(math.abs(r(2L)._2 - 4.0 / 3) < 1e-12)
+    assert(math.abs(r(3L)._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.values.map(_._1).sum - 1.0) < 1e-12)
+  }
+
+  test("dangling page refolds its cash uniformly; total stays 1 per step") {
+    // 1->2 with 2 dangling, n = 2
+    val e = edgesDf(Seq((1L, 2L)))
+    val r = PageRank.opicFixed(e, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.25) < 1e-12)  // dm/n = 0.5/2
+    assert(math.abs(r(2L) - 0.75) < 1e-12)  // 0.5 gathered + 0.25 refold
+  }
+}
+
+class PartitionQualitySpec extends GraftSuite {
+  import graft.measures.Measures
+
+  // two 3-cliques joined by the bridge (3, 4)
+  private def twoTriangles = edgesDf(undirected(
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L))))
+
+  private def labels(f: Long => Long) = {
+    import spark.implicits._
+    (1L to 6L).map(id => (id, f(id))).toDF("id", "label")
+  }
+
+  test("the natural 2-clique partition: coverage 6/7, performance 14/15") {
+    val r = Measures.partitionQuality(twoTriangles,
+      labels(id => if (id <= 3) 0L else 1L)).first()
+    assert(r.getLong(0) === 6L && r.getLong(1) === 7L && r.getLong(2) === 6L)
+    assert(r.getLong(3) === math.round(6e6 / 7))
+    // numer2x = 12 + (30 - 12) - 2 = 28 over total2x = 30
+    assert(r.getLong(4) === math.round(28e6 / 30))
+  }
+
+  test("one giant community: coverage 1, performance = edge density") {
+    val r = Measures.partitionQuality(twoTriangles, labels(_ => 0L)).first()
+    assert(r.getLong(3) === 1000000L)
+    // numer2x = 14 + (30 - 30) - 0 = 14 over 30
+    assert(r.getLong(4) === math.round(14e6 / 30))
+  }
+
+  test("singletons: zero coverage, performance = non-edge fraction") {
+    val r = Measures.partitionQuality(twoTriangles, labels(identity)).first()
+    assert(r.getLong(2) === 0L && r.getLong(3) === 0L)
+    // numer2x = 0 + 30 - 14 = 16 over 30
+    assert(r.getLong(4) === math.round(16e6 / 30))
+  }
+}
+
+class DsirSpec extends GraftSuite {
+  import graft.text.TextIndex
+  import org.apache.spark.sql.functions.col
+
+  test("hand-computed add-1 ratios: target doc positive, off-target negative") {
+    import spark.implicits._
+    // vocab {a, b}: cr = (2, 2), ct = (2, 0), totr 4, tott 2, V 2
+    val d = Seq((1L, "a a", "en"), (2L, "b b", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = TextIndex.dsirWeights(d, col("lang") === "en").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // p_t(a)/p_r(a) = 0.75/0.5, p_t(b)/p_r(b) = 0.25/0.5
+    assert(r(1L) === ((2L, math.round(math.log(1.5) * 1e6))))
+    assert(r(2L) === ((2L, math.round(math.log(0.5) * 1e6))))
+  }
+
+  test("postings gamma cost: hand-coded gaps, sub-band terms dropped") {
+    import spark.implicits._
+    val d = Seq((1L, "x shared"), (3L, "x shared"), (7L, "x"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val r = TextIndex.postingsGammaCost(d, minDf = 2L, maxDf = 10L)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    // x: docs 1,3,7 -> gaps 2,2,4 -> bits 3+3+5
+    assert(r("x") === ((3L, 11L)))
+    // shared: docs 1,3 -> gaps 2,2 -> bits 6
+    assert(r("shared") === ((2L, 6L)))
+    assert(!r.contains("solo")) // df 1 < minDf
+  }
+}
+
+class DimStatsSpec extends GraftSuite {
+  import graft.functions.Similarity
+
+  test("two 2-dim vectors: exact integer moments per dimension") {
+    import spark.implicits._
+    val v = Seq((1L, Seq(1.0f, 0.5f)), (2L, Seq(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.dimStats(v, dim = 2).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(0L) === ((2L, 1000000L, 500000L, 250000000000L)))
+    assert(r(1L) === ((2L, 1000000L, 500000L, 0L)))
+  }
+
+  test("truncated-dim top-k equals full top-k when the tail dims are zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(0.0f, 1.0f, 0f, 0f)), (4L, Seq(0.2f, 0.8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def half(v: org.apache.spark.sql.DataFrame) = v.select(col("vec_id"),
+      slice(col("embedding"), 1, 2).as("embedding"))
+    val full = Similarity.bruteForceTopK(vecs, vecs, k = 2)
+      .select("qid", "vec_id", "rank")
+    val trunc = Similarity.bruteForceTopK(half(vecs), half(vecs), k = 2)
+      .select("qid", "vec_id", "rank")
+    assert(full.except(trunc).count() === 0L)
+    assert(trunc.except(full).count() === 0L)
+  }
+}
