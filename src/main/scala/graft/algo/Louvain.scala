@@ -217,4 +217,37 @@ object Louvain {
     g.unpersist(blocking = false)
     (composed, level)
   }
+
+  /** Leiden-style connectivity refinement (Traag et al. 2019, the fix
+    * for Louvain's one guarantee gap): any community that is internally
+    * DISCONNECTED is split into its connected parts. Runs CC over the
+    * intra-community edge subgraph and relabels each vertex by the min
+    * vertex id of its intra-component; vertices with no intra-community
+    * neighbor become singletons. Refined labels are globally unique
+    * without any label arithmetic because intra-components partition the
+    * vertex set.
+    *
+    * Cost: one two-sided label join to carve the intra subgraph + one
+    * alternating CC over it (O(log n) rounds) — community-agnostic, so
+    * no per-community work, no windows. Run after [[run]] or after any
+    * LP labeling before publishing communities; modularity can only
+    * change by the split (never merges), and every published community
+    * is certified connected.
+    *
+    * @param labels (id, label) covering every vertex of `edges`
+    * @return (id, label, refined) — `refined` the connectivity-certified
+    *         community id
+    */
+  def refineConnected(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val intra = edges
+      .join(labels.select(col("id").as("src"), col("label").as("ls")), "src")
+      .join(labels.select(col("id").as("dst"), col("label").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .select(col("src"), col("dst"))
+    val comp = ConnectedComponents.runAlternating(intra)
+      .select(col("id"), col("label").as("comp"))
+    labels.join(comp, Seq("id"), "left")
+      .select(col("id"), col("label"),
+        coalesce(col("comp"), col("id")).as("refined"))
+  }
 }

@@ -653,6 +653,57 @@ object Measures {
           .as("performance_e6"))
   }
 
+  /** Small-world coefficient σ = (C/C_rand)/(L/L_rand) (Humphries–Gurney):
+    * measured transitivity and mean shortest-path length against their
+    * Erdős–Rényi/configuration-model expectations — σ ≫ 1 is the
+    * clustered-yet-short-paths regime the web graph famously sits in,
+    * and the one-row sanity panel consulted before assuming BFS-bounded
+    * algorithms terminate in few supersteps.
+    *
+    *   C      = 3·triangles / wedges           (exact integer census)
+    *   C_rand = (S2−S1)² / S1³                 (configuration null, as
+    *                                            g_null_clustering)
+    *   L      = Σdist / pairs over all-pairs BFS min distances (exact
+    *            integers; depth-capped — same contract as g_dist_hist)
+    *   L_rand = ln(n) / ln(S1/n)               (ER expectation at the
+    *                                            same mean degree)
+    *
+    * The all-source BFS is the one expensive leg (state = reached
+    * (source, vertex) pairs); at web scale swap it for the HyperANF
+    * mean distance ([[graft.algo.Centrality.neighborhoodFunctionApprox]])
+    * — the census and moment legs are corpus-scale-safe as is.
+    *
+    * @return one row (c_e6, c_null_e6, l_e6, l_null_e6, sigma_e3)
+    */
+  def smallWorldSigma(edges: DataFrame,
+                      maxDepth: Int = graft.algo.Betweenness.DepthCap)
+      : DataFrame = {
+    val census = graft.algo.TriangleCount.motifCensus(edges)
+      .select(col("wedges"), col("triangles"))
+    val mom = degreeMoments(edges)
+      .select(col("n_vertices"),
+        col("n_slots").cast("double").as("s1"),
+        col("sum_d2").cast("double").as("s2"))
+    val verts = graft.graph.GraphOps.vertices(edges)
+    val lev = graft.algo.Betweenness.bfsLevels(edges, verts, maxDepth)
+      .filter(col("dist") > 0)
+      .agg(sum(col("dist")).cast("long").as("sum_dist"),
+        count(lit(1)).as("pairs"))
+    val c = when(col("wedges") === 0, lit(0.0))
+      .otherwise(lit(3.0) * col("triangles") / col("wedges"))
+    val cNull = (col("s2") - col("s1")) * (col("s2") - col("s1")) /
+      (col("s1") * col("s1") * col("s1"))
+    val l = col("sum_dist") / col("pairs")
+    val lNull = log(col("n_vertices")) / log(col("s1") / col("n_vertices"))
+    census.crossJoin(mom).crossJoin(lev)
+      .select(
+        round(c * 1000000).cast("long").as("c_e6"),
+        round(cNull * 1000000).cast("long").as("c_null_e6"),
+        round(l * 1000000).cast("long").as("l_e6"),
+        round(lNull * 1000000).cast("long").as("l_null_e6"),
+        round((c / cNull) / (l / lNull) * 1000).cast("long").as("sigma_e3"))
+  }
+
   def powerLawAlpha(edges: DataFrame, dMin: Long = 2L): DataFrame = {
     require(dMin >= 1)
     edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))

@@ -898,6 +898,31 @@ object GraphQueries {
     "g_embeddedness" -> ((s, dir) =>
       graft.algo.Truss.edgeEmbeddedness(demoEdges(s, dir))),
 
+    // exact closeness/harmonic centrality: every vertex a source at the
+    // shared depth cap — closes the sampled variant's exactness gap the
+    // way g_bc_exact closed Brandes'
+    "g_harmonic_exact" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      graft.algo.Centrality.sampledCloseness(e, GraphOps.vertices(e))
+        .select(col("id"), col("reached"),
+          round(col("harmonic") * 1000000).cast("long").as("harmonic_e6"),
+          round(col("closeness") * 1000000).cast("long").as("closeness_e6"))
+    }),
+
+    // small-world sigma: measured (C, L) against the configuration-null
+    // C and the ER-expected L — the clustered-yet-short-paths panel
+    "g_small_world" -> ((s, dir) =>
+      Measures.smallWorldSigma(demoEdges(s, dir))),
+
+    // Leiden-style connectivity refinement of the LP-3 labeling: every
+    // internally-disconnected community splits into its connected parts
+    // (CC over the intra-community subgraph), singletons kept explicit
+    "g_refine_connected" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      graft.algo.Louvain.refineConnected(e,
+        LabelPropagation.runFixed(e, 3, symmetric = true))
+    }),
+
     // CheiRank: PageRank over the TRANSPOSED directed graph — ranks
     // pages by how communicatively they LINK OUT (hub-ness), the dual
     // axis to PageRank's authority on the 2D rank plane used in web
@@ -3025,6 +3050,87 @@ object GraphQueries {
          |  CAST(count(*) AS BIGINT) AS n_replicas,
          |  count(*) * 1000000 // count(DISTINCT id) AS rf_e6
          |FROM r""".stripMargin,
+
+    // exact-centrality oracle: the sampled-closeness closure with every
+    // vertex a source (same depth cap, same recurrence)
+    "g_harmonic_exact" ->
+      s"""WITH RECURSIVE $cte,
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM verts
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |d AS (SELECT source, id, min(dist) AS dist FROM reach GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source AS id, count(*) AS reached,
+         |         sum(1.0 / dist) AS harm, sum(dist) AS sd
+         |  FROM d WHERE dist > 0 GROUP BY 1)
+         |SELECT v.id,
+         |  coalesce(a.reached, 0) AS reached,
+         |  CAST(ROUND(coalesce(a.harm, 0) * 1000000) AS BIGINT) AS harmonic_e6,
+         |  CAST(ROUND(coalesce(a.reached / a.sd, 0) * 1000000) AS BIGINT)
+         |    AS closeness_e6
+         |FROM verts v LEFT JOIN agg a ON v.id = a.id""".stripMargin,
+
+    // small-world oracle: integer census + double moments + all-pairs
+    // depth-capped min distances, every ratio the engine's expression
+    "g_small_world" ->
+      s"""WITH RECURSIVE $cte,
+         |ndeg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |nm AS (SELECT CAST(sum(degree) AS DOUBLE) AS s1,
+         |         CAST(sum(degree * degree) AS DOUBLE) AS s2,
+         |         CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS wedges
+         |       FROM ndeg),
+         |canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (SELECT count(*) AS triangles
+         |        FROM canon e1
+         |        JOIN canon e2 ON e1.dst = e2.src
+         |        JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM verts
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |d AS (SELECT source, id, min(dist) AS dist FROM reach GROUP BY 1, 2),
+         |lpp AS (SELECT CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |          count(*) AS pairs FROM d WHERE dist > 0),
+         |nv AS (SELECT count(*) AS n FROM verts)
+         |SELECT
+         |  CAST(ROUND((CASE WHEN m.wedges = 0 THEN 0.0
+         |    ELSE 3.0 * t.triangles / m.wedges END) * 1000000) AS BIGINT)
+         |    AS c_e6,
+         |  CAST(ROUND((m.s2 - m.s1) * (m.s2 - m.s1)
+         |    / (m.s1 * m.s1 * m.s1) * 1000000) AS BIGINT) AS c_null_e6,
+         |  CAST(ROUND(l.sum_dist / l.pairs * 1000000) AS BIGINT) AS l_e6,
+         |  CAST(ROUND(ln(v.n) / ln(m.s1 / v.n) * 1000000) AS BIGINT)
+         |    AS l_null_e6,
+         |  CAST(ROUND(((CASE WHEN m.wedges = 0 THEN 0.0
+         |      ELSE 3.0 * t.triangles / m.wedges END)
+         |      / ((m.s2 - m.s1) * (m.s2 - m.s1) / (m.s1 * m.s1 * m.s1)))
+         |    / ((l.sum_dist / l.pairs) / (ln(v.n) / ln(m.s1 / v.n)))
+         |    * 1000) AS BIGINT) AS sigma_e3
+         |FROM nm m, tri t, lpp l, nv v""".stripMargin,
+
+    // connectivity-refinement oracle: LP-3 labels, intra-community edge
+    // subgraph, recursive min-id closure over it, singletons to own id
+    "g_refine_connected" ->
+      s"""WITH RECURSIVE $cte,
+         |${lpStepsSql(3)},
+         |intra AS (
+         |  SELECT e0.src, e0.dst FROM e0
+         |  JOIN s3 a ON a.id = e0.src
+         |  JOIN s3 b ON b.id = e0.dst
+         |  WHERE a.label = b.label),
+         |ireach(id, lab) AS (
+         |  SELECT src, src FROM intra
+         |  UNION
+         |  SELECT intra.dst, ireach.lab
+         |  FROM ireach JOIN intra ON intra.src = ireach.id
+         |), icomp AS (SELECT id, min(lab) AS comp FROM ireach GROUP BY id)
+         |SELECT s3.id, s3.label, coalesce(icomp.comp, s3.id) AS refined
+         |FROM s3 LEFT JOIN icomp ON icomp.id = s3.id""".stripMargin,
 
     // embeddedness oracle: common neighbors per canonical edge via the
     // two-neighborhood join on the symmetrized slots (self-loop-free, so

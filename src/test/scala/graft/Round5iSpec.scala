@@ -93,6 +93,51 @@ class PartitionQualitySpec extends GraftSuite {
   }
 }
 
+class SmallWorldSpec extends GraftSuite {
+  import graft.measures.Measures
+
+  test("K4: every panel value hand-computable") {
+    val k4 = edgesDf(
+      for { x <- 1L to 4L; y <- 1L to 4L if x != y } yield (x, y))
+    val r = Measures.smallWorldSigma(k4).first()
+    assert(r.getLong(0) === 1000000L)              // C = 1
+    assert(r.getLong(1) === 333333L)               // C_null = 1/3
+    assert(r.getLong(2) === 1000000L)              // L = 1
+    // L_null = ln 4 / ln 3; sigma = (C/C_null)/(L/L_null)
+    val lNull = math.log(4) / math.log(3)
+    assert(r.getLong(3) === math.round(lNull * 1e6))
+    assert(r.getLong(4) === math.round((1.0 / (1.0 / 3)) / (1.0 / lNull) * 1e3))
+  }
+}
+
+class RefineConnectedSpec extends GraftSuite {
+  import graft.algo.Louvain
+
+  test("a disconnected community splits; a lone-label vertex stays itself") {
+    import spark.implicits._
+    // two disjoint triangles forced into ONE community, plus vertex 7
+    // linked to 1 but labeled alone
+    val e = edgesDf(undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (7L, 1L))))
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (6L, 0L), (7L, 9L)).toDF("id", "label")
+    val r = Louvain.refineConnected(e, labels).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(Seq(1L, 2L, 3L).forall(r(_) === 1L))
+    assert(Seq(4L, 5L, 6L).forall(r(_) === 4L))
+    assert(r(7L) === 7L) // no intra-community neighbor: singleton
+  }
+
+  test("connected communities are untouched (refined = component min id)") {
+    val e = edgesDf(undirected(Seq((1L, 2L), (2L, 3L))))
+    import spark.implicits._
+    val labels = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "label")
+    val r = Louvain.refineConnected(e, labels).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
+
 class DsirSpec extends GraftSuite {
   import graft.text.TextIndex
   import org.apache.spark.sql.functions.col
