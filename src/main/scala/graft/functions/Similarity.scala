@@ -288,6 +288,28 @@ object Similarity {
       .agg(count(lit(1)).as("deg"), sum(col("q")).as("sum_q"))
   }
 
+  /** Contrastive hard-negative mining: for every query vector, the k
+    * most-cosine-similar vectors with a DIFFERENT label — the standard
+    * negative miner for training embedding models (similar-but-wrong
+    * examples teach the margin; random negatives are too easy). Exact
+    * brute-force baseline (the documented crossJoin); at corpus scale
+    * run the same label-mismatch filter inside [[lshTopK]]'s bucket
+    * join instead.
+    *
+    * @return (qid, vec_id, rank, sim_e6), rank 1 = hardest negative
+    */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("label").as("vlab"),
+      asDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("qid"), col("label").as("qlab"),
+      asDouble(col("embedding")).as("qv"))
+    val sims = q.crossJoin(v)
+      .filter(col("qid") =!= col("vec_id") && col("qlab") =!= col("vlab"))
+      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("sim"))
+    topK(sims, k)
+  }
+
   /** Per-dimension embedding distribution audit: n, exact e6-integer
     * component sum, mean and variance per dimension — the
     * embedding-collapse / drift monitor (a dimension whose variance

@@ -827,6 +827,44 @@ object PipelineQueries {
       graft.text.TextIndex.postingsGammaCost(docs(s, dir), minDf = 3L,
         maxDf = 400L)),
 
+    // contrastive hard negatives: the 3 most-similar DIFFERENT-label
+    // vectors per query — the negative miner for embedding training
+    // (exact baseline; at scale the label filter rides the LSH buckets)
+    "e_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.functions.Similarity.hardNegatives(e,
+        e.filter(col("vec_id") % 50 === 0), k = 3)
+    }),
+
+    // cross-source near-dup leakage matrix: banded MinHash candidate
+    // pairs aggregated per (source, source) — the split-contamination
+    // report checked before declaring two sources independent
+    "d_cross_source_dups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val src = d.select(col("doc_id"), col("source"))
+      minhashPairs(s, d)
+        .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // behavioral item cohorts: the co-visitation graph (ev_covisit's
+    // pairs) symmetrized and clustered by 2-superstep LP — the
+    // items-to-taxonomy composition a recommender ships
+    "ev_item_communities" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast("long").as("dst"))
+        .filter(col("dst").isNotNull)
+      val pairs = graft.algo.CoCitation.coCitation(e, maxOutDeg = 48,
+        minCount = 2)
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .distinct()
+      graft.algo.LabelPropagation.runFixed(edges, 2, symmetric = true)
+    }),
+
     // data-mixture card: per-source doc/token counts and corpus token
     // share — the mixture table every pretraining run publishes and the
     // input the waterfilling budgeter (d_host_budget) consumes
@@ -1602,6 +1640,67 @@ object PipelineQueries {
          |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
          |  CAST(coalesce(h.n_hit, 0) * 200000 AS BIGINT) AS recall_e6
          |FROM qq q LEFT JOIN ihits h ON q.qid = h.qid""".stripMargin,
+
+    // hard-negative oracle: brute cosine restricted to label mismatch,
+    // top-3 per query by (sim_e6 desc, vec_id)
+    "e_hard_negatives" ->
+      """WITH ve AS (SELECT vec_id, label,
+        |         [CAST(x AS DOUBLE) for x in embedding] AS v
+        |       FROM embeddings),
+        |sg AS (SELECT vec_id, label, v,
+        |         sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |       FROM ve),
+        |q AS (SELECT vec_id AS qid, label AS qlab, v AS qv, nrm AS qn
+        |      FROM sg WHERE vec_id % 50 = 0),
+        |hs AS (SELECT q.qid, s.vec_id,
+        |         CAST(ROUND(list_sum([q.qv[i+1] * s.v[i+1]
+        |             for i in range(64)])
+        |           / (q.qn * s.nrm) * 1000000) AS BIGINT) AS sim_e6
+        |       FROM q, sg s
+        |       WHERE q.qid <> s.vec_id AND q.qlab <> s.label)
+        |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM hs) t
+        |WHERE rank <= 3""".stripMargin,
+
+    // cross-source leakage oracle: the d_minhash_pairs candidates with
+    // both sides' sources, canonically ordered, counted per source pair
+    "d_cross_source_dups" ->
+      s"""WITH $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |         WHERE x.doc_id < y.doc_id)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.a
+         |JOIN documents db ON db.doc_id = c.b
+         |GROUP BY 1, 2""".stripMargin,
+
+    // item-cohort oracle: the ev_covisit pairs symmetrized into an edge
+    // table feeding the unrolled 2-superstep LP chain
+    "ev_item_communities" ->
+      s"""WITH rawd AS (
+         |  SELECT DISTINCT user_id AS src, CAST(props->>'k' AS BIGINT) AS dst
+         |  FROM events WHERE props->>'k' IS NOT NULL
+         |    AND user_id <> CAST(props->>'k' AS BIGINT)),
+         |kc AS (SELECT src FROM rawd GROUP BY src HAVING count(*) <= 48),
+         |k AS (SELECT src, dst FROM rawd
+         |      WHERE src IN (SELECT src FROM kc)),
+         |cp AS (SELECT a.dst AS u, b.dst AS v
+         |       FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e0 AS (SELECT u AS src, v AS dst FROM cp
+         |       UNION SELECT v, u FROM cp),
+         |verts AS (SELECT DISTINCT src AS id FROM e0),
+         |${graft.queries.GraphQueries.lpStepsSql(2)}
+         |SELECT id, label FROM s2""".stripMargin,
 
     // Matryoshka truncation oracle: the brute-force cosine top-5 at 32
     // and at 64 dims over the same vectors, recall@5 of the former

@@ -93,6 +93,37 @@ class PartitionQualitySpec extends GraftSuite {
   }
 }
 
+class HardNegativesSpec extends GraftSuite {
+  import graft.functions.Similarity
+  import org.apache.spark.sql.functions.col
+
+  test("same-label vectors are never mined; ranks follow cosine") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), 7), (2L, Seq(1.0f, 0.0f), 7),
+      (3L, Seq(0.9f, 0.1f), 8), (4L, Seq(0.0f, 1.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 1L), k = 3)
+      .collect().map(x => x.getLong(2) -> x.getLong(1)).toMap
+    // vec 2 shares label 7 with the query: excluded despite sim = 1
+    assert(r === Map(1L -> 3L, 2L -> 4L))
+  }
+}
+
+class CrossSourceDupSpec extends GraftSuite {
+  test("identical docs across two sources surface as one canonical pair") {
+    import spark.implicits._
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val d = Seq((1L, txt, "web"), (2L, txt, "books"),
+      (3L, "totally different words here entirely now", "web"))
+      .toDF("doc_id", "text", "source")
+    val p = graft.queries.PipelineQueries.minhashPairs(spark, d).collect()
+    assert(p.length === 1)
+    assert((p.head.getLong(0), p.head.getLong(1)) === ((1L, 2L)))
+  }
+}
+
 class SmallWorldSpec extends GraftSuite {
   import graft.measures.Measures
 
