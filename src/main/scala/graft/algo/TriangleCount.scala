@@ -200,6 +200,35 @@ object TriangleCount {
         coalesce(sum(col("w1") + col("w2") + col("w3")), lit(0L)).as("sum_w"))
   }
 
+  /** Degree-conditioned clustering curve C(k) (Ravasz–Barabási): mean
+    * local clustering coefficient per degree value — C(k) ∝ 1/k is the
+    * signature of hierarchical modularity (tight small modules under
+    * sparse hubs, the organic-web shape); a flat C(k) says the hubs are
+    * as clustered as the leaves, which on a link graph usually means
+    * templated/mirrored link blocks. Degree < 2 vertices are excluded
+    * (LCC undefined).
+    *
+    * Per-vertex LCC is rounded to an e6 INTEGER before the per-degree
+    * mean (order-free; one final divide) — the ratios replay exactly
+    * cross-engine from the integer triangle census. Cost: one
+    * [[perVertex]] census + a degree-keyed hash agg (output ≤ max
+    * degree rows).
+    *
+    * @return (degree, n, mean_lcc_e6)
+    */
+  def clusteringByDegree(edges: DataFrame): DataFrame = {
+    val deg = GraphOps.degrees(edges)
+    val per = deg.join(perVertex(edges), Seq("id"), "left")
+      .filter(col("degree") >= 2)
+      .select(col("degree"),
+        round(coalesce(col("triangles"), lit(0L)) * lit(2000000.0)
+          / (col("degree") * (col("degree") - 1))).cast("long").as("lcc_e6"))
+    per.groupBy("degree")
+      .agg(count(lit(1)).as("n"), sum(col("lcc_e6")).as("s"))
+      .select(col("degree"), col("n"),
+        round(col("s") / col("n")).cast("long").as("mean_lcc_e6"))
+  }
+
   def motifCensus(edges: DataFrame): DataFrame = {
     // coalesce: sums over an empty degree/pair table are NULL, and the
     // census contract is zeros (the transitivity guard needs wedges = 0,

@@ -914,6 +914,12 @@ object GraphQueries {
     "g_small_world" -> ((s, dir) =>
       Measures.smallWorldSigma(demoEdges(s, dir))),
 
+    // C(k) hierarchy curve (Ravasz–Barabási): mean local clustering per
+    // degree value — 1/k decay = hierarchical modularity, flat = link
+    // blocks; per-vertex LCC e6-rounded before the per-degree mean
+    "g_ck_curve" -> ((s, dir) =>
+      TriangleCount.clusteringByDegree(demoEdges(s, dir))),
+
     // Leiden-style connectivity refinement of the LP-3 labeling: every
     // internally-disconnected community splits into its connected parts
     // (CC over the intra-community subgraph), singletons kept explicit
@@ -3112,6 +3118,31 @@ object GraphQueries {
          |    / ((l.sum_dist / l.pairs) / (ln(v.n) / ln(m.s1 / v.n)))
          |    * 1000) AS BIGINT) AS sigma_e3
          |FROM nm m, tri t, lpp l, nv v""".stripMargin,
+
+    // C(k)-curve oracle: the per-vertex triangle census (as g_egonet),
+    // per-vertex e6 LCC, then the per-degree integer mean
+    "g_ck_curve" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM canon e1
+         |  JOIN canon e2 ON e1.dst = e2.src
+         |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pv AS (SELECT id, count(*) AS triangles FROM (
+         |  SELECT a AS id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) u GROUP BY id),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |per AS (
+         |  SELECT d.degree,
+         |    CAST(ROUND(coalesce(pv.triangles, 0) * 2000000.0
+         |      / (d.degree * (d.degree - 1))) AS BIGINT) AS lcc_e6
+         |  FROM deg d LEFT JOIN pv ON pv.id = d.id
+         |  WHERE d.degree >= 2)
+         |SELECT degree, count(*) AS n,
+         |  CAST(ROUND(CAST(sum(lcc_e6) AS BIGINT) / count(*)) AS BIGINT)
+         |    AS mean_lcc_e6
+         |FROM per GROUP BY degree""".stripMargin,
 
     // connectivity-refinement oracle: LP-3 labels, intra-community edge
     // subgraph, recursive min-id closure over it, singletons to own id

@@ -827,6 +827,25 @@ object PipelineQueries {
       graft.text.TextIndex.postingsGammaCost(docs(s, dir), minDf = 3L,
         maxDf = 400L)),
 
+    // native session_window sessionization at the same 1800 s gap as the
+    // flatMapGroupsWithState path (ev_sessions) — cross-validates the
+    // custom state logic against Catalyst's built-in session operator;
+    // exact microsecond arithmetic, window end − gap = last event time.
+    // (Native gap semantics, verified empirically: a gap of EXACTLY
+    // 1800 s still MERGES — the same closed `> gap` break rule as
+    // ev_sessions' custom state logic.)
+    "ev_session_native" -> ((s, dir) =>
+      events(s, dir)
+        // parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+        // cast is epoch-preserving (the ev_sessions precedent)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1800 seconds").as("w"))
+        .agg(count(lit(1)).as("events"))
+        .select(col("user_id"), col("events"),
+          unix_micros(col("w.start")).as("start_us"),
+          (unix_micros(col("w.end")) - lit(1800000000L)).as("last_us"))),
+
     // contrastive hard negatives: the 3 most-similar DIFFERENT-label
     // vectors per query — the negative miner for embedding training
     // (exact baseline; at scale the label filter rides the LSH buckets)
@@ -1169,17 +1188,21 @@ object PipelineQueries {
 
     // the composed production filter with priority semantics: short →
     // non-English → exact-dup among survivors → kept
-    "d_filter_status" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("lang"),
-        md5(col("text")).as("h"), size(tokensCol).cast("long").as("nt"))
-      val survivors = d.filter(col("nt") >= 10 && col("lang") === "en")
-      val keep = survivors.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
-      d.join(keep, Seq("h"), "left")
+    "d_filter_status" -> ((s, dir) => filterStatusDf(s, dir)),
+
+    // filter-agreement calibration: the rule-based funnel verdicts
+    // cross-tabbed against fixed-width KL-divergence buckets — do the
+    // cheap rules and the distributional outlier score agree before one
+    // replaces the other at the next scale-up?
+    "d_filter_agreement" -> ((s, dir) => {
+      // greatest(…, 0): true KL is ≥ 0 but the e6 term rounding can dip
+      // a perfectly-corpus-like doc to −1, where floor (DuckDB //) and
+      // truncate (Spark div) would bucket differently
+      val kl = graft.text.TextIndex.klFromCorpus(docs(s, dir))
         .select(col("doc_id"),
-          when(col("nt") < 10, lit("short"))
-            .when(col("lang") =!= "en", lit("lang"))
-            .when(col("doc_id") =!= col("keep_id"), lit("dup"))
-            .otherwise(lit("kept")).as("status"))
+          expr("greatest(kl_e6, 0L) div 500000").as("kl_bucket"))
+      filterStatusDf(s, dir).join(kl, "doc_id")
+        .groupBy("status", "kl_bucket").agg(count(lit(1)).as("n"))
     }),
 
     // count-min sketch estimates vs exact counts for the 20 heaviest
@@ -1270,6 +1293,22 @@ object PipelineQueries {
       .select(col("doc_id"), col("i"),
         md5(concat(col("i").cast("string"), lit(":"), col("sh"))).as("h"))
       .groupBy("doc_id", "i").agg(min(col("h")).as("h"))
+
+  /** The d_filter_status verdicts (doc_id, status) — shared by the raw
+    * gate and the d_filter_agreement calibration cross-tab.
+    */
+  private def filterStatusDf(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      md5(col("text")).as("h"), size(tokensCol).cast("long").as("nt"))
+    val survivors = d.filter(col("nt") >= 10 && col("lang") === "en")
+    val keep = survivors.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    d.join(keep, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("nt") < 10, lit("short"))
+          .when(col("lang") =!= "en", lit("lang"))
+          .when(col("doc_id") =!= col("keep_id"), lit("dup"))
+          .otherwise(lit("kept")).as("status"))
+  }
 
   private[graft] def minhashPairs(s: SparkSession, d: DataFrame): DataFrame = {
     val mh = minhashSigs(s, d)
@@ -1640,6 +1679,64 @@ object PipelineQueries {
          |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
          |  CAST(coalesce(h.n_hit, 0) * 200000 AS BIGINT) AS recall_e6
          |FROM qq q LEFT JOIN ihits h ON q.qid = h.qid""".stripMargin,
+
+    // native-session oracle: the ev_sessions gap rule in exact
+    // microseconds with the CLOSED boundary (only gap > 1800 s breaks —
+    // session_window's empirical merge rule)
+    "ev_session_native" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS t,
+        |         lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id, t,
+        |        CASE WHEN prev IS NULL OR t - prev > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, count(*) AS events, min(t) AS start_us,
+        |       max(t) AS last_us
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // filter-agreement oracle: the d_kl chain bucketed (clamped at 0)
+    // cross-tabbed against the d_filter_status verdicts
+    "d_filter_agreement" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tfd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+        |         FROM tfd GROUP BY 1),
+        |tfc AS (SELECT term, count(*) AS tfc FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |terms AS (
+        |  SELECT t.doc_id, l.len,
+        |         t.tf * CAST(ROUND(ln((CAST(t.tf AS DOUBLE) / l.len)
+        |           / (CAST(c.tfc AS DOUBLE) / (SELECT total FROM tot)))
+        |           * 1000000) AS BIGINT) AS c
+        |  FROM tfd t JOIN dlen l ON t.doc_id = l.doc_id
+        |  JOIN tfc c ON t.term = c.term),
+        |kl AS (SELECT doc_id,
+        |         greatest(CAST(ROUND(CAST(sum(c) AS DOUBLE) / min(len))
+        |           AS BIGINT), 0) // 500000 AS kl_bucket
+        |       FROM terms GROUP BY doc_id),
+        |sd AS (SELECT doc_id, lang, md5(text) AS h,
+        |         len(regexp_extract_all(text, '\S+')) AS nt
+        |       FROM documents),
+        |keep AS (SELECT h, min(doc_id) AS keep_id FROM sd
+        |         WHERE nt >= 10 AND lang = 'en' GROUP BY 1),
+        |stat AS (SELECT sd.doc_id,
+        |           CASE WHEN nt < 10 THEN 'short'
+        |                WHEN lang <> 'en' THEN 'lang'
+        |                WHEN sd.doc_id <> keep_id THEN 'dup'
+        |                ELSE 'kept' END AS status
+        |         FROM sd LEFT JOIN keep ON sd.h = keep.h)
+        |SELECT st.status, kl.kl_bucket, count(*) AS n
+        |FROM stat st JOIN kl ON kl.doc_id = st.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // hard-negative oracle: brute cosine restricted to label mismatch,
     // top-3 per query by (sim_e6 desc, vec_id)

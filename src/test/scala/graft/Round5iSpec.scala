@@ -93,6 +93,37 @@ class PartitionQualitySpec extends GraftSuite {
   }
 }
 
+class CkCurveSpec extends GraftSuite {
+  import graft.algo.TriangleCount
+
+  test("triangle + pendant: exact per-degree means, degree-1 excluded") {
+    val e = edgesDf(undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))))
+    val r = TriangleCount.clusteringByDegree(e).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r === Map(2L -> ((2L, 1000000L)), 3L -> ((1L, 333333L))))
+  }
+}
+
+class SessionWindowNativeSpec extends GraftSuite {
+  import org.apache.spark.sql.functions._
+
+  test("an exact 1800 s gap MERGES; one microsecond past it breaks") {
+    import spark.implicits._
+    // gaps: exactly 1800 s (merges — closed boundary, same rule as the
+    // custom ev_sessions state logic), then 1800 s + 1 us (breaks)
+    val df = Seq((1L, 0L), (2L, 1800000000L), (3L, 3600000001L))
+      .toDF("event_id", "us")
+      .select(col("event_id"), lit(7L).as("user_id"),
+        timestamp_micros(col("us")).as("ts"))
+    val r = df.groupBy(col("user_id"),
+        session_window(col("ts"), "1800 seconds").as("w"))
+      .agg(count(lit(1)).as("events"))
+      .select(unix_micros(col("w.start")), col("events"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 2L, 3600000001L -> 1L))
+  }
+}
+
 class HardNegativesSpec extends GraftSuite {
   import graft.functions.Similarity
   import org.apache.spark.sql.functions.col
