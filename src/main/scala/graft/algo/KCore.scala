@@ -235,4 +235,55 @@ object KCore {
     verts.unpersist(blocking = false)
     res
   }
+
+  /** Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016) on the
+    * [[corenessFixed]] schedule: each vertex gets the index of the
+    * (k, round) peel step that removed it — the WITHIN-shell layering
+    * coreness flattens (two vertices of equal coreness can sit at very
+    * different depths of their shell; the layer spectrum separates
+    * tree-like periphery from dense-core interiors on web graphs).
+    *
+    * Schedule: for k = 1..maxK, `roundsPerK` rounds each; a vertex
+    * removed at level k, round r has layer = (k−1)·roundsPerK + r;
+    * survivors of the whole schedule get layer maxK·roundsPerK + 1 (the
+    * deep core). Same fixed-schedule gate-ability argument as
+    * [[corenessFixed]]: the oracle replays the identical (k, r) grid.
+    *
+    * Scale shape: the peel loop is corenessFixed's (two semi-joins + one
+    * partial-aggregated degree count per round, monotonically shrinking
+    * survivor set); the only addition is one vertex-sized anti-join per
+    * round to name that round's removals — each removal lands in exactly
+    * one layer, so the union of removal tables is vertex-sized total,
+    * not per-round-sized.
+    *
+    * @return (id, layer) — layer ≥ 1, dense-core survivors at
+    *         maxK·roundsPerK + 1
+    */
+  def onionLayersFixed(edges: DataFrame, maxK: Int, roundsPerK: Int): DataFrame = {
+    require(maxK >= 1 && roundsPerK >= 1)
+    val e = GraphOps.symmetrize(edges.select("src", "dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = GraphOps.vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = verts
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1
+    while (k <= maxK) {
+      var r = 1
+      while (r <= roundsPerK) {
+        val next = peelRounds(e, alive, k.toLong, 1)
+        val layer = ((k - 1) * roundsPerK + r).toLong
+        layers += alive.join(next.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id"), lit(layer).as("layer"))
+        alive = next
+        r += 1
+      }
+      k += 1
+    }
+    layers += alive.select(col("id"),
+      lit((maxK * roundsPerK + 1).toLong).as("layer"))
+    val res = layers.reduce(_ union _).localCheckpoint(eager = true)
+    e.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    res
+  }
 }

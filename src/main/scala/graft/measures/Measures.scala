@@ -270,6 +270,30 @@ object Measures {
         (col("sum_nbr_deg").cast("double") / col("deg")).as("annd"))
   }
 
+  /** Joint degree distribution (degree-mixing matrix, Newman 2002): the
+    * slot count of every (k_src, k_dst) degree pair over the symmetrized
+    * slot table — the full 2-D structure that [[degreeAssortativity]]
+    * collapses to one number. Web graphs read it for disassortative
+    * wings (hubs wired to leaves = navigational boilerplate) and for the
+    * hub–hub corner [[richClub]] summarizes.
+    *
+    * Scale shape: one vertex-sized degree table joined onto both slot
+    * endpoints (the identical two-join gather ANND runs), then a hash
+    * aggregation whose key space is ≤ d_max² — the OUTPUT is
+    * histogram-sized no matter how many edges flow through, and the agg
+    * is map-side-combined down to that histogram before the shuffle.
+    *
+    * @return (k_src, k_dst, n_slots)
+    */
+  def jointDegreeDistribution(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    e.join(deg.select(col("id").as("src"), col("k").as("k_src")), "src")
+      .join(deg.select(col("id").as("dst"), col("k").as("k_dst")), "dst")
+      .groupBy("k_src", "k_dst")
+      .agg(count(lit(1)).as("n_slots"))
+  }
+
   /** Rich-club coefficient φ(k) for k = 1..maxK (Zhou–Mondragón; the
     * standard "do the hubs link to each other?" diagnostic on web
     * graphs):
@@ -702,6 +726,44 @@ object Measures {
         round(l * 1000000).cast("long").as("l_e6"),
         round(lNull * 1000000).cast("long").as("l_null_e6"),
         round((c / cNull) / (l / lNull) * 1000).cast("long").as("sigma_e3"))
+  }
+
+  /** Per-community modularity contribution — [[modularity]]'s sum
+    * decomposed by community under the same slot conventions (the
+    * reference's i≠j self-pair correction):
+    *
+    *   Q_c = ( intra_c − (vol_c² − Σ_{i∈c} k_i²) / 2m ) / 2m,
+    *   Σ_c Q_c = Q
+    *
+    * The per-community ledger operators read when global Q moves: which
+    * communities carry the structure and which are modularity-negative
+    * (over-volumed relative to their internal slots — merge or split
+    * candidates). Two label-keyed hash aggs + one broadcast scalar; all
+    * inputs exact integers until the final divides.
+    *
+    * @return (label, n_vertices, intra_slots, vol, q_e9)
+    */
+  def perCommunityModularity(edges: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val srcLab = labels.select(col("id").as("src"), col("label"))
+    val dstLab = labels.select(col("id").as("dst"), col("label").as("dlab"))
+    val m2df = edges.agg(count(lit(1)).cast("long").as("m2"))
+    val intra = edges.filter(col("src") =!= col("dst"))
+      .join(srcLab, "src").join(dstLab, "dst")
+      .filter(col("label") === col("dlab"))
+      .groupBy("label").agg(count(lit(1)).as("intra_slots"))
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("k"))
+    val com = labels.join(deg, Seq("id"), "left").na.fill(0L, Seq("k"))
+      .groupBy("label").agg(count(lit(1)).as("n_vertices"),
+        sum(col("k")).cast("long").as("vol"),
+        sum(col("k") * col("k")).cast("long").as("ksq"))
+    val qc = (coalesce(col("intra_slots"), lit(0L))
+      - (col("vol") * col("vol") - col("ksq")) / col("m2")) / col("m2")
+    com.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(m2df))
+      .select(col("label"), col("n_vertices"),
+        coalesce(col("intra_slots"), lit(0L)).as("intra_slots"), col("vol"),
+        round(qc * 1000000000).cast("long").as("q_e9"))
   }
 
   def powerLawAlpha(edges: DataFrame, dMin: Long = 2L): DataFrame = {

@@ -819,6 +819,18 @@ object GraphQueries {
       graft.algo.KCore.corenessFixed(sparseDemoEdges(s, dir),
         maxK = 8, roundsPerK = 3)),
 
+    // onion decomposition on the same fixed (k=1..8, 3 rounds/level)
+    // schedule: layer = index of the peel step that removed the vertex
+    "g_onion_layers" -> ((s, dir) =>
+      graft.algo.KCore.onionLayersFixed(sparseDemoEdges(s, dir),
+        maxK = 8, roundsPerK = 3)),
+
+    // joint degree distribution (degree-mixing matrix): slot counts per
+    // (k_src, k_dst) degree pair — the 2-D structure assortativity
+    // collapses to one number
+    "g_joint_degree" -> ((s, dir) =>
+      graft.measures.Measures.jointDegreeDistribution(demoEdges(s, dir))),
+
     // average neighbor degree (exact integer numerator/denominator,
     // single final division mirrored by the oracle)
     "g_annd" -> ((s, dir) =>
@@ -919,6 +931,15 @@ object GraphQueries {
     // blocks; per-vertex LCC e6-rounded before the per-degree mean
     "g_ck_curve" -> ((s, dir) =>
       TriangleCount.clusteringByDegree(demoEdges(s, dir))),
+
+    // per-community modularity ledger over the LP-3 labeling: Q_c sums
+    // to g_modularity's Q (same i≠j slot conventions) — which
+    // communities carry the structure, which are merge/split candidates
+    "g_comm_modularity" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      Measures.perCommunityModularity(e,
+        LabelPropagation.runFixed(e, 3, symmetric = true))
+    }),
 
     // Leiden-style connectivity refinement of the LP-3 labeling: every
     // internally-disconnected community splits into its connected parts
@@ -2899,6 +2920,47 @@ object GraphQueries {
          |GROUP BY 1""".stripMargin
     },
 
+    // onion layers: the identical (k=1..8, 3 rounds/level) peel grid;
+    // the removal table at (k, r) is the diff of consecutive survivor
+    // sets, survivors of the whole schedule land in layer 8*3+1
+    "g_onion_layers" -> {
+      val levels = (1 to 8).map { k =>
+        val rounds = (1 to 3).map { r =>
+          val prev = if (r == 1) s"c${k - 1}" else s"a${k}_${r - 1}"
+          s"""a${k}_$r AS MATERIALIZED (
+             |  SELECT se0.src AS id
+             |  FROM se0
+             |  JOIN $prev x ON se0.src = x.id
+             |  JOIN $prev y ON se0.dst = y.id
+             |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+        }.mkString(",\n")
+        s"""$rounds,
+           |c$k AS MATERIALIZED (SELECT id FROM a${k}_3)""".stripMargin
+      }.mkString(",\n")
+      val removals = (1 to 8).flatMap { k =>
+        (1 to 3).map { r =>
+          val prev = if (r == 1) s"c${k - 1}" else s"a${k}_${r - 1}"
+          val layer = (k - 1) * 3 + r
+          s"""SELECT id, CAST($layer AS BIGINT) AS layer FROM
+             |  (SELECT id FROM $prev EXCEPT SELECT id FROM a${k}_$r)""".stripMargin
+        }
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $sparseCte,
+         |c0 AS (SELECT id FROM sverts),
+         |$levels
+         |$removals
+         |  UNION ALL SELECT id, CAST(25 AS BIGINT) AS layer FROM c8""".stripMargin
+    },
+
+    // joint degree distribution: the same two-join degree gather as
+    // g_annd, aggregated to the (k_src, k_dst) histogram
+    "g_joint_degree" ->
+      s"""WITH $cte,
+         |dg AS (SELECT src AS id, count(*) AS k FROM e0 GROUP BY 1)
+         |SELECT ds.k AS k_src, dd.k AS k_dst, count(*) AS n_slots
+         |FROM e0 JOIN dg ds ON e0.src = ds.id JOIN dg dd ON e0.dst = dd.id
+         |GROUP BY 1, 2""".stripMargin,
+
     // average neighbor degree: integer sums, one mirrored division
     "g_annd" ->
       s"""WITH $cte,
@@ -3118,6 +3180,32 @@ object GraphQueries {
          |    / ((l.sum_dist / l.pairs) / (ln(v.n) / ln(m.s1 / v.n)))
          |    * 1000) AS BIGINT) AS sigma_e3
          |FROM nm m, tri t, lpp l, nv v""".stripMargin,
+
+    // per-community modularity oracle: LP-3 labels, intra census + the
+    // (vol² − Σk²)/2m correction per label, identical double expression
+    "g_comm_modularity" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e0),
+         |cdeg AS (SELECT src AS id, count(*) AS k FROM e0 GROUP BY 1),
+         |com AS (SELECT s3.label, count(*) AS n_vertices,
+         |          CAST(sum(coalesce(cdeg.k, 0)) AS BIGINT) AS vol,
+         |          CAST(sum(coalesce(cdeg.k, 0) * coalesce(cdeg.k, 0))
+         |            AS BIGINT) AS ksq
+         |        FROM s3 LEFT JOIN cdeg ON cdeg.id = s3.id
+         |        GROUP BY 1),
+         |intra AS (SELECT a.label, count(*) AS intra_slots
+         |          FROM e0
+         |          JOIN s3 a ON a.id = e0.src
+         |          JOIN s3 b ON b.id = e0.dst
+         |          WHERE a.label = b.label AND e0.src <> e0.dst
+         |          GROUP BY 1)
+         |SELECT c.label, c.n_vertices,
+         |  CAST(coalesce(i.intra_slots, 0) AS BIGINT) AS intra_slots, c.vol,
+         |  CAST(ROUND((coalesce(i.intra_slots, 0)
+         |    - (c.vol * c.vol - c.ksq) / (SELECT m2 FROM mm))
+         |    / (SELECT m2 FROM mm) * 1000000000) AS BIGINT) AS q_e9
+         |FROM com c LEFT JOIN intra i ON i.label = c.label""".stripMargin,
 
     // C(k)-curve oracle: the per-vertex triangle census (as g_egonet),
     // per-vertex e6 LCC, then the per-degree integer mean

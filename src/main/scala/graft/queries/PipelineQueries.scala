@@ -1221,6 +1221,27 @@ object PipelineQueries {
     "d_url_groups" -> ((s, dir) =>
       graft.text.UrlCanon.dedupGroups(messyUrls(s, dir))),
 
+    // URL path-template mining — the crawler-trap / faceted-nav
+    // detector: digit-collapsed path templates per host with counts
+    "d_url_templates" -> ((s, dir) =>
+      graft.text.UrlCanon.pathTemplates(messyUrls(s, dir))),
+
+    // CCNet-style perplexity terciles: per-language head/middle/tail
+    // buckets of the per-bigram mean NLL under the corpus LM, language
+    // assignment = the d_lang_id marker-word argmax
+    "d_ppl_buckets" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scores = langMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => wordCount(padded, w)).reduce(_ + _)
+      }
+      val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(scores)
+      val langs = docs(s, dir).select(col("doc_id"),
+        when(en >= es && en >= de && en >= fr, "en")
+          .when(es >= de && es >= fr, "es")
+          .when(de >= fr, "de").otherwise("fr").as("pred_lang"))
+      graft.text.NgramLm.perplexityBuckets(docs(s, dir), langs)
+    }),
+
     // Heaps-law vocabulary growth at 4 corpus-prefix checkpoints
     "d_vocab_growth" -> ((s, dir) =>
       graft.text.TextIndex.vocabularyGrowth(docs(s, dir))))
@@ -3278,6 +3299,67 @@ object PipelineQueries {
     "d_url_canon" ->
       s"""WITH $urlCanonCtes
          |SELECT doc_id, url, canon FROM canon""".stripMargin,
+
+    // perplexity-bucket oracle: the d_doc_nll model CTEs for the
+    // integer per-doc mean NLL, the d_lang_id CASE for the language,
+    // then ntile(3) per language over (mean asc, doc_id asc)
+    "d_ppl_buckets" -> {
+      def score(lang: String) =
+        langMarkers(lang).map(wordCountSql).mkString("(", " + ", ")")
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr
+         |  FROM documents),
+         |idx AS (
+         |  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+         |  FROM tok WHERE len(arr) >= 2),
+         |big AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM idx),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |               count(*) AS n1p FROM c12 GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS nl FROM c12 GROUP BY 1),
+         |np AS (SELECT count(*) AS np FROM c12),
+         |model AS (
+         |  SELECT c12.w1, c12.w2,
+         |    greatest((((4 * c12.c12 - 3) * np.np + 3 * ctx.n1p * cont.nl)
+         |      * 1000000000) // (4 * ctx.c1 * np.np), 1) AS p_e9
+         |  FROM c12 JOIN ctx ON c12.w1 = ctx.w1
+         |           JOIN cont ON c12.w2 = cont.w2, np),
+         |terms AS (
+         |  SELECT big.doc_id,
+         |    CAST(ROUND(-ln(model.p_e9 / 1000000000.0) * 1000000) AS BIGINT)
+         |      AS t
+         |  FROM big JOIN model ON big.w1 = model.w1 AND big.w2 = model.w2),
+         |mean AS (
+         |  SELECT doc_id, CAST(sum(t) // count(*) AS BIGINT) AS mean_nll_e6
+         |  FROM terms GROUP BY 1),
+         |p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents),
+         |s AS (SELECT doc_id, ${score("en")} AS en, ${score("es")} AS es,
+         |             ${score("de")} AS de, ${score("fr")} AS fr FROM p),
+         |lid AS (SELECT doc_id,
+         |  CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+         |       WHEN es >= de AND es >= fr THEN 'es'
+         |       WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |  FROM s)
+         |SELECT mean.doc_id, lid.pred_lang, mean.mean_nll_e6,
+         |  CAST(ntile(3) OVER (PARTITION BY lid.pred_lang
+         |    ORDER BY mean.mean_nll_e6 ASC, mean.doc_id ASC) AS BIGINT)
+         |    AS bucket
+         |FROM mean JOIN lid ON mean.doc_id = lid.doc_id""".stripMargin
+    },
+
+    // template oracle: the shared canonicalization CTEs, host/path split
+    // and digit collapse per canonical URL, then the (host, template) agg
+    "d_url_templates" ->
+      s"""WITH $urlCanonCtes,
+         |t AS (SELECT canon,
+         |        regexp_extract(canon, '^[a-z]+://([^/?#]+)', 1) AS host,
+         |        regexp_replace(
+         |          regexp_extract(canon, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+         |          '[0-9]+', 'N', 'g') AS template
+         |      FROM canon)
+         |SELECT host, template, count(*) AS n_urls,
+         |       min(canon) AS sample_url
+         |FROM t GROUP BY 1, 2""".stripMargin,
 
     "d_url_groups" ->
       s"""WITH $urlCanonCtes

@@ -105,6 +105,40 @@ object NgramLm {
         sum(col("t")).cast("long").as("nll_e6"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    * head/middle/tail terciles of the per-bigram mean NLL under the
+    * corpus LM — the quality gate production web-text pipelines apply
+    * before mixing (head = fluent, tail = boilerplate/garbage; CCNet
+    * keeps head+middle for most languages). Mean NLL is the exact
+    * integer ⌊nll_e6 / n_bigrams⌋ from [[docNll]]; buckets are ntile
+    * over (mean asc, doc_id asc) within each language, so the split is
+    * deterministic and replayable.
+    *
+    * Scale shape: docNll's corpus hash aggs plus one doc-table join;
+    * the ntile window sorts each language partition globally — exact
+    * and right for the gate, and at 100 TB the documented swap is the
+    * same two-pass as the length-quantile operator: per-language
+    * `approx_percentile` cut points broadcast back onto a scan, which
+    * turns the sort into a stateless comparison.
+    *
+    * @param langs (doc_id, pred_lang) — e.g. the n-gram language-ID
+    *              output; docs with < 2 tokens have no NLL and are
+    *              dropped (no bigram evidence to score)
+    * @return (doc_id, pred_lang, mean_nll_e6, bucket) — bucket in
+    *         1..`buckets`, 1 = head (most fluent)
+    */
+  def perplexityBuckets(docs: DataFrame, langs: DataFrame,
+                        buckets: Int = 3): DataFrame = {
+    require(buckets >= 2)
+    val mean = docNll(docs).select(col("doc_id"),
+      floor(col("nll_e6") / col("n_bigrams")).cast("long").as("mean_nll_e6"))
+    val w = Window.partitionBy("pred_lang")
+      .orderBy(col("mean_nll_e6").asc, col("doc_id").asc)
+    mean.join(langs, "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("mean_nll_e6"),
+        ntile(buckets).over(w).cast("long").as("bucket"))
+  }
+
   /** Corpus entropy rate H(W₂|W₁) = −Σ (c₁₂/N)·ln(c₁₂/c₁) over the raw
     * bigram counts — the one-number predictability summary tracked next
     * to TTR and the Zipf slope (natural text ≈ 5–8 bits; templated or

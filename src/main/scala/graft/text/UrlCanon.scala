@@ -57,4 +57,25 @@ object UrlCanon {
     urls.select(col("doc_id"), canonical(col("url")).as("canon"))
       .groupBy("canon")
       .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("min_doc"))
+
+  /** URL path-template mining — the crawler-trap / faceted-navigation
+    * detector: canonical URLs grouped per host by their digit-collapsed
+    * path template (`/product/12345` and `/product/99` both →
+    * `/product/N`). A template whose URL count explodes relative to its
+    * host's page count is an infinite URL space (calendars, session ids,
+    * faceted filters) — the frontier caps or drops it before the crawler
+    * drowns. One scan + one (host, template)-keyed hash aggregation.
+    *
+    * @return (host, template, n_urls, sample_url) — sample = min
+    *         canonical URL, the row a crawl operator opens first
+    */
+  def pathTemplates(urls: DataFrame): DataFrame =
+    urls.select(canonical(col("url")).as("canon"))
+      .select(col("canon"),
+        regexp_extract(col("canon"), "^[a-z]+://([^/?#]+)", 1).as("host"),
+        regexp_replace(
+          regexp_extract(col("canon"), "^[a-z]+://[^/?#]+([^?#]*)", 1),
+          "[0-9]+", "N").as("template"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"), min(col("canon")).as("sample_url"))
 }

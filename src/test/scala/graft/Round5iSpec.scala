@@ -93,6 +93,55 @@ class PartitionQualitySpec extends GraftSuite {
   }
 }
 
+class CommModularitySpec extends GraftSuite {
+  import graft.measures.Measures
+
+  private def twoTriangles = edgesDf(undirected(
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))))
+
+  private def labels(f: Long => Long) = {
+    import spark.implicits._
+    (1L to 6L).map(id => (id, f(id))).toDF("id", "label")
+  }
+
+  test("perfect partition of two triangles: Q_c = 1/3 each") {
+    val r = Measures.perCommunityModularity(twoTriangles,
+        labels(id => if (id <= 3) 0L else 1L)).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toMap
+    assert(r(0L) === ((3L, 6L, 6L, 333333333L)))
+    assert(r(1L) === ((3L, 6L, 6L, 333333333L)))
+  }
+
+  test("per-community contributions sum to the global modularity") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val l = graft.graph.GraphOps.vertices(e)
+      .select(org.apache.spark.sql.functions.col("id"),
+        (org.apache.spark.sql.functions.col("id") % 4).as("label"))
+    val sum = Measures.perCommunityModularity(e, l).collect()
+      .map(_.getLong(4)).sum / 1e9
+    val q = Measures.modularity(e, l)
+    assert(math.abs(sum - q) < 1e-6)
+  }
+}
+
+class UrlTemplateSpec extends GraftSuite {
+  test("digit runs collapse to one template; counts and sample exact") {
+    import spark.implicits._
+    val u = Seq(
+      (1L, "HTTP://WWW.A.EXAMPLE.com:80/p/12?utm_source=x"),
+      (2L, "http://a.example.com/p/34/"),
+      (3L, "http://a.example.com/x"))
+      .toDF("doc_id", "url")
+    val r = graft.text.UrlCanon.pathTemplates(u).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getString(3))).toMap
+    assert(r(("a.example.com", "/p/N")) ===
+      ((2L, "http://a.example.com/p/12")))
+    assert(r(("a.example.com", "/x")) === ((1L, "http://a.example.com/x")))
+  }
+}
+
 class CkCurveSpec extends GraftSuite {
   import graft.algo.TriangleCount
 
@@ -260,5 +309,90 @@ class DimStatsSpec extends GraftSuite {
       .select("qid", "vec_id", "rank")
     assert(full.except(trunc).count() === 0L)
     assert(trunc.except(full).count() === 0L)
+  }
+}
+
+class OnionLayerSpec extends GraftSuite {
+  import graft.algo.KCore
+
+  test("path of 5: endpoints peel first, the center last") {
+    // k=1 removes nothing; k=2 strips the path inward one round at a
+    // time — layers 4, 5, 6 are the (k=2, r=1..3) grid positions
+    val e = edgesDf(undirected(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))))
+    val r = KCore.onionLayersFixed(e, maxK = 2, roundsPerK = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 4L, 5L -> 4L, 2L -> 5L, 4L -> 5L, 3L -> 6L))
+  }
+
+  test("triangle survives the whole schedule in the deep-core layer") {
+    val e = edgesDf(undirected(Seq((1L, 2L), (1L, 3L), (2L, 3L))))
+    val r = KCore.onionLayersFixed(e, maxK = 2, roundsPerK = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 7L, 2L -> 7L, 3L -> 7L))
+  }
+
+  test("every vertex gets exactly one layer, inside its coreness shell") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val onion = KCore.onionLayersFixed(e, maxK = 8, roundsPerK = 3)
+    val core = KCore.corenessFixed(e, maxK = 8, roundsPerK = 3)
+    val n = graft.graph.GraphOps.vertices(e).count()
+    assert(onion.count() === n)
+    assert(onion.select("id").distinct().count() === n)
+    // same schedule: a coreness-c vertex is removed during level c+1,
+    // i.e. layer ∈ [3c+1, 3c+3]; schedule survivors (layer 25) have
+    // coreness 8 (the schedule cap)
+    for (x <- onion.join(core, "id").select("layer", "coreness").collect()) {
+      val (layer, c) = (x.getLong(0), x.getLong(1))
+      if (layer == 25L) assert(c === 8L)
+      else assert((layer - 1) / 3 === c)
+    }
+  }
+}
+
+class JointDegreeSpec extends GraftSuite {
+  import graft.measures.Measures
+
+  test("undirected star: the (3,1)/(1,3) wings, nothing on the diagonal") {
+    val e = edgesDf(undirected(Seq((1L, 2L), (1L, 3L), (1L, 4L))))
+    val r = Measures.jointDegreeDistribution(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r === Map((3L, 1L) -> 3L, (1L, 3L) -> 3L))
+  }
+
+  test("slot total and degree-weighted marginals match the edge table") {
+    val e = edgesDf(undirected(Fixtures.karatePairs))
+    val rows = Measures.jointDegreeDistribution(e).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(rows.map(_._3).sum === e.count())
+    // symmetric graph: the matrix is symmetric
+    val m = rows.map(t => (t._1, t._2) -> t._3).toMap
+    for (((a, b), n) <- m) assert(m((b, a)) === n)
+  }
+}
+
+class PplBucketSpec extends GraftSuite {
+  import graft.text.NgramLm
+
+  test("buckets are balanced per language and monotone in mean NLL") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "the dog ran in the fog"), (4L, "zx qv wk jh"),
+      (5L, "the cat ran on the mat"), (6L, "qq zz vv"),
+      (7L, "one"), // single token: no bigram, dropped
+      (8L, "el gato y el perro y el sol"))
+      .toDF("doc_id", "text")
+    val langs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (5L, "en"), (6L, "en"), (7L, "en"), (8L, "es"))
+      .toDF("doc_id", "pred_lang")
+    val r = NgramLm.perplexityBuckets(docs, langs).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    assert(r.length === 7) // doc 7 dropped (no bigram)
+    val en = r.filter(_._2 == "en").sortBy(t => (t._3, t._1))
+    assert(en.map(_._4).toSeq === Seq(1L, 1L, 2L, 2L, 3L, 3L))
+    // ntile assigns non-decreasing buckets along the sort order
+    assert(en.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    assert(r.filter(_._2 == "es").map(_._4).toSeq === Seq(1L))
   }
 }
