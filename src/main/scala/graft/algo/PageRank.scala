@@ -538,4 +538,69 @@ object PageRank {
     verts.unpersist(blocking = false)
     st
   }
+
+  /** SybilRank (Cao et al., NSDI 2012) — degree-normalized trust
+    * propagation from a verified seed set, the fake-region detector for
+    * social/web graphs. Early-terminated power iteration WITHOUT
+    * teleport:
+    *
+    *   trust_k(v) = Σ_{u~v} trust_{k−1}(u) / deg(u)
+    *
+    * seeded with 1/|S| on the seeds and ranked by the degree-normalized
+    * score trust/deg. Run O(log n) steps — BEFORE mixing: the honest
+    * region (where the seeds live) reaches near-stationary trust while
+    * the sybil region, attached through a sparse attack cut, has
+    * received almost none; at stationarity the signal would vanish
+    * (trust ∝ deg), which is why the iteration count is a feature, not a
+    * convergence knob.
+    *
+    * Scale shape is [[runFixed]]'s per-iteration gather: degree-decorated
+    * edges persisted once and src-partitioned, one join + one hash agg
+    * per step, vertex-sized state. No dangling handling — intended for
+    * the symmetrized graph (every vertex has deg ≥ 1 there); on a
+    * directed input trust leaks at sinks and the caller should
+    * symmetrize first (the paper's setting is undirected).
+    *
+    * @param seeds (id) verified-honest vertices
+    * @return (id, trust, score) — score = trust/deg, the ranking key
+    *         (ascending score = most suspicious)
+    */
+  def sybilRankFixed(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                     partitions: Int = 32): DataFrame = {
+    val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+      .select(edges("src"), edges("dst"), col("outdeg"))
+      .repartition(partitions, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nS = seeds.count()
+    require(nS > 0, "SybilRank needs a non-empty seed set")
+
+    var trust = verts
+      .join(seeds.select(col("id"), lit(1.0 / nS).as("t")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("t"), lit(0.0)).as("trust"))
+      .transform(graft.engine.Materialize.eager)
+    var iter = 0
+    while (iter < iterations) {
+      iter += 1
+      val sums = edgesDeg
+        .join(trust, edgesDeg("src") === trust("id"))
+        .select(edgesDeg("dst").as("id"),
+          (col("trust") / col("outdeg")).as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      trust = verts.join(sums, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("trust"))
+        .transform(graft.engine.Materialize.eager)
+    }
+    val res = trust.join(outDeg, Seq("id"), "left")
+      .select(col("id"), col("trust"),
+        (col("trust") / coalesce(col("outdeg"), lit(1L))).as("score"))
+      .localCheckpoint(eager = true)
+    edgesDeg.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    res
+  }
 }

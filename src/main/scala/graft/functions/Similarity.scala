@@ -341,6 +341,50 @@ object Similarity {
           .cast("long").as("var_e12"))
   }
 
+  /** Exact covariance matrix of the embedding dimensions from integer
+    * moments — the whitening / drift-direction audit that extends
+    * [[dimStats]]'s per-dimension variances to the full upper triangle
+    * (PCA prep, anisotropy detection: a healthy embedding space has a
+    * flat-ish spectrum; one dominant off-diagonal block means the encoder
+    * collapsed).
+    *
+    * Contract: entries are e6-rounded BEFORE any product (the dimStats
+    * rule), so every moment is an exact int64 sum and the gate is
+    * order-free; cov_e12 = Σxy/n − (Σx/n)(Σy/n) is one final double
+    * expression mirrored by the oracle.
+    *
+    * Scale shape: ONE scan — the d(d+1)/2 product terms are built
+    * per-row with codegen'd higher-order functions (no self-join on the
+    * vector table) and hash-aggregated map-side down to the d(d+1)/2
+    * output groups; shuffle and output are both d²-bounded no matter how
+    * many vectors flow through. Same int64 envelope as dimStats:
+    * n·max(x)²·10¹² < 2⁶³ → ~9·10⁶ unit-normed vectors per audit, then
+    * sample or lift to Decimal(38,0).
+    *
+    * @return (i, j, n, sum_xy_e12, cov_e12) for 0 ≤ i ≤ j < dim
+    */
+  def covarianceMatrix(vectors: DataFrame): DataFrame = {
+    val xe6 = transform(col("embedding"),
+      x => round(x.cast("double") * 1000000).cast("long"))
+    val terms = filter(
+      flatten(transform(xe6, (xi, i) =>
+        transform(xe6, (xj, j) =>
+          struct(i.cast("long").as("i"), j.cast("long").as("j"),
+            xi.as("xi"), xj.as("xj"))))),
+      s => s.getField("i") <= s.getField("j"))
+    vectors.select(explode(terms).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"),
+        col("t.xi").as("xi"), col("t.xj").as("xj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi") * col("xj")).as("sum_xy_e12"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+      .select(col("i"), col("j"), col("n"), col("sum_xy_e12"),
+        round(col("sum_xy_e12") / col("n")
+          - (col("sx") / col("n")) * (col("sy") / col("n")))
+          .cast("long").as("cov_e12"))
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame =
     sims.withColumn("sim_e6", round(col("sim") * 1000000).cast("long"))
       .withColumn("rank", row_number().over(

@@ -1497,6 +1497,17 @@ object GraphQueries {
           round(col("rank") * 1000000).cast("long").as("rank_e6"))
     }),
 
+    // SybilRank: 3 steps of teleport-free degree-normalized trust from
+    // the %10 seed set, ranked by trust/deg (low = suspicious region)
+    "g_sybilrank_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val seeds = GraphOps.vertices(e).filter(col("id") % 10 === 0)
+      PageRank.sybilRankFixed(e, seeds, iterations = 3)
+        .select(col("id"),
+          round(col("trust") * 1000000).cast("long").as("trust_e6"),
+          round(col("score") * 1000000000).cast("long").as("score_e9"))
+    }),
+
     // ACL sweep cut over the PPR ordering: conductance of every top-64
     // prefix — the certified local-community extractor around the seeds
     "g_ppr_sweep_t5" -> ((s, dir) => {
@@ -4397,6 +4408,32 @@ object GraphQueries {
       s"""WITH $cte,
          |${pprStepsSql(5)}
          |SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6 FROM r5""".stripMargin,
+
+    // SybilRank oracle: 3 unrolled teleport-free degree-normalized trust
+    // steps from the %10 seeds, final score = trust/deg
+    "g_sybilrank_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""sy$k AS (
+           |  SELECT v.id, coalesce(x.s, 0) AS r
+           |  FROM verts v LEFT JOIN (
+           |    SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |    FROM e0 JOIN sy${k - 1} p ON e0.src = p.id
+           |    JOIN sydeg d ON e0.src = d.id
+           |    GROUP BY 1) x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |sydeg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |sysrc AS (SELECT id FROM verts WHERE id % 10 = 0),
+         |sy0 AS (
+         |  SELECT v.id, CASE WHEN s.id IS NULL THEN 0.0
+         |    ELSE 1.0 / (SELECT count(*) FROM sysrc) END AS r
+         |  FROM verts v LEFT JOIN sysrc s ON v.id = s.id),
+         |$steps
+         |SELECT sy3.id, CAST(ROUND(r * 1000000) AS BIGINT) AS trust_e6,
+         |  CAST(ROUND(r / d.od * 1000000000) AS BIGINT) AS score_e9
+         |FROM sy3 JOIN sydeg d ON sy3.id = d.id""".stripMargin
+    },
 
     // sweep-cut oracle: the shared PPR chain, top-64 prefix ranking,
     // max-rank internal-edge grouping, cumulative windows

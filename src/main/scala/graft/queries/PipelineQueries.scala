@@ -813,6 +813,12 @@ object PipelineQueries {
     "e_dim_stats" -> ((s, dir) =>
       graft.functions.Similarity.dimStats(emb(s, dir))),
 
+    // full covariance upper triangle from the same e6-integer moment
+    // contract — PCA/whitening prep and anisotropy detection; one scan,
+    // hash agg bounded at d(d+1)/2 output groups
+    "e_covariance" -> ((s, dir) =>
+      graft.functions.Similarity.covarianceMatrix(emb(s, dir))),
+
     // DSIR importance weights: per-doc average unigram log-likelihood
     // ratio of the English-slice LM over the raw-corpus LM (add-1
     // smoothed over the corpus vocabulary) — the importance-resampling
@@ -1174,6 +1180,11 @@ object PipelineQueries {
     // budget accounting (regex verified char-identical across engines)
     "d_bpe_tokens" -> ((s, dir) =>
       graft.text.CorpusClean.tokenStats(docs(s, dir))),
+
+    // tokenizer fertility per language: BPE-ish tokens per character —
+    // the cross-lingual cost table a multilingual mixture rebalances on
+    "d_fertility" -> ((s, dir) =>
+      graft.text.CorpusClean.tokenizerFertility(docs(s, dir))),
 
     // feature-hashing doc vectors (16 dims, signed counts, sparse rows)
     // — the vocabulary-free featurizer
@@ -1873,6 +1884,22 @@ object PipelineQueries {
         |  CAST(ROUND(sumsq / n - (sum_e6 / n) * (sum_e6 / n)) AS BIGINT)
         |    AS var_e12
         |FROM ag""".stripMargin,
+
+    // covariance oracle: the dim-stats e6 contract over all i ≤ j pairs
+    "e_covariance" ->
+      """WITH ex AS (SELECT i, j,
+        |    CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xi,
+        |    CAST(ROUND(CAST(embedding[j + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xj
+        |  FROM embeddings, range(64) AS r1(i), range(64) AS r2(j)
+        |  WHERE i <= j)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  count(*) AS n, CAST(sum(xi * xj) AS BIGINT) AS sum_xy_e12,
+        |  CAST(ROUND(sum(xi * xj) / count(*)
+        |    - (sum(xi) / count(*)) * (sum(xj) / count(*))) AS BIGINT)
+        |    AS cov_e12
+        |FROM ex GROUP BY 1, 2""".stripMargin,
 
     // DSIR oracle: per-term add-1 log-likelihood ratio of the en-slice
     // LM over the corpus LM, e6-rounded then tf-weighted (order-free)
@@ -3235,6 +3262,22 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(lower(text),
         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents""".stripMargin,
+
+    // fertility oracle: same BPE-ish tokenizer, language-keyed sums,
+    // one e6-rounded divide
+    "d_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS nb,
+        |    CAST(len(text) AS BIGINT) AS nc
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(nc) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(ROUND(sum(nb) * 1000000.0 / sum(nc)) AS BIGINT)
+        |  END AS fertility_e6
+        |FROM t GROUP BY 1""".stripMargin,
 
     // span oracle: same md5 position draw, islands-and-gaps run merge
     "d_spans" ->

@@ -136,6 +136,37 @@ object CorpusClean {
       size(regexp_extract_all(lower(col("text")), lit(BpeishRe), lit(0)))
         .cast("long").as("n_bpe_tokens"))
 
+  /** Tokenizer fertility per language — BPE-ish tokens emitted per
+    * character, the cross-lingual cost metric multilingual tokenizer
+    * studies track (a language whose fertility runs high pays more
+    * sequence length per unit of content, so its effective context and
+    * training share shrink; pipelines rebalance the mixture or the
+    * tokenizer when the spread is large). Uses the same BPE-ish regex as
+    * [[tokenStats]] so the two gates share one tokenizer definition.
+    *
+    * Scale shape: one scan (tokenize + length, both codegen'd) and one
+    * language-keyed hash aggregation — output is languages-sized no
+    * matter the corpus; all sums are exact integers, the single divide
+    * is e6-rounded at the end.
+    *
+    * @return (lang, n_docs, n_bpe_tokens, n_chars, fertility_e6) with
+    *         fertility = tokens per char; 0 on an empty language slice
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeishRe), lit(0)))
+          .cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).cast("long").as("n_bpe_tokens"),
+        sum(col("nc")).cast("long").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_bpe_tokens"),
+        col("n_chars"),
+        when(col("n_chars") === 0, lit(0L))
+          .otherwise(round(col("n_bpe_tokens") * lit(1000000.0)
+            / col("n_chars")).cast("long")).as("fertility_e6"))
+
   /** Type–token ratio per document — the lexical-diversity filter signal
     * (Gopher-family pipelines drop the low-TTR tail: template output and
     * keyword stuffing repeat a tiny vocabulary). Pure scan — tokenize,
