@@ -182,4 +182,47 @@ object Centrality {
     Seq((start, farId, lb))
       .toDF("start_id", "far_id", "lb_diameter")
   }
+
+  /** Landmark distance oracle (Potamias et al., CIKM 2009): precompute
+    * BFS levels from a small landmark set L, then estimate any pairwise
+    * distance by the triangle-inequality upper bound
+    *
+    *   d̂(u, v) = min_{l ∈ L} d(l, u) + d(l, v)
+    *
+    * — THE standard way pairwise distances are served at web scale,
+    * where an exact per-query BFS is unaffordable: |L| BFS passes once,
+    * then every query is two hash-join lookups. The estimate is exact
+    * whenever some landmark lies on a shortest u–v path (why high-
+    * centrality landmarks work best; callers pick them by degree or PR).
+    *
+    * Plan: the landmark level table (|L| · |reached| rows) joins the
+    * candidate pairs on each endpoint — two equi-joins whose build side
+    * is landmark-sliced — then one partial-aggregated groupBy(src, dst)
+    * takes the min. Every input pair is emitted: `n_landmarks` counts
+    * the landmarks seeing BOTH endpoints and `est_dist` is null when
+    * that count is 0 (different components, or past `maxDepth`).
+    *
+    * @return (src, dst, n_landmarks, est_dist)
+    */
+  def landmarkDistances(edges: DataFrame, landmarks: DataFrame,
+                        pairs: DataFrame,
+                        maxDepth: Int = Betweenness.DepthCap): DataFrame = {
+    val lv = Betweenness.bfsLevels(edges, landmarks, maxDepth)
+      .transform(graft.engine.Materialize.eager)
+    val du = lv.select(col("source").as("lu"), col("id").as("src"),
+      col("dist").as("d_u"))
+    val dv = lv.select(col("source").as("lv2"), col("id").as("dst2"),
+      col("dist").as("d_v"))
+    val est = pairs.select(col("src"), col("dst"))
+      .join(du, Seq("src"))
+      .join(dv, col("lu") === col("lv2") && col("dst") === col("dst2"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("long").as("n_landmarks"),
+        min(col("d_u") + col("d_v")).cast("long").as("est_dist"))
+    pairs.select(col("src"), col("dst"))
+      .join(est, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("n_landmarks"), lit(0L)).as("n_landmarks"),
+        col("est_dist"))
+  }
 }

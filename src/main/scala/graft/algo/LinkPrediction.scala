@@ -62,4 +62,57 @@ object LinkPrediction {
         (coalesce(col("degU"), lit(0L)) * coalesce(col("degV"), lit(0L)))
           .as("pa"))
   }
+
+  /** The second classical index family over the same candidate-pair
+    * contract as [[scores]]:
+    *
+    *   ra(u,v)  = Σ_{z ∈ N(u) ∩ N(v)} 1 / deg(z)   (resource allocation,
+    *              Zhou–Lü–Zhang 2009 — AA with linear instead of log
+    *              damping; the strongest of the local indices in their
+    *              benchmark)
+    *   cos(u,v) = cn / √(deg(u)·deg(v))             (Salton cosine)
+    *   lhn(u,v) = cn / (deg(u)·deg(v))              (Leicht–Holme–Newman,
+    *              common neighbors per expected-at-random)
+    *
+    * Identical plan shape to [[scores]] — three equi-joins + one
+    * partial-aggregated groupBy, bounded by Σ deg(u) over the candidate
+    * set. deg(z) ≥ 1 always (z is adjacent to u), so RA needs no guard.
+    * Every input pair is emitted (zeros for disjoint neighborhoods).
+    * Returns (src, dst, common, ra, cosine, lhn).
+    */
+  def scoresExtended(edges: DataFrame, pairs: DataFrame): DataFrame = {
+    val deg = GraphOps.degrees(edges)
+    val e1 = edges.select(col("src").as("u1"), col("dst").as("z"))
+    val e2 = edges.select(col("src").as("v2"), col("dst").as("z2"))
+    val overlaps = pairs.select(col("src").as("u"), col("dst").as("v"))
+      .join(e1, col("u") === col("u1"))
+      .join(e2, col("v") === col("v2") && col("z") === col("z2"))
+      .join(deg.select(col("id").as("zd"), col("degree")), col("z") === col("zd"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / col("degree")).as("raRaw"))
+    pairs.select(col("src"), col("dst"))
+      .join(overlaps.select(col("u").as("src"), col("v").as("dst"),
+          col("cn"), col("raRaw")),
+        Seq("src", "dst"), "left")
+      .join(deg.select(col("id").as("src"), col("degree").as("degU")),
+        Seq("src"), "left")
+      .join(deg.select(col("id").as("dst"), col("degree").as("degV")),
+        Seq("dst"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("cn"), lit(0L)).as("common"),
+        coalesce(col("raRaw"), lit(0.0)).as("ra"),
+        {
+          val c = coalesce(col("cn"), lit(0L)).cast("double")
+          val prod = (coalesce(col("degU"), lit(0L)) *
+            coalesce(col("degV"), lit(0L))).cast("double")
+          when(prod > 0, c / sqrt(prod)).otherwise(lit(0.0)).as("cosine")
+        },
+        {
+          val c = coalesce(col("cn"), lit(0L)).cast("double")
+          val prod = (coalesce(col("degU"), lit(0L)) *
+            coalesce(col("degV"), lit(0L))).cast("double")
+          when(prod > 0, c / prod).otherwise(lit(0.0)).as("lhn")
+        })
+  }
 }

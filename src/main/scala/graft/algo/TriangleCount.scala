@@ -97,6 +97,82 @@ object TriangleCount {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-vertex 3-node graphlet orbit counts (the Pržulj graphlet-degree
+    * vector restricted to graphlets G₁/G₂ — the 4 orbits every larger
+    * GDV builds on): for each vertex v with degree k and triangle count
+    * t = tri(v),
+    *
+    *   wedge_end(v)    = Σ_{u ∈ N(v)} (deg(u) − 1) − 2·t   (orbit 1)
+    *   wedge_center(v) = C(k, 2) − t                        (orbit 2)
+    *   triangles(v)    = t                                  (orbit 3)
+    *
+    * — every 2-path through a neighbor either closes into a triangle
+    * (each triangle at v closes exactly two of them) or leaves v at a
+    * wedge end; every neighbor pair is either a closed triangle or an
+    * open wedge centered at v. So the full orbit vector needs NO new
+    * enumeration beyond the triangle census: one degree join + one
+    * gather aggregation on top of [[perVertex]] — identical scale shape
+    * to the LP superstep. Role-similarity / graphlet-kernel features at
+    * link-graph scale. Returns (id, degree, wedge_end, wedge_center,
+    * triangles), one row per vertex (zero-orbit vertices included).
+    *
+    * Input must be symmetrized and self-loop-free.
+    */
+  def orbitCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    val nbrExcess = e
+      .join(deg.select(col("id").as("did"), col("degree").as("d")),
+        col("dst") === col("did"))
+      .groupBy(col("src").as("id"))
+      .agg(sum(col("d") - 1).cast("long").as("nx"))
+    val tri = perVertex(e)
+    deg.join(nbrExcess, Seq("id"))
+      .join(tri.select(col("id"), col("triangles").as("t")), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        (col("nx") - lit(2L) * coalesce(col("t"), lit(0L))).as("wedge_end"),
+        (expr("degree * (degree - 1) div 2") -
+          coalesce(col("t"), lit(0L))).as("wedge_center"),
+        coalesce(col("t"), lit(0L)).as("triangles"))
+  }
+
+  /** Structural-balance triad census over a signed graph (Cartwright–
+    * Harary): count triangles by their negative-edge count. Balanced
+    * triangles (0 or 2 negative edges — "the friend of my friend" /
+    * "the enemy of my enemy") vs unbalanced (1 or 3) is the classic
+    * trust/distrust diagnostic; on a web link graph signs come from an
+    * upstream classifier (endorsement vs spam-report links).
+    *
+    * Input: a SYMMETRIZED edge table with a `sign` column that is a
+    * function of the unordered pair (sign(u,v) == sign(v,u) — the
+    * caller's contract, trivially true for any hash-of-canonical-pair
+    * derivation). The census enumerates each triangle once on the
+    * degree-oriented DAG exactly like [[triangles]], carrying the three
+    * signs through the two equi-joins — same O(√E) wedge cap, plus a
+    * 4-row output aggregation. Returns (n_neg, n_triangles) for
+    * n_neg ∈ {0,1,2,3} (present rows only).
+    */
+  def signedTriads(signedEdges: DataFrame): DataFrame = {
+    val canonSign = signedEdges
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("sign"))
+    val o = oriented(signedEdges.select(col("src"), col("dst")))
+      .join(canonSign,
+        least(col("u"), col("v")) === col("src") &&
+          greatest(col("u"), col("v")) === col("dst"))
+      .select(col("u"), col("v"), col("sign"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.select(col("u").as("a"), col("v").as("b"), col("sign").as("s1"))
+    val e2 = o.select(col("u").as("b2"), col("v").as("c"), col("sign").as("s2"))
+    val e3 = o.select(col("u").as("a3"), col("v").as("c3"), col("sign").as("s3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .select((when(col("s1") < 0, 1).otherwise(0) +
+        when(col("s2") < 0, 1).otherwise(0) +
+        when(col("s3") < 0, 1).otherwise(0)).cast("long").as("n_neg"))
+      .groupBy("n_neg").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Per-vertex egonet density (the OddBall link-farm signal): for the
     * egonet of v — v plus its neighbors — the edge count is
     *

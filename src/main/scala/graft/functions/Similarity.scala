@@ -385,6 +385,93 @@ object Similarity {
           .cast("long").as("cov_e12"))
   }
 
+  /** Int8 scalar-quantization audit — the compression every serving-side
+    * vector store applies first (FAISS SQ8 / qint8): per-dimension
+    * min–max affine codes
+    *
+    *   q_d(x)  = round(255 · (x − mn_d) / (mx_d − mn_d))
+    *   x̂_d(q) = mn_d + q · (mx_d − mn_d) / 255
+    *
+    * evaluated entirely in EXACT integer arithmetic on the e6-quantized
+    * inputs (the [[dimStats]] convention): both roundings are the
+    * half-up integer form (2·a + b) div (2·b), so every code and every
+    * reconstruction error is bit-replayable with no float in sight.
+    * Constant dimensions (mx = mn) code to 0 and reconstruct mn exactly.
+    *
+    * Plan: one 64-row min/max aggregation broadcast back onto the
+    * exploded values, one per-vector hash agg — two scans, no shuffle
+    * wider than the vector count.
+    *
+    * @return (vec_id, q_sum, sse_e12): the exact code checksum and the
+    *         exact squared reconstruction error in e6² units
+    */
+  def scalarQuantAudit(vectors: DataFrame): DataFrame = {
+    val ex = vectors
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
+    val rng = ex.groupBy("dim")
+      .agg(min(col("xe6")).as("mn"), max(col("xe6")).as("mx"))
+      .select(col("dim"), col("mn"), (col("mx") - col("mn")).as("range"))
+    ex.join(broadcast(rng), Seq("dim"))
+      .withColumn("q",
+        when(col("range") > 0,
+          expr("(2 * 255 * (xe6 - mn) + range) div (2 * range)"))
+          .otherwise(lit(0L)))
+      .withColumn("rec",
+        col("mn") + expr("(2 * q * range + 255) div (2 * 255)"))
+      .groupBy("vec_id")
+      .agg(sum(col("q")).cast("long").as("q_sum"),
+        sum((col("xe6") - col("rec")) * (col("xe6") - col("rec")))
+          .cast("long").as("sse_e12"))
+  }
+
+  /** Split-half centroid drift per label — the embedding-space stability
+    * audit run before trusting a clustering or an ANN index across a
+    * re-encode: vectors are split deterministically by vec_id parity,
+    * per-label centroids computed on each half, and the cosine between
+    * the two halves' centroids reported. cos ≈ 1 = the label's region is
+    * stable under resampling; a low cosine flags a label whose centroid
+    * is noise (too few vectors, or a mixture).
+    *
+    * Determinism: per-(label, half, dim) sums are exact integers over
+    * the e6-quantized values; centroid means are rounded back to e6
+    * longs; the final dot/norms are exact integer sums over the 64 dims,
+    * with the ONE float op being the last sqrt+divide. Plan: one hash
+    * agg to (label, half, dim) — ≤ labels·2·64 rows — then label-sized
+    * joins; nothing scales with the vector count after the first agg.
+    *
+    * @return (label, n_a, n_b, cos_e6); labels missing a half are
+    *         omitted (no centroid to compare)
+    */
+  def centroidDrift(vectors: DataFrame): DataFrame = {
+    val ex = vectors
+      .select(col("label").cast("long").as("label"),
+        (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("half"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
+    val cent = ex.groupBy("label", "half", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("xe6")).as("s"))
+      .select(col("label"), col("half"), col("dim"), col("n"),
+        round(col("s").cast("double") / col("n")).cast("long").as("m"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("n").as("n_a"), col("m").as("ma"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("dim"), col("n").as("n_b"), col("m").as("mb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(col("ma") * col("mb")).as("dot"),
+        sum(col("ma") * col("ma")).as("na2"),
+        sum(col("mb") * col("mb")).as("nb2"))
+      .filter(col("na2") > 0 && col("nb2") > 0)
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("dot").cast("double") /
+          sqrt(col("na2").cast("double") * col("nb2").cast("double"))
+          * 1000000).cast("long").as("cos_e6"))
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame =
     sims.withColumn("sim_e6", round(col("sim") * 1000000).cast("long"))
       .withColumn("rank", row_number().over(

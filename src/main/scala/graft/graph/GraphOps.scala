@@ -402,4 +402,33 @@ object GraphOps {
     */
   def cooFromCsr(blocks: DataFrame): DataFrame =
     blocks.select(col("id").as("src"), explode(col("neighbors")).as("dst"))
+
+  /** Structural-equivalence classes ("twins"): vertices with IDENTICAL
+    * neighbor sets N(v) collapse to one class — on a web graph these are
+    * template/boilerplate link structures (every page of a section
+    * linking the same nav bar), and collapsing them before an expensive
+    * algorithm (BC, SimRank) is a classic exact-preserving compression.
+    *
+    * The signature is md5 over the sorted neighbor list — exact (no
+    * collision risk at 128 bits), built per vertex by ONE hash
+    * aggregation. Hub caveat (the [[csrBlocks]] / WL-multiset one): a
+    * 10⁶-degree hub materializes its full sorted list in the agg buffer;
+    * such graphs should cap or pre-filter hubs first — hubs are never
+    * twins of anything small, and [[graft.algo.WlRefinement]]'s
+    * (color,count)-pair trick does not apply because twin equality needs
+    * the EXACT set, not a refinement color.
+    *
+    * @return (id, rep, class_size): rep = the class's minimum vertex id;
+    *         singletons (class_size = 1) are emitted too
+    */
+  def structuralTwins(edges: DataFrame): DataFrame = {
+    val sig = edges.groupBy(col("src").as("id"))
+      .agg(md5(concat_ws(",",
+        transform(sort_array(collect_list(col("dst"))),
+          x => x.cast("string")))).as("sig"))
+    val cls = sig.groupBy("sig")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("class_size"))
+    sig.join(cls, Seq("sig"))
+      .select(col("id"), col("rep"), col("class_size"))
+  }
 }

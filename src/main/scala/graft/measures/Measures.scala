@@ -270,6 +270,69 @@ object Measures {
         (col("sum_nbr_deg").cast("double") / col("deg")).as("annd"))
   }
 
+  /** Dyad census (Holland–Leinhardt's M/A/N triple) over a DIRECTED,
+    * self-loop-free, deduplicated edge table: every unordered vertex
+    * pair is mutual (both arcs), asymmetric (exactly one), or null
+    * (none) —
+    *
+    *   mutual + asym + nulls = C(n, 2)
+    *
+    * the 2-node precursor of the triad census and the page-level
+    * companion of [[reciprocity]] (reciprocity = 2·mutual / arcs). Web
+    * graphs are heavily asymmetric; a rising mutual share inside a host
+    * is the link-exchange / spam-ring smell.
+    *
+    * Plan: one canonical-pair hash agg (count arcs per unordered pair)
+    * + two 1-row aggregates; nulls come from the closed form, never by
+    * materializing non-edges. Exact integers throughout.
+    *
+    * @return one row (n_vertices, mutual, asym, nulls)
+    */
+  def dyadCensus(directed: DataFrame): DataFrame = {
+    val pairs = directed
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("arcs"))
+    val n = graft.graph.GraphOps.vertices(directed)
+      .agg(count(lit(1)).cast("long").as("n_vertices"))
+    pairs.agg(
+        sum(when(col("arcs") === 2, 1L).otherwise(0L)).as("mutual"),
+        sum(when(col("arcs") === 1, 1L).otherwise(0L)).as("asym"))
+      .crossJoin(n)
+      .select(col("n_vertices"),
+        col("mutual").cast("long").as("mutual"),
+        col("asym").cast("long").as("asym"),
+        (col("n_vertices") * (col("n_vertices") - 1) / 2
+          - col("mutual") - col("asym")).cast("long").as("nulls"))
+  }
+
+  /** Collective influence at radius 1 (Morone–Makse, Nature 2015):
+    *
+    *   CI₁(v) = (deg(v) − 1) · Σ_{u ∈ N(v)} (deg(u) − 1)
+    *
+    * — the optimal-percolation influence score: greedily removing the
+    * top-CI vertices dismantles the giant component with far fewer
+    * removals than degree or PageRank ordering, which is exactly the
+    * crawl-hardening / spam-takedown question on a link graph ("which
+    * few hosts, removed, fragment the spam cluster?"). Leaves
+    * (deg = 1) score 0 by the (k−1) factor, matching the paper.
+    *
+    * Scale shape: identical to [[avgNeighborDegree]] — one vertex-sized
+    * degree table joined onto the slot table's dst side, one
+    * partial-aggregated groupBy(src). Exact integer arithmetic
+    * throughout (no floats to round). Returns (id, degree, ci).
+    */
+  def collectiveInfluence(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src").as("did")).agg(count(lit(1)).as("d"))
+    e.join(deg, e("dst") === col("did"))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("long").as("degree"),
+        sum(col("d") - 1).cast("long").as("nbrExcess"))
+      .select(col("id"), col("degree"),
+        ((col("degree") - 1) * col("nbrExcess")).as("ci"))
+  }
+
   /** Joint degree distribution (degree-mixing matrix, Newman 2002): the
     * slot count of every (k_src, k_dst) degree pair over the symmetrized
     * slot table — the full 2-D structure that [[degreeAssortativity]]

@@ -2136,6 +2136,76 @@ object GraphQueries {
         .select(col("id"), round(col("rank") * 1000000).cast("long").as("rank_e6"))
     }),
 
+    // collective influence CI₁ (Morone–Makse optimal percolation): the
+    // dismantling score — exact integer (deg−1)·Σ neighbor-excess
+    "g_collective_influence" -> ((s, dir) =>
+      Measures.collectiveInfluence(demoEdges(s, dir))),
+
+    // 3-node graphlet orbit vector per vertex: wedge-end / wedge-center /
+    // triangle counts derived from the triangle census + degrees alone
+    "g_orbits" -> ((s, dir) =>
+      TriangleCount.orbitCounts(demoEdges(s, dir))),
+
+    // second link-prediction family over the (id, id+3) probe pairs:
+    // resource allocation, Salton cosine, Leicht–Holme–Newman
+    "g_linkpred_ra" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val pairs = s.range(0, NodeSpace.toLong)
+        .select(col("id").as("src"), ((col("id") + 3) % NodeSpace).as("dst"))
+      graft.algo.LinkPrediction.scoresExtended(e, pairs)
+        .select(col("src"), col("dst"), col("common"),
+          round(col("ra") * 1000000).cast("long").as("ra_e6"),
+          round(col("cosine") * 1000000).cast("long").as("cos_e6"),
+          round(col("lhn") * 1000000).cast("long").as("lhn_e6"))
+    }),
+
+    // structural-balance triad census: signs derived deterministically
+    // from the unordered pair ((src+dst)%3==0 → −1), triangles bucketed
+    // by negative-edge count — balanced = n_neg ∈ {0, 2}
+    "g_signed_triads" -> ((s, dir) => {
+      val signed = demoEdges(s, dir).withColumn("sign",
+        when((col("src") + col("dst")) % 3 === 0, lit(-1)).otherwise(lit(1)))
+      TriangleCount.signedTriads(signed)
+    }),
+
+    // continuous label spreading, α=0.5, 3 supersteps, seeds id%25==0
+    // with class (id div 25) % 2 — fractional class mass per vertex
+    "g_label_spreading_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val seeds = GraphOps.vertices(e).filter(col("id") % 25 === 0)
+        .select(col("id"), expr("(id div 25) % 2").as("cls"))
+      graft.algo.LabelSpreading.run(e, seeds, alpha = 0.5, supersteps = 3)
+        .select(col("id"), col("cls"),
+          round(col("f") * 1000000).cast("long").as("f_e6"))
+    }),
+
+    // landmark distance oracle: 4 landmarks (id%75==0), probe pairs
+    // (id, id+7) — min-over-landmarks triangle upper bound per pair
+    "g_landmark_dist" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val landmarks = GraphOps.vertices(e).filter(col("id") % 75 === 0)
+      val pairs = s.range(0, NodeSpace.toLong)
+        .select(col("id").as("src"), ((col("id") + 7) % NodeSpace).as("dst"))
+      graft.algo.Centrality.landmarkDistances(e, landmarks, pairs)
+    }),
+
+    // Holland–Leinhardt dyad census on the raw DIRECTED edge set (the
+    // HITS graph): mutual / asymmetric / null unordered pairs
+    "g_dyad_census" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      Measures.dyadCensus(directed)
+    }),
+
+    // structural-equivalence twin classes: identical neighbor sets
+    // collapse to (rep = min id, class_size) via a sorted-list md5
+    "g_twins" -> ((s, dir) =>
+      GraphOps.structuralTwins(demoEdges(s, dir))),
+
     "g_pr_shift_top10" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
@@ -4262,6 +4332,171 @@ object GraphQueries {
          |LEFT JOIN ov ON ov.u = p.u AND ov.v = p.v
          |LEFT JOIN deg du ON du.id = p.u
          |LEFT JOIN deg dv ON dv.id = p.v""".stripMargin,
+
+    "g_linkpred_ra" ->
+      s"""WITH $cte,
+         |probe AS (SELECT range AS u, (range + 3) % $NodeSpace AS v
+         |          FROM range($NodeSpace)),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |ov AS (
+         |  SELECT p.u, p.v, count(*) AS cn, sum(1.0 / d.degree) AS ra
+         |  FROM probe p
+         |  JOIN e0 a ON a.src = p.u
+         |  JOIN e0 b ON b.src = p.v AND b.dst = a.dst
+         |  JOIN deg d ON d.id = a.dst
+         |  GROUP BY 1, 2)
+         |SELECT p.u AS src, p.v AS dst,
+         |  coalesce(ov.cn, 0) AS common,
+         |  CAST(ROUND(coalesce(ov.ra, 0) * 1000000) AS BIGINT) AS ra_e6,
+         |  CAST(ROUND(CASE
+         |    WHEN coalesce(du.degree, 0) * coalesce(dv.degree, 0) > 0
+         |    THEN CAST(coalesce(ov.cn, 0) AS DOUBLE)
+         |         / sqrt(CAST(coalesce(du.degree, 0) * coalesce(dv.degree, 0)
+         |                AS DOUBLE))
+         |    ELSE 0.0 END * 1000000) AS BIGINT) AS cos_e6,
+         |  CAST(ROUND(CASE
+         |    WHEN coalesce(du.degree, 0) * coalesce(dv.degree, 0) > 0
+         |    THEN CAST(coalesce(ov.cn, 0) AS DOUBLE)
+         |         / (coalesce(du.degree, 0) * coalesce(dv.degree, 0))
+         |    ELSE 0.0 END * 1000000) AS BIGINT) AS lhn_e6
+         |FROM probe p
+         |LEFT JOIN ov ON ov.u = p.u AND ov.v = p.v
+         |LEFT JOIN deg du ON du.id = p.u
+         |LEFT JOIN deg dv ON dv.id = p.v""".stripMargin,
+
+    "g_collective_influence" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |nx AS (
+         |  SELECT e0.src AS id, sum(d.degree - 1) AS nxv
+         |  FROM e0 JOIN deg d ON d.id = e0.dst
+         |  GROUP BY 1)
+         |SELECT deg.id, deg.degree,
+         |  CAST((deg.degree - 1) * nx.nxv AS BIGINT) AS ci
+         |FROM deg JOIN nx ON nx.id = deg.id""".stripMargin,
+
+    "g_orbits" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM canon e1
+         |  JOIN canon e2 ON e1.dst = e2.src
+         |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pv AS (SELECT id, count(*) AS t FROM (
+         |  SELECT a AS id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri) u GROUP BY id),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |nx AS (
+         |  SELECT e0.src AS id, sum(d.degree - 1) AS nxv
+         |  FROM e0 JOIN deg d ON d.id = e0.dst
+         |  GROUP BY 1)
+         |SELECT deg.id, deg.degree,
+         |  CAST(nx.nxv - 2 * coalesce(pv.t, 0) AS BIGINT) AS wedge_end,
+         |  CAST(deg.degree * (deg.degree - 1) // 2 - coalesce(pv.t, 0)
+         |    AS BIGINT) AS wedge_center,
+         |  CAST(coalesce(pv.t, 0) AS BIGINT) AS triangles
+         |FROM deg
+         |JOIN nx ON nx.id = deg.id
+         |LEFT JOIN pv ON pv.id = deg.id""".stripMargin,
+
+    "g_signed_triads" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM canon e1
+         |  JOIN canon e2 ON e1.dst = e2.src
+         |  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT CAST(n_neg AS BIGINT) AS n_neg, count(*) AS n_triangles
+         |FROM (
+         |  SELECT (CASE WHEN (a + b) % 3 = 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN (b + c) % 3 = 0 THEN 1 ELSE 0 END
+         |        + CASE WHEN (a + c) % 3 = 0 THEN 1 ELSE 0 END) AS n_neg
+         |  FROM tri) s
+         |GROUP BY 1""".stripMargin,
+
+    "g_label_spreading_t3" -> {
+      val steps = (1 to 3).map { k =>
+        s"""g$k AS (
+           |  SELECT e0.src AS id, f.cls, sum(f.f) AS s
+           |  FROM e0 JOIN f${k - 1} f ON f.id = e0.dst
+           |  GROUP BY 1, 2),
+           |f$k AS (
+           |  SELECT coalesce(g.id, sd.id) AS id,
+           |         coalesce(g.cls, sd.cls) AS cls,
+           |         coalesce(0.5 * g.s / d.degree, 0) + 0.5 * coalesce(sd.y, 0)
+           |           AS f
+           |  FROM g$k g
+           |  FULL OUTER JOIN seeds sd ON sd.id = g.id AND sd.cls = g.cls
+           |  JOIN deg d ON d.id = coalesce(g.id, sd.id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |seeds AS (SELECT id, (id // 25) % 2 AS cls, 1.0 AS y
+         |          FROM verts WHERE id % 25 = 0),
+         |f0 AS (SELECT id, cls, y AS f FROM seeds),
+         |$steps
+         |SELECT id, cls, CAST(ROUND(f * 1000000) AS BIGINT) AS f_e6
+         |FROM f3 WHERE f > 0""".stripMargin
+    },
+
+    "g_dyad_census" ->
+      s"""WITH d0 AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |pr AS (
+         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |         count(*) AS arcs
+         |  FROM d0 GROUP BY 1, 2),
+         |nv AS (SELECT count(*) AS n FROM (
+         |  SELECT src AS id FROM d0 UNION SELECT dst FROM d0) u)
+         |SELECT CAST(nv.n AS BIGINT) AS n_vertices,
+         |  CAST(sum(CASE WHEN arcs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS mutual,
+         |  CAST(sum(CASE WHEN arcs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS asym,
+         |  CAST(nv.n * (nv.n - 1) // 2
+         |    - sum(CASE WHEN arcs = 2 THEN 1 ELSE 0 END)
+         |    - sum(CASE WHEN arcs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nulls
+         |FROM pr, nv GROUP BY nv.n""".stripMargin,
+
+    "g_twins" ->
+      s"""WITH $cte,
+         |sig AS (
+         |  SELECT src AS id,
+         |    md5(string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst)) AS sg
+         |  FROM e0 GROUP BY 1),
+         |cls AS (SELECT sg, min(id) AS rep, count(*) AS class_size
+         |        FROM sig GROUP BY 1)
+         |SELECT sig.id, cls.rep, cls.class_size
+         |FROM sig JOIN cls ON cls.sg = sig.sg""".stripMargin,
+
+    "g_landmark_dist" ->
+      s"""WITH RECURSIVE $cte,
+         |lmk AS (SELECT id FROM verts WHERE id % 75 = 0),
+         |reach(source, id, dist) AS (
+         |  SELECT id, id, 0 FROM lmk
+         |  UNION
+         |  SELECT r.source, e0.dst, r.dist + 1
+         |  FROM reach r JOIN e0 ON e0.src = r.id
+         |  WHERE r.dist < ${graft.algo.Betweenness.DepthCap}),
+         |lv AS (SELECT source, id, min(dist) AS dist FROM reach GROUP BY 1, 2),
+         |probe AS (SELECT range AS src, (range + 7) % $NodeSpace AS dst
+         |          FROM range($NodeSpace)),
+         |est AS (
+         |  SELECT p.src, p.dst, count(*) AS n_landmarks,
+         |         min(u.dist + v.dist) AS est_dist
+         |  FROM probe p
+         |  JOIN lv u ON u.id = p.src
+         |  JOIN lv v ON v.source = u.source AND v.id = p.dst
+         |  GROUP BY 1, 2)
+         |SELECT p.src, p.dst,
+         |  CAST(coalesce(e.n_landmarks, 0) AS BIGINT) AS n_landmarks,
+         |  CAST(e.est_dist AS BIGINT) AS est_dist
+         |FROM probe p
+         |LEFT JOIN est e ON e.src = p.src AND e.dst = p.dst""".stripMargin,
 
     // HITS: unrolled alternating hub/authority aggregations over the
     // directed edge set, L1-normalized per half-step via scalar

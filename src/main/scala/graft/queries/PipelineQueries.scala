@@ -771,6 +771,33 @@ object PipelineQueries {
           col("sim_e6"))
     }),
 
+    // top-k margin audit: per query the gap between the best and
+    // second-best cosine — near-zero margins mean the ANN answer is
+    // rank-unstable under quantization/index noise (pair with e_sq_audit
+    // before shipping an int8 index)
+    "e_topk_margin" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val n = v.select(col("vec_id"), col("v"),
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val sims = q.crossJoin(n).filter(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm")) * 1000000)
+            .cast("long").as("sim_e6"))
+      sims.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col("sim_e6").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 2)
+        .groupBy("qid")
+        .agg(max(when(col("rank") === 1, col("sim_e6"))).as("sim1_e6"),
+          max(when(col("rank") === 2, col("sim_e6"))).as("sim2_e6"))
+        .select(col("qid"), col("sim1_e6"), col("sim2_e6"),
+          (col("sim1_e6") - col("sim2_e6")).as("margin_e6"))
+    }),
+
     // ANN recall audit: LSH top-5 measured against the exact brute-force
     // top-5 per query — recall@5, the index-quality number every vector
     // store reports; hits via one left-semi join of two top-k tables
@@ -818,6 +845,40 @@ object PipelineQueries {
     // hash agg bounded at d(d+1)/2 output groups
     "e_covariance" -> ((s, dir) =>
       graft.functions.Similarity.covarianceMatrix(emb(s, dir))),
+
+    // int8 scalar-quantization audit: exact integer codes + exact squared
+    // reconstruction error per vector (the FAISS-SQ8 storage question —
+    // how much does 4× compression cost THIS corpus?)
+    "e_sq_audit" -> ((s, dir) =>
+      graft.functions.Similarity.scalarQuantAudit(emb(s, dir))),
+
+    // split-half centroid stability per label: cosine between the
+    // vec_id-parity halves' centroids — labels whose centroid is noise
+    // (mixtures, tiny support) surface as low cos_e6
+    "e_drift" -> ((s, dir) =>
+      graft.functions.Similarity.centroidDrift(emb(s, dir))),
+
+    // split-half vocabulary drift: JS divergence between the doc_id-parity
+    // halves' unigram distributions — the text-side centroidDrift
+    "d_vocab_drift" -> ((s, dir) =>
+      graft.text.TextIndex.vocabDrift(docs(s, dir))),
+
+    // temperature-scaled language sampling mix (α pinned at 0.5 = the
+    // one IEEE-exact power): upsampling boosts per language
+    "d_temperature_mix" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("lang").as("grp"))
+        .agg(count(lit(1)).as("n"))
+      graft.text.DomainMix.temperatureMix(counts)
+        .select(col("grp"), col("n"),
+          round(col("p") * 1000000).cast("long").as("p_e6"),
+          round(col("q") * 1000000).cast("long").as("q_e6"),
+          round(col("boost") * 1000000).cast("long").as("boost_e6"))
+    }),
+
+    // per-user churn/RFM features anchored to the dataset's max ts —
+    // recency, tenure, active days, recent-share, all exact epoch ints
+    "ev_churn" -> ((s, dir) =>
+      graft.streaming.Funnel.churnFeatures(events(s, dir))),
 
     // DSIR importance weights: per-doc average unigram log-likelihood
     // ratio of the English-slice LM over the raw-corpus LM (add-1
@@ -1900,6 +1961,129 @@ object PipelineQueries {
         |    - (sum(xi) / count(*)) * (sum(xj) / count(*))) AS BIGINT)
         |    AS cov_e12
         |FROM ex GROUP BY 1, 2""".stripMargin,
+
+    // SQ8 oracle: identical exact-integer code/reconstruction rules —
+    // both half-up roundings in the (2a + b) // (2b) form
+    "e_sq_audit" ->
+      """WITH ex AS (SELECT vec_id, r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |rng AS (SELECT dim, min(xe6) AS mn, max(xe6) - min(xe6) AS rg
+        |        FROM ex GROUP BY 1),
+        |qq AS (SELECT vec_id, xe6, mn, rg,
+        |    CASE WHEN rg > 0
+        |      THEN (2 * 255 * (xe6 - mn) + rg) // (2 * rg)
+        |      ELSE 0 END AS q
+        |  FROM ex JOIN rng USING (dim)),
+        |rr AS (SELECT vec_id, q, xe6,
+        |    mn + (2 * q * rg + 255) // (2 * 255) AS rec
+        |  FROM qq)
+        |SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum,
+        |  CAST(sum((xe6 - rec) * (xe6 - rec)) AS BIGINT) AS sse_e12
+        |FROM rr GROUP BY vec_id""".stripMargin,
+
+    // drift oracle: e6 centroid means per (label, parity half), exact
+    // integer dot/norms over the 64 dims, one final sqrt+divide
+    "e_drift" ->
+      """WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+        |    vec_id % 2 AS half, r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |cent AS (SELECT label, half, dim, count(*) AS n,
+        |    CAST(ROUND(sum(xe6) / count(*)) AS BIGINT) AS m
+        |  FROM ex GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label, a.n AS n_a, b.n AS n_b, a.m AS ma, b.m AS mb
+        |  FROM cent a JOIN cent b
+        |    ON a.label = b.label AND a.dim = b.dim
+        |   AND a.half = 0 AND b.half = 1)
+        |SELECT label, CAST(min(n_a) AS BIGINT) AS n_a,
+        |  CAST(min(n_b) AS BIGINT) AS n_b,
+        |  CAST(ROUND(CAST(sum(ma * mb) AS DOUBLE)
+        |    / sqrt(CAST(sum(ma * ma) AS DOUBLE) * CAST(sum(mb * mb) AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS cos_e6
+        |FROM j GROUP BY label
+        |HAVING sum(ma * ma) > 0 AND sum(mb * mb) > 0""".stripMargin,
+
+    // margin oracle: the e_ann_topk similarity pipeline at k=2, pivoted
+    "e_topk_margin" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, vec_id,
+        |        CAST(ROUND(list_sum([qv[i+1] * v[i+1] for i in range(64)])
+        |          / (qn * nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM q, n WHERE qid <> vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM s)
+        |SELECT qid,
+        |  max(CASE WHEN rank = 1 THEN sim_e6 END) AS sim1_e6,
+        |  max(CASE WHEN rank = 2 THEN sim_e6 END) AS sim2_e6,
+        |  max(CASE WHEN rank = 1 THEN sim_e6 END)
+        |    - max(CASE WHEN rank = 2 THEN sim_e6 END) AS margin_e6
+        |FROM r WHERE rank <= 2 GROUP BY qid""".stripMargin,
+
+    // drift oracle: identical add-1 smoothing over the shared vocab,
+    // per-term e9-rounded contributions summed as exact integers
+    "d_vocab_drift" ->
+      """WITH tok AS (SELECT doc_id % 2 AS half,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS tfa,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS tfb
+        |  FROM tok GROUP BY 1),
+        |sc AS (SELECT count(*) AS v, CAST(sum(tfa) AS BIGINT) AS na,
+        |         CAST(sum(tfb) AS BIGINT) AS nb FROM tf),
+        |c AS (SELECT sc.v, sc.na, sc.nb,
+        |    CAST(ROUND((
+        |      (CAST(tfa + 1 AS DOUBLE) / (na + v))
+        |        * ln((CAST(tfa + 1 AS DOUBLE) / (na + v))
+        |          / (((CAST(tfa + 1 AS DOUBLE) / (na + v))
+        |            + (CAST(tfb + 1 AS DOUBLE) / (nb + v))) / 2))
+        |      + (CAST(tfb + 1 AS DOUBLE) / (nb + v))
+        |        * ln((CAST(tfb + 1 AS DOUBLE) / (nb + v))
+        |          / (((CAST(tfa + 1 AS DOUBLE) / (na + v))
+        |            + (CAST(tfb + 1 AS DOUBLE) / (nb + v))) / 2))
+        |    ) * 500000000) AS BIGINT) AS c
+        |  FROM tf, sc)
+        |SELECT CAST(v AS BIGINT) AS n_vocab, na AS tok_a, nb AS tok_b,
+        |  CAST(sum(c) AS BIGINT) AS js_e9
+        |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // temperature-mix oracle: sqrt is correctly rounded on both engines,
+    // so the α=0.5 weights replay bit-for-bit
+    "d_temperature_mix" ->
+      """WITH c AS (SELECT lang AS grp, count(*) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tn,
+        |             sum(sqrt(CAST(n AS DOUBLE))) AS ts FROM c)
+        |SELECT grp, n,
+        |  CAST(ROUND(n / tn * 1000000) AS BIGINT) AS p_e6,
+        |  CAST(ROUND(sqrt(CAST(n AS DOUBLE)) / ts * 1000000) AS BIGINT)
+        |    AS q_e6,
+        |  CAST(ROUND(sqrt(CAST(n AS DOUBLE)) / ts * tn / n * 1000000)
+        |    AS BIGINT) AS boost_e6
+        |FROM c, t""".stripMargin,
+
+    // churn oracle: the retention epoch convention (epoch_us // 1e6),
+    // every feature an exact integer against the dataset max ts
+    "ev_churn" ->
+      """WITH ev AS (SELECT user_id,
+        |    epoch_us(ts) // 1000000 AS t FROM events),
+        |tm AS (SELECT max(t) AS t_max FROM ev)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT t // 86400) AS BIGINT) AS active_days,
+        |  max(t) - min(t) AS tenure_s,
+        |  min(tm.t_max) - max(t) AS recency_s,
+        |  CAST(sum(CASE WHEN t >= tm.t_max - 172800 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_recent
+        |FROM ev, tm GROUP BY user_id""".stripMargin,
 
     // DSIR oracle: per-term add-1 log-likelihood ratio of the en-slice
     // LM over the corpus LM, e6-rounded then tf-weighted (order-free)

@@ -392,4 +392,41 @@ object Funnel {
         expr("n_entry * 1000000 DIV n_events").as("entry_e6"),
         expr("n_exit * 1000000 DIV n_events").as("exit_e6"))
   }
+
+  /** Per-user churn/RFM feature table — the standard recency, frequency,
+    * tenure, and recent-share signals a churn model trains on, all
+    * anchored to the DATASET's max timestamp (not wall clock, so the
+    * feature table is replayable):
+    *
+    *   recency_s    = t_max − user's last event
+    *   tenure_s     = user's last − first event
+    *   active_days  = distinct UTC day buckets (epoch // 86400)
+    *   n_recent     = events within `recentSec` of t_max
+    *
+    * All exact integer arithmetic on epoch seconds (the TZ-independent
+    * retention/hourlyAnomaly convention — never date_trunc). Plan: one
+    * broadcast 1-row scalar (t_max) + one user-keyed hash aggregation
+    * with map-side combine; active_days is a count_distinct re-shuffle on
+    * the same user key. Embarrassingly user-parallel at any scale.
+    *
+    * @return (user_id, n_events, active_days, tenure_s, recency_s,
+    *         n_recent)
+    */
+  def churnFeatures(events: DataFrame, recentSec: Long = 172800L): DataFrame = {
+    require(recentSec > 0)
+    val ev = events.select(col("user_id"),
+      col("ts").cast("timestamp").cast("long").as("t"))
+    val tmax = ev.agg(max(col("t")).as("t_max"))
+    ev.crossJoin(tmax)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(expr("t div 86400")).as("active_days"),
+        (max(col("t")) - min(col("t"))).as("tenure_s"),
+        (first(col("t_max")) - max(col("t"))).as("recency_s"),
+        sum(when(col("t") >= col("t_max") - recentSec, 1L).otherwise(0L))
+          .as("n_recent"))
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        col("tenure_s"), col("recency_s"),
+        col("n_recent").cast("long").as("n_recent"))
+  }
 }

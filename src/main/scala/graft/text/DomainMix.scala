@@ -52,4 +52,34 @@ object DomainMix {
       .select(col("host"), col("tokens"), col("tau"),
         least(col("tokens"), col("tau")).as("alloc"))
   }
+
+  /** Temperature-scaled sampling mix (the multilingual upsampling rule of
+    * mT5/XLM-R: sample group g with probability ∝ p_g^α, α < 1 flattening
+    * the head so low-resource groups are seen more than their corpus
+    * share): given a (grp, n) count table,
+    *
+    *   p_g = n_g / N,   q_g = n_g^α / Σ_m n_m^α,   boost_g = q_g / p_g
+    *
+    * α is PINNED at 0.5 — not a parameter — because √ is the one power
+    * IEEE-754 correctly rounds, so q is bit-replayable across engines
+    * (pow(x, 0.3) is not); 0.5 is also squarely inside the α ∈ [0.2, 0.7]
+    * band the multilingual-LM literature actually ships. boost > 1 =
+    * upsampled (low-resource), boost < 1 = downsampled (head).
+    *
+    * Plan: one groupBy the caller already did (input IS the count table),
+    * one broadcast 1-row scalar, group-count-sized output.
+    *
+    * @return (grp, n, p, q, boost)
+    */
+  def temperatureMix(groupCounts: DataFrame): DataFrame = {
+    val tot = groupCounts.agg(
+      sum(col("n")).cast("double").as("tn"),
+      sum(sqrt(col("n").cast("double"))).as("ts"))
+    groupCounts.crossJoin(tot)
+      .select(col("grp"), col("n"),
+        (col("n") / col("tn")).as("p"),
+        (sqrt(col("n").cast("double")) / col("ts")).as("q"),
+        (sqrt(col("n").cast("double")) / col("ts") * col("tn") / col("n"))
+          .as("boost"))
+  }
 }

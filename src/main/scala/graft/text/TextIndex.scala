@@ -438,4 +438,46 @@ object TextIndex {
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("bits")).as("gamma_bits"))
   }
+
+  /** Split-half vocabulary drift: Jensen–Shannon divergence between the
+    * unigram distributions of the doc_id-parity halves of the corpus —
+    * the text-side twin of the embedding centroidDrift audit ("is this
+    * corpus statistically homogeneous, or did the second half come from
+    * somewhere else?"). Run before pooling two crawls, or on a
+    * time-split to detect topic drift.
+    *
+    *   p(w) = (tf_A(w)+1)/(N_A+V),  q(w) = (tf_B(w)+1)/(N_B+V)
+    *   JS   = ½ Σ_w [ p·ln(p/m) + q·ln(q/m) ],  m = (p+q)/2
+    *
+    * with add-1 smoothing over the SHARED corpus vocabulary (V = all
+    * distinct terms, either half), so both distributions are everywhere
+    * positive and JS ≤ ln 2. Determinism contract (the d_kl / dsir
+    * lesson): each per-TERM contribution is rounded to an e9 integer
+    * before the vocabulary-sized sum, so aggregation order cannot move
+    * the result. Plan: one tokenize+agg pass producing per-(term, half)
+    * tfs, two 1-row broadcast scalars, one vocabulary-sized agg.
+    *
+    * @return one row (n_vocab, tok_a, tok_b, js_e9), JS in nats
+    */
+  def vocabDrift(docs: DataFrame): DataFrame = {
+    val toks = docs.select((col("doc_id") % 2).as("half"),
+      explode(termsCol).as("term"))
+    val tf = toks.groupBy("term")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("tfa"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("tfb"))
+    val scal = tf.agg(count(lit(1)).cast("long").as("v"),
+      sum(col("tfa")).cast("long").as("na"),
+      sum(col("tfb")).cast("long").as("nb"))
+    val p = (col("tfa") + 1).cast("double") / (col("na") + col("v"))
+    val q = (col("tfb") + 1).cast("double") / (col("nb") + col("v"))
+    val m = (p + q) / 2
+    tf.crossJoin(broadcast(scal))
+      .select(col("v"), col("na"), col("nb"),
+        round((p * log(p / m) + q * log(q / m)) * 500000000d)
+          .cast("long").as("c"))
+      .groupBy("v", "na", "nb")
+      .agg(sum(col("c")).as("js_e9"))
+      .select(col("v").as("n_vocab"), col("na").as("tok_a"),
+        col("nb").as("tok_b"), col("js_e9"))
+  }
 }
