@@ -472,6 +472,49 @@ object Similarity {
           * 1000000).cast("long").as("cos_e6"))
   }
 
+  /** Dominant variance direction by two deterministic power-iteration
+    * steps on the exact integer covariance matrix — the "what single
+    * axis carries this embedding space's variance" PCA probe run before
+    * whitening or dimensionality decisions (an anisotropic space with
+    * one dominant axis is the classic un-normalized-encoder smell).
+    *
+    *   v₁ = C·1,   v₂ = C·v̂₁   (v̂ = per-step max-abs normalization)
+    *
+    * Determinism: C is [[covarianceMatrix]]'s exact cov_e12 integers
+    * (mirrored to the full matrix), the all-ones start vector breaks the
+    * eigenvector sign ambiguity, each normalization is ONE rounded
+    * double division (v̂₁ in e3 so the second matvec stays inside int64:
+    * |Σ cov_e12 · v̂₁| ≤ 64 · 10¹³ · 10³), and both matvecs are exact
+    * integer sums. Two steps separate a dominant eigenvalue cleanly on
+    * real spectra; callers needing more precision iterate the same
+    * contract. Plan: everything after the covariance agg is 64-row.
+    *
+    * @return (dim, v1_e6, v2_e6) — both steps' directions, max-abs
+    *         normalized to e6
+    */
+  def dominantDirection(vectors: DataFrame): DataFrame = {
+    val cov = covarianceMatrix(vectors)
+      .select(col("i"), col("j"), col("cov_e12"))
+    val full = cov.union(cov.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov_e12")))
+    val v1 = full.groupBy("i").agg(sum(col("cov_e12")).as("v1"))
+    val m1 = v1.agg(max(abs(col("v1"))).as("m1"))
+    val v1n = v1.crossJoin(broadcast(m1))
+      .select(col("i"),
+        round(col("v1").cast("double") / col("m1") * 1000000)
+          .cast("long").as("v1_e6"),
+        round(col("v1").cast("double") / col("m1") * 1000)
+          .cast("long").as("v1_e3"))
+    val v2 = full
+      .join(v1n.select(col("i").as("j"), col("v1_e3")), Seq("j"))
+      .groupBy("i").agg(sum(col("cov_e12") * col("v1_e3")).as("v2"))
+    val m2 = v2.agg(max(abs(col("v2"))).as("m2"))
+    v1n.join(v2, Seq("i")).crossJoin(broadcast(m2))
+      .select(col("i").as("dim"), col("v1_e6"),
+        round(col("v2").cast("double") / col("m2") * 1000000)
+          .cast("long").as("v2_e6"))
+  }
+
   private def topK(sims: DataFrame, k: Int): DataFrame =
     sims.withColumn("sim_e6", round(col("sim") * 1000000).cast("long"))
       .withColumn("rank", row_number().over(

@@ -2206,6 +2206,23 @@ object GraphQueries {
     "g_twins" -> ((s, dir) =>
       GraphOps.structuralTwins(demoEdges(s, dir))),
 
+    // VoteRank spreader selection, k=3: e6-integer voting abilities,
+    // δ = ⌊10⁶/⟨k⟩⌉ neighbor discount, (score desc, id asc) tie-break
+    "g_voterank_t3" -> ((s, dir) =>
+      graft.algo.Influence.voteRank(demoEdges(s, dir), k = 3)),
+
+    // deterministic linear-threshold cascade, 3 rounds: seeds id%37==0,
+    // θ(v) = ((31v mod 97)+1)/98 — activation test cross-multiplied to
+    // pure integers
+    "g_lt_cascade_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val verts = GraphOps.vertices(e)
+      val seeds = verts.filter(col("id") % 37 === 0)
+      val th = verts.select(col("id"),
+        ((col("id") * 31) % 97 + 1).as("tnum"))
+      graft.algo.Influence.ltCascade(e, seeds, th, tden = 98, rounds = 3)
+    }),
+
     "g_pr_shift_top10" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
@@ -4472,6 +4489,68 @@ object GraphQueries {
          |        FROM sig GROUP BY 1)
          |SELECT sig.id, cls.rep, cls.class_size
          |FROM sig JOIN cls ON cls.sg = sig.sg""".stripMargin,
+
+    "g_voterank_t3" -> {
+      def round(k: Int): String = {
+        val prevSel =
+          if (k == 1) ""
+          else "WHERE s.id NOT IN (" +
+            (1 until k).map(i => s"SELECT id FROM w$i").mkString(" UNION ") +
+            ")"
+        s"""s$k AS (
+           |  SELECT e0.src AS id, sum(v.va) AS score
+           |  FROM e0 JOIN va${k - 1} v ON v.id = e0.dst
+           |  GROUP BY 1),
+           |w$k AS (SELECT s.id, s.score FROM s$k s
+           |        $prevSel
+           |        ORDER BY s.score DESC, s.id ASC LIMIT 1),
+           |va$k AS (
+           |  SELECT v.id,
+           |    CASE WHEN v.id = (SELECT id FROM w$k) THEN 0
+           |         WHEN EXISTS (SELECT 1 FROM e0
+           |                      WHERE e0.src = (SELECT id FROM w$k)
+           |                        AND e0.dst = v.id)
+           |           THEN greatest(v.va - (SELECT d FROM dl), 0)
+           |         ELSE v.va END AS va
+           |  FROM va${k - 1} v)""".stripMargin
+      }
+      s"""WITH $cte,
+         |sc AS (SELECT count(*) AS slots FROM e0),
+         |nv AS (SELECT count(*) AS n FROM verts),
+         |dl AS (SELECT CAST(ROUND(1000000.0 * nv.n / sc.slots) AS BIGINT)
+         |         AS d FROM sc, nv),
+         |va0 AS (SELECT id, CAST(1000000 AS BIGINT) AS va FROM verts),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT CAST(1 AS BIGINT) AS rank, id, CAST(score AS BIGINT)
+         |  AS score_e6 FROM w1
+         |UNION ALL SELECT 2, id, CAST(score AS BIGINT) FROM w2
+         |UNION ALL SELECT 3, id, CAST(score AS BIGINT) FROM w3""".stripMargin
+    },
+
+    "g_lt_cascade_t3" -> {
+      val steps = (1 to 3).map { r =>
+        s"""g$r AS (
+           |  SELECT e0.src AS id, count(*) AS na
+           |  FROM e0 JOIN a${r - 1} a ON a.id = e0.dst
+           |  GROUP BY 1),
+           |f$r AS (
+           |  SELECT g.id, CAST($r AS BIGINT) AS round
+           |  FROM g$r g
+           |  JOIN deg ON deg.id = g.id
+           |  JOIN th ON th.id = g.id
+           |  WHERE g.id NOT IN (SELECT id FROM a${r - 1})
+           |    AND g.na * 98 >= th.tnum * deg.degree),
+           |a$r AS (SELECT * FROM a${r - 1} UNION ALL SELECT * FROM f$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |th AS (SELECT id, (id * 31) % 97 + 1 AS tnum FROM verts),
+         |a0 AS (SELECT id, CAST(0 AS BIGINT) AS round FROM verts
+         |       WHERE id % 37 = 0),
+         |$steps
+         |SELECT id, round FROM a3""".stripMargin
+    },
 
     "g_landmark_dist" ->
       s"""WITH RECURSIVE $cte,

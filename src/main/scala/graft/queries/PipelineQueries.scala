@@ -863,6 +863,41 @@ object PipelineQueries {
     "d_vocab_drift" -> ((s, dir) =>
       graft.text.TextIndex.vocabDrift(docs(s, dir))),
 
+    // language-ID confidence margin: top minus second marker score per
+    // doc (second max of 4 = greatest of the 6 pairwise leasts) — the
+    // keep-only-confident-language filter beside d_lang_id
+    "d_langid_margin" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val sc = langMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => wordCount(padded, w)).reduce(_ + _)
+      }
+      val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(sc)
+      val top = greatest(en, es, de, fr)
+      val second = greatest(least(en, es), least(en, de), least(en, fr),
+        least(es, de), least(es, fr), least(de, fr))
+      docs(s, dir).select(col("doc_id"),
+        top.cast("long").as("top_score"),
+        (top - second).cast("long").as("margin"),
+        when(top - second >= 2, 1L).otherwise(0L).as("confident"))
+    }),
+
+    // day-of-week × hour-of-day seasonality profile: the load/engagement
+    // matrix behind anomaly baselines — exact epoch integer buckets
+    // (epoch day 0 = Thursday, hence the +4 dow shift)
+    "ev_seasonality" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("ts").cast("timestamp").cast("long").as("t"))
+        .select(expr("(t div 86400 + 4) % 7").as("dow"),
+          expr("(t div 3600) % 24").as("hour"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"))),
+
+    // two power-iteration steps on the exact covariance integers: the
+    // dominant variance axis (anisotropy probe), 64-row everything after
+    // the covariance agg
+    "e_power_iter" -> ((s, dir) =>
+      graft.functions.Similarity.dominantDirection(emb(s, dir))),
+
     // temperature-scaled language sampling mix (α pinned at 0.5 = the
     // one IEEE-exact power): upsampling boosts per language
     "d_temperature_mix" -> ((s, dir) => {
@@ -2055,6 +2090,65 @@ object PipelineQueries {
         |SELECT CAST(v AS BIGINT) AS n_vocab, na AS tok_a, nb AS tok_b,
         |  CAST(sum(c) AS BIGINT) AS js_e9
         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // margin oracle: identical second-max-of-4 pairwise-least identity
+    "d_langid_margin" -> {
+      def score(lang: String) =
+        langMarkers(lang).map(wordCountSql).mkString("(", " + ", ")")
+      s"""WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS pad
+         |           FROM documents),
+         |s AS (SELECT doc_id, ${score("en")} AS en, ${score("es")} AS es,
+         |             ${score("de")} AS de, ${score("fr")} AS fr FROM p),
+         |m AS (SELECT doc_id, greatest(en, es, de, fr) AS top,
+         |        greatest(least(en, es), least(en, de), least(en, fr),
+         |                 least(es, de), least(es, fr), least(de, fr))
+         |          AS second
+         |      FROM s)
+         |SELECT doc_id, CAST(top AS BIGINT) AS top_score,
+         |  CAST(top - second AS BIGINT) AS margin,
+         |  CAST(CASE WHEN top - second >= 2 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS confident
+         |FROM m""".stripMargin
+    },
+
+    // seasonality oracle: the retention epoch convention, pure integers
+    "ev_seasonality" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 1000000 AS t FROM events)
+        |SELECT (t // 86400 + 4) % 7 AS dow, (t // 3600) % 24 AS hour,
+        |       count(*) AS n_events
+        |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    // power-iteration oracle: the e_covariance integers mirrored to the
+    // full matrix, two exact matvecs, one rounded division per step
+    "e_power_iter" ->
+      """WITH ex AS (SELECT i, j,
+        |    CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xi,
+        |    CAST(ROUND(CAST(embedding[j + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xj
+        |  FROM embeddings, range(64) AS r1(i), range(64) AS r2(j)
+        |  WHERE i <= j),
+        |cu AS (SELECT i, j,
+        |    CAST(ROUND(sum(xi * xj) / count(*)
+        |      - (sum(xi) / count(*)) * (sum(xj) / count(*))) AS BIGINT)
+        |      AS c
+        |  FROM ex GROUP BY 1, 2),
+        |cf AS (SELECT i, j, c FROM cu
+        |       UNION ALL SELECT j, i, c FROM cu WHERE i <> j),
+        |v1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS v1 FROM cf GROUP BY 1),
+        |m1 AS (SELECT max(abs(v1)) AS m1 FROM v1),
+        |v1n AS (SELECT i,
+        |    CAST(ROUND(CAST(v1 AS DOUBLE) / m1 * 1000000) AS BIGINT)
+        |      AS v1_e6,
+        |    CAST(ROUND(CAST(v1 AS DOUBLE) / m1 * 1000) AS BIGINT) AS v1_e3
+        |  FROM v1, m1),
+        |v2 AS (SELECT cf.i, CAST(sum(cf.c * n.v1_e3) AS BIGINT) AS v2
+        |       FROM cf JOIN v1n n ON n.i = cf.j GROUP BY 1),
+        |m2 AS (SELECT max(abs(v2)) AS m2 FROM v2)
+        |SELECT CAST(v1n.i AS BIGINT) AS dim, v1n.v1_e6,
+        |  CAST(ROUND(CAST(v2.v2 AS DOUBLE) / m2 * 1000000) AS BIGINT)
+        |    AS v2_e6
+        |FROM v1n JOIN v2 ON v2.i = v1n.i, m2""".stripMargin,
 
     // temperature-mix oracle: sqrt is correctly rounded on both engines,
     // so the α=0.5 weights replay bit-for-bit
