@@ -60,6 +60,44 @@ object Media {
         (col("media_id") =!= col("canonical_id")).cast("long").as("is_dup"))
   }
 
+  /** Chunk-hash near-duplicate candidates over the BINARY payload — the
+    * multimodal analogue of banded MinHash: each blob is cut into 4
+    * equal-width blocks (CDC-style content chunks), blocks are md5'd,
+    * and two blobs become a candidate pair when ≥ `minMatch` block
+    * digests agree AT THE SAME INDEX — re-hosted media with a changed
+    * tail segment (re-muxed container, appended watermark) still share
+    * their leading blocks, which exact dedup misses entirely.
+    *
+    * Plan: one block-hash scan (4 rows per blob, 16-byte digests), one
+    * (block_idx, digest) equi-join — bucketed, never all-pairs — one
+    * pair-keyed count agg. Empty trailing blocks (blob shorter than
+    * 3·⌈n/4⌉) are dropped so two short blobs can't "match" on nothing.
+    *
+    * @return (a, b, matches, sim_e6) with a < b, sim = matches/4
+    */
+  def nearDupBlocks(media: DataFrame, minMatch: Int = 2): DataFrame = {
+    require(minMatch >= 1 && minMatch <= 4)
+    val blk = media
+      .select(col("media_id"), col("bytes"),
+        octet_length(col("bytes")).cast("long").as("n"))
+      .withColumn("bs", expr("(n + 3) div 4"))
+      .select(col("media_id"), col("n"), col("bs"), col("bytes"),
+        explode(sequence(lit(0L), lit(3L))).as("bi"))
+      .filter(col("bi") * col("bs") < col("n"))
+      .select(col("media_id"), col("bi"),
+        md5(expr("substr(bytes, cast(bi * bs + 1 as int), cast(bs as int))"))
+          .as("h"))
+    val l = blk.select(col("media_id").as("a"), col("bi"), col("h"))
+    val r = blk.select(col("media_id").as("b"), col("bi").as("bi2"),
+      col("h").as("h2"))
+    l.join(r, col("bi") === col("bi2") && col("h") === col("h2") &&
+        col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("matches"))
+      .filter(col("matches") >= minMatch)
+      .select(col("a"), col("b"), col("matches"),
+        (col("matches") * 250000).as("sim_e6"))
+  }
+
   /** Batched decode + feature extraction. Batches of `batchSize` rows per
     * call into the codec — the same batch contract `mapInPandas` gives
     * Python workers (amortizes codec init across rows).

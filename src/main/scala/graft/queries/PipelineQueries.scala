@@ -798,6 +798,33 @@ object PipelineQueries {
           (col("sim1_e6") - col("sim2_e6")).as("margin_e6"))
     }),
 
+    // LSH bucket-balance audit: the signature histogram's histogram —
+    // one hot bucket is the ANN-latency killer, and this 2-agg scan is
+    // the check run before shipping the plane set
+    "e_lsh_balance" -> ((s, dir) =>
+      emb(s, dir)
+        .select(graft.functions.Similarity.lshSignature(col("embedding"), 4)
+          .as("sig"))
+        .groupBy("sig").agg(count(lit(1)).as("bucket_size"))
+        .groupBy("bucket_size").agg(count(lit(1)).as("n_buckets"))),
+
+    // length-outlier flags with the z-test cross-multiplied to EXACT
+    // integers: (n·len − sum)² > 9·(n·sumsq − sum²) is |z| > 3 with no
+    // float anywhere (int64-safe while n·len < 3·10⁹, i.e. far past any
+    // per-partition stats table this runs on)
+    "d_len_outliers" -> ((s, dir) => {
+      val sc = docs(s, dir).agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("sq"))
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(sc))
+        .select(col("doc_id"), col("n_chars"),
+          when((col("n") * col("n_chars") - col("s"))
+            * (col("n") * col("n_chars") - col("s"))
+            > lit(9L) * (col("n") * col("sq") - col("s") * col("s")), 1L)
+            .otherwise(0L).as("is_outlier"))
+    }),
+
     // ANN recall audit: LSH top-5 measured against the exact brute-force
     // top-5 per query — recall@5, the index-quality number every vector
     // store reports; hits via one left-semi join of two top-k tables
@@ -1271,6 +1298,42 @@ object PipelineQueries {
     // minimum media_id across kinds
     "m_media_dedup" -> ((s, dir) =>
       graft.media.Media.dedupExact(graft.media.Media.synthesize(docs(s, dir)))),
+
+    // chunk-hash near-dup over binary payloads: the corpus is salted with
+    // deterministic changed-tail variants (doc_id%50, last quarter
+    // rewritten) so the banded block join has real work to find
+    "m_media_neardup" -> ((s, dir) => {
+      val bsE = "((length(text) + 3) div 4)"
+      val tampered = docs(s, dir).filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr(s"concat(substring(text, 1, 3 * $bsE), " +
+            s"repeat('x', greatest(0, length(text) - 3 * $bsE)))").as("text"))
+      val all = docs(s, dir).select(col("doc_id"), col("text"))
+        .union(tampered)
+      graft.media.Media.nearDupBlocks(graft.media.Media.synthesize(all))
+    }),
+
+    // deterministic A/B readout: variant = user_id parity, conversion =
+    // any purchase event; lift as an exact integer ratio
+    "ev_ab_lift" -> ((s, dir) => {
+      val u = events(s, dir).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select((col("user_id") % 2).as("variant"), col("conv"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val a = u.filter(col("variant") === 0)
+        .select(col("n_users").as("users_a"), col("n_conv").as("conv_a"))
+      val b = u.filter(col("variant") === 1)
+        .select(col("n_users").as("users_b"), col("n_conv").as("conv_b"))
+      a.crossJoin(b).select(
+        col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+        expr("conv_a * 1000000 div users_a").as("cr_a_e6"),
+        expr("conv_b * 1000000 div users_b").as("cr_b_e6"),
+        when(col("conv_a") > 0,
+          expr("conv_b * users_a * 1000000 div (conv_a * users_b)"))
+          .as("lift_e6"))
+    }),
 
     // BPE-ish pre-token counts next to whitespace words — LM token-
     // budget accounting (regex verified char-identical across engines)
@@ -2090,6 +2153,80 @@ object PipelineQueries {
         |SELECT CAST(v AS BIGINT) AS n_vocab, na AS tok_a, nb AS tok_b,
         |  CAST(sum(c) AS BIGINT) AS js_e9
         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // bucket-balance oracle: the annLsh signature rule, two stacked aggs
+    "e_lsh_balance" -> {
+      val coefs = graft.functions.Similarity.planeCoefs(4, 64)
+      def lst(a: Array[Double]) = a.mkString("[", ", ", "]")
+      val cs = coefs.zipWithIndex
+        .map { case (c, p) => s"${lst(c)} AS c$p" }.mkString(", ")
+      val sigBits = (0 until 4).map { p =>
+        s"""(CASE WHEN ROUND(list_sum([v[i+1] * c$p[i+1] for i in range(64)])
+           |      * 1000000.0) >= 0 THEN ${1 << p} ELSE 0 END)""".stripMargin
+      }.mkString("\n      + ")
+      s"""WITH ve AS (SELECT vec_id,
+         |        [CAST(x AS DOUBLE) for x in embedding] AS v
+         |      FROM embeddings),
+         |cs AS (SELECT $cs),
+         |sg AS (SELECT vec_id, $sigBits AS sig FROM ve, cs),
+         |b AS (SELECT sig, count(*) AS bucket_size FROM sg GROUP BY 1)
+         |SELECT bucket_size, count(*) AS n_buckets
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
+    // outlier oracle: identical cross-multiplied integer z-test
+    "d_len_outliers" ->
+      """WITH sc AS (SELECT count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sq
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(CASE WHEN (n * n_chars - s) * (n * n_chars - s)
+        |              > 9 * (n * sq - s * s)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM documents, sc""".stripMargin,
+
+    // media near-dup oracle: the text view of the same bytes (payloads
+    // are UTF-8 ASCII), identical block cuts and digests
+    "m_media_neardup" ->
+      """WITH tam AS (SELECT doc_id + 100000 AS doc_id,
+        |    substr(text, 1, 3 * ((length(text) + 3) // 4))
+        |      || repeat('x', greatest(0, length(text)
+        |           - 3 * ((length(text) + 3) // 4))) AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |al AS (SELECT doc_id, text FROM documents
+        |       UNION ALL SELECT doc_id, text FROM tam),
+        |d AS (SELECT doc_id AS media_id, text, length(text) AS n,
+        |        (length(text) + 3) // 4 AS bs FROM al),
+        |blk AS (SELECT media_id, r.range AS bi,
+        |          md5(substr(text, CAST(1 + r.range * bs AS INT), CAST(bs AS INT))) AS h
+        |        FROM d, range(4) r WHERE r.range * bs < n),
+        |p AS (SELECT x.media_id AS a, y.media_id AS b, count(*) AS matches
+        |      FROM blk x JOIN blk y
+        |        ON x.bi = y.bi AND x.h = y.h AND x.media_id < y.media_id
+        |      GROUP BY 1, 2)
+        |SELECT a, b, CAST(matches AS BIGINT) AS matches,
+        |  CAST(matches * 250000 AS BIGINT) AS sim_e6
+        |FROM p WHERE matches >= 2""".stripMargin,
+
+    // A/B oracle: identical parity split and integer-division readout
+    "ev_ab_lift" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT user_id % 2 AS variant, count(*) AS n_users,
+        |        CAST(sum(conv) AS BIGINT) AS n_conv
+        |      FROM u GROUP BY 1)
+        |SELECT a.n_users AS users_a, a.n_conv AS conv_a,
+        |  b.n_users AS users_b, b.n_conv AS conv_b,
+        |  a.n_conv * 1000000 // a.n_users AS cr_a_e6,
+        |  b.n_conv * 1000000 // b.n_users AS cr_b_e6,
+        |  CASE WHEN a.n_conv > 0
+        |    THEN b.n_conv * a.n_users * 1000000 // (a.n_conv * b.n_users)
+        |    ELSE NULL END AS lift_e6
+        |FROM (SELECT * FROM v WHERE variant = 0) a,
+        |     (SELECT * FROM v WHERE variant = 1) b""".stripMargin,
 
     // margin oracle: identical second-max-of-4 pairwise-least identity
     "d_langid_margin" -> {
