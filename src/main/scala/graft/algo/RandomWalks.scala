@@ -154,6 +154,57 @@ object RandomWalks {
     out
   }
 
+  /** Weight-proportional deterministic walks over a weighted edge table
+    * (src, dst, weight): step t from vertex v draws r = the [[walks]]
+    * LCG mix mod the TOTAL neighbor weight and follows the neighbor
+    * whose cumulative-weight interval [cw − w, cw) (dst order) contains
+    * r — i.e. node2vec's interval-selection machinery with the edge
+    * weight itself as the bias, so heavy edges are walked
+    * proportionally more. The corpus generator for embeddings over
+    * weighted link graphs (anchor-count or click-count weights), where
+    * the unweighted [[walks]] would treat a 1000-anchor link like a
+    * 1-anchor one.
+    *
+    * Scale shape per step: one state⋈edges equi-join and one
+    * cumulative window PARTITIONED BY walk (never global), exactly the
+    * biased-walk plan. Integer weights keep every interval bound exact.
+    *
+    * @return (walk_id, step, vertex) including step 0
+    */
+  def walksWeighted(wEdges: DataFrame, starts: DataFrame,
+                    length: Int): DataFrame = {
+    val e = wEdges.select(col("src"), col("dst"), col("weight"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var state = starts.select(col("id").as("walk_id"),
+        lit(0L).as("step"), col("id").as("cur"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame](state)
+    var t = 0
+    while (t < length) {
+      t += 1
+      val cand = state.select(col("walk_id"), col("cur"))
+        .join(e, col("cur") === col("src"))
+        .select(col("walk_id"), col("cur"), col("dst"), col("weight"))
+      val cum = cand
+        .withColumn("cw", sum(col("weight"))
+          .over(Window.partitionBy("walk_id").orderBy("dst")))
+        .withColumn("tw", sum(col("weight"))
+          .over(Window.partitionBy("walk_id")))
+      val r = (col("cur") * StepMixA + col("walk_id") * StepMixB
+        + lit(t.toLong)) % col("tw")
+      state = cum
+        .filter(r >= col("cw") - col("weight") && r < col("cw"))
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          col("dst").as("cur"))
+        .localCheckpoint(eager = true)
+      frames += state
+    }
+    val out = frames.reduce(_ union _)
+      .select(col("walk_id"), col("step"), col("cur").as("vertex"))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** GraphSAGE-style layered neighbor sampling: the minibatch
     * computation graph for k-hop GNN training. Layer l samples
     * `fanouts(l-1)` neighbors (with replacement, like GraphSAGE) for

@@ -165,6 +165,80 @@ object Similarity {
         col("cid").as("code"), col("d").as("d_e6"))
   }
 
+  /** Exact L2 top-k — the reference ranking [[pqTopK]]'s recall is
+    * measured against (PQ approximates SQUARED EUCLIDEAN distance, so
+    * its audit baseline must be L2, not the cosine brute force). Same
+    * determinism contract as every ANN gate: distances rounded ×1e6
+    * before the (d asc, vec_id asc) rank.
+    */
+  def l2TopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    q.crossJoin(v).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(sqDist(col("qv"), col("v")) * 1e6).cast("long").as("d_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("d_e6").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("d_e6"))
+  }
+
+  /** PQ search by asymmetric distance computation (ADC — Jégou et al.,
+    * PAMI 2011): the query stays un-quantized; each candidate's distance
+    * is the sum over blocks of the EXACT (e6-integer) distance from the
+    * query's sub-vector to the candidate's ASSIGNED CODEWORD. This is
+    * the third ANN serving path next to LSH and IVF — the one vector
+    * stores ship when memory, not compute, is the binding constraint
+    * (codes are `blocks` bytes, payloads never touched at query time).
+    *
+    * Plan: the per-query distance TABLE (queries × centroids × blocks —
+    * the classic ADC lookup table) is built once from two broadcasts,
+    * then the codes table joins it on (block, code) and one hash agg
+    * sums the per-block integers (order-free by the e6 contract). Never
+    * touches raw candidate vectors after coding.
+    *
+    * @return (qid, vec_id, rank, adist_e6), rank by (adist asc, vec_id)
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             blocks: Int = 8, dim: Int = 64,
+             centStride: Int = 37): DataFrame = {
+    require(dim % blocks == 0)
+    val bw = dim / blocks
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") % centStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val codes = pqCodes(vectors, blocks, dim, centStride)
+    val q = queries.select(col("vec_id").as("qid"),
+      asDouble(col("embedding")).as("qv"))
+    val bdf = vectors.sparkSession.range(blocks)
+      .select(col("id").cast("int").as("b"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def sub(x: Column) = slice(x, col("b") * bw + 1, lit(bw))
+    val dtab = q.crossJoin(broadcast(cents)).crossJoin(broadcast(bdf))
+      .select(col("qid"), col("b").cast("long").as("block"),
+        col("cid"),
+        round(sqDist(sub(col("qv")), sub(col("cv"))) * 1e6)
+          .cast("long").as("qd"))
+    codes.join(dtab,
+        codes("block") === dtab("block") && codes("code") === dtab("cid"))
+      .filter(col("qid") =!= codes("vec_id"))
+      .groupBy(col("qid"), codes("vec_id").as("vec_id"))
+      .agg(sum(col("qd")).as("adist_e6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("adist_e6").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("adist_e6"))
+  }
+
   /** PQ distortion audit — per-block quantization health over the
     * [[pqCodes]] assignment: vectors covered, distinct codewords
     * actually used (dead codewords = wasted code space), total and mean

@@ -2206,6 +2206,15 @@ object GraphQueries {
     "g_twins" -> ((s, dir) =>
       GraphOps.structuralTwins(demoEdges(s, dir))),
 
+    // weight-proportional deterministic walks (starts id%100, length 3):
+    // node2vec's interval selection with the edge weight as the bias
+    "g_walks_weighted_l3" -> ((s, dir) => {
+      val we = demoWeightedEdges(s, dir)
+      val starts = GraphOps.vertices(we.select(col("src"), col("dst")))
+        .filter(col("id") % 100 === 0)
+      graft.algo.RandomWalks.walksWeighted(we, starts, length = 3)
+    }),
+
     // VoteRank spreader selection, k=3: e6-integer voting abilities,
     // δ = ⌊10⁶/⟨k⟩⌉ neighbor discount, (score desc, id asc) tie-break
     "g_voterank_t3" -> ((s, dir) =>
@@ -4489,6 +4498,47 @@ object GraphQueries {
          |        FROM sig GROUP BY 1)
          |SELECT sig.id, cls.rep, cls.class_size
          |FROM sig JOIN cls ON cls.sg = sig.sg""".stripMargin,
+
+    "g_walks_weighted_l3" -> {
+      val steps = (1 to 3).map { t =>
+        s"""w$t AS (
+           |  SELECT w.walk_id, CAST($t AS BIGINT) AS step, n.dst AS cur
+           |  FROM w${t - 1} w
+           |  JOIN twt d ON w.cur = d.src
+           |  JOIN nbrw n ON n.src = w.cur
+           |   AND (w.cur * ${graft.algo.RandomWalks.StepMixA}
+           |        + w.walk_id * ${graft.algo.RandomWalks.StepMixB}
+           |        + $t) % d.tw >= n.cw - n.weight
+           |   AND (w.cur * ${graft.algo.RandomWalks.StepMixA}
+           |        + w.walk_id * ${graft.algo.RandomWalks.StepMixB}
+           |        + $t) % d.tw < n.cw)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to 3).map(t => s"SELECT * FROM w$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |twt AS (SELECT src, CAST(sum(weight) AS BIGINT) AS tw
+         |        FROM ew GROUP BY 1),
+         |nbrw AS (SELECT src, dst, weight,
+         |           CAST(sum(weight) OVER (PARTITION BY src ORDER BY dst)
+         |             AS BIGINT) AS cw
+         |         FROM ew),
+         |verts AS (SELECT DISTINCT src AS id FROM ew),
+         |w0 AS (SELECT id AS walk_id, CAST(0 AS BIGINT) AS step, id AS cur
+         |       FROM verts WHERE id % 100 = 0),
+         |$steps
+         |SELECT walk_id, step, cur AS vertex FROM (
+         |  $union) u""".stripMargin
+    },
 
     "g_voterank_t3" -> {
       def round(k: Int): String = {

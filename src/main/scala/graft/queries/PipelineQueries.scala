@@ -798,6 +798,16 @@ object PipelineQueries {
           (col("sim1_e6") - col("sim2_e6")).as("margin_e6"))
     }),
 
+    // PQ recall audit (third ANN path): ADC top-5 vs the exact L2 top-5
+    // — with e_ann_recall (LSH) and e_ivf_recall this closes the
+    // recall-audited triad of serving paths
+    "e_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 50 === 0)
+      recallAt5(graft.functions.Similarity.pqTopK(e, q, k = 5),
+        graft.functions.Similarity.l2TopK(e, q, k = 5), q)
+    }),
+
     // LSH bucket-balance audit: the signature histogram's histogram —
     // one hot bucket is the ANN-latency killer, and this 2-agg scan is
     // the check run before shipping the plane set
@@ -2153,6 +2163,52 @@ object PipelineQueries {
         |SELECT CAST(v AS BIGINT) AS n_vocab, na AS tok_a, nb AS tok_b,
         |  CAST(sum(c) AS BIGINT) AS js_e9
         |FROM c GROUP BY 1, 2, 3""".stripMargin,
+
+    // PQ-recall oracle: the e_pq_codes assignment, the ADC lookup table,
+    // integer block-distance sums, exact L2 reference
+    "e_pq_recall" ->
+      """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |            FROM embeddings),
+        |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 37 = 0),
+        |bl AS (SELECT range AS b FROM range(8)),
+        |ad AS (SELECT vv.vec_id, bl.b, ct.cid,
+        |         CAST(ROUND(list_sum([
+        |             (v[b*8+i+1] - cv[b*8+i+1]) * (v[b*8+i+1] - cv[b*8+i+1])
+        |             for i in range(8)]) * 1000000) AS BIGINT) AS d
+        |       FROM vv, ct, bl),
+        |codes AS (SELECT vec_id, b, cid AS code
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, b
+        |          ORDER BY d, cid) AS rk FROM ad) t
+        |  WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM vv WHERE vec_id % 50 = 0),
+        |dtab AS (SELECT q.qid, bl.b, ct.cid,
+        |           CAST(ROUND(list_sum([
+        |               (qv[b*8+i+1] - cv[b*8+i+1])
+        |               * (qv[b*8+i+1] - cv[b*8+i+1])
+        |               for i in range(8)]) * 1000000) AS BIGINT) AS qd
+        |         FROM q, ct, bl),
+        |adc AS (SELECT d.qid, c.vec_id, sum(d.qd) AS adist
+        |        FROM codes c JOIN dtab d ON d.b = c.b AND d.cid = c.code
+        |        WHERE d.qid <> c.vec_id GROUP BY 1, 2),
+        |pq5 AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY adist ASC, vec_id ASC) AS rank FROM adc) t
+        |  WHERE rank <= 5),
+        |ex AS (SELECT q.qid, vv.vec_id,
+        |         CAST(ROUND(list_sum([
+        |             (qv[i+1] - v[i+1]) * (qv[i+1] - v[i+1])
+        |             for i in range(64)]) * 1000000) AS BIGINT) AS d
+        |       FROM q, vv WHERE q.qid <> vv.vec_id),
+        |l25 AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY d ASC, vec_id ASC) AS rank FROM ex) t
+        |  WHERE rank <= 5),
+        |hits AS (SELECT b.qid, count(*) AS n_hit FROM l25 b
+        |         JOIN pq5 l ON l.qid = b.qid AND l.vec_id = b.vec_id
+        |         GROUP BY 1)
+        |SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) * 200000 AS BIGINT) AS recall_e6
+        |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin,
 
     // bucket-balance oracle: the annLsh signature rule, two stacked aggs
     "e_lsh_balance" -> {
