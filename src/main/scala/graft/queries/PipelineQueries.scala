@@ -1323,6 +1323,31 @@ object PipelineQueries {
       graft.media.Media.nearDupBlocks(graft.media.Media.synthesize(all))
     }),
 
+    // Markov-1 next-event baseline accuracy: the majority next event per
+    // current type (count desc, type asc pin), scored on the same
+    // transition table — the floor any sequence model must beat, and the
+    // sanity number quoted next to ev_user_entropy's predictability
+    "ev_next_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nt", lead(col("event_type"), 1).over(w))
+        .filter(col("nt").isNotNull)
+        .groupBy(col("event_type").as("a"), col("nt").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val pred = tr.withColumn("rk", row_number().over(
+          Window.partitionBy("a").orderBy(col("n").desc, col("b").asc)))
+        .filter(col("rk") === 1).select(col("a"), col("b").as("pred"))
+      tr.join(pred, Seq("a"))
+        .groupBy("a")
+        .agg(first(col("pred")).as("pred"),
+          sum(col("n")).cast("long").as("n_trans"),
+          sum(when(col("b") === col("pred"), col("n")).otherwise(0L))
+            .cast("long").as("n_correct"))
+        .select(col("a"), col("pred"), col("n_trans"), col("n_correct"),
+          expr("n_correct * 1000000 div n_trans").as("acc_e6"))
+    }),
+
     // deterministic A/B readout: variant = user_id parity, conversion =
     // any purchase event; lift as an exact integer ratio
     "ev_ab_lift" -> ((s, dir) => {
@@ -2264,6 +2289,28 @@ object PipelineQueries {
         |SELECT a, b, CAST(matches AS BIGINT) AS matches,
         |  CAST(matches * 250000 AS BIGINT) AS sim_e6
         |FROM p WHERE matches >= 2""".stripMargin,
+
+    // Markov-1 oracle: same transition table, same (n desc, b asc) pin
+    "ev_next_event" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |tr AS (SELECT a, b, count(*) AS n FROM (
+        |    SELECT event_type AS a,
+        |      lead(event_type, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS b
+        |    FROM ev) t
+        |  WHERE b IS NOT NULL GROUP BY 1, 2),
+        |pr AS (SELECT a, b AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a
+        |      ORDER BY n DESC, b ASC) AS rk FROM tr) t
+        |  WHERE rk = 1)
+        |SELECT tr.a, min(pr.pred) AS pred,
+        |  CAST(sum(tr.n) AS BIGINT) AS n_trans,
+        |  CAST(sum(CASE WHEN tr.b = pr.pred THEN tr.n ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST(sum(CASE WHEN tr.b = pr.pred THEN tr.n ELSE 0 END)
+        |    * 1000000 // sum(tr.n) AS BIGINT) AS acc_e6
+        |FROM tr JOIN pr ON pr.a = tr.a
+        |GROUP BY tr.a""".stripMargin,
 
     // A/B oracle: identical parity split and integer-division readout
     "ev_ab_lift" ->
