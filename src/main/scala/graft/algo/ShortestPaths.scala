@@ -73,6 +73,72 @@ object ShortestPaths {
     dist
   }
 
+  /** Per-source fixed-round Bellman–Ford: [[runFixed]] with a `source`
+    * dimension carried through the relaxation, so each source keeps its
+    * OWN distance field (runFixed merges them into a multi-source min).
+    * State is (source, id, dist) — |sources| · |reached| rows, the
+    * sampled-centrality budget — and each round is the same one
+    * join + one (source, dst)-keyed min agg + one full-outer merge.
+    */
+  def runFixedPerSource(weightedEdges: DataFrame, sources: DataFrame,
+                        rounds: Int): DataFrame = {
+    val e = weighted(weightedEdges).persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources
+      .select(col("id").as("source"), col("id"), lit(0L).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val relaxed = e
+        .join(dist.select(col("source"), col("id").as("rid"),
+            col("dist").as("rdist")),
+          col("src") === col("rid"))
+        .groupBy(col("source"), col("dst").as("id"))
+        .agg(min(col("rdist") + col("w")).as("cand"))
+      val next = dist
+        .join(relaxed.select(col("source").as("ns"), col("id").as("nid"),
+            col("cand")),
+          col("source") === col("ns") && col("id") === col("nid"), "full")
+        .select(
+          coalesce(col("source"), col("ns")).as("source"),
+          coalesce(col("id"), col("nid")).as("id"),
+          least(
+            coalesce(col("dist"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("dist"))
+        .localCheckpoint(eager = true)
+      dist.unpersist(blocking = false)
+      dist = next
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Weighted closeness centrality from `rounds` per-source relaxations
+    * (exact once rounds ≥ the weighted-hop diameter): per source over
+    * its reached set,
+    *
+    *   closeness(s) = |R(s) \ {s}| / Σ_{v ∈ R(s), v≠s} d(s, v)
+    *
+    * — the Dijkstra-family counterpart of the BFS [[Centrality]] pair,
+    * needed whenever link weights mean cost (latency, toll, 1/clicks).
+    * Exact integer distance sums; the single divide is e9-rounded.
+    *
+    * @return (source, reached, sum_dist, closeness_e9)
+    */
+  def weightedCloseness(weightedEdges: DataFrame, sources: DataFrame,
+                        rounds: Int): DataFrame =
+    runFixedPerSource(weightedEdges, sources, rounds)
+      .groupBy("source")
+      .agg(sum(when(col("id") =!= col("source"), 1L).otherwise(0L))
+          .cast("long").as("reached"),
+        sum(when(col("id") =!= col("source"), col("dist")).otherwise(0L))
+          .cast("long").as("sum_dist"))
+      .select(col("source"), col("reached"), col("sum_dist"),
+        when(col("sum_dist") > 0,
+          round(col("reached") * lit(1000000000L) / col("sum_dist"))
+            .cast("long"))
+          .otherwise(lit(0L)).as("closeness_e9"))
+
   /** Relax until no distance improves (exact SSSP; at most `maxRounds`
     * relaxation rounds — |V|−1 suffices for any non-negative weighting).
     * Returns (distances, rounds run, converged).

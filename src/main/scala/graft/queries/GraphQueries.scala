@@ -2206,6 +2206,15 @@ object GraphQueries {
     "g_twins" -> ((s, dir) =>
       GraphOps.structuralTwins(demoEdges(s, dir))),
 
+    // weighted closeness from 4 per-source Bellman–Ford rounds, sources
+    // id%75 — the Dijkstra-family counterpart of g_centrality_sampled
+    "g_closeness_weighted" -> ((s, dir) => {
+      val ew = demoWeightedEdges(s, dir)
+      val sources = GraphOps.vertices(ew.select(col("src"), col("dst")))
+        .filter(col("id") % 75 === 0)
+      graft.algo.ShortestPaths.weightedCloseness(ew, sources, rounds = 4)
+    }),
+
     // weight-proportional deterministic walks (starts id%100, length 3):
     // node2vec's interval selection with the edge weight as the bias
     "g_walks_weighted_l3" -> ((s, dir) => {
@@ -4498,6 +4507,46 @@ object GraphQueries {
          |        FROM sig GROUP BY 1)
          |SELECT sig.id, cls.rep, cls.class_size
          |FROM sig JOIN cls ON cls.sg = sig.sg""".stripMargin,
+
+    "g_closeness_weighted" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT coalesce(p.source, c.source) AS source,
+           |         coalesce(p.id, c.id) AS id,
+           |         least(coalesce(p.dist, 9223372036854775807),
+           |               coalesce(c.cand, 9223372036854775807)) AS dist
+           |  FROM d${t - 1} p FULL JOIN (
+           |    SELECT p.source, ew.dst AS id, min(p.dist + ew.weight) AS cand
+           |    FROM ew JOIN d${t - 1} p ON ew.src = p.id GROUP BY 1, 2) c
+           |  ON p.source = c.source AND p.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |vw AS (SELECT DISTINCT src AS id FROM ew),
+         |d0 AS MATERIALIZED (
+         |  SELECT id AS source, id, CAST(0 AS BIGINT) AS dist
+         |  FROM vw WHERE id % 75 = 0),
+         |$rounds,
+         |ag2 AS (SELECT source,
+         |    CAST(sum(CASE WHEN id <> source THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS reached,
+         |    CAST(sum(CASE WHEN id <> source THEN dist ELSE 0 END) AS BIGINT)
+         |      AS sum_dist
+         |  FROM d4 GROUP BY 1)
+         |SELECT source, reached, sum_dist,
+         |  CASE WHEN sum_dist > 0
+         |    THEN CAST(ROUND(reached * 1000000000 / sum_dist) AS BIGINT)
+         |    ELSE 0 END AS closeness_e9
+         |FROM ag2""".stripMargin
+    },
 
     "g_walks_weighted_l3" -> {
       val steps = (1 to 3).map { t =>

@@ -1323,6 +1323,41 @@ object PipelineQueries {
       graft.media.Media.nearDupBlocks(graft.media.Media.synthesize(all))
     }),
 
+    // rolling 7-day active users (WAU) per UTC day: the day-user distinct
+    // table theta-joined to the bounded day list — days are few, users
+    // many, so the nested-loop side is the broadcast day table
+    "ev_wau" -> ((s, dir) => {
+      val du = events(s, dir)
+        .select(col("ts").cast("timestamp").cast("long").as("t"),
+          col("user_id"))
+        .select(expr("t div 86400").as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day").as("d")).distinct()
+      du.join(broadcast(days),
+          col("day") <= col("d") && col("day") >= col("d") - 6)
+        .groupBy(col("d").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+    }),
+
+    // variance energy curve: dimensions ranked by variance with the
+    // cumulative share — the keep-k-dims decision table (the 64-row
+    // global window is bounded by the dimensionality, never the data)
+    "e_energy_curve" -> ((s, dir) => {
+      val ds = graft.functions.Similarity.dimStats(emb(s, dir))
+        .select(col("dim"), col("var_e12"))
+      val w = Window.orderBy(col("var_e12").desc, col("dim").asc)
+      val tot = ds.agg(sum(col("var_e12")).as("tv"))
+      ds.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("var_e12")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("dim"), col("var_e12"),
+          // divide BEFORE scaling: cum·10⁶ would overflow int64 at e12
+          // units; cum and tv stay < 2⁵³ so the double quotient is exact
+          round(col("cum").cast("double") / col("tv") * 1000000)
+            .cast("long").as("cum_e6"))
+    }),
+
     // Markov-1 next-event baseline accuracy: the majority next event per
     // current type (count desc, type asc pin), scored on the same
     // transition table — the floor any sequence model must beat, and the
@@ -2289,6 +2324,42 @@ object PipelineQueries {
         |SELECT a, b, CAST(matches AS BIGINT) AS matches,
         |  CAST(matches * 250000 AS BIGINT) AS sim_e6
         |FROM p WHERE matches >= 2""".stripMargin,
+
+    // WAU oracle: identical day-user distinct + bounded range join
+    "ev_wau" ->
+      """WITH du AS (SELECT DISTINCT
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM du)
+        |SELECT d AS day, count(DISTINCT user_id) AS wau
+        |FROM du JOIN days ON du.day <= days.d AND du.day >= days.d - 6
+        |GROUP BY 1""".stripMargin,
+
+    // energy-curve oracle: same variance integers, same (var desc, dim)
+    // rank, divide-before-scale cumulative share
+    "e_energy_curve" ->
+      """WITH ex AS (SELECT r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |ag AS (SELECT dim, count(*) AS n, CAST(sum(xe6) AS BIGINT) AS s,
+        |         CAST(sum(xe6 * xe6) AS BIGINT) AS sq
+        |       FROM ex GROUP BY dim),
+        |vr AS (SELECT CAST(dim AS BIGINT) AS dim,
+        |         CAST(ROUND(sq / n - (s / n) * (s / n)) AS BIGINT)
+        |           AS var_e12
+        |       FROM ag),
+        |rk AS (SELECT dim, var_e12,
+        |         CAST(row_number() OVER (ORDER BY var_e12 DESC, dim ASC)
+        |           AS BIGINT) AS rank,
+        |         sum(var_e12) OVER (ORDER BY var_e12 DESC, dim ASC
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM vr),
+        |tv AS (SELECT sum(var_e12) AS tv FROM vr)
+        |SELECT rank, dim, var_e12,
+        |  CAST(ROUND(CAST(cum AS DOUBLE) / tv * 1000000) AS BIGINT)
+        |    AS cum_e6
+        |FROM rk, tv""".stripMargin,
 
     // Markov-1 oracle: same transition table, same (n desc, b asc) pin
     "ev_next_event" ->
