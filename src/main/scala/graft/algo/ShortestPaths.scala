@@ -139,6 +139,24 @@ object ShortestPaths {
             .cast("long"))
           .otherwise(lit(0L)).as("closeness_e9"))
 
+  /** Weighted harmonic centrality from the same per-source relaxation:
+    * harmonic(s) = Σ_{v ≠ s reached} 1/d(s,v) — robust to disconnection
+    * (unreached terms are simply absent, no |R| normalization games).
+    * Order-free by the engine's integer contract: each 1/d term is
+    * e9-rounded BEFORE the per-source sum, so the sum is exact-integer.
+    *
+    * @return (source, reached, harmonic_e9)
+    */
+  def weightedHarmonic(weightedEdges: DataFrame, sources: DataFrame,
+                       rounds: Int): DataFrame =
+    runFixedPerSource(weightedEdges, sources, rounds)
+      .filter(col("id") =!= col("source"))
+      .select(col("source"),
+        round(lit(1000000000L) / col("dist")).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("reached"),
+        sum(col("t")).cast("long").as("harmonic_e9"))
+
   /** Relax until no distance improves (exact SSSP; at most `maxRounds`
     * relaxation rounds — |V|−1 suffices for any non-negative weighting).
     * Returns (distances, rounds run, converged).

@@ -479,7 +479,11 @@ object Similarity {
     * @return (vec_id, q_sum, sse_e12): the exact code checksum and the
     *         exact squared reconstruction error in e6² units
     */
-  def scalarQuantAudit(vectors: DataFrame): DataFrame = {
+  /** The SQ8 code/reconstruction table shared by [[scalarQuantAudit]]
+    * and the SQ recall gate: per (vec_id, dim) the e6-exact value, the
+    * int8 code, and the exact integer reconstruction.
+    */
+  def sqReconstruct(vectors: DataFrame): DataFrame = {
     val ex = vectors
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
@@ -494,11 +498,15 @@ object Similarity {
           .otherwise(lit(0L)))
       .withColumn("rec",
         col("mn") + expr("(2 * q * range + 255) div (2 * 255)"))
+      .select(col("vec_id"), col("dim"), col("xe6"), col("q"), col("rec"))
+  }
+
+  def scalarQuantAudit(vectors: DataFrame): DataFrame =
+    sqReconstruct(vectors)
       .groupBy("vec_id")
       .agg(sum(col("q")).cast("long").as("q_sum"),
         sum((col("xe6") - col("rec")) * (col("xe6") - col("rec")))
           .cast("long").as("sse_e12"))
-  }
 
   /** Split-half centroid drift per label — the embedding-space stability
     * audit run before trusting a clustering or an ANN index across a

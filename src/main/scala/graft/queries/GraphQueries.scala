@@ -2215,6 +2215,15 @@ object GraphQueries {
       graft.algo.ShortestPaths.weightedCloseness(ew, sources, rounds = 4)
     }),
 
+    // weighted harmonic centrality from the same per-source relaxation —
+    // per-term e9 rounding keeps the sum exact-integer
+    "g_harmonic_weighted" -> ((s, dir) => {
+      val ew = demoWeightedEdges(s, dir)
+      val sources = GraphOps.vertices(ew.select(col("src"), col("dst")))
+        .filter(col("id") % 75 === 0)
+      graft.algo.ShortestPaths.weightedHarmonic(ew, sources, rounds = 4)
+    }),
+
     // weight-proportional deterministic walks (starts id%100, length 3):
     // node2vec's interval selection with the edge weight as the bias
     "g_walks_weighted_l3" -> ((s, dir) => {
@@ -4546,6 +4555,39 @@ object GraphQueries {
          |    THEN CAST(ROUND(reached * 1000000000 / sum_dist) AS BIGINT)
          |    ELSE 0 END AS closeness_e9
          |FROM ag2""".stripMargin
+    },
+
+    "g_harmonic_weighted" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT coalesce(p.source, c.source) AS source,
+           |         coalesce(p.id, c.id) AS id,
+           |         least(coalesce(p.dist, 9223372036854775807),
+           |               coalesce(c.cand, 9223372036854775807)) AS dist
+           |  FROM d${t - 1} p FULL JOIN (
+           |    SELECT p.source, ew.dst AS id, min(p.dist + ew.weight) AS cand
+           |    FROM ew JOIN d${t - 1} p ON ew.src = p.id GROUP BY 1, 2) c
+           |  ON p.source = c.source AND p.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |vw AS (SELECT DISTINCT src AS id FROM ew),
+         |d0 AS MATERIALIZED (
+         |  SELECT id AS source, id, CAST(0 AS BIGINT) AS dist
+         |  FROM vw WHERE id % 75 = 0),
+         |$rounds
+         |SELECT source, CAST(count(*) AS BIGINT) AS reached,
+         |  CAST(sum(CAST(ROUND(1000000000 / dist) AS BIGINT)) AS BIGINT)
+         |    AS harmonic_e9
+         |FROM d4 WHERE id <> source GROUP BY 1""".stripMargin
     },
 
     "g_walks_weighted_l3" -> {

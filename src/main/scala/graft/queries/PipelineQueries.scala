@@ -1358,6 +1358,55 @@ object PipelineQueries {
             .cast("long").as("cum_e6"))
     }),
 
+    // DAU/WAU stickiness per day — the engagement-depth ratio product
+    // teams watch; pure integer division over the ev_wau machinery
+    "ev_stickiness" -> ((s, dir) => {
+      val du = events(s, dir)
+        .select(col("ts").cast("timestamp").cast("long").as("t"),
+          col("user_id"))
+        .select(expr("t div 86400").as("day"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy("day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val days = du.select(col("day").as("d")).distinct()
+      val wau = du.join(broadcast(days),
+          col("day") <= col("d") && col("day") >= col("d") - 6)
+        .groupBy(col("d").as("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("dau * 1000000 div wau").as("stickiness_e6"))
+    }),
+
+    // SQ-space recall: L2 top-5 over the int8 RECONSTRUCTIONS vs the
+    // exact top-5 — does the 4× compression change who the neighbors
+    // are, not just how far they sit (e_sq_audit's ranking counterpart);
+    // every distance an exact integer
+    "e_sq_recall" -> ((s, dir) => {
+      val rec = graft.functions.Similarity.sqReconstruct(emb(s, dir))
+      val qr = rec.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("dim"),
+          col("xe6").as("qx"), col("rec").as("qr"))
+      val d = qr.join(rec, Seq("dim")).filter(col("qid") =!= col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(sum((col("qr") - col("rec")) * (col("qr") - col("rec")))
+            .as("dsq"),
+          sum((col("qx") - col("xe6")) * (col("qx") - col("xe6")))
+            .as("dex"))
+      def top5(by: String) = d.withColumn("rank",
+          row_number().over(Window.partitionBy("qid")
+            .orderBy(col(by).asc, col("vec_id").asc)))
+        .filter(col("rank") <= 5).select(col("qid"), col("vec_id"))
+      val hits = top5("dex").join(top5("dsq"), Seq("qid", "vec_id"),
+          "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      emb(s, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+          (coalesce(col("h"), lit(0L)) * 200000L).as("recall_e6"))
+    }),
+
     // Markov-1 next-event baseline accuracy: the majority next event per
     // current type (count desc, type asc pin), scored on the same
     // transition table — the floor any sequence model must beat, and the
@@ -2360,6 +2409,61 @@ object PipelineQueries {
         |  CAST(ROUND(CAST(cum AS DOUBLE) / tv * 1000000) AS BIGINT)
         |    AS cum_e6
         |FROM rk, tv""".stripMargin,
+
+    // stickiness oracle: dau table joined onto the wau range join
+    "ev_stickiness" ->
+      """WITH du AS (SELECT DISTINCT
+        |    (epoch_us(ts) // 1000000) // 86400 AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+        |        FROM du GROUP BY 1),
+        |days AS (SELECT DISTINCT day AS d FROM du),
+        |wau AS (SELECT d AS day, count(DISTINCT user_id) AS wau
+        |        FROM du JOIN days ON du.day <= days.d
+        |          AND du.day >= days.d - 6
+        |        GROUP BY 1)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  dau.dau * 1000000 // wau.wau AS stickiness_e6
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+
+    // SQ-recall oracle: the e_sq_audit reconstruction rules, exact
+    // integer distances in both spaces, identical (d, vec_id) ranks
+    "e_sq_recall" ->
+      """WITH ex AS (SELECT vec_id, r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |rng AS (SELECT dim, min(xe6) AS mn, max(xe6) - min(xe6) AS rg
+        |        FROM ex GROUP BY 1),
+        |rr AS (SELECT vec_id, ex.dim, xe6,
+        |    mn + (2 * (CASE WHEN rg > 0
+        |        THEN (2 * 255 * (xe6 - mn) + rg) // (2 * rg)
+        |        ELSE 0 END) * rg + 255) // (2 * 255) AS rec
+        |  FROM ex JOIN rng ON rng.dim = ex.dim),
+        |qr AS (SELECT vec_id AS qid, dim, xe6 AS qx, rec AS qr
+        |       FROM rr WHERE vec_id % 50 = 0),
+        |d AS (SELECT qr.qid, rr.vec_id,
+        |        CAST(sum((qr.qr - rr.rec) * (qr.qr - rr.rec)) AS BIGINT)
+        |          AS dsq,
+        |        CAST(sum((qr.qx - rr.xe6) * (qr.qx - rr.xe6)) AS BIGINT)
+        |          AS dex
+        |      FROM qr JOIN rr ON rr.dim = qr.dim
+        |      WHERE qr.qid <> rr.vec_id GROUP BY 1, 2),
+        |sq5 AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dsq ASC, vec_id ASC) AS rank FROM d) t
+        |  WHERE rank <= 5),
+        |ex5 AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY dex ASC, vec_id ASC) AS rank FROM d) t
+        |  WHERE rank <= 5),
+        |hits AS (SELECT e.qid, count(*) AS h FROM ex5 e
+        |         JOIN sq5 s ON s.qid = e.qid AND s.vec_id = e.vec_id
+        |         GROUP BY 1)
+        |SELECT q.vec_id AS qid, coalesce(h.h, 0) AS n_hit,
+        |  CAST(coalesce(h.h, 0) * 200000 AS BIGINT) AS recall_e6
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 50 = 0) q
+        |LEFT JOIN hits h ON h.qid = q.vec_id""".stripMargin,
 
     // Markov-1 oracle: same transition table, same (n desc, b asc) pin
     "ev_next_event" ->
