@@ -210,4 +210,58 @@ object Spectral {
           col("w_next").cast("double") / col("w_prev"))
           .otherwise(lit(0.0)).as("lambda"))
   }
+
+  /** Non-backtracking walk counts — power iteration on the Hashimoto
+    * edge-adjacency operator (Krzakala et al., PNAS 2013): the state
+    * lives on DIRECTED edges, and a step extends every walk ending on
+    * edge (u,v) along each (v,w) with w ≠ u — the walk may not
+    * immediately reverse. On hub-heavy graphs the ordinary eigenvector
+    * localizes on the biggest hub (a hub's score feeds itself through
+    * u→v→u echoes); forbidding the echo is the standard web-scale fix,
+    * which is exactly why NB centrality is the spectral-detection
+    * workhorse. Counts stay exact integers; per-vertex centrality after
+    * k steps = Σ over incoming directed edges of the edge's walk count.
+    *
+    * Plan: per step one equi-join of the edge-state (keyed by its head
+    * v) with the edge table (keyed by tail v) + a `w ≠ u` filter + a
+    * partial-aggregated groupBy on the new directed edge — shuffle
+    * bounded by Σ_v indeg(v)·outdeg(v). That wedge sum is the cost
+    * envelope, so hubs above `maxDeg` out-degree are dropped from the
+    * graph FIRST (capped semantics throughout, the [[graft.algo.SimRank]]
+    * / CoCitation precedent): with `maxDeg` at or above the true max
+    * degree the result is exact.
+    *
+    * @param edges directed (src, dst); pass a symmetrized table for the
+    *              undirected semantics
+    * @return (id, nb_count) — walks of length `iterations`+1 ending AT
+    *         id, not backtracking, exact long
+    */
+  def nonBacktracking(edges: DataFrame, iterations: Int,
+                      maxDeg: Long = 4096L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(maxDeg >= 1, s"maxDeg must be >= 1, got $maxDeg")
+    val keepSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .filter(col("od") <= maxDeg).select(col("src"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(keepSrc, Seq("src"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ext = e.select(col("src").as("mid"), col("dst").as("to"))
+    var state = e.withColumn("c", lit(1L))
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      state = state
+        .join(ext, col("dst") === col("mid"))
+        .filter(col("to") =!= col("src")) // no immediate reversal
+        .groupBy(col("mid").as("src"), col("to").as("dst"))
+        .agg(sum(col("c")).as("c"))
+      if (it % 3 == 0 && it < iterations)
+        state = graft.engine.Materialize.eager(state)
+    }
+    val out = state.groupBy(col("dst").as("id"))
+      .agg(sum(col("c")).cast("long").as("nb_count"))
+      .transform(graft.engine.Materialize.eager)
+    e.unpersist(blocking = false)
+    out
+  }
 }

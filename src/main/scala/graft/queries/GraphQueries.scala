@@ -910,6 +910,25 @@ object GraphQueries {
     "g_embeddedness" -> ((s, dir) =>
       graft.algo.Truss.edgeEmbeddedness(demoEdges(s, dir))),
 
+    // augmented Forman–Ricci curvature per edge: 4 − du − dv + 3·support
+    // — exact-integer bridge-vs-backbone fingerprint
+    "g_forman" -> ((s, dir) =>
+      graft.algo.Truss.formanCurvature(demoEdges(s, dir))),
+
+    // non-backtracking walk counts (Hashimoto power iteration, 3 steps):
+    // hub-echo-free spectral centrality; cap above the demo max degree
+    // so the gate certifies the exact semantics
+    "g_nonbacktrack_t3" -> ((s, dir) =>
+      graft.algo.Spectral.nonBacktracking(demoEdges(s, dir), iterations = 3)),
+
+    // Borgatti–Everett discrete core–periphery fit with the k-core as
+    // the discrete core (k = floor(avg degree), the g_kcore_t3 schedule)
+    "g_coreperiphery_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val k = e.count() / GraphOps.vertices(e).count()
+      Measures.corePeriphery(e, k, rounds = 3)
+    }),
+
     // exact closeness/harmonic centrality: every vertex a source at the
     // shared depth cap — closes the sampled variant's exactness gap the
     // way g_bc_exact closed Brandes'
@@ -3403,6 +3422,91 @@ object GraphQueries {
          |LEFT JOIN sup ON sup.src = c.src AND sup.dst = c.dst
          |JOIN deg du ON du.id = c.src
          |JOIN deg dv ON dv.id = c.dst""".stripMargin,
+
+    // Forman curvature oracle: the embeddedness support/degree joins
+    // with the 4 − du − dv + 3·common integer formula
+    "g_forman" ->
+      s"""WITH $cte, canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
+         |sup AS (
+         |  SELECT c.src, c.dst, count(*) AS common
+         |  FROM canon c
+         |  JOIN e0 n1 ON n1.src = c.src
+         |  JOIN e0 n2 ON n2.src = c.dst AND n2.dst = n1.dst
+         |  GROUP BY 1, 2)
+         |SELECT c.src, c.dst,
+         |  CAST(4 - du.degree - dv.degree + 3 * coalesce(sup.common, 0)
+         |    AS BIGINT) AS curvature
+         |FROM canon c
+         |LEFT JOIN sup ON sup.src = c.src AND sup.dst = c.dst
+         |JOIN deg du ON du.id = c.src
+         |JOIN deg dv ON dv.id = c.dst""".stripMargin,
+
+    // non-backtracking oracle: unrolled Hashimoto steps — extend each
+    // directed-edge walk along the head vertex, forbidding immediate
+    // reversal, then sum incoming counts per vertex
+    "g_nonbacktrack_t3" -> {
+      val steps = (1 to 3).map { t =>
+        s"""nb$t AS MATERIALIZED (
+           |  SELECT p.dst AS src, e.dst AS dst, CAST(sum(p.c) AS BIGINT) AS c
+           |  FROM nb${t - 1} p JOIN e0 e ON e.src = p.dst
+           |  WHERE e.dst <> p.src
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |nb0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS c FROM e0),
+         |$steps
+         |SELECT dst AS id, CAST(sum(c) AS BIGINT) AS nb_count
+         |FROM nb3 GROUP BY 1""".stripMargin
+    },
+
+    // core–periphery oracle: the g_kcore_t3 peel feeding the
+    // Borgatti–Everett agreement algebra over canonical edges
+    "g_coreperiphery_t3" -> {
+      val peels = (1 to 3).map { t =>
+        s"""s$t AS MATERIALIZED (
+           |  SELECT e0.src AS id, count(*) AS deg
+           |  FROM e0
+           |  JOIN v${t - 1} a ON e0.src = a.id
+           |  JOIN v${t - 1} b ON e0.dst = b.id
+           |  GROUP BY 1),
+           |v$t AS MATERIALIZED (
+           |  SELECT id FROM s$t, kk WHERE deg >= kk.k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |kk AS (SELECT CAST(FLOOR(
+         |         (SELECT count(*) FROM e0) / (SELECT count(*) FROM verts))
+         |       AS BIGINT) AS k),
+         |v0 AS (SELECT id FROM verts),
+         |$peels,
+         |canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |flags AS (
+         |  SELECT (CASE WHEN cs.id IS NULL THEN 0 ELSE 1 END
+         |        + CASE WHEN cd.id IS NULL THEN 0 ELSE 1 END) AS nc
+         |  FROM canon c
+         |  LEFT JOIN v3 cs ON cs.id = c.src
+         |  LEFT JOIN v3 cd ON cd.id = c.dst),
+         |cnt AS (
+         |  SELECT CAST(sum(CASE WHEN nc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS e_cc,
+         |         CAST(sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e_cp,
+         |         CAST(sum(CASE WHEN nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS e_pp
+         |  FROM flags),
+         |nn AS (
+         |  SELECT (SELECT count(*) FROM v3) AS n_core,
+         |         (SELECT count(*) FROM verts) - (SELECT count(*) FROM v3)
+         |           AS n_periph)
+         |SELECT kk.k, CAST(nn.n_core AS BIGINT) AS n_core,
+         |  CAST(nn.n_periph AS BIGINT) AS n_periph,
+         |  cnt.e_cc, cnt.e_cp, cnt.e_pp,
+         |  CAST(CASE WHEN (nn.n_core * (nn.n_core - 1)) // 2
+         |              + (nn.n_periph * (nn.n_periph - 1)) // 2 > 0
+         |    THEN ((cnt.e_cc + (nn.n_periph * (nn.n_periph - 1)) // 2
+         |            - cnt.e_pp) * 1000000)
+         |         // ((nn.n_core * (nn.n_core - 1)) // 2
+         |            + (nn.n_periph * (nn.n_periph - 1)) // 2)
+         |    ELSE 0 END AS BIGINT) AS agreement_e6
+         |FROM kk, cnt, nn""".stripMargin
+    },
 
     // CheiRank oracle: the runFixed recurrence on the TRANSPOSED
     // directed edges with dangling mass refolded uniformly each step —
