@@ -604,4 +604,42 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
         col("sim_e6"))
+
+  /** Mutual k-nearest-neighbor graph — the standard semantic-graph build
+    * step before graph clustering / semantic dedup: keep the pair (a, b)
+    * only when b is in a's cosine top-k AND a is in b's. The mutual
+    * filter is what makes the kNN graph degree-bounded and symmetric (a
+    * hub vector may be in everyone's top-k, but it keeps only its own k
+    * picks), so the downstream CC/Louvain pass sees a graph, not a star.
+    *
+    * This exact form ranks with the brute-force cosine baseline (every
+    * vector a query — the documented exact path). At scale, substitute
+    * the LSH/IVF candidate top-k (identical mutual step: one self-join
+    * on the reversed pair key, the pair table is |V|·k-bounded, never
+    * |V|²).
+    *
+    * @return canonical (a < b) rows (a, b, rank_ab, rank_ba, sim_e6)
+    */
+  def mutualKnn(vectors: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val n = v.select(col("vec_id"), col("v"),
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+    val q = n.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val sims = q.crossJoin(n).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm"))).as("sim"))
+    val tk = topK(sims, k)
+    tk.filter(col("qid") < col("vec_id"))
+      .select(col("qid").as("a"), col("vec_id").as("b"),
+        col("rank").as("rank_ab"), col("sim_e6"))
+      .join(tk.filter(col("qid") > col("vec_id"))
+          .select(col("vec_id").as("a"), col("qid").as("b"),
+            col("rank").as("rank_ba")),
+        Seq("a", "b"))
+      .select(col("a"), col("b"), col("rank_ab"), col("rank_ba"),
+        col("sim_e6"))
+  }
 }

@@ -618,6 +618,17 @@ object PipelineQueries {
     "d_term_topk" -> ((s, dir) =>
       graft.text.TextIndex.topTerms(docs(s, dir), k = 20)),
 
+    // Zipf rank-frequency OLS slope over the top-100 terms (e3-rounded
+    // ln's make every covariance term integer; non-positive by
+    // construction, so both engines' integer division agrees)
+    "d_zipf_slope" -> ((s, dir) =>
+      graft.text.TextIndex.zipfSlope(docs(s, dir), topN = 100)),
+
+    // Church–Gale burstiness: per-term sample VMR over containing docs —
+    // function words ≈ 1, topical/injected terms ≫ 1
+    "d_burstiness" -> ((s, dir) =>
+      graft.text.TextIndex.burstiness(docs(s, dir), minDf = 150L)),
+
     // BM25 relevance of the 3 highest-df terms against every matching doc
     // (per-term rows — no cross-term float summation inside the gate)
     // BM25F: anchor hits count 3x body hits under one shared-length
@@ -751,6 +762,18 @@ object PipelineQueries {
       graft.text.TextIndex.weightedSample(docs(s, dir), seed = 13L)),
 
     // brute-force cosine top-k ANN (query set: vec_id % 50 == 0, k = 5)
+    // mutual kNN semantic graph: keep (a,b) only when each is in the
+    // other's cosine top-5 — the degree-bounded graph-build step before
+    // semantic clustering (hubs kept only via their own picks)
+    "e_knn_mutual" -> ((s, dir) =>
+      graft.functions.Similarity.mutualKnn(emb(s, dir), k = 5)),
+
+    // watermark-lateness audit under a deterministic md5 transport
+    // delay: per user, events a 120s-watermark stream job would drop
+    "ev_lateness" -> ((s, dir) =>
+      graft.streaming.Funnel.latenessAudit(events(s, dir),
+        watermarkSec = 120L, maxJitterSec = 600L)),
+
     "e_ann_topk" -> ((s, dir) => {
       val v = emb(s, dir).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -2962,6 +2985,92 @@ object PipelineQueries {
         |  WHERE rn <= 25 GROUP BY term)
         |SELECT d.term, d.df, c.posting_head
         |FROM df d JOIN capped c USING (term) WHERE d.df >= 100""".stripMargin,
+
+    // Zipf slope oracle: same top-100 ranking, e3-rounded lns, and the
+    // negated non-negative-numerator OLS division
+    "d_zipf_slope" ->
+      """WITH tok AS (SELECT
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1),
+        |top AS (SELECT term, freq FROM tf
+        |        ORDER BY freq DESC, term ASC LIMIT 100),
+        |ranked AS (SELECT freq,
+        |             row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        |           FROM top),
+        |xy AS (SELECT CAST(ROUND(ln(rank) * 1000) AS BIGINT) AS x,
+        |              CAST(ROUND(ln(freq) * 1000) AS BIGINT) AS y
+        |       FROM ranked),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM xy)
+        |SELECT n_terms,
+        |  CAST(CASE WHEN n_terms * sxx - sx * sx > 0
+        |    THEN -((sx * sy - n_terms * sxy) * 1000000
+        |           // (n_terms * sxx - sx * sx))
+        |    ELSE 0 END AS BIGINT) AS slope_e6
+        |FROM s""".stripMargin,
+
+    // burstiness oracle: the same two hash aggs and exact VMR division
+    "d_burstiness" ->
+      """WITH tok AS (SELECT doc_id,
+        |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |       FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |          CAST(sum(tf) AS BIGINT) AS tf_total,
+        |          CAST(sum(tf * tf) AS BIGINT) AS tf_sq
+        |        FROM tf GROUP BY 1)
+        |SELECT term, df, tf_total,
+        |  CAST((tf_total * 1000000) // df AS BIGINT) AS mean_e6,
+        |  CAST(((df * tf_sq - tf_total * tf_total) * 1000000)
+        |    // ((df - 1) * tf_total) AS BIGINT) AS vmr_e6
+        |FROM agg WHERE df >= 150""".stripMargin,
+
+    // mutual kNN oracle: both directional top-5 rankings, joined on the
+    // reversed pair
+    "e_knn_mutual" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |s AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |        CAST(ROUND(list_sum([a.v[i+1] * b.v[i+1] for i in range(64)])
+        |          / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |tk AS (SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |               ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM s) t
+        |       WHERE rank <= 5)
+        |SELECT f.qid AS a, f.vec_id AS b, f.rank AS rank_ab,
+        |       r.rank AS rank_ba, f.sim_e6
+        |FROM tk f JOIN tk r ON r.qid = f.vec_id AND r.vec_id = f.qid
+        |WHERE f.qid < f.vec_id""".stripMargin,
+
+    // lateness oracle: identical md5 jitter, per-user running event-time
+    // max over arrival order, 120s watermark
+    "ev_lateness" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      + ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 600
+        |      AS arrival
+        |  FROM events),
+        |h AS (SELECT user_id, t,
+        |        max(t) OVER (PARTITION BY user_id
+        |          ORDER BY arrival ASC, event_id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |      FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN hwm - t > 120 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(greatest(coalesce(max(hwm - t), 0), 0) AS BIGINT)
+        |    AS max_disorder_s
+        |FROM h GROUP BY 1""".stripMargin,
 
     "ev_stream_dedup" ->
       """SELECT DISTINCT user_id, CAST(props->>'k' AS BIGINT) AS k

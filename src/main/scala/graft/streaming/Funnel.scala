@@ -429,4 +429,47 @@ object Funnel {
         col("tenure_s"), col("recency_s"),
         col("n_recent").cast("long").as("n_recent"))
   }
+
+  /** Watermark-lateness audit: per user, how out-of-order the event
+    * stream arrives and how many events a streaming job with watermark
+    * delay `watermarkSec` would drop. This is THE question to answer
+    * before picking a withWatermark bound — too tight loses events, too
+    * loose bloats state — and the answer has to come from a batch audit
+    * of real arrival skew, exactly this scan.
+    *
+    * Arrival time is synthesized deterministically (event time + an
+    * md5-uniform transport delay in [0, maxJitterSec)) so the audit
+    * replays bit-for-bit; on a real log, substitute the ingestion
+    * timestamp column. An event is LATE when the running max event time
+    * among PRIOR ARRIVALS in its own user's stream exceeds its event
+    * time by more than the watermark (per-user watermarks are the
+    * conservative per-key view of Spark's global watermark: a key's
+    * watermark is never ahead of the global one, so per-user lateness
+    * lower-bounds drops).
+    *
+    * Plan: one scan + one user-partitioned window (running max over
+    * arrival order) + one user hash agg — embarrassingly user-parallel;
+    * no global ordering anywhere.
+    *
+    * @return (user_id, n_events, n_late, max_disorder_s)
+    */
+  def latenessAudit(events: DataFrame, watermarkSec: Long,
+                    maxJitterSec: Long = 600L): DataFrame = {
+    require(watermarkSec >= 0 && maxJitterSec >= 1)
+    val ev = events.select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").cast("long").as("t"))
+      .withColumn("arrival", col("t")
+        + graft.text.TextIndex.md5Uniform(col("event_id").cast("string"))
+          % maxJitterSec)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("arrival").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("hwm", max(col("t")).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("hwm") - col("t") > watermarkSec, 1L).otherwise(0L))
+          .cast("long").as("n_late"),
+        greatest(coalesce(max(col("hwm") - col("t")), lit(0L)), lit(0L))
+          .cast("long").as("max_disorder_s"))
+  }
 }

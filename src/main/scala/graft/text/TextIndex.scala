@@ -480,4 +480,83 @@ object TextIndex {
       .select(col("v").as("n_vocab"), col("na").as("tok_a"),
         col("nb").as("tok_b"), col("js_e9"))
   }
+
+  /** Zipf rank–frequency slope: OLS fit of ln(freq) on ln(rank) over the
+    * top-`topN` terms. Natural text sits near −1 (Zipf's law); a slope
+    * well off −1 flags templated/boilerplate or synthetic corpora — the
+    * corpus-level cousin of the per-doc quality rules.
+    *
+    * Exactness contract: each ln is rounded ×1e3 to a long BEFORE the
+    * OLS sums, making every covariance term integer; ln(freq) is
+    * non-increasing in ln(rank), so the covariance numerator is ≤ 0 and
+    * `ΣxΣy − nΣxy ≥ 0` — both engines' integer division then agrees
+    * (truncation == floor on non-negative operands). Integer envelope:
+    * with topN ≤ 200 and ln(freq) ≤ ln(2^63), the scaled numerator stays
+    * < 2^63 (bounds in the gate's spec); topN is capped accordingly.
+    *
+    * Plan: tokenize-scan → term hash agg → TakeOrderedAndProject top-N →
+    * one window + one agg over the BOUNDED N-row table. Nothing
+    * vocabulary-sized ever sorts globally.
+    *
+    * @return one row (n_terms, slope_e6)
+    */
+  def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
+    require(topN >= 2 && topN <= 200,
+      s"topN must be in [2, 200] (integer envelope), got $topN")
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(termsCol).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(topN)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term").asc)))
+    val xy = ranked.select(
+      round(log(col("rank").cast("double")) * 1000).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * 1000).cast("long").as("y"))
+    xy.agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_terms"),
+        when(col("n_terms") * col("sxx") - col("sx") * col("sx") > 0,
+          -expr("((sx * sy - n_terms * sxy) * 1000000L) div " +
+            "(n_terms * sxx - sx * sx)"))
+          .otherwise(lit(0L)).cast("long").as("slope_e6"))
+  }
+
+  /** Per-term burstiness (Church & Gale 1995): how clumped a term's
+    * occurrences are across documents. Function words spread evenly
+    * (variance ≈ mean, VMR ≈ 1); content/topic words burst (VMR ≫ 1) —
+    * the signal behind adaptive LM caching and topical-term extraction,
+    * and at corpus scale a cheap boilerplate detector (machine-injected
+    * terms burst extremely).
+    *
+    * Exact integers: over the df docs CONTAINING the term,
+    *   mean_e6 = Σtf·10⁶ div df
+    *   vmr_e6  = (df·Σtf² − (Σtf)²)·10⁶ div ((df−1)·Σtf)   (df ≥ 2)
+    * — sample variance over occurrences divided by the mean, both
+    * non-negative by Cauchy–Schwarz so integer division replays. Integer
+    * envelope: df·Σtf² must stay < 2^63 — holds to ~10¹⁵ total
+    * occurrences of a term at typical tf; past that lift to decimal.
+    *
+    * Plan: tokenize scan → (doc,term) hash agg → term hash agg → filter.
+    * Scan-only, no windows, no joins.
+    *
+    * @return (term, df, tf_total, mean_e6, vmr_e6) for terms with
+    *         df ≥ minDf
+    */
+  def burstiness(docs: DataFrame, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 for the sample VMR, got $minDf")
+    docs.select(col("doc_id"), explode(termsCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        sum(col("tf") * col("tf")).as("tf_sq"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("tf_total"),
+        expr("(tf_total * 1000000L) div df").cast("long").as("mean_e6"),
+        expr("((df * tf_sq - tf_total * tf_total) * 1000000L) div " +
+          "((df - 1) * tf_total)").cast("long").as("vmr_e6"))
+  }
 }
