@@ -264,4 +264,57 @@ object Spectral {
     e.unpersist(blocking = false)
     out
   }
+
+  /** Closed-walk counts per vertex up to length 4 — the exact-integer
+    * iterates behind subgraph centrality (Estrada & Rodríguez-Velázquez
+    * 2005: SC(v) = Σ_k A^k_vv / k!, the self-returning-walk spectral
+    * score that separates core pages from rank-inflated hubs). On a
+    * simple undirected graph:
+    *
+    *   A²_vv = deg(v)
+    *   A³_vv = 2·triangles(v)
+    *   A⁴_vv = deg(v)² + Σ_{u≠v} cn(v,u)²    (cn = common neighbors)
+    *
+    * The A⁴ identity is Σ_u (A²)_{vu}² with the diagonal split out —
+    * walk counts, never matrix materialization beyond the 2-walk pair
+    * table. That pair table is the Σ deg² wedge population, so vertices
+    * above `maxDeg` are dropped from the graph FIRST (capped semantics,
+    * the [[nonBacktracking]]/SimRank contract); with the cap above the
+    * true max degree the counts are exact. Callers weight the columns
+    * with 1/k! driver-side (the [[katzWalkSums]] separation of exact
+    * counts from float weights).
+    *
+    * @param edges symmetric (src, dst) slots
+    * @return (id, walks2, walks3, walks4), exact longs
+    */
+  def closedWalkCounts(edges: DataFrame, maxDeg: Long = 4096L): DataFrame = {
+    require(maxDeg >= 1, s"maxDeg must be >= 1, got $maxDeg")
+    val degAll = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val keep = degAll.filter(col("od") <= maxDeg).select(col("src"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(keep, Seq("src"), "left_semi")
+      .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val tri = graft.algo.TriangleCount.perVertex(e)
+    // 2-walk counts to OTHER vertices: wedge join on the mid vertex
+    // (self pairs excluded — the diagonal is deg², added in closed form)
+    val cnSq = e.select(col("src").as("mid"), col("dst").as("a"))
+      .join(e.select(col("src").as("mid"), col("dst").as("b")), Seq("mid"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .groupBy(col("a").as("id"))
+      .agg(sum(col("cn") * col("cn")).as("cn_sq"))
+    val out = deg
+      .join(tri, Seq("id"), "left")
+      .join(cnSq, Seq("id"), "left")
+      .select(col("id"),
+        col("deg").cast("long").as("walks2"),
+        (coalesce(col("triangles"), lit(0L)) * 2L).cast("long").as("walks3"),
+        (col("deg") * col("deg") + coalesce(col("cn_sq"), lit(0L)))
+          .cast("long").as("walks4"))
+      .transform(graft.engine.Materialize.eager)
+    e.unpersist(blocking = false)
+    out
+  }
 }

@@ -921,6 +921,11 @@ object GraphQueries {
     "g_nonbacktrack_t3" -> ((s, dir) =>
       graft.algo.Spectral.nonBacktracking(demoEdges(s, dir), iterations = 3)),
 
+    // closed-walk counts (subgraph-centrality iterates): deg, 2·tri,
+    // deg² + Σ cn² — exact A^k diagonals, cap above the demo max degree
+    "g_closed_walks" -> ((s, dir) =>
+      graft.algo.Spectral.closedWalkCounts(demoEdges(s, dir))),
+
     // Borgatti–Everett discrete core–periphery fit with the k-core as
     // the discrete core (k = floor(avg degree), the g_kcore_t3 schedule)
     "g_coreperiphery_t3" -> ((s, dir) => {
@@ -3459,6 +3464,42 @@ object GraphQueries {
          |SELECT dst AS id, CAST(sum(c) AS BIGINT) AS nb_count
          |FROM nb3 GROUP BY 1""".stripMargin
     },
+
+    // closed-walks oracle: degree, triangle, and wedge-pair CTEs — the
+    // A²/A³/A⁴ diagonal identities verbatim
+    "g_closed_walks" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e0 GROUP BY 1),
+         |tri AS (
+         |  SELECT id, count(*) AS t FROM (
+         |    SELECT a.src AS id FROM e0 a
+         |    JOIN e0 b ON b.src = a.dst AND b.dst > a.dst
+         |    JOIN e0 c ON c.src = a.src AND c.dst = b.dst
+         |    WHERE a.dst > a.src) x GROUP BY 1
+         |  UNION ALL
+         |  SELECT id, count(*) AS t FROM (
+         |    SELECT a.dst AS id FROM e0 a
+         |    JOIN e0 b ON b.src = a.dst AND b.dst > a.dst
+         |    JOIN e0 c ON c.src = a.src AND c.dst = b.dst
+         |    WHERE a.dst > a.src) x GROUP BY 1
+         |  UNION ALL
+         |  SELECT id, count(*) AS t FROM (
+         |    SELECT b.dst AS id FROM e0 a
+         |    JOIN e0 b ON b.src = a.dst AND b.dst > a.dst
+         |    JOIN e0 c ON c.src = a.src AND c.dst = b.dst
+         |    WHERE a.dst > a.src) x GROUP BY 1),
+         |triv AS (SELECT id, CAST(sum(t) AS BIGINT) AS t FROM tri GROUP BY 1),
+         |cnsq AS (
+         |  SELECT a AS id, CAST(sum(cn * cn) AS BIGINT) AS cn_sq FROM (
+         |    SELECT x.dst AS a, y.dst AS b, count(*) AS cn
+         |    FROM e0 x JOIN e0 y ON x.src = y.src AND x.dst <> y.dst
+         |    GROUP BY 1, 2) p GROUP BY 1)
+         |SELECT d.id, CAST(d.deg AS BIGINT) AS walks2,
+         |  CAST(2 * coalesce(tv.t, 0) AS BIGINT) AS walks3,
+         |  CAST(d.deg * d.deg + coalesce(c.cn_sq, 0) AS BIGINT) AS walks4
+         |FROM deg d
+         |LEFT JOIN triv tv ON tv.id = d.id
+         |LEFT JOIN cnsq c ON c.id = d.id""".stripMargin,
 
     // core–periphery oracle: the g_kcore_t3 peel feeding the
     // Borgatti–Everett agreement algebra over canonical edges

@@ -629,6 +629,22 @@ object PipelineQueries {
     "d_burstiness" -> ((s, dir) =>
       graft.text.TextIndex.burstiness(docs(s, dir), minDf = 150L)),
 
+    // sentence-grain duplication: occurrences whose sentence appears in
+    // ≥2 distinct docs — the CCNet/Dolma boilerplate granularity
+    "d_sentence_dedup" -> ((s, dir) =>
+      graft.text.CorpusClean.sentenceDedup(docs(s, dir))),
+
+    // shared 40-char prefixes/suffixes across ≥3 docs: injected
+    // header/footer templates that cross sentence boundaries
+    "d_affix_templates" -> ((s, dir) =>
+      graft.text.CorpusClean.affixTemplates(docs(s, dir), k = 40,
+        minDocs = 3L)),
+
+    // one-sided CUSUM drift score over daily event counts (closed
+    // prefix-min form — two windows over the bounded day table)
+    "ev_cusum" -> ((s, dir) =>
+      graft.streaming.Funnel.cusumDaily(events(s, dir))),
+
     // BM25 relevance of the 3 highest-df terms against every matching doc
     // (per-term rows — no cross-term float summation inside the gate)
     // BM25F: anchor hits count 3x body hits under one shared-length
@@ -3029,6 +3045,58 @@ object PipelineQueries {
         |  CAST(((df * tf_sq - tf_total * tf_total) * 1000000)
         |    // ((df - 1) * tf_total) AS BIGINT) AS vmr_e6
         |FROM agg WHERE df >= 150""".stripMargin,
+
+    // sentence-dedup oracle: same split/trim/filter and distinct-doc df
+    "d_sentence_dedup" ->
+      """WITH sents AS (
+        |  SELECT doc_id, trim(s) AS sent
+        |  FROM (SELECT doc_id, unnest(string_split(text, '.')) AS s
+        |        FROM documents) r
+        |  WHERE length(trim(s)) > 0),
+        |sdf AS (SELECT sent, count(*) AS sdf FROM (
+        |          SELECT DISTINCT doc_id, sent FROM sents) d GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+        |  CAST(sum(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST((sum(CASE WHEN sdf >= 2 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS dup_ratio_e6
+        |FROM sents JOIN sdf USING (sent)
+        |GROUP BY 1""".stripMargin,
+
+    // affix-template oracle: fixed-width head/tail substrings, distinct
+    // doc and source counts
+    "d_affix_templates" ->
+      """WITH affixes AS (
+        |  SELECT 'prefix' AS kind, substr(text, 1, 40) AS affix,
+        |         doc_id, source
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'suffix' AS kind,
+        |         substr(text, greatest(length(text) - 39, 1)) AS affix,
+        |         doc_id, source
+        |  FROM documents)
+        |SELECT kind, affix,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM affixes WHERE length(affix) >= 40
+        |GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3""".stripMargin,
+
+    // CUSUM oracle: day hash agg + the same two cumulative windows
+    "ev_cusum" ->
+      """WITH day AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+        |           - CAST(floor(epoch(ts)) AS BIGINT) % 86400 AS day_epoch,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |k AS (SELECT (sum(n_events) * 1000) // count(*) AS k FROM day),
+        |p AS (SELECT day_epoch, n_events,
+        |        sum(n_events * 1000 - k.k) OVER (ORDER BY day_epoch ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |      FROM day, k)
+        |SELECT day_epoch, n_events,
+        |  CAST(p - least(min(p) OVER (ORDER BY day_epoch ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS BIGINT) AS cusum_m
+        |FROM p""".stripMargin,
 
     // mutual kNN oracle: both directional top-5 rankings, joined on the
     // reversed pair

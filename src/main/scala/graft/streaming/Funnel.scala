@@ -472,4 +472,34 @@ object Funnel {
         greatest(coalesce(max(col("hwm") - col("t")), lit(0L)), lit(0L))
           .cast("long").as("max_disorder_s"))
   }
+
+  /** One-sided CUSUM changepoint score over the daily event-count
+    * series (Page 1954) — the standard drift detector for "did traffic
+    * shift?" on an ingestion pipeline. The sequential recurrence
+    *
+    *   S_d = max(0, S_{d−1} + x_d − k),   k = the global daily mean
+    *
+    * has the closed prefix form S_d = P_d − min(0, min_{j≤d} P_j) with
+    * P_d = Σ_{i≤d}(x_i − k) — two cumulative windows over the DAY table
+    * (bounded: one row per day, never event-sized), so nothing is
+    * sequential at execution time. Counts are ×1000 and k is the
+    * millirate `(total·1000) div n_days`, keeping the whole series
+    * exact-integer.
+    *
+    * @return (day_epoch, n_events, cusum_m) — cusum in event-millis
+    */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val day = events
+      .select((col("ts").cast("timestamp").cast("long") - (col("ts")
+        .cast("timestamp").cast("long") % 86400L)).as("day_epoch"))
+      .groupBy("day_epoch").agg(count(lit(1)).as("n_events"))
+    val k = day.agg(expr("(sum(n_events) * 1000L) div count(*)").as("k"))
+    val w = Window.orderBy(col("day_epoch").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    day.crossJoin(broadcast(k))
+      .withColumn("p", sum(col("n_events") * 1000L - col("k")).over(w))
+      .withColumn("minp", min(col("p")).over(w))
+      .select(col("day_epoch"), col("n_events"),
+        (col("p") - least(col("minp"), lit(0L))).cast("long").as("cusum_m"))
+  }
 }

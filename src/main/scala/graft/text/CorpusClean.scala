@@ -236,4 +236,70 @@ object CorpusClean {
         .cast("long").as("n_phones"),
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("redacted"))
+
+  /** Sentence-level duplication accounting (the CCNet/Dolma granularity:
+    * paragraph/sentence dedup removes boilerplate that document-level
+    * hashing and fixed-width shingles both miss — a footer repeated
+    * verbatim across a site dominates at sentence grain while never
+    * producing identical documents or aligned shingles).
+    *
+    * Sentences split on literal '.', trimmed, empties dropped. A
+    * sentence OCCURRENCE is duplicated when its text appears in ≥ 2
+    * distinct documents. Per doc: total occurrences, duplicated
+    * occurrences, and the e6 dup ratio — rank by ratio to find the
+    * template-heavy hosts before spending tokenizer budget on them.
+    *
+    * Plan: split scan → (doc, sentence) rows → sentence-key distinct-doc
+    * hash agg → broadcast-shaped join back → doc hash agg. Two shuffles
+    * on sentence text (hash-keyed; at 100 TB key on md5(sentence) so the
+    * shuffle carries 16 bytes, not the text — same answer, disclosed
+    * swap).
+    *
+    * @return (doc_id, n_sents, n_dup, dup_ratio_e6)
+    */
+  def sentenceDedup(docs: DataFrame): DataFrame = {
+    val sents = docs.select(col("doc_id"),
+        explode(split(col("text"), "\\.")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("sent"))
+      .filter(length(col("sent")) > 0)
+    val df = sents.select(col("doc_id"), col("sent")).distinct()
+      .groupBy("sent").agg(count(lit(1)).as("sdf"))
+    sents.join(df, Seq("sent"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("sdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_sents"),
+        col("n_dup").cast("long").as("n_dup"),
+        expr("(n_dup * 1000000L) div n_sents").cast("long")
+          .as("dup_ratio_e6"))
+  }
+
+  /** Shared-affix template mining: group documents by their first /
+    * last `k` characters and surface affixes shared across ≥ `minDocs`
+    * docs — the direct detector for injected headers and footers
+    * (cookie banners, license blocks, nav chrome). Complements
+    * [[sentenceDedup]]: an affix needn't end at a sentence boundary.
+    *
+    * One scan + one hash agg per side; the affix key is k-char bounded
+    * so the shuffle is fixed-width regardless of document size.
+    *
+    * @return (kind 'prefix'|'suffix', affix, n_docs, n_sources)
+    */
+  def affixTemplates(docs: DataFrame, k: Int = 40,
+                     minDocs: Long = 3L): DataFrame = {
+    require(k >= 1 && minDocs >= 2)
+    val pre = docs.select(lit("prefix").as("kind"),
+      substring(col("text"), 1, k).as("affix"),
+      col("doc_id"), col("source"))
+    val suf = docs.select(lit("suffix").as("kind"),
+      expr(s"substring(text, greatest(length(text) - ${k - 1}, 1))")
+        .as("affix"),
+      col("doc_id"), col("source"))
+    pre.union(suf)
+      .filter(length(col("affix")) >= k) // short docs can't carry a template
+      .groupBy("kind", "affix")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }
