@@ -642,4 +642,76 @@ object Similarity {
       .select(col("a"), col("b"), col("rank_ab"), col("rank_ba"),
         col("sim_e6"))
   }
+
+  /** Sign-bit binarization: each vector's 64 components collapse to one
+    * sign bit (set when the e6-quantized component is ≥ 0 — the
+    * [[randomHyperplaneLsh]] round-before-sign determinism contract),
+    * packed into two 32-bit words so no term ever touches the sign bit
+    * of a BIGINT. 64× compression; Hamming distance between sign words
+    * is the classic 1-bit cosine sketch (Charikar 2002: the identity
+    * hyperplane family). Returns (vec_id, lo, hi) — bits 0–31 / 32–63.
+    */
+  def signPack(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
+      .groupBy("vec_id")
+      .agg(
+        sum(when(col("dim") < 32 && col("xe6") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L))
+          .cast("long").as("lo"),
+        sum(when(col("dim") >= 32 && col("xe6") >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), dim - 32)")).otherwise(0L))
+          .cast("long").as("hi"))
+
+  /** Binary-quantization recall audit: does 1-bit-per-dimension survive
+    * nearest-neighbor ranking? Per query (the shared `% 50` query set),
+    * the overlap between the Hamming top-k over [[signPack]] words and
+    * the exact cosine top-k — the go/no-go number before shipping a
+    * 64×-compressed first-stage retriever with exact re-rank.
+    *
+    * Plan: the sign table is 3 longs/vector, so the Hamming side's
+    * query×corpus join streams popcounts in whole-stage codegen
+    * (`bit_count(xor)` — no arrays cross the shuffle); the exact side
+    * is the documented brute-force baseline shared with `e_ann_topk`
+    * (at scale the exact list comes from the IVF/LSH path instead; the
+    * overlap join is unchanged). Ties break by vec_id on both sides.
+    *
+    * @return (qid, n_hit, recall_e6) per query
+    */
+  def binaryRecall(vectors: DataFrame, k: Int): DataFrame = {
+    val sp = signPack(vectors)
+    val q = sp.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val ham = q.crossJoin(sp).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").cast("long")
+          .as("hd"))
+    val hamTop = ham.withColumn("rank",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("hd").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k).select(col("qid"), col("vec_id"))
+    val v = vectors.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val n = v.select(col("vec_id"), col("v"),
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+    val qe = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val exTop = qe.crossJoin(n).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm"))
+          * 1000000).cast("long").as("sim_e6"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim_e6").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k).select(col("qid"), col("vec_id"))
+    val hits = exTop.join(hamTop, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("h"))
+    q.select(col("qid")).join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
+        (coalesce(col("h"), lit(0L)) * (1000000L / k)).as("recall_e6"))
+  }
 }

@@ -896,4 +896,49 @@ object Measures {
           s"${pairsC + pairsP}L")).otherwise(lit(0L))
         .cast("long").as("agreement_e6"))
   }
+
+  /** One-level map-equation codelength (Rosvall & Bergstrom 2008) of a
+    * partition — the information-theoretic community-quality score
+    * Infomap minimizes, the standard alternative to [[modularity]] that
+    * does NOT suffer modularity's resolution limit. For an undirected
+    * graph the random surfer's stationary distribution is degree-
+    * proportional (p_v = deg_v / m2, m2 = directed slot count), module
+    * exit probability q_i = cut_i / m2, and with H(x) = x·log2(x):
+    *
+    *   L = H(Σq_i) − Σ_i H(q_i) − Σ_v H(p_v) + Σ_i H(q_i + vol_i/m2)
+    *
+    * (bits per step; zero-probability terms vanish). Inputs are the
+    * SAME per-module (cut, vol) table [[conductance]] aggregates plus
+    * the degree table — one edge⋈labels tag join + two hash aggs, then
+    * three scalar reductions; nothing module- or vertex-sized reaches
+    * the driver. All log terms are doubles; on web-scale module counts
+    * the Σ-order noise is ~1e-12, absorbed by the gates' e6 rounding.
+    *
+    * @param edges  symmetric directed slots
+    * @param labels (id, label) total partition
+    * @return bits per surfer step (lower = better partition)
+    */
+  def mapEquation(edges: DataFrame, labels: DataFrame): Double = {
+    val m2d = edges.count().toDouble
+    if (m2d == 0) return 0.0
+    val ls = labels.select(col("id").as("src"), col("label").as("ls"))
+    val ld = labels.select(col("id").as("dst"), col("label").as("ld"))
+    val perModule = edges.join(ls, "src").join(ld, "dst")
+      .groupBy(col("ls").as("label"))
+      .agg(sum(when(col("ls") =!= col("ld"), 1L).otherwise(0L))
+          .cast("long").as("cut"),
+        count(lit(1)).as("vol"))
+    def h(c: org.apache.spark.sql.Column) =
+      when(c > 0, c * log2(c)).otherwise(lit(0.0))
+    val mod = perModule.agg(
+      sum(col("cut")).cast("double").as("qsum"),
+      sum(h(col("cut") / m2d)).as("hq"),
+      sum(h((col("cut") + col("vol")) / m2d)).as("hqp"))
+      .first()
+    val qAll = mod.getDouble(0) / m2d
+    val hv = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .agg(sum(h(col("deg") / m2d))).first().getDouble(0)
+    val hQAll = if (qAll > 0) qAll * math.log(qAll) / math.log(2.0) else 0.0
+    hQAll - mod.getDouble(1) - hv + mod.getDouble(2)
+  }
 }

@@ -926,6 +926,16 @@ object GraphQueries {
     "g_closed_walks" -> ((s, dir) =>
       graft.algo.Spectral.closedWalkCounts(demoEdges(s, dir))),
 
+    // one-level map-equation codelength of the id%7 partition (the
+    // g_conductance pairing) — the Infomap objective in bits, e6-rounded
+    "g_map_equation" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val labels = GraphOps.vertices(e)
+        .select(col("id"), (col("id") % 7).as("label"))
+      oneRow(s, "map_e6",
+        math.round(Measures.mapEquation(e, labels) * 1000000))
+    }),
+
     // Borgatti–Everett discrete core–periphery fit with the k-core as
     // the discrete core (k = floor(avg degree), the g_kcore_t3 schedule)
     "g_coreperiphery_t3" -> ((s, dir) => {
@@ -3500,6 +3510,32 @@ object GraphQueries {
          |FROM deg d
          |LEFT JOIN triv tv ON tv.id = d.id
          |LEFT JOIN cnsq c ON c.id = d.id""".stripMargin,
+
+    // map-equation oracle: the conductance (cut, vol) algebra plus the
+    // degree table, combined with the same plogp(base-2) terms
+    "g_map_equation" ->
+      s"""WITH $cte,
+         |lab AS (SELECT id, id % 7 AS label FROM verts),
+         |tag AS (SELECT a.label AS ls, b.label AS ld
+         |        FROM e0 JOIN lab a ON e0.src = a.id
+         |        JOIN lab b ON e0.dst = b.id),
+         |m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM e0),
+         |pm AS (SELECT ls AS label,
+         |         CAST(sum(CASE WHEN ls <> ld THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS cut,
+         |         count(*) AS vol
+         |       FROM tag GROUP BY 1),
+         |ma AS (SELECT sum(cut) AS qsum,
+         |    sum(CASE WHEN cut > 0
+         |        THEN (cut / m2.m2) * log2(cut / m2.m2) ELSE 0 END) AS hq,
+         |    sum(((cut + vol) / m2.m2) * log2((cut + vol) / m2.m2)) AS hqp
+         |  FROM pm, m2),
+         |hv AS (SELECT sum((deg / m2.m2) * log2(deg / m2.m2)) AS hv
+         |       FROM (SELECT src, count(*) AS deg FROM e0 GROUP BY 1) d, m2)
+         |SELECT CAST(ROUND((CASE WHEN ma.qsum > 0
+         |    THEN (ma.qsum / m2.m2) * log2(ma.qsum / m2.m2) ELSE 0 END
+         |  - ma.hq - hv.hv + ma.hqp) * 1000000) AS BIGINT) AS map_e6
+         |FROM ma, hv, m2""".stripMargin,
 
     // core–periphery oracle: the g_kcore_t3 peel feeding the
     // Borgatti–Everett agreement algebra over canonical edges

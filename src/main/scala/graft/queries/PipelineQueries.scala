@@ -645,6 +645,15 @@ object PipelineQueries {
     "ev_cusum" -> ((s, dir) =>
       graft.streaming.Funnel.cusumDaily(events(s, dir))),
 
+    // per-event-type daily OLS trend as the exact integer num/den pair
+    "ev_trend" -> ((s, dir) =>
+      graft.streaming.Funnel.dailyTrend(events(s, dir))),
+
+    // 1-bit sign quantization: Hamming top-5 vs exact cosine top-5 —
+    // the 64x-compression retrieval go/no-go beside e_sq/e_pq_recall
+    "e_bin_recall" -> ((s, dir) =>
+      graft.functions.Similarity.binaryRecall(emb(s, dir), k = 5)),
+
     // BM25 relevance of the 3 highest-df terms against every matching doc
     // (per-term rows — no cross-term float summation inside the gate)
     // BM25F: anchor hits count 3x body hits under one shared-length
@@ -3097,6 +3106,77 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
         |    AS BIGINT) AS cusum_m
         |FROM p""".stripMargin,
+
+    // trend oracle: same day hash agg, broadcast min-day offset, and the
+    // five OLS sums — all exact integers, no division
+    "ev_trend" ->
+      """WITH day AS (
+        |  SELECT event_type,
+        |         (CAST(floor(epoch(ts)) AS BIGINT)
+        |           - CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 86400
+        |           AS day_num,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d0 AS (SELECT min(day_num) AS d0 FROM day),
+        |xs AS (SELECT event_type, day_num - d0.d0 AS x, y FROM day, d0),
+        |agg AS (SELECT event_type, count(*) AS n_days,
+        |          CAST(sum(y) AS BIGINT) AS sum_y,
+        |          CAST(sum(x) AS BIGINT) AS sx,
+        |          CAST(sum(x * x) AS BIGINT) AS sxx,
+        |          CAST(sum(x * y) AS BIGINT) AS sxy
+        |        FROM xs GROUP BY 1)
+        |SELECT event_type, n_days, sum_y,
+        |  CAST(n_days * sxy - sx * sum_y AS BIGINT) AS slope_num,
+        |  CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den
+        |FROM agg""".stripMargin,
+
+    // binary-recall oracle: the same sign-word packing (shift-sums over
+    // the e6-rounded components), Hamming via bit_count(xor), and the
+    // e_ann_topk exact-cosine side verbatim
+    "e_bin_recall" ->
+      """WITH ex AS (SELECT vec_id, r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |sp AS (SELECT vec_id,
+        |    CAST(sum(CASE WHEN dim < 32 AND xe6 >= 0
+        |        THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END) AS BIGINT)
+        |      AS lo,
+        |    CAST(sum(CASE WHEN dim >= 32 AND xe6 >= 0
+        |        THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi
+        |  FROM ex GROUP BY 1),
+        |hq AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM sp
+        |       WHERE vec_id % 50 = 0),
+        |hd AS (SELECT hq.qid, sp.vec_id,
+        |         bit_count(xor(hq.qlo, sp.lo))
+        |           + bit_count(xor(hq.qhi, sp.hi)) AS hd
+        |       FROM hq, sp WHERE hq.qid <> sp.vec_id),
+        |h5 AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY hd ASC, vec_id ASC) AS rank FROM hd) t
+        |  WHERE rank <= 5),
+        |v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, vec_id,
+        |        CAST(ROUND(list_sum([qv[i+1] * v[i+1] for i in range(64)])
+        |          / (qn * nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM q, n WHERE qid <> vec_id),
+        |e5 AS (SELECT qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM s) t
+        |  WHERE rank <= 5),
+        |hits AS (SELECT e5.qid, count(*) AS h FROM e5
+        |         JOIN h5 ON h5.qid = e5.qid AND h5.vec_id = e5.vec_id
+        |         GROUP BY 1)
+        |SELECT hq.qid, CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(hits.h, 0) * 200000 AS BIGINT) AS recall_e6
+        |FROM hq LEFT JOIN hits ON hits.qid = hq.qid""".stripMargin,
 
     // mutual kNN oracle: both directional top-5 rankings, joined on the
     // reversed pair

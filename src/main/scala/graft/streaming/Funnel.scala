@@ -502,4 +502,45 @@ object Funnel {
       .select(col("day_epoch"), col("n_events"),
         (col("p") - least(col("minp"), lit(0L))).cast("long").as("cusum_m"))
   }
+
+  /** Per-event-type daily traffic trend: the OLS slope of daily counts
+    * on the day index, reported as the EXACT integer numerator /
+    * denominator pair
+    *
+    *   num = n·Σxy − Σx·Σy,   den = n·Σx² − (Σx)²
+    *
+    * (slope = num/den events per day — the division is the caller's,
+    * because num's sign is data-dependent and cross-engine integer
+    * division disagrees on negatives; the zipfSlope gates dodge that
+    * only because their numerator has a provable sign). x is the day
+    * number offset from the DATASET min day (a broadcast scalar), so
+    * x ≤ the capture span in days and every sum sits far inside int64.
+    * Plan: one day hash agg (bounded: one row per (type, day)) + one
+    * per-type agg; days with zero events of a type contribute no row —
+    * the trend is over observed days, the gap-robust convention.
+    *
+    * @return (event_type, n_days, sum_y, slope_num, slope_den)
+    */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val day = events.select(col("event_type"),
+        (col("ts").cast("timestamp").cast("long") % 86400L).as("r"),
+        col("ts").cast("timestamp").cast("long").as("t"))
+      .select(col("event_type"),
+        expr("(t - r) div 86400").cast("long").as("day_num"))
+      .groupBy("event_type", "day_num").agg(count(lit(1)).as("y"))
+    val d0 = day.agg(min(col("day_num")).as("d0"))
+    day.crossJoin(broadcast(d0))
+      .select(col("event_type"), (col("day_num") - col("d0")).as("x"),
+        col("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).cast("long").as("sum_y"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n_days"), col("sum_y"),
+        (col("n_days") * col("sxy") - col("sx") * col("sum_y"))
+          .cast("long").as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx"))
+          .cast("long").as("slope_den"))
+  }
 }
