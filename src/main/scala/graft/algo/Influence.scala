@@ -107,4 +107,45 @@ object Influence {
     }
     active
   }
+
+  /** Deterministic independent-cascade spread (Kempe–Kleinberg–Tardos
+    * 2003) via the live-edge formulation: in ICM each directed edge gets
+    * exactly ONE activation attempt ever, so the cascade equals BFS
+    * reachability from the seeds over the subgraph of edges whose coin
+    * succeeded — the standard proof device, used here as the execution
+    * plan (no per-round coin state at all). The coin is the stateless
+    * md5 draw on the slot key (`md5Uniform(src:dst) % 1000 < permille`),
+    * so both engines replay the same live subgraph bit-for-bit; on a
+    * symmetrized graph the two directions of an edge draw independent
+    * coins (directed-slot semantics, documented).
+    *
+    * Each round is one live-edge gather + anti-join — the ltCascade loop
+    * shape, monotone active set, eager-materialized per round.
+    *
+    * @return (id, round) — first activation round per activated vertex
+    */
+  def icCascade(edges: DataFrame, seeds: DataFrame, permille: Long,
+                rounds: Int): DataFrame = {
+    require(rounds >= 1 && permille >= 0 && permille <= 1000)
+    val live = edges.select(col("src"), col("dst"))
+      .filter(graft.text.TextIndex.md5Uniform(
+        concat_ws(":", col("src"), col("dst"))) % 1000 < permille)
+      .transform(graft.engine.Materialize.eager)
+    var active = seeds.select(col("id"), lit(0L).as("round"))
+      .transform(graft.engine.Materialize.eager)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val fresh = live.join(active.select(col("id").as("aid")),
+          col("dst") === col("aid"))
+        .select(col("src").as("id")).distinct()
+        .join(active.select(col("id"), lit(1L).as("already")),
+          Seq("id"), "left")
+        .filter(col("already").isNull)
+        .select(col("id"), lit(r.toLong).as("round"))
+      active = active.union(fresh)
+        .transform(graft.engine.Materialize.eager)
+    }
+    active
+  }
 }

@@ -714,4 +714,84 @@ object Similarity {
       .select(col("qid"), coalesce(col("h"), lit(0L)).as("n_hit"),
         (coalesce(col("h"), lit(0L)) * (1000000L / k)).as("recall_e6"))
   }
+
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein 1998) at λ = ½: greedily pick `k` results from each
+    * query's top-`cand` cosine candidates, each step maximizing
+    *
+    *   score(d) = sim(q,d) − max_{s ∈ selected} sim(d,s)
+    *
+    * (the λ=½ objective ×2 — same argmax, all e6 integers) — near-dup
+    * results crowd each other out, so the k slots cover distinct
+    * regions. The greedy loop is k−1 driver steps, but every table in
+    * it is (queries × cand)-bounded: candidate–candidate sims are
+    * cand² per query, computed ONCE up front, so selection touches no
+    * vectors — at web scale the candidate stage is the IVF/LSH top-cand
+    * and this exact rerank runs unchanged on its output.
+    *
+    * Ties break (score desc, vec_id asc) — exact integers, replayable.
+    *
+    * @return (qid, rank, vec_id, score_e6); rank 1 score = sim(q,d)
+    */
+  def mmrSelect(vectors: DataFrame, cand: Int, k: Int): DataFrame = {
+    require(cand >= k && k >= 1)
+    val v = vectors.select(col("vec_id"),
+      asDouble(col("embedding")).as("v"))
+    val n = v.select(col("vec_id"), col("v"),
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+    def sim(a: Column, b: Column, na: Column, nb: Column) =
+      round(aggregate(zip_with(a, b, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) / (na * nb) * 1000000).cast("long")
+    val q = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cnd = q.crossJoin(n).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        sim(col("qv"), col("v"), col("qn"), col("nrm")).as("sim_e6"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim_e6").desc, col("vec_id").asc)))
+      .filter(col("rank") <= cand).select("qid", "vec_id", "sim_e6")
+      .transform(graft.engine.Materialize.eager)
+    val half = cnd.select(col("qid"), col("vec_id").as("a"))
+      .join(cnd.select(col("qid"), col("vec_id").as("b")), Seq("qid"))
+      .filter(col("a") < col("b"))
+      .join(n.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("a"))
+      .join(n.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("b"))
+      .select(col("qid"), col("a"), col("b"),
+        sim(col("va"), col("vb"), col("na"), col("nb")).as("cs"))
+    val cc = half.union(half.select(col("qid"), col("b").as("a"),
+        col("a").as("b"), col("cs")))
+      .transform(graft.engine.Materialize.eager)
+    def argmax(scored: DataFrame, rank: Int) =
+      scored.withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("score_e6").desc, col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(col("qid"), lit(rank.toLong).as("rank"), col("vec_id"),
+          col("score_e6"))
+    var selected = argmax(
+      cnd.select(col("qid"), col("vec_id"), col("sim_e6").as("score_e6")),
+      1).transform(graft.engine.Materialize.eager)
+    var t = 1
+    while (t < k) {
+      t += 1
+      val maxSel = cc.join(selected.select(col("qid"),
+          col("vec_id").as("b")), Seq("qid", "b"))
+        .groupBy(col("qid"), col("a").as("vec_id"))
+        .agg(max(col("cs")).as("msel"))
+      val scored = cnd
+        .join(selected.select(col("qid"), col("vec_id"),
+          lit(1L).as("sel")), Seq("qid", "vec_id"), "left")
+        .filter(col("sel").isNull)
+        .join(maxSel, Seq("qid", "vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (col("sim_e6") - col("msel")).as("score_e6"))
+      selected = selected.union(argmax(scored, t))
+        .transform(graft.engine.Materialize.eager)
+    }
+    cnd.unpersist(blocking = false)
+    cc.unpersist(blocking = false)
+    selected
+  }
 }

@@ -2284,6 +2284,14 @@ object GraphQueries {
       graft.algo.Influence.ltCascade(e, seeds, th, tden = 98, rounds = 3)
     }),
 
+    // independent cascade (live-edge BFS, p = 0.6 md5 coins, 3 rounds)
+    // from the g_lt_cascade seed set — the submodular-influence sibling
+    "g_ic_cascade_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val seeds = GraphOps.vertices(e).filter(col("id") % 37 === 0)
+      graft.algo.Influence.icCascade(e, seeds, permille = 600, rounds = 3)
+    }),
+
     "g_pr_shift_top10" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
       def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
@@ -4868,6 +4876,27 @@ object GraphQueries {
       s"""WITH $cte,
          |deg AS (SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1),
          |th AS (SELECT id, (id * 31) % 97 + 1 AS tnum FROM verts),
+         |a0 AS (SELECT id, CAST(0 AS BIGINT) AS round FROM verts
+         |       WHERE id % 37 = 0),
+         |$steps
+         |SELECT id, round FROM a3""".stripMargin
+    },
+
+    // IC oracle: the md5 live-edge filter + 3 unrolled BFS rounds over
+    // the surviving slots (the live-edge reachability identity verbatim)
+    "g_ic_cascade_t3" -> {
+      val steps = (1 to 3).map { r =>
+        s"""f$r AS (
+           |  SELECT DISTINCT live.src AS id, CAST($r AS BIGINT) AS round
+           |  FROM live JOIN a${r - 1} a ON a.id = live.dst
+           |  WHERE live.src NOT IN (SELECT id FROM a${r - 1})),
+           |a$r AS (SELECT * FROM a${r - 1} UNION ALL SELECT * FROM f$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |live AS (SELECT src, dst FROM e0
+         |  WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
+         |    1, 15))::BIGINT % 1000 < 600),
          |a0 AS (SELECT id, CAST(0 AS BIGINT) AS round FROM verts
          |       WHERE id % 37 = 0),
          |$steps

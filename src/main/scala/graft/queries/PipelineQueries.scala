@@ -654,6 +654,21 @@ object PipelineQueries {
     "e_bin_recall" -> ((s, dir) =>
       graft.functions.Similarity.binaryRecall(emb(s, dir), k = 5)),
 
+    // MMR diversified top-3 from the cosine top-8 candidates (λ = ½)
+    "e_mmr" -> ((s, dir) =>
+      graft.functions.Similarity.mmrSelect(emb(s, dir), cand = 8, k = 3)),
+
+    // SoftDeDup: keep every doc but downweight by near-dup cluster size
+    // (w = 1e6 div |cluster|) — the soft alternative to d_cluster_best
+    "d_soft_weights" -> ((s, dir) => {
+      val canon = dedupCanon(s, dir)
+      val sz = canon.groupBy("canon_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      canon.join(sz, Seq("canon_id"))
+        .select(col("doc_id"), col("canon_id"), col("cluster_size"),
+          expr("1000000 div cluster_size").cast("long").as("weight_e6"))
+    }),
+
     // BM25 relevance of the 3 highest-df terms against every matching doc
     // (per-term rows — no cross-term float summation inside the gate)
     // BM25F: anchor hits count 3x body hits under one shared-length
@@ -3177,6 +3192,94 @@ object PipelineQueries {
         |SELECT hq.qid, CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hit,
         |  CAST(coalesce(hits.h, 0) * 200000 AS BIGINT) AS recall_e6
         |FROM hq LEFT JOIN hits ON hits.qid = hq.qid""".stripMargin,
+
+    // MMR oracle: the e_ann_topk cosine CTEs → top-8 candidates →
+    // candidate-pair sims → three unrolled greedy argmax steps (λ = ½)
+    "e_mmr" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, vec_id,
+        |        CAST(ROUND(list_sum([qv[i+1] * v[i+1] for i in range(64)])
+        |          / (qn * nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM q, n WHERE qid <> vec_id),
+        |cand AS (SELECT qid, vec_id, sim_e6 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim_e6 DESC, vec_id ASC) AS rn FROM s) t
+        |  WHERE rn <= 8),
+        |cc AS (SELECT c1.qid, c1.vec_id AS a, c2.vec_id AS b,
+        |    CAST(ROUND(list_sum([na.v[i+1] * nb.v[i+1] for i in range(64)])
+        |      / (na.nrm * nb.nrm) * 1000000) AS BIGINT) AS cs
+        |  FROM cand c1 JOIN cand c2
+        |    ON c1.qid = c2.qid AND c1.vec_id <> c2.vec_id
+        |  JOIN n na ON na.vec_id = c1.vec_id
+        |  JOIN n nb ON nb.vec_id = c2.vec_id),
+        |p1 AS (SELECT qid, vec_id, sim_e6 AS score_e6 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim_e6 DESC, vec_id ASC) AS rn FROM cand) t
+        |  WHERE rn = 1),
+        |sc2 AS (SELECT c.qid, c.vec_id,
+        |    c.sim_e6 - max(cc.cs) AS score_e6
+        |  FROM cand c JOIN p1 ON p1.qid = c.qid AND p1.vec_id <> c.vec_id
+        |  JOIN cc ON cc.qid = c.qid AND cc.a = c.vec_id
+        |         AND cc.b = p1.vec_id
+        |  GROUP BY 1, 2, c.sim_e6),
+        |p2 AS (SELECT qid, vec_id, score_e6 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_e6 DESC, vec_id ASC) AS rn FROM sc2) t
+        |  WHERE rn = 1),
+        |sel2 AS (SELECT qid, vec_id FROM p1
+        |         UNION ALL SELECT qid, vec_id FROM p2),
+        |sc3 AS (SELECT c.qid, c.vec_id,
+        |    c.sim_e6 - max(cc.cs) AS score_e6
+        |  FROM cand c
+        |  JOIN cc ON cc.qid = c.qid AND cc.a = c.vec_id
+        |  JOIN sel2 ON sel2.qid = cc.qid AND sel2.vec_id = cc.b
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel2 s2
+        |    WHERE s2.qid = c.qid AND s2.vec_id = c.vec_id)
+        |  GROUP BY 1, 2, c.sim_e6),
+        |p3 AS (SELECT qid, vec_id, score_e6 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_e6 DESC, vec_id ASC) AS rn FROM sc3) t
+        |  WHERE rn = 1)
+        |SELECT qid, CAST(1 AS BIGINT) AS rank, vec_id, score_e6 FROM p1
+        |UNION ALL
+        |SELECT qid, CAST(2 AS BIGINT), vec_id, score_e6 FROM p2
+        |UNION ALL
+        |SELECT qid, CAST(3 AS BIGINT), vec_id, score_e6 FROM p3""".stripMargin,
+
+    // SoftDeDup oracle: the d_dedup_clusters canon CTE chain + cluster
+    // sizes + the integer downweight
+    "d_soft_weights" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |mh AS (SELECT doc_id, i, min(md5(i::varchar || ':' || sh)) AS h
+         |       FROM sh, (SELECT range AS i FROM range(8)) r GROUP BY 1, 2),
+         |band AS (SELECT doc_id, i // 4 AS b,
+         |                string_agg(h, '|' ORDER BY i) AS sig
+         |         FROM mh GROUP BY 1, 2),
+         |mp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |       FROM band x JOIN band y ON x.b = y.b AND x.sig = y.sig
+         |       WHERE x.doc_id < y.doc_id),
+         |pe AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT a AS src, b AS dst FROM mp
+         |         UNION ALL SELECT b, a FROM mp) u),
+         |creach(id, lab) AS (
+         |  SELECT src, src FROM pe
+         |  UNION
+         |  SELECT pe.dst, creach.lab FROM creach JOIN pe ON pe.src = creach.id),
+         |cl AS (SELECT id, min(lab) AS label FROM creach GROUP BY id),
+         |canon AS (SELECT d.doc_id, coalesce(cl.label, d.doc_id) AS canon_id
+         |          FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+         |szs AS (SELECT canon_id, count(*) AS cluster_size FROM canon
+         |        GROUP BY 1)
+         |SELECT canon.doc_id, canon.canon_id,
+         |  CAST(szs.cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // szs.cluster_size AS BIGINT) AS weight_e6
+         |FROM canon JOIN szs ON szs.canon_id = canon.canon_id""".stripMargin,
 
     // mutual kNN oracle: both directional top-5 rankings, joined on the
     // reversed pair
