@@ -204,4 +204,53 @@ object StronglyConnected {
     e.unpersist(blocking = false)
     lv
   }
+
+  /** Bounded-length path counts from the DAG's sources: paths(v) =
+    * number of distinct directed paths of length ≤ `rounds` that start
+    * at an in-degree-0 component and end at v (a source counts its own
+    * empty path) — on the SCC condensation this is the "how many ways
+    * does crawl flow reach this cluster" mass used to spot junction
+    * components that funnel the web's IN→CORE traffic.
+    *
+    * DP over walk length: p_0 = 1 on sources, p_{r+1}(v) = Σ_{u→v}
+    * p_r(u) — each round one gather join + hash agg (the CC skeleton
+    * with sum-plus), every count an exact long. In a DAG walks are
+    * paths, so no deduplication is ever needed. Path counts grow
+    * exponentially with depth — `rounds` is the int64 envelope guard
+    * (counts can hit branching^rounds; at web scale run counts
+    * mod a Mersenne prime past ~60 effective depth, documented swap).
+    *
+    * @param compEdges (csrc, cdst) DAG edges (e.g. [[condense]]._2)
+    * @return (comp, paths) for every component, 0 = unreached within
+    *         `rounds`
+    */
+  def dagPathCounts(compEdges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = compEdges.select(col("csrc"), col("cdst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val comps = e.select(col("csrc").as("comp"))
+      .union(e.select(col("cdst"))).distinct()
+      .transform(graft.engine.Materialize.eager)
+    var p = comps.join(e.select(col("cdst").as("comp")).distinct(),
+        Seq("comp"), "left_anti")
+      .select(col("comp"), lit(1L).as("w"))
+      .transform(graft.engine.Materialize.eager)
+    var total = p
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      p = e.join(p.select(col("comp").as("cid"), col("w")),
+          col("csrc") === col("cid"))
+        .groupBy(col("cdst").as("comp")).agg(sum(col("w")).as("w"))
+        .transform(graft.engine.Materialize.eager)
+      total = total.union(p)
+    }
+    val agg = total.groupBy("comp").agg(sum(col("w")).as("paths"))
+    val out = comps.join(agg, Seq("comp"), "left")
+      .select(col("comp"),
+        coalesce(col("paths"), lit(0L)).cast("long").as("paths"))
+      .transform(graft.engine.Materialize.eager)
+    e.unpersist(blocking = false)
+    out
+  }
 }

@@ -1795,6 +1795,24 @@ object GraphQueries {
           coalesce(col("level"), lit(0L)).as("level"))
     }),
 
+    // source-flow path counts on the same condensation DAG: how many
+    // distinct ≤3-hop paths from IN-tier sources reach each component
+    "g_dag_paths_t3" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val fwd = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("dst") % 10 - col("src") % 10 === 2 ||
+          col("dst") % 10 - col("src") % 10 === 3)
+        .distinct()
+      val ring = s.range(NodeSpace)
+        .select(col("id").as("src"), ((col("id") + 10) % NodeSpace).as("dst"))
+      val (_, compEdges) =
+        graft.algo.StronglyConnected.condense(fwd.union(ring))
+      graft.algo.StronglyConnected.dagPathCounts(compEdges, rounds = 3)
+    }),
+
     // distance histogram over the sampled BFS (same sources as
     // g_bfs_levels): reached ordered pairs per positive distance
     "g_dist_hist" -> ((s, dir) => {
@@ -5488,6 +5506,53 @@ object GraphQueries {
          |        FROM lv GROUP BY 1)
          |SELECT lab.id, lab.scc, coalesce(lvm.level, 0) AS level
          |FROM lab LEFT JOIN lvm ON lab.scc = lvm.comp""".stripMargin,
+
+    // DAG path-count oracle: the g_condense_dag chain through ce, then
+    // the 3 unrolled walk-length DP steps + the ≤3 total
+    "g_dag_paths_t3" ->
+      s"""WITH RECURSIVE fwd AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem
+         |  WHERE l_linenumber = 1
+         |    AND ((l_partkey % $NodeSpace) % 10) - ((l_orderkey % $NodeSpace) % 10)
+         |        IN (2, 3)),
+         |ring AS (SELECT i AS src, (i + 10) % $NodeSpace AS dst
+         |         FROM range($NodeSpace) t(i)),
+         |ed AS (SELECT DISTINCT src, dst FROM
+         |        (SELECT src, dst FROM fwd
+         |         UNION ALL SELECT src, dst FROM ring) u),
+         |vd AS (SELECT DISTINCT id FROM
+         |        (SELECT src AS id FROM ed
+         |         UNION ALL SELECT dst FROM ed) u),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM vd
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN ed e ON e.src = r.dst),
+         |lab AS (SELECT a.src AS id, CAST(min(a.dst) AS BIGINT) AS scc
+         |        FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+         |        GROUP BY 1),
+         |ce AS (SELECT DISTINCT ls.scc AS csrc, ld.scc AS cdst
+         |       FROM ed JOIN lab ls ON ed.src = ls.id
+         |               JOIN lab ld ON ed.dst = ld.id
+         |       WHERE ls.scc <> ld.scc),
+         |cv AS (SELECT DISTINCT comp FROM
+         |        (SELECT csrc AS comp FROM ce
+         |         UNION ALL SELECT cdst FROM ce) u),
+         |p0 AS (SELECT comp, CAST(1 AS BIGINT) AS w FROM cv
+         |       WHERE comp NOT IN (SELECT cdst FROM ce)),
+         |p1 AS (SELECT ce.cdst AS comp, CAST(sum(p.w) AS BIGINT) AS w
+         |       FROM p0 p JOIN ce ON ce.csrc = p.comp GROUP BY 1),
+         |p2 AS (SELECT ce.cdst AS comp, CAST(sum(p.w) AS BIGINT) AS w
+         |       FROM p1 p JOIN ce ON ce.csrc = p.comp GROUP BY 1),
+         |p3 AS (SELECT ce.cdst AS comp, CAST(sum(p.w) AS BIGINT) AS w
+         |       FROM p2 p JOIN ce ON ce.csrc = p.comp GROUP BY 1),
+         |tt AS (SELECT comp, CAST(sum(w) AS BIGINT) AS paths FROM (
+         |         SELECT * FROM p0 UNION ALL SELECT * FROM p1
+         |         UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3) u
+         |       GROUP BY 1)
+         |SELECT cv.comp, coalesce(tt.paths, 0) AS paths
+         |FROM cv LEFT JOIN tt ON tt.comp = cv.comp""".stripMargin,
 
     "g_degree_hist" ->
       s"""WITH $cte,

@@ -797,6 +797,17 @@ object PipelineQueries {
       graft.text.TextIndex.coOccurrence(docs(s, dir),
         minDf = 300L, maxDf = 394L, minPairs = 300L)),
 
+    // TextRank keywords: 3 exact-integer PageRank iterations over the
+    // d_cooccur term graph — the unsupervised keyword extractor
+    "d_textrank_t3" -> ((s, dir) =>
+      graft.text.TextIndex.textRank(docs(s, dir),
+        minDf = 300L, maxDf = 394L, minPairs = 300L, iters = 3)),
+
+    // chain-level behavior predictability: entropy rate of the global
+    // Markov transition matrix under the 3-step stationary iterate
+    "ev_entropy_rate" -> ((s, dir) =>
+      graft.streaming.Funnel.entropyRate(events(s, dir), iters = 3)),
+
     // deterministic length-weighted document sampling
     "d_qsample" -> ((s, dir) =>
       graft.text.TextIndex.weightedSample(docs(s, dir), seed = 13L)),
@@ -3192,6 +3203,81 @@ object PipelineQueries {
         |SELECT hq.qid, CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hit,
         |  CAST(coalesce(hits.h, 0) * 200000 AS BIGINT) AS recall_e6
         |FROM hq LEFT JOIN hits ON hits.qid = hq.qid""".stripMargin,
+
+    // TextRank oracle: the d_cooccur CTEs → symmetrized weighted graph →
+    // e9 row-normalized weights → 3 unrolled exact-integer iterations
+    "d_textrank_t3" -> {
+      val steps = (1 to 3).map { i =>
+        s"""fl$i AS (SELECT pm.v AS t,
+           |    CAST(sum((s.s_e9 * pm.p_e9) // 1000000000) AS BIGINT) AS fl
+           |  FROM s${i - 1} s JOIN pm ON s.term = pm.u GROUP BY 1),
+           |s$i AS (SELECT tm.term,
+           |    CAST(150000000 + (850 * coalesce(f.fl, 0)) // 1000
+           |      AS BIGINT) AS s_e9
+           |  FROM tm LEFT JOIN fl$i f ON tm.term = f.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id,
+         |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |       FROM documents),
+         |pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+         |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1),
+         |vocab AS (SELECT term FROM df WHERE df BETWEEN 300 AND 394),
+         |inp AS (SELECT p.doc_id, p.term FROM pairs p JOIN vocab v USING (term)),
+         |co AS (SELECT a.term AS tok_a, b.term AS tok_b, count(*) AS n_docs
+         |       FROM inp a JOIN inp b ON a.doc_id = b.doc_id AND a.term < b.term
+         |       GROUP BY 1, 2 HAVING count(*) >= 300),
+         |sym AS (SELECT tok_a AS u, tok_b AS v, n_docs AS w FROM co
+         |        UNION ALL
+         |        SELECT tok_b, tok_a, n_docs FROM co),
+         |ws AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM sym GROUP BY 1),
+         |pm AS (SELECT sym.u, sym.v,
+         |         CAST((sym.w * 1000000000) // ws.wu AS BIGINT) AS p_e9
+         |       FROM sym JOIN ws ON sym.u = ws.u),
+         |tm AS (SELECT DISTINCT u AS term FROM sym),
+         |s0 AS (SELECT term, CAST(1000000000 AS BIGINT) AS s_e9 FROM tm),
+         |$steps
+         |SELECT term, s_e9 FROM s3""".stripMargin
+    },
+
+    // entropy-rate oracle: the ev_markov_stationary CTEs + the π-weighted
+    // p·log2(1/p) reduction over the type-pair table
+    "ev_entropy_rate" -> {
+      val steps = (1 to 3).map { i =>
+        s"""fl$i AS (SELECT p.to_type AS t,
+           |    CAST(sum((pi.pi_e9 * p.p_e9) // 1000000000) AS BIGINT) AS fl
+           |  FROM pi${i - 1} pi JOIN pm p ON pi.t = p.f GROUP BY 1),
+           |hd$i AS (SELECT pi.t, pi.pi_e9 AS hd FROM pi${i - 1} pi
+           |         WHERE pi.t NOT IN (SELECT f FROM tot)),
+           |pi$i AS (SELECT ty.t,
+           |    CAST(coalesce(f.fl, 0) + coalesce(h.hd, 0) AS BIGINT)
+           |      AS pi_e9
+           |  FROM ty LEFT JOIN fl$i f ON ty.t = f.t
+           |  LEFT JOIN hd$i h ON ty.t = h.t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (SELECT event_type,
+         |             lead(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) AS next_type
+         |           FROM events),
+         |tr AS (SELECT event_type AS f, next_type AS to_type,
+         |         count(*) AS n
+         |       FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tot FROM tr
+         |        GROUP BY 1),
+         |pm AS (SELECT tr.f, tr.to_type,
+         |         CAST((tr.n * 1000000000) // tot.tot AS BIGINT) AS p_e9
+         |       FROM tr JOIN tot ON tr.f = tot.f),
+         |ty AS (SELECT DISTINCT event_type AS t FROM events),
+         |pi0 AS (SELECT t, CAST(1000000000 // (SELECT count(*) FROM ty)
+         |          AS BIGINT) AS pi_e9 FROM ty),
+         |$steps
+         |SELECT CAST(ROUND(sum(
+         |    (pi3.pi_e9 / 1000000000.0)
+         |    * (tr.n / CAST(tot.tot AS DOUBLE))
+         |    * log2(CAST(tot.tot AS DOUBLE) / tr.n)) * 1000000) AS BIGINT)
+         |  AS h_e6
+         |FROM tr JOIN tot ON tr.f = tot.f JOIN pi3 ON pi3.t = tr.f"""
+        .stripMargin
+    },
 
     // MMR oracle: the e_ann_topk cosine CTEs → top-8 candidates →
     // candidate-pair sims → three unrolled greedy argmax steps (λ = ½)

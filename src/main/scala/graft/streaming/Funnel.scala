@@ -336,6 +336,34 @@ object Funnel {
     pi.select(col("t").as("event_type"), col("pi_e9"))
   }
 
+  /** Entropy rate of the global behavior Markov chain:
+    *
+    *   H = − Σ_i π_i Σ_j p_ij log2 p_ij   bits / event
+    *
+    * with π the [[markovStationary]] e9-integer iterate and p_ij the
+    * exact transition fractions — the single-number answer to "how
+    * predictable is traffic as a whole", the chain-level companion of
+    * the per-user [[userEntropy]] feature (a fleet of scripted clients
+    * drags H toward 0 even when each account stays under the per-user
+    * radar). Every input to the log sum is an exact integer; the one
+    * float reduction is over the type-pair table (alphabet², tiny), so
+    * the e6 rounding absorbs summation-order noise.
+    *
+    * @return one row (h_e6) — entropy rate in micro-bits per step
+    */
+  def entropyRate(events: DataFrame, iters: Int = 3): DataFrame = {
+    val pi = markovStationary(events, iters)
+    val tr = transitions(events)
+    val tot = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    tr.join(tot, "from_type")
+      .join(pi.select(col("event_type").as("from_type"), col("pi_e9")),
+        Seq("from_type"))
+      .select(((col("pi_e9").cast("double") / 1e9)
+        * (col("n").cast("double") / col("tot"))
+        * log2(col("tot").cast("double") / col("n"))).as("t"))
+      .agg(round(sum(col("t")) * 1000000).cast("long").as("h_e6"))
+  }
+
   /** Inter-event gap histogram: per-user consecutive gaps (the botSignals
     * lag window — user-partitioned, (epoch, event_id)-ordered) bucketed
     * into log2 bins, bucket = ⌊log2(gap_s + 1)⌋ computed exactly as

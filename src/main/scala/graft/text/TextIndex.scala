@@ -87,6 +87,55 @@ object TextIndex {
       .filter(col("n_docs") >= minPairs)
   }
 
+  /** TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over the
+    * [[coOccurrence]] term graph, the unsupervised keyword extractor —
+    * terms that co-occur with many well-connected terms score high.
+    * Weighted update at the paper's d = 0.85:
+    *
+    *   S(v) = (1−d) + d · Σ_{u∈N(v)} (w_uv / W_u) · S(u)
+    *
+    * in the [[graft.streaming.Funnel.markovStationary]] exact-integer
+    * contract: row-normalized weights are e9 integers fixed once, every
+    * iterate is `(s·p) div 1e9` sums — bit-replayable, no floats ever.
+    * The graph is vocab-bounded (df band), so per-iteration state is
+    * vocabulary-sized regardless of corpus size; the expensive pass is
+    * the one co-occurrence build. Int64 envelope: s_e9 stays within
+    * ~deg·1e9 per term — overflow needs a 4e8-degree term node.
+    *
+    * @return (term, s_e9) for every term in the co-occurrence graph
+    */
+  def textRank(docs: DataFrame, minDf: Long, maxDf: Long, minPairs: Long,
+               iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val co = coOccurrence(docs, minDf, maxDf, minPairs)
+    val sym = co.select(col("tok_a").as("u"), col("tok_b").as("v"),
+        col("n_docs").as("w"))
+      .union(co.select(col("tok_b").as("u"), col("tok_a").as("v"),
+        col("n_docs").as("w")))
+    val wsum = sym.groupBy("u").agg(sum(col("w")).as("wu"))
+    val pmat = sym.join(wsum, "u")
+      .select(col("u"), col("v"),
+        expr("(w * 1000000000) div wu").as("p_e9"))
+      .transform(graft.engine.Materialize.eager)
+    val terms = sym.select(col("u").as("term")).distinct()
+      .transform(graft.engine.Materialize.eager)
+    var s = terms.select(col("term"), lit(1000000000L).as("s_e9"))
+    var i = 0
+    while (i < iters) {
+      i += 1
+      val flow = s.join(pmat, col("term") === col("u"))
+        .select(col("v"), expr("(s_e9 * p_e9) div 1000000000").as("c"))
+        .groupBy(col("v").as("t2")).agg(sum(col("c")).as("fl"))
+      s = terms.join(flow, col("term") === col("t2"), "left")
+        .withColumn("fl2", coalesce(col("fl"), lit(0L)))
+        .select(col("term"),
+          expr("150000000 + (850 * fl2) div 1000").cast("long").as("s_e9"))
+        .transform(graft.engine.Materialize.eager)
+    }
+    pmat.unpersist(blocking = false)
+    s
+  }
+
   /** Global heavy-hitter terms: exact document frequency, top `k` by
     * (df desc, term asc). The ranking plans as TakeOrderedAndProject —
     * each partition reduces to its own k rows before a single k·P-row
