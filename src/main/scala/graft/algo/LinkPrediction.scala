@@ -115,4 +115,50 @@ object LinkPrediction {
           when(prod > 0, c / prod).otherwise(lit(0.0)).as("lhn")
         })
   }
+
+  /** Temporal link-prediction evaluation: score every non-adjacent
+    * canonical wedge pair of the OLD snapshot by common-neighbor count,
+    * take the global top-`k`, and flag which predictions materialized
+    * as edges in the NEW snapshot — precision@k against the crawl
+    * delta, the eval loop that decides whether a predictor earns its
+    * place in frontier scheduling.
+    *
+    * Plan: wedge pairs come from the degree-bounded mid-vertex
+    * self-join (the triangle/cocitation shape — at web scale cap hub
+    * degrees first, same contract); the top-k is TakeOrderedAndProject;
+    * the rank window runs over k rows only. New-edge membership is a
+    * left join against the canonicalized added-edge set
+    * ([[GraphOps.edgeDiff]]).
+    *
+    * @param oldEdges symmetric slots at time t
+    * @param newEdges symmetric slots at time t+1
+    * @return (rank, src, dst, common, hit) for the top-k predictions
+    */
+  def evalPrecision(oldEdges: DataFrame, newEdges: DataFrame,
+                    k: Int): DataFrame = {
+    require(k >= 1)
+    val e = oldEdges.select(col("src"), col("dst"))
+    val wedge = e.select(col("src").as("mid"), col("dst").as("a"))
+      .join(e.select(col("src").as("mid"), col("dst").as("b")), Seq("mid"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val nonAdj = wedge.join(
+      e.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+    val top = nonAdj
+      .orderBy(col("common").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("common").desc, col("a").asc, col("b").asc)))
+    val added = GraphOps.edgeDiff(e, newEdges.select(col("src"), col("dst")))
+      .filter(col("change") === "added")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"), lit(1L).as("hit0"))
+      .distinct()
+    top.join(added, Seq("a", "b"), "left")
+      .select(col("rank").cast("long").as("rank"),
+        col("a").as("src"), col("b").as("dst"), col("common"),
+        coalesce(col("hit0"), lit(0L)).as("hit"))
+  }
 }

@@ -1912,6 +1912,17 @@ object GraphQueries {
       GraphOps.edgeDiff(snap(1), snap(2))
     }),
 
+    // link-prediction precision@20 against the crawl delta: CN top-20
+    // non-adjacent wedge pairs of snapshot 1, hit-flagged by snapshot 2
+    "g_linkpred_eval" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(GraphOps.dropSelfLoops(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))))
+      graft.algo.LinkPrediction.evalPrecision(snap(1), snap(2), k = 20)
+    }),
+
     // community-size histogram of the CC labeling
     "g_comm_size_hist" -> ((s, dir) => {
       val e = demoEdges(s, dir)
@@ -5553,6 +5564,37 @@ object GraphQueries {
          |       GROUP BY 1)
          |SELECT cv.comp, coalesce(tt.paths, 0) AS paths
          |FROM cv LEFT JOIN tt ON tt.comp = cv.comp""".stripMargin,
+
+    // linkpred-eval oracle: snapshot-1 wedge CN ranking + snapshot-2
+    // canonical added-edge membership
+    "g_linkpred_eval" ->
+      s"""WITH $cte,
+         |raw2 AS (SELECT l_orderkey % $NodeSpace AS src,
+         |                l_partkey % $NodeSpace AS dst
+         |         FROM lineitem WHERE l_linenumber <= 2),
+         |e2 AS (SELECT DISTINCT src, dst FROM (
+         |         SELECT src, dst FROM raw2 WHERE src <> dst
+         |         UNION ALL
+         |         SELECT dst, src FROM raw2 WHERE src <> dst) u),
+         |wedge AS (SELECT x.dst AS a, y.dst AS b, count(*) AS common
+         |          FROM e0 x JOIN e0 y ON x.src = y.src AND x.dst < y.dst
+         |          GROUP BY 1, 2),
+         |nonadj AS (SELECT w.a, w.b, w.common FROM wedge w
+         |           WHERE NOT EXISTS (SELECT 1 FROM e0
+         |             WHERE e0.src = w.a AND e0.dst = w.b)),
+         |top AS (SELECT * FROM (
+         |    SELECT a, b, common, row_number() OVER (
+         |      ORDER BY common DESC, a ASC, b ASC) AS rank FROM nonadj) t
+         |  WHERE rank <= 20),
+         |added AS (SELECT DISTINCT src AS a, dst AS b FROM e2
+         |          WHERE src < dst AND NOT EXISTS (SELECT 1 FROM e0
+         |            WHERE e0.src = e2.src AND e0.dst = e2.dst))
+         |SELECT CAST(top.rank AS BIGINT) AS rank, top.a AS src,
+         |  top.b AS dst, top.common,
+         |  CAST(CASE WHEN added.a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS hit
+         |FROM top LEFT JOIN added
+         |  ON added.a = top.a AND added.b = top.b""".stripMargin,
 
     "g_degree_hist" ->
       s"""WITH $cte,

@@ -1553,6 +1553,30 @@ object PipelineQueries {
     // non-English → exact-dup among survivors → kept
     "d_filter_status" -> ((s, dir) => filterStatusDf(s, dir)),
 
+    // end-to-end corpus construction plan: rule+dedup survivors →
+    // waterfilled per-host token budget (half the kept total) →
+    // doc_id-order admission under each host's allocation — the whole
+    // preprocessing pipeline as ONE composed query
+    "d_corpus_plan" -> ((s, dir) => {
+      val kept = filterStatusDf(s, dir).filter(col("status") === "kept")
+      val dd = docs(s, dir)
+        .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 23).cast("string")).as("host"),
+          size(tokensCol).cast("long").as("nt"))
+      val ht = dd.groupBy("host").agg(sum(col("nt")).cast("long").as("tokens"))
+      val total = ht.agg(sum(col("tokens")).cast("long")).first().getLong(0)
+      val alloc = graft.text.DomainMix.waterfill(ht, total / 2)
+        .select(col("host"), col("alloc"))
+      val w = Window.partitionBy("host").orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dd.join(alloc, Seq("host"))
+        .withColumn("cum", sum(col("nt")).over(w))
+        .select(col("doc_id"), col("host"), col("nt"),
+          when(col("cum") <= col("alloc"), 1L).otherwise(0L)
+            .cast("long").as("selected"))
+    }),
+
     // filter-agreement calibration: the rule-based funnel verdicts
     // cross-tabbed against fixed-width KL-divergence buckets — do the
     // cheap rules and the distributional outlier score agree before one
@@ -3203,6 +3227,50 @@ object PipelineQueries {
         |SELECT hq.qid, CAST(coalesce(hits.h, 0) AS BIGINT) AS n_hit,
         |  CAST(coalesce(hits.h, 0) * 200000 AS BIGINT) AS recall_e6
         |FROM hq LEFT JOIN hits ON hits.qid = hq.qid""".stripMargin,
+
+    // corpus-plan oracle: the filter-status CTEs (kept only) → host
+    // token table → the waterfill CTE chain at budget = total // 2 →
+    // per-host cumulative admission
+    "d_corpus_plan" ->
+      """WITH d AS (SELECT doc_id, lang, md5(text) AS h,
+        |             len(regexp_extract_all(text, '\S+')) AS nt
+        |           FROM documents),
+        |keep AS (SELECT h, min(doc_id) AS keep_id FROM d
+        |         WHERE nt >= 10 AND lang = 'en' GROUP BY 1),
+        |kept AS (SELECT d.doc_id, CAST(d.nt AS BIGINT) AS nt,
+        |           'h' || (d.doc_id % 23)::VARCHAR AS host
+        |         FROM d JOIN keep ON d.h = keep.h
+        |         WHERE d.nt >= 10 AND d.lang = 'en'
+        |           AND d.doc_id = keep.keep_id),
+        |ht AS (SELECT host, CAST(sum(nt) AS BIGINT) AS tokens FROM kept
+        |       GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+        |               count(*) AS n FROM ht),
+        |rk AS (SELECT host, tokens,
+        |         CAST(row_number() OVER (ORDER BY tokens ASC, host ASC)
+        |           AS BIGINT) AS rn,
+        |         CAST(coalesce(sum(tokens) OVER (ORDER BY tokens ASC, host ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS prev
+        |       FROM ht),
+        |cnd AS (SELECT rk.host, rk.tokens, rk.rn,
+        |          (tot.total // 2 - rk.prev) // (tot.n - rk.rn + 1) AS cand
+        |        FROM rk, tot),
+        |pin AS (SELECT min(rn) AS prn FROM cnd WHERE tokens > cand),
+        |tau AS (SELECT coalesce(
+        |    (SELECT cand FROM cnd JOIN pin ON cnd.rn = pin.prn),
+        |    (SELECT max(tokens) FROM cnd)) AS tau),
+        |al AS (SELECT cnd.host, least(cnd.tokens, tau.tau) AS alloc
+        |       FROM cnd, tau),
+        |cm AS (SELECT kept.doc_id, kept.host, kept.nt, al.alloc,
+        |         sum(kept.nt) OVER (PARTITION BY kept.host
+        |           ORDER BY kept.doc_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM kept JOIN al ON al.host = kept.host)
+        |SELECT doc_id, host, nt,
+        |  CAST(CASE WHEN cum <= alloc THEN 1 ELSE 0 END AS BIGINT)
+        |    AS selected
+        |FROM cm""".stripMargin,
 
     // TextRank oracle: the d_cooccur CTEs → symmetrized weighted graph →
     // e9 row-normalized weights → 3 unrolled exact-integer iterations
