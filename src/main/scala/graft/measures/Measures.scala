@@ -897,6 +897,34 @@ object Measures {
         .cast("long").as("agreement_e6"))
   }
 
+  /** Per-vertex Dirichlet energy of a vertex signal over the link
+    * graph — roughness(v) = Σ_{u∈N(v)} (s_v − s_u)², the local
+    * smoothness residual. Genuine endorsement links connect pages of
+    * comparable standing, so a vertex whose PageRank (or quality score)
+    * differs sharply from ALL its neighbors is the classic link-spam /
+    * rank-manipulation fingerprint (the TrustRank-adjacent smoothness
+    * argument). Scores arrive as e6 integers, so every squared
+    * difference and per-vertex sum is exact — int64-safe up to
+    * deg·(Δe6)² ≈ 10⁶-degree hubs at full-probability rank gaps.
+    *
+    * One scores⋈edges⋈scores tag join + one partial-aggregated groupBy
+    * (the LP gather shape).
+    *
+    * @param edges  symmetric directed slots
+    * @param scores (id, score_e6) total signal
+    * @return (id, deg, energy) — energy in squared-e6 units
+    */
+  def signalRoughness(edges: DataFrame, scores: DataFrame): DataFrame =
+    edges
+      .join(scores.select(col("id").as("src"), col("score_e6").as("sa")),
+        Seq("src"))
+      .join(scores.select(col("id").as("dst"), col("score_e6").as("sb")),
+        Seq("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"),
+        sum((col("sa") - col("sb")) * (col("sa") - col("sb")))
+          .cast("long").as("energy"))
+
   /** One-level map-equation codelength (Rosvall & Bergstrom 2008) of a
     * partition — the information-theoretic community-quality score
     * Infomap minimizes, the standard alternative to [[modularity]] that

@@ -733,6 +733,16 @@ object GraphQueries {
         .select(col("id"),
           round(col("rank") * 1000000).cast("long").as("rank_e6"))),
 
+    // PageRank roughness: per-vertex Dirichlet energy of the e6 rank
+    // signal — the local-smoothness spam fingerprint
+    "g_rank_roughness_t5" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val pr = PageRank.runFixed(e, 5)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("score_e6"))
+      Measures.signalRoughness(e, pr)
+    }),
+
     // PageRank convergence telemetry: per-iteration L1 rank movement
     // Σ|r_k − r_{k−1}| — the residual curve an operator watches to pick
     // the iteration budget at 100 TB; per-vertex deltas rounded to e12
@@ -2937,6 +2947,17 @@ object GraphQueries {
     },
 
     "g_pagerank_t5" -> prSql(5),
+
+    // roughness oracle: the prSql(5) chain as a subquery feeding the
+    // squared-difference tag join
+    "g_rank_roughness_t5" ->
+      s"""WITH $cte,
+         |pr AS (${prSql(5)})
+         |SELECT e0.src AS id, CAST(count(*) AS BIGINT) AS deg,
+         |  CAST(sum((a.rank_e6 - b.rank_e6) * (a.rank_e6 - b.rank_e6))
+         |    AS BIGINT) AS energy
+         |FROM e0 JOIN pr a ON a.id = e0.src JOIN pr b ON b.id = e0.dst
+         |GROUP BY 1""".stripMargin,
 
     // PR residual-curve oracle: the shared rank chain, per-vertex e12
     // rounding before each per-iteration sum (order-free aggregation)

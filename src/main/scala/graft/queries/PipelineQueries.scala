@@ -634,6 +634,11 @@ object PipelineQueries {
     "d_sentence_dedup" -> ((s, dir) =>
       graft.text.CorpusClean.sentenceDedup(docs(s, dir))),
 
+    // per-doc character-distribution entropy over [a-z0-9] — the
+    // gibberish / base64-blob / key-mash quality filter
+    "d_char_entropy" -> ((s, dir) =>
+      graft.text.CorpusClean.charEntropy(docs(s, dir))),
+
     // shared 40-char prefixes/suffixes across ≥3 docs: injected
     // header/footer templates that cross sentence boundaries
     "d_affix_templates" -> ((s, dir) =>
@@ -3104,6 +3109,29 @@ object PipelineQueries {
         |  CAST(((df * tf_sq - tf_total * tf_total) * 1000000)
         |    // ((df - 1) * tf_total) AS BIGINT) AS vmr_e6
         |FROM agg WHERE df >= 150""".stripMargin,
+
+    // char-entropy oracle: the same 36 length-difference counts and
+    // per-term e6-rounded plogp sum, generated per alphabet character
+    "d_char_entropy" -> {
+      val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString)
+      val counts = alphabet.zipWithIndex.map { case (c, i) =>
+        s"CAST(len(low) - len(replace(low, '$c', '')) AS BIGINT) AS c$i"
+      }.mkString(",\n|    ")
+      val total = alphabet.indices.map(i => s"c$i").mkString(" + ")
+      val terms = alphabet.indices.map { i =>
+        s"""CASE WHEN c$i > 0 THEN CAST(ROUND((c$i / CAST(n AS DOUBLE))
+           | * log2(CAST(n AS DOUBLE) / c$i) * 1000000) AS BIGINT)
+           | ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString("\n|    + ")
+      s"""WITH lowd AS (SELECT doc_id, lower(text) AS low FROM documents),
+         |cnt AS (SELECT doc_id,
+         |    $counts
+         |  FROM lowd),
+         |tot AS (SELECT *, $total AS n FROM cnt)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_alpha,
+         |  CAST($terms AS BIGINT) AS h_e6
+         |FROM tot WHERE n > 0""".stripMargin
+    },
 
     // sentence-dedup oracle: same split/trim/filter and distinct-doc df
     "d_sentence_dedup" ->

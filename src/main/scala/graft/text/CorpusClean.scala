@@ -237,6 +237,42 @@ object CorpusClean {
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** Character-distribution entropy per document over the [a-z0-9]
+    * alphabet — the classic gibberish / binary-junk / key-mash filter
+    * (natural language sits near the language's letter-frequency
+    * entropy, ~4.1 bits for English; base64 blobs push toward the
+    * uniform 5.17, repeated-character spam collapses toward 0).
+    *
+    * Alphabet-bounded plan: 36 `length − length(replace)` counts per
+    * row (pure string ops, whole-stage codegen, no explode — the scan
+    * never widens), then H = Σ_c round((n_c/n)·log2(n/n_c)·1e6) with
+    * each TERM e6-rounded before the integer sum — the order-free
+    * determinism contract shared with the bigram/user entropies.
+    *
+    * @return (doc_id, n_alpha, h_e6) — h in micro-bits per character
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789".map(_.toString)
+    val low = lower(col("text"))
+    val withCounts = docs.select(
+      col("doc_id") +: alphabet.zipWithIndex.map { case (c, i) =>
+        (length(low) - length(regexp_replace(low, java.util.regex.Pattern
+          .quote(c), ""))).cast("long").as(s"c$i")
+      }: _*)
+    val total = alphabet.indices.map(i => col(s"c$i")).reduce(_ + _)
+    val hTerms = alphabet.indices.map { i =>
+      when(col(s"c$i") > 0,
+        round((col(s"c$i").cast("double") / col("n"))
+          * log2(col("n").cast("double") / col(s"c$i")) * 1000000)
+          .cast("long"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    withCounts.withColumn("n", total)
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n").as("n_alpha"),
+        hTerms.cast("long").as("h_e6"))
+  }
+
   /** Sentence-level duplication accounting (the CCNet/Dolma granularity:
     * paragraph/sentence dedup removes boilerplate that document-level
     * hashing and fixed-width shingles both miss — a footer repeated
