@@ -715,6 +715,88 @@ object Similarity {
         (coalesce(col("h"), lit(0L)) * (1000000L / k)).as("recall_e6"))
   }
 
+  /** Deterministic k-means++ seeding (Arthur & Vassilvitskii 2007,
+    * farthest-point variant): seed 1 is the minimum vec_id (pinned —
+    * no randomness to replay), each further seed is the vector
+    * maximizing its squared-L2 distance to the NEAREST chosen seed.
+    * Farthest-point is the classic derandomization of the D² draw and
+    * what a deterministic pipeline actually ships; the seeds feed the
+    * IVF coarse quantizer, whose cell balance (e_ivf_cells) this
+    * directly drives. Distances are e6-integer exact (the shared ANN
+    * contract), ties break by vec_id asc.
+    *
+    * Plan: each step is one seed-broadcast join + per-vector min + one
+    * global argmax (1-row) — k−1 bounded steps, never a |V|² table.
+    *
+    * @return (rank, vec_id, d_e6) — d = distance to nearest earlier
+    *         seed (0 for the pinned first seed)
+    */
+  def kmeansppSeeds(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val v = vectors.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        round(x.cast("double") * 1000000).cast("long")).as("xe"))
+      .transform(graft.engine.Materialize.eager)
+    def d2(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    var seeds = v.orderBy(col("vec_id").asc).limit(1)
+      .select(lit(1L).as("rank"), col("vec_id"), lit(0L).as("d_e6"),
+        col("xe"))
+      .transform(graft.engine.Materialize.eager)
+    var t = 1
+    while (t < k) {
+      t += 1
+      val nearest = v.join(seeds.select(col("vec_id").as("sid"),
+          col("xe").as("se")), col("vec_id") =!= col("sid"))
+        .join(seeds.select(col("vec_id").as("ex")),
+          col("vec_id") === col("ex"), "left_anti")
+        .select(col("vec_id"), col("xe"), d2(col("xe"), col("se")).as("d"))
+        .groupBy("vec_id").agg(min(col("d")).as("dmin"),
+          first(col("xe")).as("xe"))
+      val pick = nearest.withColumn("rn",
+          row_number().over(Window.orderBy(col("dmin").desc,
+            col("vec_id").asc)))
+        .filter(col("rn") === 1)
+        .select(lit(t.toLong).as("rank"), col("vec_id"),
+          col("dmin").as("d_e6"), col("xe"))
+      seeds = seeds.union(pick)
+        .transform(graft.engine.Materialize.eager)
+    }
+    seeds.select(col("rank"), col("vec_id"), col("d_e6"))
+  }
+
+  /** Label-filtered exact top-k retrieval: cosine top-k restricted to
+    * candidates sharing the query's label — the filtered-search staple
+    * every vector store ships (metadata predicate pushed INTO the
+    * candidate join, so the ranking never sees out-of-filter vectors
+    * and k is filled from the allowed set, not post-filtered short).
+    * Same query set, e6 sims, and tie rule as `e_ann_topk`; at scale
+    * the label equi-join composes with the IVF/LSH candidate stage
+    * unchanged (filter key joins before distance work).
+    *
+    * @return (qid, vec_id, rank, sim_e6) — rank within the label
+    */
+  def filteredTopK(vectors: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("label"),
+      asDouble(col("embedding")).as("v"))
+    val n = v.select(col("vec_id"), col("label"), col("v"),
+      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+    val q = n.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("label"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    q.join(n, Seq("label")).filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(zip_with(col("qv"), col("v"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nrm"))
+          * 1000000).cast("long").as("sim_e6"))
+      .withColumn("rank", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim_e6").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("sim_e6"))
+  }
+
   /** Maximal-marginal-relevance diversified retrieval (Carbonell &
     * Goldstein 1998) at λ = ½: greedily pick `k` results from each
     * query's top-`cand` cosine candidates, each step maximizing

@@ -663,6 +663,14 @@ object PipelineQueries {
     "e_mmr" -> ((s, dir) =>
       graft.functions.Similarity.mmrSelect(emb(s, dir), cand = 8, k = 3)),
 
+    // deterministic k-means++ (farthest-point) seeding, 4 seeds
+    "e_kmeanspp" -> ((s, dir) =>
+      graft.functions.Similarity.kmeansppSeeds(emb(s, dir), k = 4)),
+
+    // label-filtered exact top-5: the vector-store metadata-filter path
+    "e_ann_filtered" -> ((s, dir) =>
+      graft.functions.Similarity.filteredTopK(emb(s, dir), k = 5)),
+
     // SoftDeDup: keep every doc but downweight by near-dup cluster size
     // (w = 1e6 div |cluster|) — the soft alternative to d_cluster_best
     "d_soft_weights" -> ((s, dir) => {
@@ -3374,6 +3382,56 @@ object PipelineQueries {
          |FROM tr JOIN tot ON tr.f = tot.f JOIN pi3 ON pi3.t = tr.f"""
         .stripMargin
     },
+
+    // k-means++ oracle: e6-integer component lists, pinned first seed,
+    // 3 unrolled farthest-point argmax steps
+    "e_kmeanspp" -> {
+      def step(i: Int, prev: String) =
+        s"""n$i AS (SELECT e.vec_id, e.xe,
+           |    min(list_sum([(e.xe[j+1] - s.xe[j+1])
+           |      * (e.xe[j+1] - s.xe[j+1]) for j in range(64)])) AS dmin
+           |  FROM ex e, $prev s
+           |  WHERE e.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY 1, 2),
+           |p$i AS (SELECT vec_id, xe, CAST(dmin AS BIGINT) AS dmin
+           |  FROM n$i ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+           |se$i AS (SELECT vec_id, xe FROM $prev
+           |  UNION ALL SELECT vec_id, xe FROM p$i)""".stripMargin
+      s"""WITH ex AS (SELECT vec_id,
+         |    [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+         |     for x in embedding] AS xe
+         |  FROM embeddings),
+         |s1 AS (SELECT vec_id, xe FROM ex ORDER BY vec_id ASC LIMIT 1),
+         |${step(2, "s1")},
+         |${step(3, "se2")},
+         |${step(4, "se3")}
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id,
+         |  CAST(0 AS BIGINT) AS d_e6 FROM s1
+         |UNION ALL SELECT 2, vec_id, dmin FROM p2
+         |UNION ALL SELECT 3, vec_id, dmin FROM p3
+         |UNION ALL SELECT 4, vec_id, dmin FROM p4""".stripMargin
+    },
+
+    // filtered-ANN oracle: e_ann_topk with the label pushed into the
+    // candidate join
+    "e_ann_filtered" ->
+      """WITH v AS (SELECT vec_id, label,
+        |             [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS qid, label, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id % 50 = 0),
+        |s AS (SELECT q.qid, n.vec_id,
+        |        CAST(ROUND(list_sum([q.qv[i+1] * n.v[i+1]
+        |            for i in range(64)])
+        |          / (q.qn * n.nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM q JOIN n ON q.label = n.label AND q.qid <> n.vec_id)
+        |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank, sim_e6 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM s) t
+        |WHERE rank <= 5""".stripMargin,
 
     // MMR oracle: the e_ann_topk cosine CTEs → top-8 candidates →
     // candidate-pair sims → three unrolled greedy argmax steps (λ = ½)
