@@ -1310,6 +1310,12 @@ object PipelineQueries {
       graft.streaming.Funnel.stages(events(s, dir),
         Seq("signup", "view", "click", "purchase"))),
 
+    // per-transition funnel latency: exact doubled-median of the step
+    // gaps over users who completed each transition
+    "ev_funnel_latency" -> ((s, dir) =>
+      graft.streaming.Funnel.stepLatency(events(s, dir),
+        Seq("signup", "view", "click", "purchase"))),
+
     // any-touch view→purchase attribution: the stream-stream interval
     // join run batch-wise (same plan; watermarks are no-ops on batch)
     "ev_attrib" -> ((s, dir) =>
@@ -3192,6 +3198,59 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
         |    AS BIGINT) AS cusum_m
         |FROM p""".stripMargin,
+
+    // funnel-latency oracle: the ev_funnel stage CTEs + per-transition
+    // gap lists + the doubled-median order statistic
+    "ev_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(ts) // 1000000 AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m1 AS (SELECT user_id, min(t) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |a1 AS (SELECT u.user_id, m1.t_signup FROM u
+        |       LEFT JOIN m1 ON u.user_id = m1.user_id),
+        |m2 AS (SELECT e.user_id, min(e.t) AS t_view FROM ev e
+        |       JOIN a1 ON a1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND a1.t_signup IS NOT NULL
+        |         AND e.t >= a1.t_signup GROUP BY 1),
+        |a2 AS (SELECT a1.*, m2.t_view FROM a1
+        |       LEFT JOIN m2 ON a1.user_id = m2.user_id),
+        |m3 AS (SELECT e.user_id, min(e.t) AS t_click FROM ev e
+        |       JOIN a2 ON a2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND a2.t_view IS NOT NULL
+        |         AND e.t >= a2.t_view GROUP BY 1),
+        |a3 AS (SELECT a2.*, m3.t_click FROM a2
+        |       LEFT JOIN m3 ON a2.user_id = m3.user_id),
+        |m4 AS (SELECT e.user_id, min(e.t) AS t_purchase FROM ev e
+        |       JOIN a3 ON a3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND a3.t_click IS NOT NULL
+        |         AND e.t >= a3.t_click GROUP BY 1),
+        |a4 AS (SELECT a3.*, m4.t_purchase FROM a3
+        |       LEFT JOIN m4 ON a3.user_id = m4.user_id),
+        |gaps AS (
+        |  SELECT 'signup->view' AS step, user_id,
+        |         t_view - t_signup AS gap
+        |  FROM a4 WHERE t_view IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'view->click', user_id, t_click - t_view
+        |  FROM a4 WHERE t_click IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'click->purchase', user_id, t_purchase - t_click
+        |  FROM a4 WHERE t_purchase IS NOT NULL),
+        |rn AS (SELECT step, gap, row_number() OVER (PARTITION BY step
+        |         ORDER BY gap ASC, user_id ASC) AS rn FROM gaps),
+        |cnt AS (SELECT step, CAST(count(*) AS BIGINT) AS n_users
+        |        FROM gaps GROUP BY 1)
+        |SELECT rn.step, cnt.n_users,
+        |  CAST(sum(CASE
+        |    WHEN rn.rn = (cnt.n_users + 1) // 2
+        |     AND (cnt.n_users + 1) // 2 = (cnt.n_users + 2) // 2
+        |      THEN 2 * rn.gap
+        |    WHEN rn.rn = (cnt.n_users + 1) // 2
+        |      OR rn.rn = (cnt.n_users + 2) // 2 THEN rn.gap
+        |    ELSE 0 END) AS BIGINT) AS med2_gap_s
+        |FROM rn JOIN cnt ON cnt.step = rn.step
+        |GROUP BY 1, 2""".stripMargin,
 
     // trend oracle: same day hash agg, broadcast min-day offset, and the
     // five OLS sums — all exact integers, no division

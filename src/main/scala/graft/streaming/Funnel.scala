@@ -52,6 +52,42 @@ object Funnel {
       steps.map(s => col(s"t_$s"))): _*)
   }
 
+  /** Per-transition funnel latency medians: for every consecutive step
+    * pair, over the users who reached the later step, the DOUBLED
+    * median of (t_next − t_prev) — med2 = lower-middle + upper-middle
+    * of the sorted gaps, the exact-integer median trick (no float
+    * percentile, no cross-engine interpolation convention). The number
+    * an operator reads as "how long does the cart sit before
+    * purchase"; at corpus scale swap the exact order statistic for
+    * `approx_percentile` (documented trade, same column).
+    *
+    * Per-step windows partition by the step pair; the step table is
+    * user-sized once, from the shared [[stages]] pass.
+    *
+    * @return (step "a->b", n_users, med2_gap_s)
+    */
+  def stepLatency(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "need at least two funnel steps")
+    val st = stages(events, steps)
+    val gaps = steps.sliding(2).map { case Seq(a, b) =>
+      st.filter(col(s"t_$b").isNotNull)
+        .select(lit(s"$a->$b").as("step"), col("user_id"),
+          (col(s"t_$b") - col(s"t_$a")).as("gap"))
+    }.reduce(_.union(_))
+    val w = Window.partitionBy("step")
+      .orderBy(col("gap").asc, col("user_id").asc)
+    gaps.withColumn("rn", row_number().over(w).cast("long"))
+      .join(gaps.groupBy("step").agg(count(lit(1)).as("n_users")), "step")
+      .withColumn("lo", expr("(n_users + 1) div 2"))
+      .withColumn("hi", expr("(n_users + 2) div 2"))
+      .groupBy(col("step"), col("n_users"))
+      .agg(sum(when(col("rn") === col("lo") && col("lo") === col("hi"),
+          col("gap") * 2L)
+        .when(col("rn") === col("lo") || col("rn") === col("hi"),
+          col("gap"))
+        .otherwise(lit(0L))).cast("long").as("med2_gap_s"))
+  }
+
   /** Global event-type transition matrix: for each user's event sequence
     * ordered by (ts, event_id) — the unique event id pins tie order, so
     * the count is deterministic — count every adjacent (from, to) pair.
