@@ -643,6 +643,132 @@ object Similarity {
         col("sim_e6"))
   }
 
+  /** Hubness audit of the kNN graph: the in-degree histogram of the
+    * directed cosine top-k relation over ALL points — how many points
+    * appear in 0, 1, 2, … other points' top-k lists. Skewed hubness
+    * (a few points in thousands of lists, a long tail in none) is the
+    * classic high-dimensional pathology that silently corrupts
+    * kNN-based dedup/retrieval, so this is the audit run before trusting
+    * either. Exact brute-force top-k is the verification baseline (the
+    * same crossJoin contract as [[bruteForceTopK]] — at corpus scale the
+    * in-degree table comes from [[lshTopK]]'s bucketed candidates
+    * instead; the histogram fold downstream is identical). Zero-in-degree
+    * points are kept via a left anti-join so the histogram mass always
+    * sums to n. Returns (indeg, n_points).
+    */
+  def knnHubness(vectors: DataFrame, k: Int): DataFrame = {
+    val tk = bruteForceTopK(vectors, vectors, k)
+    val indeg = tk.groupBy(col("vec_id")).agg(count(lit(1)).as("indeg"))
+    val zeros = vectors.select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(0L).as("indeg"))
+    indeg.union(zeros).groupBy(col("indeg"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("indeg"), col("n_points"))
+  }
+
+  /** One-row embedding-table DESCRIBE panel: row count, dimension
+    * envelope (min/max array length — min ≠ max is the malformed-input
+    * signal callers assert on before any fixed-dim kernel), label
+    * cardinality, and total element count. One scan, one 1-row fold;
+    * all exact integers.
+    */
+  def embedSummary(vectors: DataFrame): DataFrame =
+    vectors.agg(count(lit(1)).as("n_vecs"),
+      min(size(col("embedding"))).cast("long").as("dim_min"),
+      max(size(col("embedding"))).cast("long").as("dim_max"),
+      countDistinct(col("label")).as("n_labels"),
+      sum(size(col("embedding"))).cast("long").as("n_elems"))
+
+  /** Nearest-centroid confusion matrix: each vector classified by the
+    * closest per-label centroid (exact e6-integer squared-L2, tie → min
+    * label), cross-tabbed against its true label — the one-query
+    * linear-probe proxy for embedding quality (a diagonal-heavy matrix
+    * says the space separates the labels; a smeared one says don't trust
+    * label-conditioned retrieval). Centroid components are ROUND(Σx_e6/n)
+    * from exact integer sums, so both engines derive identical integer
+    * centroids; every distance after that is an exact int64
+    * ((2e6)²·64 ≈ 2.6e14 per vector, safe).
+    *
+    * Scale shape: the centroid table is labels×dim (tiny, broadcast); the
+    * distance pass is one scan of the exploded vectors joined to it,
+    * hash-aggregated per (vector, candidate); the argmin window
+    * partitions BY VECTOR over ≤ |labels| rows. Nothing vertex-sized is
+    * ever sorted globally.
+    *
+    * @return (label, pred, n) — true label × predicted label counts
+    */
+  def nearestCentroid(vectors: DataFrame): DataFrame = {
+    val ex = vectors.select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
+    val cent = ex.groupBy(col("label").as("clab"), col("dim").as("cdim"))
+      .agg(sum(col("xe6")).as("s"), count(lit(1)).as("nl"))
+      .select(col("clab"), col("cdim"),
+        round(col("s") / col("nl")).cast("long").as("ce6"))
+    val d2 = ex.join(broadcast(cent), col("dim") === col("cdim"))
+      .groupBy(col("vec_id"), col("label"), col("clab"))
+      .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
+        .as("d2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("clab").asc)
+    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("clab").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Johnson–Lindenstrauss distortion audit: project every vector through
+    * a deterministic ±1 matrix (sign(i,p) = + iff (31·i + 67·p) is even —
+    * replayable in any engine) down to `kProj` components, then compare
+    * projected vs full squared distances on the consecutive-id probe
+    * pairs. ratio_e6 ≈ 1e6 means the cheap k-dim sketch preserves
+    * geometry (E[‖Px‖²] = k·‖x‖² for ±1 P) and downstream ANN can run on
+    * the sketch; heavy tails mean keep the full width. All distances are
+    * exact integers from the shared e6 quantization; the only divide is
+    * the final ratio. Projection is one exploded scan × a broadcast
+    * kProj-row table; probe pairs are an equi-join on vec_id+1, never
+    * all-pairs.
+    *
+    * @return (a, b, d2_full, d2_proj, ratio_e6) per probe pair
+    */
+  def jlAudit(vectors: DataFrame, kProj: Int = 16): DataFrame = {
+    val spark = vectors.sparkSession
+    val ex = vectors.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
+    val projs = spark.range(kProj).select(col("id").as("p"))
+    val pr = ex.crossJoin(broadcast(projs))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(when((col("dim") * 31 + col("p") * 67) % 2 === 0,
+        col("xe6")).otherwise(-col("xe6"))).as("ye6"))
+    val pairs = vectors.select(col("vec_id").as("a"))
+      .join(vectors.select((col("vec_id") - 1).as("a"),
+        col("vec_id").as("b")), Seq("a"))
+    val dFull = pairs
+      .join(ex.select(col("vec_id").as("a"), col("dim"), col("xe6").as("xa")),
+        Seq("a"))
+      .join(ex.select(col("vec_id").as("b"), col("dim"), col("xe6").as("xb")),
+        Seq("b", "dim"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb")))
+        .cast("long").as("d2_full"))
+    val dProj = pairs
+      .join(pr.select(col("vec_id").as("a"), col("p"), col("ye6").as("ya")),
+        Seq("a"))
+      .join(pr.select(col("vec_id").as("b"), col("p"), col("ye6").as("yb")),
+        Seq("b", "p"))
+      .groupBy(col("a").as("pa"), col("b").as("pb"))
+      .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .cast("long").as("d2_proj"))
+    dFull.join(dProj, col("a") === col("pa") && col("b") === col("pb"))
+      .select(col("a"), col("b"), col("d2_full"), col("d2_proj"),
+        when(col("d2_full") === 0, lit(0L)).otherwise(
+          round(col("d2_proj").cast("double") * 1000000
+            / (col("d2_full") * kProj)).cast("long")).as("ratio_e6"))
+  }
+
   /** Sign-bit binarization: each vector's 64 components collapse to one
     * sign bit (set when the e6-quantized component is ≥ 0 — the
     * [[randomHyperplaneLsh]] round-before-sign determinism contract),

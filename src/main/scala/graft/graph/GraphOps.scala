@@ -318,6 +318,76 @@ object GraphOps {
         .select(col("src"), col("dst"), lit("removed").as("change")))
   }
 
+  /** Triadic-closure rate across a crawl delta: of the undirected pairs
+    * present in `newEdges` but not `oldEdges`, how many close an open
+    * wedge of the OLD graph (∃ w adjacent to both endpoints in old)?
+    * THE link-formation diagnostic for a web crawl — a high closure rate
+    * says new links follow the social/topical neighborhood, a low one
+    * says they're exogenous (spam, syndication, fresh sites).
+    *
+    * Plan: canonical (a<b) new-pair set via one left-anti join, then the
+    * wedge test as two equi-joins through the old slot table with an
+    * early distinct — per new pair the probe fan-out is bounded by
+    * deg(a), and the second join is an equi-join on BOTH keys (w, b), so
+    * no all-pairs stage anywhere; at 100 TB this is the standard
+    * common-neighbor join the link-prediction tier already runs, applied
+    * to the (small) delta instead of all candidate pairs. Both inputs are
+    * symmetrized slot tables. Returns one row
+    * (n_new, n_closing, closure_pct_e6).
+    */
+  def wedgeClosure(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    val oldPairs = oldEdges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+    val newPairs = newEdges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+      .join(oldPairs, Seq("a", "b"), "left_anti")
+    val closing = newPairs
+      .join(oldEdges.select(col("src").as("a"), col("dst").as("w")), Seq("a"))
+      .join(oldEdges.select(col("src").as("w"), col("dst").as("b")),
+        Seq("w", "b"))
+      .select(col("a"), col("b")).distinct()
+    val nNew = newPairs.agg(count(lit(1)).as("n_new"))
+    val nClosing = closing.agg(count(lit(1)).as("n_closing"))
+    nNew.crossJoin(nClosing).select(col("n_new"), col("n_closing"),
+      when(col("n_new") === 0, lit(0L)).otherwise(
+        round(col("n_closing").cast("double") * 1000000 / col("n_new"))
+          .cast("long")).as("closure_pct_e6"))
+  }
+
+  /** One-row crawl-drift panel between two symmetrized snapshots:
+    * canonical-pair and vertex-set Jaccard overlaps — the cheap
+    * how-much-did-the-web-move-since-last-crawl scalar pair read before
+    * deciding between a warm-start re-rank ([[graft.algo.PageRank]]
+    * `initRanks`) and a from-scratch run. Two distinct canonical-pair
+    * tables, intersections via inner joins, everything else 1-row
+    * scalars — three hash joins + folds at any scale, no windows.
+    * Returns (pairs_old, pairs_new, pairs_common, pair_jaccard_e6,
+    * verts_old, verts_new, verts_common, vert_jaccard_e6).
+    */
+  def snapshotDrift(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    def pairs(e: DataFrame) = e.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+    def verts(e: DataFrame) = e.select(col("src").as("id")).distinct()
+    val po = pairs(oldEdges); val pn = pairs(newEdges)
+    val vo = verts(oldEdges); val vn = verts(newEdges)
+    val pc = po.join(pn, Seq("a", "b")).agg(count(lit(1)).as("pairs_common"))
+    val vc = vo.join(vn, Seq("id")).agg(count(lit(1)).as("verts_common"))
+    po.agg(count(lit(1)).as("pairs_old"))
+      .crossJoin(pn.agg(count(lit(1)).as("pairs_new")))
+      .crossJoin(pc)
+      .crossJoin(vo.agg(count(lit(1)).as("verts_old")))
+      .crossJoin(vn.agg(count(lit(1)).as("verts_new")))
+      .crossJoin(vc)
+      .select(col("pairs_old"), col("pairs_new"), col("pairs_common"),
+        round(col("pairs_common").cast("double") * 1000000
+          / (col("pairs_old") + col("pairs_new") - col("pairs_common")))
+          .cast("long").as("pair_jaccard_e6"),
+        col("verts_old"), col("verts_new"), col("verts_common"),
+        round(col("verts_common").cast("double") * 1000000
+          / (col("verts_old") + col("verts_new") - col("verts_common")))
+          .cast("long").as("vert_jaccard_e6"))
+  }
+
   /** Vertex set reachable from `seeds` along DIRECTED edges, seeds
     * included — the set-reachability primitive behind the bow-tie
     * decomposition (per-source distances are [[graft.algo.Betweenness

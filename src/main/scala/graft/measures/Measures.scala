@@ -516,6 +516,82 @@ object Measures {
           .cast("long").as("kappa_e6"))
   }
 
+  /** One-row graph DESCRIBE panel — the first query an operator runs on a
+    * fresh crawl snapshot before anything iterative: vertex/slot counts,
+    * degree extrema/mean, and density. Input is the symmetrized slot
+    * table, so `n_slots` = 2·|undirected edges| and density is
+    * slots/(n·(n−1)) (= the undirected density, since both the numerator
+    * and the denominator count ordered pairs). One degree aggregation +
+    * one 1-row fold; integer-exact except the two ×1e6-rounded ratios.
+    * At 100 TB this is a single scan + tiny hash agg — no vertex-sized
+    * state beyond the degree table every other operator already builds.
+    */
+  def graphSummary(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_vertices"),
+        sum(col("d")).cast("long").as("n_slots"),
+        min(col("d")).cast("long").as("min_deg"),
+        max(col("d")).cast("long").as("max_deg"))
+      .select(col("n_vertices"), col("n_slots"), col("min_deg"),
+        col("max_deg"),
+        round(col("n_slots").cast("double") * 1000000 / col("n_vertices"))
+          .cast("long").as("avg_deg_e6"),
+        round(col("n_slots").cast("double") * 1000000
+          / (col("n_vertices") * (col("n_vertices") - 1)))
+          .cast("long").as("density_e6"))
+  }
+
+  /** Gini coefficient of the degree distribution — the inequality summary
+    * of a web graph's hub concentration (0 = regular graph, →1 = a few
+    * hubs own all links). Computed from the DEGREE HISTOGRAM, never a
+    * vertex-sorted rank window: G = Σ_{a,b} c_a·c_b·|a−b| / (2·n·Σd) over
+    * histogram cells, so the pair enumeration is bounded by (distinct
+    * degree values)² — thousands of cells even on a 10¹⁰-vertex graph —
+    * while a rank-based Gini would need a global sort. All sums exact
+    * integers until the final ×1e6-rounded divide. Integer envelope:
+    * mad_num ≤ n²·maxdeg, overflow-free up to ~10⁹ vertices at web
+    * degree scales; past that lift c_a·c_b to double (documented, same
+    * caveat family as labelAssortativity). Returns one row
+    * (n_vertices, sum_deg, mad_num, gini_e6).
+    */
+  def degreeGini(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val a = hist.select(col("d").as("da"), col("c").as("ca"))
+    val b = hist.select(col("d").as("db"), col("c").as("cb"))
+    val mad = a.crossJoin(b)
+      .agg(sum(col("ca") * col("cb") * abs(col("da") - col("db")))
+        .cast("long").as("mad_num"))
+    val tot = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(col("d")).cast("long").as("sum_deg"))
+    tot.crossJoin(mad).select(col("n_vertices"), col("sum_deg"),
+      col("mad_num"),
+      round(col("mad_num").cast("double") * 1000000
+        / (col("n_vertices").cast("double") * 2.0 * col("sum_deg")))
+        .cast("long").as("gini_e6"))
+  }
+
+  /** Circuit rank (cyclomatic number) of the undirected graph:
+    * m − n + c, the number of independent cycles — 0 is a forest, and the
+    * growth of the rank across crawl snapshots is the redundancy/meshiness
+    * trend a link-graph health dashboard tracks next to [[graphSummary]].
+    * Takes the component labeling as input (any CC output) so the CC pass
+    * is shared with every other consumer instead of re-run; two 1-row
+    * folds over tables the CC already produced — nothing new at 100 TB.
+    * Returns (n_vertices, n_edges, n_components, circuit_rank).
+    */
+  def circuitRank(edges: DataFrame, ccLabels: DataFrame): DataFrame = {
+    val em = edges.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .agg(count(lit(1)).as("n_edges"))
+    val vc = ccLabels.agg(count(lit(1)).as("n_vertices"),
+      countDistinct(col("label")).as("n_components"))
+    vc.crossJoin(em).select(col("n_vertices"), col("n_edges"),
+      col("n_components"),
+      (col("n_edges") - col("n_vertices") + col("n_components"))
+        .cast("long").as("circuit_rank"))
+  }
+
   /** Distributed dense rank of an integer score table (id, score) by
     * (score desc, id asc) — rank 1 is the best score. Same sort-based
     * zipWithIndex shape as [[graft.graph.GraphOps.dictionaryEncodeScalable]]

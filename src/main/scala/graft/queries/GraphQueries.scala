@@ -561,7 +561,62 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, dir) => demoEdges(s, dir)),
 
+    // one-row graph DESCRIBE panel: counts, degree envelope, density
+    "g_graph_summary" -> ((s, dir) =>
+      Measures.graphSummary(demoEdges(s, dir))),
+
+    // degree-inequality Gini from the degree HISTOGRAM (never a global
+    // vertex sort) — hub-concentration summary of the crawl
+    "g_degree_gini" -> ((s, dir) =>
+      Measures.degreeGini(demoEdges(s, dir))),
+
+    // triadic-closure rate of the crawl delta: new line-2 pairs closing
+    // an open wedge of the line-1 snapshot (symmetrized, canonical a<b)
+    "g_wedge_closure" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))
+          .filter(col("src") =!= col("dst")))
+      GraphOps.wedgeClosure(snap(1), snap(2))
+    }),
+
     "g_degrees" -> ((s, dir) => GraphOps.degrees(demoEdges(s, dir))),
+
+    // circuit rank m − n + c (independent-cycle count) — CC labels shared
+    // from the alternating path, counts are 1-row folds
+    "g_circuit_rank" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      Measures.circuitRank(e, ConnectedComponents.runAlternating(e))
+    }),
+
+    // crawl-drift panel: pair/vertex Jaccard between the line-1 and
+    // line<=2 symmetrized snapshots
+    "g_snapshot_drift" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))
+          .filter(col("src") =!= col("dst")))
+      GraphOps.snapshotDrift(snap(1), snap(2))
+    }),
+
+    // PageRank mass per LP(3) community: where the importance lives —
+    // per-vertex ranks e6-rounded BEFORE the per-community sum so the
+    // aggregate is order-free (the g_comm_top_pages composition, folded)
+    "g_pr_mass_comm" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val labels = LabelPropagation.runFixed(e, 3, symmetric = true)
+      val pr = PageRank.runFixed(e, 5)
+        .select(col("id").as("pid"),
+          round(col("rank") * 1000000).cast("long").as("rank_e6"))
+      labels.join(pr, labels("id") === col("pid"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("rank_e6")).cast("long").as("rank_mass_e6"))
+    }),
 
     "g_cc" -> ((s, dir) => {
       val e = demoEdges(s, dir)
@@ -2459,8 +2514,137 @@ object GraphQueries {
   val oracleSql: Map[String, String] = Map(
     "g_edges" -> s"WITH $cte SELECT src, dst FROM e0",
 
+    "g_graph_summary" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1)
+         |SELECT count(*) AS n_vertices, CAST(sum(d) AS BIGINT) AS n_slots,
+         |       CAST(min(d) AS BIGINT) AS min_deg,
+         |       CAST(max(d) AS BIGINT) AS max_deg,
+         |       CAST(ROUND(CAST(sum(d) AS DOUBLE) * 1000000
+         |            / count(*)) AS BIGINT) AS avg_deg_e6,
+         |       CAST(ROUND(CAST(sum(d) AS DOUBLE) * 1000000
+         |            / (count(*) * (count(*) - 1))) AS BIGINT) AS density_e6
+         |FROM deg""".stripMargin,
+
+    "g_degree_gini" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |hist AS (SELECT d, count(*) AS c FROM deg GROUP BY 1),
+         |mad AS (SELECT CAST(sum(a.c * b.c * abs(a.d - b.d)) AS BIGINT)
+         |          AS mad_num FROM hist a, hist b),
+         |tot AS (SELECT count(*) AS n_vertices,
+         |          CAST(sum(d) AS BIGINT) AS sum_deg FROM deg)
+         |SELECT n_vertices, sum_deg, mad_num,
+         |       CAST(ROUND(CAST(mad_num AS DOUBLE) * 1000000
+         |            / (CAST(n_vertices AS DOUBLE) * 2.0 * sum_deg))
+         |         AS BIGINT) AS gini_e6
+         |FROM tot, mad""".stripMargin,
+
+    "g_wedge_closure" ->
+      s"""WITH s1r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s1 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s1r UNION ALL SELECT dst, src FROM s1r) u),
+         |s2r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s2 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s2r UNION ALL SELECT dst, src FROM s2r) u),
+         |np AS (
+         |  SELECT src AS a, dst AS b FROM s2 WHERE src < dst
+         |  AND NOT EXISTS (SELECT 1 FROM s1
+         |                  WHERE s1.src = s2.src AND s1.dst = s2.dst)),
+         |cl AS (
+         |  SELECT a, b FROM np WHERE EXISTS (
+         |    SELECT 1 FROM s1 x JOIN s1 y ON x.dst = y.src
+         |    WHERE x.src = np.a AND y.dst = np.b)),
+         |nn AS (SELECT count(*) AS n_new FROM np),
+         |nc AS (SELECT count(*) AS n_closing FROM cl)
+         |SELECT n_new, n_closing,
+         |       CASE WHEN n_new = 0 THEN 0
+         |            ELSE CAST(ROUND(CAST(n_closing AS DOUBLE) * 1000000
+         |                 / n_new) AS BIGINT) END AS closure_pct_e6
+         |FROM nn, nc""".stripMargin,
+
     "g_degrees" ->
       s"WITH $cte SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1",
+
+    "g_circuit_rank" ->
+      s"""WITH RECURSIVE $cte, $ccCte,
+         |em AS (SELECT count(*) AS n_edges FROM (
+         |  SELECT DISTINCT src, dst FROM e0 WHERE src < dst) t),
+         |vc AS (SELECT count(*) AS n_vertices,
+         |         count(DISTINCT label) AS n_components FROM cclab)
+         |SELECT n_vertices, n_edges, n_components,
+         |       CAST(n_edges - n_vertices + n_components AS BIGINT)
+         |         AS circuit_rank
+         |FROM vc, em""".stripMargin,
+
+    "g_snapshot_drift" ->
+      s"""WITH s1r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s1 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s1r UNION ALL SELECT dst, src FROM s1r) u),
+         |s2r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s2 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s2r UNION ALL SELECT dst, src FROM s2r) u),
+         |po AS (SELECT DISTINCT src AS a, dst AS b FROM s1 WHERE src < dst),
+         |pn AS (SELECT DISTINCT src AS a, dst AS b FROM s2 WHERE src < dst),
+         |vo AS (SELECT DISTINCT src AS id FROM s1),
+         |vn AS (SELECT DISTINCT src AS id FROM s2),
+         |pc AS (SELECT count(*) AS pairs_common
+         |       FROM po JOIN pn ON po.a = pn.a AND po.b = pn.b),
+         |vc AS (SELECT count(*) AS verts_common
+         |       FROM vo JOIN vn ON vo.id = vn.id),
+         |c AS (SELECT (SELECT count(*) FROM po) AS pairs_old,
+         |             (SELECT count(*) FROM pn) AS pairs_new,
+         |             (SELECT pairs_common FROM pc) AS pairs_common,
+         |             (SELECT count(*) FROM vo) AS verts_old,
+         |             (SELECT count(*) FROM vn) AS verts_new,
+         |             (SELECT verts_common FROM vc) AS verts_common)
+         |SELECT pairs_old, pairs_new, pairs_common,
+         |       CAST(ROUND(CAST(pairs_common AS DOUBLE) * 1000000
+         |         / (pairs_old + pairs_new - pairs_common)) AS BIGINT)
+         |         AS pair_jaccard_e6,
+         |       verts_old, verts_new, verts_common,
+         |       CAST(ROUND(CAST(verts_common AS DOUBLE) * 1000000
+         |         / (verts_old + verts_new - verts_common)) AS BIGINT)
+         |         AS vert_jaccard_e6
+         |FROM c""".stripMargin,
+
+    "g_pr_mass_comm" -> {
+      val prSteps = (1 to 5).map { k =>
+        s"""qx$k AS (
+           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN qr${k - 1} p ON e0.src = p.id
+           |  JOIN qdeg d ON e0.src = d.id
+           |  GROUP BY 1
+           |), qr$k AS (
+           |  SELECT v.id, 0.15 / (SELECT count(*) FROM verts)
+           |         + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM verts v LEFT JOIN qx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |qdeg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |qr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS r
+         |        FROM verts),
+         |$prSteps
+         |SELECT s3.label, count(*) AS n_pages,
+         |       CAST(sum(CAST(ROUND(r.r * 1000000) AS BIGINT)) AS BIGINT)
+         |         AS rank_mass_e6
+         |FROM s3 JOIN qr5 r ON s3.id = r.id
+         |GROUP BY 1""".stripMargin
+    },
 
     "g_cc" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",
     "g_cc_star" -> s"WITH RECURSIVE $cte, $ccCte SELECT id, label FROM cclab",

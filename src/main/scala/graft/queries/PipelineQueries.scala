@@ -149,6 +149,45 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // one-row corpus DESCRIBE panel: cardinalities, char envelope,
+    // distinct-content count (the exact-dup forecast)
+    "d_corpus_summary" -> ((s, dir) =>
+      graft.text.CorpusClean.corpusSummary(docs(s, dir))),
+
+    // one-row events DESCRIBE panel: counts, epoch span, per-user mean,
+    // heaviest-user event count
+    "ev_events_summary" -> ((s, dir) =>
+      graft.streaming.Funnel.eventsSummary(events(s, dir))),
+
+    // one-row embedding-table DESCRIBE panel: dim envelope + label card
+    "e_embed_summary" -> ((s, dir) =>
+      graft.functions.Similarity.embedSummary(emb(s, dir))),
+
+    // kNN-graph hubness audit: in-degree histogram of the cosine top-3
+    // relation over all points (zero-in-degree points included)
+    "e_knn_hubness" -> ((s, dir) =>
+      graft.functions.Similarity.knnHubness(emb(s, dir), k = 3)),
+
+    // Pareto concentration: top-decile users' share of all events
+    // (distributed sort-zipWithIndex ranks, never a global rank window)
+    "ev_pareto" -> ((s, dir) =>
+      graft.streaming.Funnel.paretoShare(events(s, dir))),
+
+    // one-row session panel: count/bounce/mean + histogram-derived
+    // doubled-median duration at the ev_sessions 1800 s gap rule
+    "ev_session_stats" -> ((s, dir) =>
+      graft.streaming.Funnel.sessionStats(events(s, dir))),
+
+    // nearest-centroid confusion matrix: the linear-probe proxy for
+    // embedding quality (exact integer centroids + distances)
+    "e_nearest_centroid" -> ((s, dir) =>
+      graft.functions.Similarity.nearestCentroid(emb(s, dir))),
+
+    // Johnson-Lindenstrauss distortion audit: +-1 projection to 16 dims,
+    // projected-vs-full squared distances on consecutive-id probe pairs
+    "e_jl_audit" -> ((s, dir) =>
+      graft.functions.Similarity.jlAudit(emb(s, dir), kProj = 16)),
+
     // exact dedup: content-hash group, keep min doc_id
     "d_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
@@ -1867,6 +1906,163 @@ object PipelineQueries {
        |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d_corpus_summary" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs,
+        |       count(DISTINCT source) AS n_sources,
+        |       count(DISTINCT md5(text)) AS n_distinct_texts,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |       CAST(ROUND(CAST(sum(n_chars) AS DOUBLE) * 1000000
+        |            / count(*)) AS BIGINT) AS avg_chars_e6
+        |FROM documents""".stripMargin,
+
+    "ev_events_summary" ->
+      """WITH tot AS (
+        |  SELECT count(*) AS n_events,
+        |         count(DISTINCT user_id) AS n_users,
+        |         count(DISTINCT event_type) AS n_types,
+        |         CAST(min(epoch(ts)) AS BIGINT) AS first_epoch,
+        |         CAST(max(epoch(ts)) AS BIGINT) AS last_epoch
+        |  FROM events),
+        |pu AS (SELECT CAST(max(c) AS BIGINT) AS max_user_events FROM (
+        |  SELECT count(*) AS c FROM events GROUP BY user_id) t)
+        |SELECT n_events, n_users, n_types, first_epoch, last_epoch,
+        |       CAST(FLOOR((last_epoch - first_epoch) / 86400.0) AS BIGINT)
+        |         AS span_days,
+        |       CAST(ROUND(CAST(n_events AS DOUBLE) * 1000000 / n_users)
+        |         AS BIGINT) AS events_per_user_e6,
+        |       max_user_events
+        |FROM tot, pu""".stripMargin,
+
+    "e_embed_summary" ->
+      """SELECT count(*) AS n_vecs,
+        |       CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+        |       CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+        |       count(DISTINCT label) AS n_labels,
+        |       CAST(sum(len(embedding)) AS BIGINT) AS n_elems
+        |FROM embeddings""".stripMargin,
+
+    "e_knn_hubness" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        |s AS (SELECT qid, vec_id,
+        |        CAST(ROUND(list_sum([qv[i+1] * v[i+1] for i in range(64)])
+        |          / (qn * nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM q, n WHERE qid <> vec_id),
+        |tk AS (SELECT vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM s) t
+        |  WHERE rank <= 3),
+        |indeg AS (
+        |  SELECT e.vec_id,
+        |         CAST(coalesce(k.c, 0) AS BIGINT) AS indeg
+        |  FROM embeddings e LEFT JOIN (
+        |    SELECT vec_id, count(*) AS c FROM tk GROUP BY 1) k
+        |  ON e.vec_id = k.vec_id)
+        |SELECT indeg, count(*) AS n_points FROM indeg GROUP BY 1""".stripMargin,
+
+    "ev_pareto" ->
+      """WITH cnt AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |rk AS (SELECT user_id, c,
+        |         row_number() OVER (ORDER BY c DESC, user_id ASC) AS rnk
+        |       FROM cnt),
+        |tot AS (SELECT count(*) AS n_users, CAST(sum(c) AS BIGINT) AS n_events
+        |        FROM cnt),
+        |top AS (SELECT CAST(sum(c) AS BIGINT) AS top_events FROM rk, tot
+        |        WHERE rnk <= (n_users + 9) // 10)
+        |SELECT n_users, n_events,
+        |       CAST((n_users + 9) // 10 AS BIGINT) AS k_top, top_events,
+        |       CAST(ROUND(CAST(top_events AS DOUBLE) * 1000000 / n_events)
+        |         AS BIGINT) AS share_e6
+        |FROM tot, top""".stripMargin,
+
+    "ev_session_stats" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id, t,
+        |        CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, t,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |sess AS (SELECT count(*) AS n_ev, max(t) - min(t) AS dur
+        |         FROM s GROUP BY user_id, sid),
+        |tot AS (SELECT count(*) AS n_sessions,
+        |          CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |          CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_bounce,
+        |          CAST(max(dur) AS BIGINT) AS max_duration_s
+        |        FROM sess),
+        |hist AS (SELECT dur, count(*) AS cnt FROM sess GROUP BY 1),
+        |cum AS (SELECT dur, sum(cnt) OVER (ORDER BY dur ASC
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+        |med AS (SELECT
+        |    min(CASE WHEN cum >= (n_sessions + 1) // 2 THEN dur END) AS lo,
+        |    min(CASE WHEN cum >= (n_sessions + 2) // 2 THEN dur END) AS hi
+        |  FROM cum, tot)
+        |SELECT n_sessions, n_bounce,
+        |       CAST(ROUND(CAST(n_events AS DOUBLE) * 1000000 / n_sessions)
+        |         AS BIGINT) AS events_per_session_e6,
+        |       CAST(lo + hi AS BIGINT) AS med2_duration_s, max_duration_s
+        |FROM tot, med""".stripMargin,
+
+    "e_nearest_centroid" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |cent AS (SELECT label AS clab, dim,
+        |    CAST(ROUND(sum(xe6) / count(*)) AS BIGINT) AS ce6
+        |  FROM ex GROUP BY 1, 2),
+        |d2 AS (SELECT e.vec_id, e.label, c.clab,
+        |    CAST(sum((e.xe6 - c.ce6) * (e.xe6 - c.ce6)) AS BIGINT) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim GROUP BY 1, 2, 3),
+        |pred AS (SELECT vec_id, label, clab FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2 ASC, clab ASC) AS rn FROM d2) t
+        |  WHERE rn = 1)
+        |SELECT label, clab AS pred, count(*) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    "e_jl_audit" ->
+      """WITH ex AS (SELECT vec_id, CAST(r.range AS BIGINT) AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |pr AS (SELECT vec_id, p.range AS p,
+        |    CAST(sum(CASE WHEN (dim * 31 + p.range * 67) % 2 = 0
+        |             THEN xe6 ELSE -xe6 END) AS BIGINT) AS ye6
+        |  FROM ex, range(16) p GROUP BY 1, 2),
+        |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+        |df AS (SELECT p.a, p.b,
+        |    CAST(sum((xa.xe6 - xb.xe6) * (xa.xe6 - xb.xe6)) AS BIGINT)
+        |      AS d2_full
+        |  FROM pairs p JOIN ex xa ON xa.vec_id = p.a
+        |  JOIN ex xb ON xb.vec_id = p.b AND xb.dim = xa.dim
+        |  GROUP BY 1, 2),
+        |dp AS (SELECT p.a, p.b,
+        |    CAST(sum((ya.ye6 - yb.ye6) * (ya.ye6 - yb.ye6)) AS BIGINT)
+        |      AS d2_proj
+        |  FROM pairs p JOIN pr ya ON ya.vec_id = p.a
+        |  JOIN pr yb ON yb.vec_id = p.b AND yb.p = ya.p
+        |  GROUP BY 1, 2)
+        |SELECT df.a, df.b, d2_full, d2_proj,
+        |       CASE WHEN d2_full = 0 THEN 0
+        |            ELSE CAST(ROUND(CAST(d2_proj AS DOUBLE) * 1000000
+        |                 / (d2_full * 16)) AS BIGINT) END AS ratio_e6
+        |FROM df JOIN dp ON df.a = dp.a AND df.b = dp.b""".stripMargin,
+
     // calibration oracle: same signatures, same bands, matches from the
     // 8-row signature join, exact Jaccard from the shingle tables
     "d_minhash_calib" ->

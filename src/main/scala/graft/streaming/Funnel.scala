@@ -192,6 +192,107 @@ object Funnel {
             / sqrt(varArg.cast("double"))).cast("long")).as("z_e6"))
   }
 
+  /** One-row events-table DESCRIBE panel — the sanity scan an analyst
+    * runs before any funnel/retention query: event/user/type counts, the
+    * epoch span, events-per-user mean, and the heaviest single user's
+    * event count (the first bot smell). Two hash aggregations (corpus
+    * fold + per-user fold) joined as 1-row scalars; exact integers except
+    * the one ×1e6-rounded mean. TZ-free: everything is epoch-second
+    * integer arithmetic.
+    */
+  def eventsSummary(events: DataFrame): DataFrame = {
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val tot = events.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"),
+      min(epoch).as("first_epoch"), max(epoch).as("last_epoch"))
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_user_events"))
+    tot.crossJoin(perUser).select(col("n_events"), col("n_users"),
+      col("n_types"), col("first_epoch"), col("last_epoch"),
+      floor((col("last_epoch") - col("first_epoch")) / 86400)
+        .cast("long").as("span_days"),
+      round(col("n_events").cast("double") * 1000000 / col("n_users"))
+        .cast("long").as("events_per_user_e6"),
+      col("max_user_events"))
+  }
+
+  /** Pareto concentration panel: the top-decile users' share of all
+    * events — the 80/20 skew scalar that prices every per-user shuffle
+    * (a high share means user-keyed state is hot-key-bound and the
+    * salting plans earn their keep). Users are ranked by
+    * (count desc, user_id asc) through [[graft.measures.Measures
+    * .rankByScore]]'s distributed sort-zipWithIndex — never a global
+    * rank window; the decile cut is a broadcast 1-row scalar. Returns
+    * (n_users, n_events, k_top, top_events, share_e6).
+    */
+  def paretoShare(events: DataFrame): DataFrame = {
+    val cnt = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val ranked = graft.measures.Measures.rankByScore(
+        cnt.select(col("user_id").cast("long").as("id"),
+          col("c").cast("long").as("score")))
+      .join(cnt.select(col("user_id").cast("long").as("id"), col("c")), "id")
+    val tot = cnt.agg(count(lit(1)).as("n_users"),
+      sum(col("c")).cast("long").as("n_events"))
+    val top = ranked.crossJoin(tot)
+      .filter(col("rnk") <= expr("(n_users + 9) div 10"))
+      .agg(sum(col("c")).cast("long").as("top_events"))
+    tot.crossJoin(top).select(col("n_users"), col("n_events"),
+      expr("(n_users + 9) div 10").cast("long").as("k_top"),
+      col("top_events"),
+      round(col("top_events").cast("double") * 1000000 / col("n_events"))
+        .cast("long").as("share_e6"))
+  }
+
+  /** One-row session panel over the batch gaps-and-islands sessions (the
+    * ev_sessions rule: a gap > `gapSec` starts a new session): session
+    * count, bounce count (single-event sessions), events per session, the
+    * DOUBLED median session duration, and the max duration. The median
+    * comes from the duration HISTOGRAM — cumulative counts over the
+    * (bounded, ≤ observation-window-seconds distinct values) histogram
+    * table, never a rank window over the corpus-sized session table (the
+    * dist-hist precedent); med2 = value at ⌈n/2⌉ + value at ⌈(n+1)/2⌉ so
+    * no float interpolation convention has to match cross-engine.
+    * Returns (n_sessions, n_bounce, events_per_session_e6,
+    * med2_duration_s, max_duration_s).
+    */
+  def sessionStats(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val base = events.select(col("user_id"),
+      col("ts").cast("timestamp").cast("long").as("t"), col("event_id"))
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val sess = base
+      .withColumn("prev", lag(col("t"), 1).over(wOrd))
+      .withColumn("brk", when(col("prev").isNull
+        || col("t") - col("prev") > gapSec, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_ev"), min(col("t")).as("t0"),
+        max(col("t")).as("t1"))
+      .select(col("n_ev"), (col("t1") - col("t0")).as("dur"))
+    val tot = sess.agg(count(lit(1)).as("n_sessions"),
+      sum(col("n_ev")).cast("long").as("n_events"),
+      sum(when(col("n_ev") === 1, 1L).otherwise(0L)).cast("long")
+        .as("n_bounce"),
+      max(col("dur")).cast("long").as("max_duration_s"))
+    // duration histogram + cumulative counts (histogram-bounded window)
+    val hist = sess.groupBy(col("dur")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(
+      Window.orderBy(col("dur").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val med = cum.crossJoin(tot)
+      .agg(min(when(col("cum") >= expr("(n_sessions + 1) div 2"),
+          col("dur"))).as("med_lo"),
+        min(when(col("cum") >= expr("(n_sessions + 2) div 2"),
+          col("dur"))).as("med_hi"))
+    tot.crossJoin(med).select(col("n_sessions"), col("n_bounce"),
+      round(col("n_events").cast("double") * 1000000 / col("n_sessions"))
+        .cast("long").as("events_per_session_e6"),
+      (col("med_lo") + col("med_hi")).cast("long").as("med2_duration_s"),
+      col("max_duration_s"))
+  }
+
   /** Weekly cohort retention: cohort = a user's first active epoch week,
     * `week_offset` = weeks since the cohort week, `n_users` = distinct
     * users from that cohort active in that offset week — the classic

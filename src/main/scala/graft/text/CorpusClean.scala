@@ -338,4 +338,25 @@ object CorpusClean {
         countDistinct(col("source")).as("n_sources"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** One-row corpus DESCRIBE panel — the first scan a pipeline runs on a
+    * fresh document dump: doc/lang/source cardinalities, the char-length
+    * envelope, and the distinct-content count (docs − distinct = the
+    * exact-dup mass, the cheapest dedup forecast there is). Content
+    * identity is md5(text) so the distinct runs over 16-byte keys, never
+    * full documents — at 100 TB that is the difference between a hash agg
+    * and a sort of the corpus. One scan, one 1-row fold; exact integers
+    * except the ×1e6-rounded mean length.
+    */
+  def corpusSummary(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("n_distinct_texts"), col("total_chars"), col("max_chars"),
+        round(col("total_chars").cast("double") * 1000000 / col("n_docs"))
+          .cast("long").as("avg_chars_e6"))
 }
