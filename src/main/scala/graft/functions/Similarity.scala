@@ -699,6 +699,19 @@ object Similarity {
     * @return (label, pred, n) — true label × predicted label counts
     */
   def nearestCentroid(vectors: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("clab").asc)
+    centroidD2(vectors)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("label"), col("clab").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Shared distance table behind [[nearestCentroid]] and
+    * [[centroidMargin]]: per (vector, candidate label) the exact integer
+    * squared-L2 to that label's e6-integer centroid.
+    */
+  private def centroidD2(vectors: DataFrame): DataFrame = {
     val ex = vectors.select(col("vec_id"), col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("label"), col("dim"),
@@ -707,15 +720,38 @@ object Similarity {
       .agg(sum(col("xe6")).as("s"), count(lit(1)).as("nl"))
       .select(col("clab"), col("cdim"),
         round(col("s") / col("nl")).cast("long").as("ce6"))
-    val d2 = ex.join(broadcast(cent), col("dim") === col("cdim"))
+    ex.join(broadcast(cent), col("dim") === col("cdim"))
       .groupBy(col("vec_id"), col("label"), col("clab"))
       .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))
         .as("d2"))
+  }
+
+  /** Per-vector classification margin: distance to the best vs
+    * second-best label centroid, margin_e6 = (d2_second − d2_best)·1e6 /
+    * d2_second ∈ [0, 1e6] — the confidence score behind
+    * [[nearestCentroid]]'s hard assignment (a corpus whose margins pile
+    * up near 0 has overlapping label clusters and its confusion matrix is
+    * one re-embedding away from flipping). Same broadcast-centroid
+    * distance pass; the top-2 window partitions by vector over ≤ |labels|
+    * rows. d2_second = 0 (both centroids exactly on the point) yields 0.
+    *
+    * @return (vec_id, label, pred, d2_best, d2_second, margin_e6)
+    */
+  def centroidMargin(vectors: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("d2").asc, col("clab").asc)
-    d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("label"), col("clab").as("pred"))
-      .agg(count(lit(1)).as("n"))
+    val top2 = centroidD2(vectors)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    top2.filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clab").as("pred"),
+        col("d2").as("d2_best"))
+      .join(top2.filter(col("rn") === 2)
+        .select(col("vec_id"), col("d2").as("d2_second")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("pred"), col("d2_best"),
+        col("d2_second"),
+        when(col("d2_second") === 0, lit(0L)).otherwise(
+          round((col("d2_second") - col("d2_best")).cast("double") * 1000000
+            / col("d2_second")).cast("long")).as("margin_e6"))
   }
 
   /** Johnson–Lindenstrauss distortion audit: project every vector through

@@ -603,6 +603,19 @@ object GraphQueries {
       GraphOps.snapshotDrift(snap(1), snap(2))
     }),
 
+    // LP quality curve: modularity of the labeling after supersteps 1-3
+    // — the quality-vs-iteration telemetry next to g_lp_metrics' raw
+    // change counts (is another superstep still buying structure?)
+    "g_lp_quality_curve" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val rows = (1 to 3).map { t =>
+        val lab = LabelPropagation.runFixed(e, t, symmetric = true)
+        (t.toLong, math.round(Measures.modularity(e, lab) * 1000000))
+      }
+      import s.implicits._
+      rows.toDF("iter", "q_e6")
+    }),
+
     // PageRank mass per LP(3) community: where the importance lives —
     // per-vertex ranks e6-rounded BEFORE the per-community sum so the
     // aggregate is order-free (the g_comm_top_pages composition, folded)
@@ -2619,6 +2632,33 @@ object GraphQueries {
          |         / (verts_old + verts_new - verts_common)) AS BIGINT)
          |         AS vert_jaccard_e6
          |FROM c""".stripMargin,
+
+    "g_lp_quality_curve" -> {
+      val mods = (1 to 3).map { k =>
+        s"""ein$k AS (
+           |  SELECT count(*)::DOUBLE AS v FROM e0
+           |  JOIN s$k a ON e0.src = a.id
+           |  JOIN s$k b ON e0.dst = b.id
+           |  WHERE a.label = b.label AND e0.src <> e0.dst),
+           |per$k AS (
+           |  SELECT sum(ks * ks - ksq)::DOUBLE AS v FROM (
+           |    SELECT l.label, sum(coalesce(d.k, 0)) AS ks,
+           |           sum(coalesce(d.k, 0) * coalesce(d.k, 0)) AS ksq
+           |    FROM s$k l LEFT JOIN qdeg d ON l.id = d.id GROUP BY 1) g)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 3).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS iter,
+           |  CAST(ROUND((ein$k.v - per$k.v / m2.v) / m2.v * 1000000)
+           |    AS BIGINT) AS q_e6
+           |FROM ein$k, per$k, m2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |m2 AS (SELECT count(*)::DOUBLE AS v FROM e0),
+         |qdeg AS (SELECT src AS id, count(*) AS k FROM e0 GROUP BY 1),
+         |$mods
+         |$rows""".stripMargin
+    },
 
     "g_pr_mass_comm" -> {
       val prSteps = (1 to 5).map { k =>

@@ -188,6 +188,22 @@ object PipelineQueries {
     "e_jl_audit" -> ((s, dir) =>
       graft.functions.Similarity.jlAudit(emb(s, dir), kProj = 16)),
 
+    // doc-doc TF-IDF cosine over the df-banded vocabulary (lexical
+    // near-dup / template-overlap pass beside MinHash and dense cosine)
+    "d_tfidf_pairs" -> ((s, dir) =>
+      graft.text.TextIndex.tfidfPairs(docs(s, dir))),
+
+    // Hill MLE power-law exponent of the events-per-user distribution —
+    // the same heavy-tail check g_powerlaw runs on degrees, applied to
+    // user activity (bot fleets flatten the tail)
+    "ev_activity_alpha" -> ((s, dir) =>
+      graft.measures.Measures.powerLawAlpha(
+        events(s, dir).select(col("user_id").as("src")), dMin = 2L)),
+
+    // per-vector classification margin: best vs second-best centroid
+    "e_centroid_margin" -> ((s, dir) =>
+      graft.functions.Similarity.centroidMargin(emb(s, dir))),
+
     // exact dedup: content-hash group, keep min doc_id
     "d_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
@@ -2062,6 +2078,70 @@ object PipelineQueries {
         |            ELSE CAST(ROUND(CAST(d2_proj AS DOUBLE) * 1000000
         |                 / (d2_full * 16)) AS BIGINT) END AS ratio_e6
         |FROM df JOIN dp ON df.a = dp.a AND df.b = dp.b""".stripMargin,
+
+    "d_tfidf_pairs" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |idf2 AS (SELECT term,
+        |    CAST(ROUND(pow(ln(CAST((SELECT count(*) FROM documents)
+        |      AS DOUBLE) / count(*)), 2) * 1000000) AS BIGINT) AS i2e6
+        |  FROM tf GROUP BY term
+        |  HAVING count(*) >= 2 AND count(*) <= 100),
+        |wtf AS (SELECT tf.doc_id, tf.term, tf.tf, idf2.i2e6
+        |        FROM tf JOIN idf2 ON tf.term = idf2.term),
+        |norms AS (SELECT doc_id, CAST(sum(tf * tf * i2e6) AS BIGINT) AS n2
+        |          FROM wtf GROUP BY 1),
+        |num AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |          CAST(sum(a.tf * b.tf * a.i2e6) AS BIGINT) AS num
+        |        FROM wtf a JOIN wtf b
+        |          ON a.term = b.term AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cos_e6 FROM (
+        |  SELECT da AS doc_a, db AS doc_b,
+        |         CAST(ROUND(CAST(num AS DOUBLE) * 1000000
+        |           / (sqrt(CAST(na.n2 AS DOUBLE))
+        |              * sqrt(CAST(nb.n2 AS DOUBLE)))) AS BIGINT) AS cos_e6
+        |  FROM num JOIN norms na ON num.da = na.doc_id
+        |  JOIN norms nb ON num.db = nb.doc_id) t
+        |WHERE cos_e6 >= 300000""".stripMargin,
+
+    "ev_activity_alpha" ->
+      """WITH cnt AS (SELECT user_id, count(*) AS degree FROM events
+        |             GROUP BY 1),
+        |t AS (SELECT degree FROM cnt WHERE degree >= 2),
+        |a AS (SELECT count(*) AS n_tail,
+        |        sum(ln(CAST(degree AS DOUBLE) / 2)) AS s FROM t)
+        |SELECT CAST(n_tail AS BIGINT) AS n_tail,
+        |  CAST(2 AS BIGINT) AS d_min,
+        |  CASE WHEN s > 0
+        |    THEN CAST(ROUND((1 + n_tail / s) * 1000000) AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS alpha_e6
+        |FROM a""".stripMargin,
+
+    "e_centroid_margin" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |cent AS (SELECT label AS clab, dim,
+        |    CAST(ROUND(sum(xe6) / count(*)) AS BIGINT) AS ce6
+        |  FROM ex GROUP BY 1, 2),
+        |d2 AS (SELECT e.vec_id, e.label, c.clab,
+        |    CAST(sum((e.xe6 - c.ce6) * (e.xe6 - c.ce6)) AS BIGINT) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim GROUP BY 1, 2, 3),
+        |rk AS (SELECT vec_id, label, clab, d2,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d2 ASC, clab ASC) AS rn FROM d2)
+        |SELECT b.vec_id, b.label, b.clab AS pred, b.d2 AS d2_best,
+        |       s.d2 AS d2_second,
+        |       CASE WHEN s.d2 = 0 THEN 0
+        |            ELSE CAST(ROUND(CAST(s.d2 - b.d2 AS DOUBLE) * 1000000
+        |                 / s.d2) AS BIGINT) END AS margin_e6
+        |FROM (SELECT * FROM rk WHERE rn = 1) b
+        |JOIN (SELECT * FROM rk WHERE rn = 2) s ON b.vec_id = s.vec_id""".stripMargin,
 
     // calibration oracle: same signatures, same bands, matches from the
     // 8-row signature join, exact Jaccard from the shingle tables

@@ -34,6 +34,54 @@ object TextIndex {
   private def termDf(docs: DataFrame): DataFrame =
     docTermPairs(docs).groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Doc–doc TF-IDF cosine similarity over the df-banded vocabulary —
+    * the sparse lexical counterpart of the embedding-space near-dup pass
+    * (catches template/boilerplate overlap that MinHash's shingle sets
+    * and dense cosine both blur). The similarity space is the terms with
+    * `minDf ≤ df ≤ maxDf`: the upper band is the stopword guard that
+    * bounds the postings self-join at Σ df² over banded terms instead of
+    * a head term's corpus-sized posting list squared (the CoCitation-cap
+    * pattern on the inverted index).
+    *
+    * Determinism contract: idf² is quantized ONCE per term to an e6
+    * integer (i2e6 = ROUND(ln²(N/df)·1e6)), so the pair numerator
+    * Σ tf_a·tf_b·i2e6 and both norms Σ tf²·i2e6 are exact order-free
+    * integer sums; the only float is the final single-expression
+    * num/√(na·nb). Int64 envelope: tf_a·tf_b·i2e6 ≤ tf²·(ln N)²·1e6 —
+    * safe while per-doc banded tf < ~10⁵ at web-corpus N.
+    *
+    * @return (doc_a, doc_b, cos_e6) for canonical pairs ≥ `minSimE6`
+    */
+  def tfidfPairs(docs: DataFrame, minDf: Long = 2L, maxDf: Long = 100L,
+                 minSimE6: Long = 300000L): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(termsCol).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf2 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .crossJoin(n)
+      .select(col("term"),
+        round(pow(log(col("n").cast("double") / col("df")), 2) * 1000000)
+          .cast("long").as("i2e6"))
+    val wtf = tf.join(idf2, "term")
+    val norms = wtf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf") * col("i2e6")).as("n2"))
+    wtf.select(col("term"), col("doc_id").as("a"), col("tf").as("tfa"),
+        col("i2e6"))
+      .join(wtf.select(col("term"), col("doc_id").as("b"),
+        col("tf").as("tfb")), Seq("term"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(col("tfa") * col("tfb") * col("i2e6")).as("num"))
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("nb")), "b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        round(col("num").cast("double") * 1000000
+          / (sqrt(col("na").cast("double"))
+            * sqrt(col("nb").cast("double")))).cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= minSimE6)
+  }
+
   /** Inverted index with capped posting lists.
     *
     * One row per term with document frequency ≥ `minDf`: the exact df
