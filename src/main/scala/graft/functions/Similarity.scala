@@ -726,6 +726,21 @@ object Similarity {
         .as("d2"))
   }
 
+  /** Per-label cluster tightness: vector count and mean squared distance
+    * to the OWN label's centroid, from the shared [[nearestCentroid]]
+    * distance pass — read next to [[centroidMargin]]: tight clusters with
+    * wide margins are a healthy space; a label whose dispersion rivals
+    * the inter-centroid gaps is not separable no matter what the
+    * confusion matrix says on this sample. Exact integer sums, one final
+    * rounded divide. Returns (label, n_vecs, sum_d2, mean_d2).
+    */
+  def labelDispersion(vectors: DataFrame): DataFrame =
+    centroidD2(vectors).filter(col("label") === col("clab"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).cast("long").as("sum_d2"))
+      .select(col("label"), col("n_vecs"), col("sum_d2"),
+        round(col("sum_d2") / col("n_vecs")).cast("long").as("mean_d2"))
+
   /** Per-vector classification margin: distance to the best vs
     * second-best label centroid, margin_e6 = (d2_second − d2_best)·1e6 /
     * d2_second ∈ [0, 1e6] — the confidence score behind

@@ -571,6 +571,31 @@ object Measures {
         .cast("long").as("gini_e6"))
   }
 
+  /** L1 drift between two snapshots' DEGREE HISTOGRAMS — the
+    * distribution-level companion of [[graft.graph.GraphOps
+    * .snapshotDrift]]'s set overlaps: edge sets can move a lot while the
+    * degree shape stays put (healthy re-crawl) or barely move while the
+    * shape lurches (link-farm injection at one degree scale). Everything
+    * runs on the two histograms (≤ max-degree rows each, full-outer
+    * joined), so the comparison costs nothing beyond the degree tables
+    * every snapshot already builds. Returns one row
+    * (n_old, n_new, l1_diff, drift_e6 = Σ|Δ|·1e6/(n_old+n_new)).
+    */
+  def degreeHistDrift(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    def hist(e: DataFrame, cname: String) =
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as(cname))
+    hist(oldEdges, "c1").join(hist(newEdges, "c2"), Seq("d"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .agg(sum(col("c1")).cast("long").as("n_old"),
+        sum(col("c2")).cast("long").as("n_new"),
+        sum(abs(col("c1") - col("c2"))).cast("long").as("l1_diff"))
+      .select(col("n_old"), col("n_new"), col("l1_diff"),
+        round(col("l1_diff").cast("double") * 1000000
+          / (col("n_old") + col("n_new"))).cast("long").as("drift_e6"))
+  }
+
   /** Circuit rank (cyclomatic number) of the undirected graph:
     * m − n + c, the number of independent cycles — 0 is a forest, and the
     * growth of the rank across crawl snapshots is the redundancy/meshiness

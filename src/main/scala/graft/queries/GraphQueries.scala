@@ -603,6 +603,29 @@ object GraphQueries {
       GraphOps.snapshotDrift(snap(1), snap(2))
     }),
 
+    // degrees over the BUCKETED storage layout: write-once hash layout,
+    // exchange-free src aggregations on read-back (plan asserted in the
+    // Layout spec); values must equal the plain-path degrees
+    "g_bucketed_degrees" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      graft.graph.Layout.writeBucketed(e, "graft_gate_bucketed", path, 8)
+      GraphOps.degrees(graft.graph.Layout.readBucketed(s, "graft_gate_bucketed"))
+    }),
+
+    // degree-histogram L1 drift between the line-1 and line<=2 snapshots
+    // — the distribution-level crawl-drift companion of g_snapshot_drift
+    "g_degdist_drift" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))
+          .filter(col("src") =!= col("dst")))
+      Measures.degreeHistDrift(snap(1), snap(2))
+    }),
+
     // LP quality curve: modularity of the labeling after supersteps 1-3
     // — the quality-vs-iteration telemetry next to g_lp_metrics' raw
     // change counts (is another superstep still buying structure?)
@@ -2632,6 +2655,36 @@ object GraphQueries {
          |         / (verts_old + verts_new - verts_common)) AS BIGINT)
          |         AS vert_jaccard_e6
          |FROM c""".stripMargin,
+
+    "g_bucketed_degrees" ->
+      s"WITH $cte SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1",
+
+    "g_degdist_drift" ->
+      s"""WITH s1r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s1 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s1r UNION ALL SELECT dst, src FROM s1r) u),
+         |s2r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s2 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s2r UNION ALL SELECT dst, src FROM s2r) u),
+         |h1 AS (SELECT d, count(*) AS c1 FROM (
+         |  SELECT src, count(*) AS d FROM s1 GROUP BY 1) t GROUP BY 1),
+         |h2 AS (SELECT d, count(*) AS c2 FROM (
+         |  SELECT src, count(*) AS d FROM s2 GROUP BY 1) t GROUP BY 1),
+         |j AS (SELECT coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         |      FROM h1 FULL OUTER JOIN h2 ON h1.d = h2.d),
+         |a AS (SELECT CAST(sum(c1) AS BIGINT) AS n_old,
+         |             CAST(sum(c2) AS BIGINT) AS n_new,
+         |             CAST(sum(abs(c1 - c2)) AS BIGINT) AS l1_diff FROM j)
+         |SELECT n_old, n_new, l1_diff,
+         |       CAST(ROUND(CAST(l1_diff AS DOUBLE) * 1000000
+         |         / (n_old + n_new)) AS BIGINT) AS drift_e6
+         |FROM a""".stripMargin,
 
     "g_lp_quality_curve" -> {
       val mods = (1 to 3).map { k =>

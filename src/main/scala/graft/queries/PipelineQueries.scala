@@ -204,6 +204,27 @@ object PipelineQueries {
     "e_centroid_margin" -> ((s, dir) =>
       graft.functions.Similarity.centroidMargin(emb(s, dir))),
 
+    // per-label cluster tightness: mean squared distance to own centroid
+    "e_label_dispersion" -> ((s, dir) =>
+      graft.functions.Similarity.labelDispersion(emb(s, dir))),
+
+    // identical content filed under >1 language tag — the per-lang dedup
+    // leak audit; the corpus is salted with deterministic re-tagged
+    // copies (every 50th doc re-filed as lang 'xx') because the synthetic
+    // corpus carries no cross-lang dups of its own
+    "d_crosslang_dups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val salted = d.union(d.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("lang", lit("xx")))
+      graft.text.CorpusClean.crossLangDups(salted)
+    }),
+
+    // event-type co-occurrence within sessions (basket analysis on the
+    // ev_sessions gap rule)
+    "ev_type_pairs" -> ((s, dir) =>
+      graft.streaming.Funnel.sessionTypePairs(events(s, dir))),
+
     // exact dedup: content-hash group, keep min doc_id
     "d_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
@@ -2142,6 +2163,57 @@ object PipelineQueries {
         |                 / s.d2) AS BIGINT) END AS margin_e6
         |FROM (SELECT * FROM rk WHERE rn = 1) b
         |JOIN (SELECT * FROM rk WHERE rn = 2) s ON b.vec_id = s.vec_id""".stripMargin,
+
+    "e_label_dispersion" ->
+      """WITH ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |cent AS (SELECT label AS clab, dim,
+        |    CAST(ROUND(sum(xe6) / count(*)) AS BIGINT) AS ce6
+        |  FROM ex GROUP BY 1, 2),
+        |d2 AS (SELECT e.vec_id, e.label,
+        |    CAST(sum((e.xe6 - c.ce6) * (e.xe6 - c.ce6)) AS BIGINT) AS d2
+        |  FROM ex e JOIN cent c ON e.dim = c.dim AND e.label = c.clab
+        |  GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(d2) AS BIGINT) AS sum_d2,
+        |       CAST(ROUND(sum(d2) / count(*)) AS BIGINT) AS mean_d2
+        |FROM d2 GROUP BY 1""".stripMargin,
+
+    "d_crosslang_dups" ->
+      """WITH salted AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'xx' FROM documents
+        |  WHERE doc_id % 50 = 0)
+        |SELECT md5(text) AS content_hash,
+        |       count(DISTINCT lang) AS n_langs, count(*) AS n_docs,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+        |FROM salted GROUP BY 1
+        |HAVING count(DISTINCT lang) >= 2""".stripMargin,
+
+    "ev_type_pairs" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id, event_type, t,
+        |        CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, event_type,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |ty AS (SELECT DISTINCT user_id, sid, event_type FROM s)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*) AS n_sessions
+        |FROM ty a JOIN ty b ON a.user_id = b.user_id AND a.sid = b.sid
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     // calibration oracle: same signatures, same bands, matches from the
     // 8-row signature join, exact Jaccard from the shingle tables

@@ -256,17 +256,45 @@ object Funnel {
     * Returns (n_sessions, n_bounce, events_per_session_e6,
     * med2_duration_s, max_duration_s).
     */
-  def sessionStats(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+  /** Shared gaps-and-islands session labeling (the ev_sessions rule): one
+    * user-partitioned lag window marks the breaks, a running sum numbers
+    * the sessions. Carries `event_type` for [[sessionTypePairs]].
+    */
+  private def withSessionIds(events: DataFrame, gapSec: Long): DataFrame = {
     val base = events.select(col("user_id"),
-      col("ts").cast("timestamp").cast("long").as("t"), col("event_id"))
+      col("ts").cast("timestamp").cast("long").as("t"), col("event_id"),
+      col("event_type"))
     val wOrd = Window.partitionBy("user_id")
       .orderBy(col("t").asc, col("event_id").asc)
-    val sess = base
+    base
       .withColumn("prev", lag(col("t"), 1).over(wOrd))
       .withColumn("brk", when(col("prev").isNull
         || col("t") - col("prev") > gapSec, 1L).otherwise(0L))
       .withColumn("sid", sum(col("brk")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Event-type co-occurrence within sessions: for each canonical type
+    * pair, in how many sessions do BOTH types fire? The basket-analysis
+    * table behind "users who search also purchase" readouts, on the same
+    * session rule as [[sessionStats]]. Per-session distinct types bound
+    * the pairing at |types|² per session (the event-type vocabulary is
+    * small and fixed), so the self-join is session-keyed and never
+    * corpus-quadratic. Returns (type_a, type_b, n_sessions).
+    */
+  def sessionTypePairs(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val types = withSessionIds(events, gapSec)
+      .select(col("user_id"), col("sid"), col("event_type")).distinct()
+    types.select(col("user_id"), col("sid"), col("event_type").as("type_a"))
+      .join(types.select(col("user_id"), col("sid"),
+        col("event_type").as("type_b")), Seq("user_id", "sid"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  def sessionStats(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val sess = withSessionIds(events, gapSec)
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_ev"), min(col("t")).as("t0"),
         max(col("t")).as("t1"))

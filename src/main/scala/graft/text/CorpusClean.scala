@@ -339,6 +339,22 @@ object CorpusClean {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Identical content filed under MORE THAN ONE language tag — the
+    * lang-ID-noise detector for per-language dedup: a pipeline that
+    * dedups within language silently keeps every copy of a doc whose
+    * copies were tagged differently, so this table is the leak audit run
+    * before trusting a per-lang split. Content identity is md5(text)
+    * (16-byte keys, the corpusSummary contract); one hash agg, having
+    * filter on the group. Returns (content_hash, n_langs, n_docs,
+    * min_doc_id).
+    */
+  def crossLangDups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(countDistinct(col("lang")).as("n_langs"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).cast("long").as("min_doc_id"))
+      .filter(col("n_langs") >= 2)
+
   /** One-row corpus DESCRIBE panel — the first scan a pipeline runs on a
     * fresh document dump: doc/lang/source cardinalities, the char-length
     * envelope, and the distinct-content count (docs − distinct = the
