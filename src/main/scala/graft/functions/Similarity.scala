@@ -726,6 +726,44 @@ object Similarity {
         .as("d2"))
   }
 
+  /** One-row norm audit over the embedding table: vector count,
+    * zero-norm count (cosine is undefined on them — the crash row every
+    * ANN pass must drop first), and the exact-integer squared-norm
+    * envelope in e12 units (a tight min≈max band says unit-normed as
+    * promised; a wide one says the encoder skipped normalization and
+    * dot-product ≠ cosine). Per-vector n2 = Σ xe6² is an exact int64
+    * (≤ 64·4e12); only min/max/count cross rows, so no corpus-sized sum
+    * can overflow. Returns (n_vecs, n_zero, min_n2, max_n2).
+    */
+  def normAudit(vectors: DataFrame): DataFrame =
+    vectors.select(aggregate(
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")),
+        lit(0L), (acc, v) => acc + v * v).as("n2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"),
+        min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))
+
+  /** Exact-duplicate vector groups: vectors identical after the shared
+    * e6 quantization, grouped by the md5 of their comma-joined integer
+    * components (16-byte keys, never array equality over the corpus —
+    * the corpusSummary contract lifted to vectors). Run before building
+    * any ANN index: exact dups waste index space, skew IVF cells, and
+    * turn top-k lists into mirrors of one page. One scan + one hash agg.
+    *
+    * @return (vec_hash, n_vecs, canonical_id) for groups of ≥ 2
+    */
+  def exactDupVectors(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+        md5(concat_ws(",", transform(col("embedding"),
+          x => round(x.cast("double") * 1000000).cast("long")
+            .cast("string")))).as("vec_hash"))
+      .groupBy("vec_hash")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).cast("long").as("canonical_id"))
+      .filter(col("n_vecs") >= 2)
+
   /** Per-label cluster tightness: vector count and mean squared distance
     * to the OWN label's centroid, from the shared [[nearestCentroid]]
     * distance pass — read next to [[centroidMargin]]: tight clusters with

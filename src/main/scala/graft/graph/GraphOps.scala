@@ -354,6 +354,29 @@ object GraphOps {
           .cast("long")).as("closure_pct_e6"))
   }
 
+  /** One-row edge-table hygiene audit over a RAW directed link dump —
+    * the ingest QA scan run before [[symmetrize]]/[[dropSelfLoops]]
+    * normalization: raw rows, self-loops, distinct ordered pairs, the
+    * multi-edge surplus (rows − self − pairs), and distinct sources.
+    * One scan + one distinct + 1-row folds; the distinct is the same
+    * hash agg every downstream dedup pays anyway. Returns
+    * (n_rows, n_self, n_pairs, n_multi, n_srcs).
+    */
+  def edgeAudit(rawEdges: DataFrame): DataFrame = {
+    val base = rawEdges.agg(count(lit(1)).as("n_rows"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).cast("long")
+        .as("n_self"),
+      countDistinct(col("src")).as("n_srcs"))
+    val pairs = rawEdges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .agg(count(lit(1)).as("n_pairs"))
+    base.crossJoin(pairs).select(col("n_rows"), col("n_self"),
+      col("n_pairs"),
+      (col("n_rows") - col("n_self") - col("n_pairs")).cast("long")
+        .as("n_multi"),
+      col("n_srcs"))
+  }
+
   /** One-row crawl-drift panel between two symmetrized snapshots:
     * canonical-pair and vertex-set Jaccard overlaps — the cheap
     * how-much-did-the-web-move-since-last-crawl scalar pair read before

@@ -603,6 +603,20 @@ object GraphQueries {
       GraphOps.snapshotDrift(snap(1), snap(2))
     }),
 
+    // host outlink-profile similarity: Jaccard of target-host sets over
+    // the banded pairing join (link-structure mirror detection)
+    "g_host_similarity" -> ((s, dir) =>
+      graft.sources.HostGraph.hostLinkSimilarity(hostPairs(s, dir))),
+
+    // raw-dump hygiene audit on the UNNORMALIZED directed projection
+    // (line<=2, self-loops and multi-edges kept): the ingest QA row
+    "g_edge_audit" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      GraphOps.edgeAudit(li.filter(col("l_linenumber") <= 2)
+        .select((col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst")))
+    }),
+
     // degrees over the BUCKETED storage layout: write-once hash layout,
     // exchange-free src aggregations on read-back (plan asserted in the
     // Layout spec); values must equal the plain-path degrees
@@ -2658,6 +2672,43 @@ object GraphQueries {
 
     "g_bucketed_degrees" ->
       s"WITH $cte SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1",
+
+    "g_edge_audit" ->
+      s"""WITH r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2),
+         |b AS (SELECT count(*) AS n_rows,
+         |        CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_self,
+         |        count(DISTINCT src) AS n_srcs FROM r),
+         |p AS (SELECT count(*) AS n_pairs FROM (
+         |  SELECT DISTINCT src, dst FROM r WHERE src <> dst) t)
+         |SELECT n_rows, n_self, n_pairs,
+         |       CAST(n_rows - n_self - n_pairs AS BIGINT) AS n_multi,
+         |       n_srcs
+         |FROM b, p""".stripMargin,
+
+    // outlink-profile Jaccard oracle: distinct (host, target) pairs,
+    // banded pairing on the target, sizes in the banded space
+    "g_host_similarity" ->
+      (s"WITH $hostCte,\n" +
+        """hset AS (SELECT DISTINCT sh AS host, dh AS target FROM hp
+          |         WHERE sh <> '' AND dh <> '' AND sh <> dh),
+          |banded AS (SELECT host, target FROM hset WHERE target IN (
+          |  SELECT target FROM hset GROUP BY target
+          |  HAVING count(*) <= 1000)),
+          |sz AS (SELECT host, count(*) AS n_out FROM banded GROUP BY 1),
+          |sh2 AS (SELECT a.host AS host_a, b.host AS host_b,
+          |          count(*) AS n_shared
+          |        FROM banded a JOIN banded b ON a.target = b.target
+          |          AND a.host < b.host
+          |        GROUP BY 1, 2)
+          |SELECT host_a, host_b, n_shared,
+          |       CAST(ROUND(CAST(n_shared AS DOUBLE) * 1000000
+          |         / (x.n_out + y.n_out - n_shared)) AS BIGINT)
+          |         AS jaccard_e6
+          |FROM sh2 JOIN sz x ON sh2.host_a = x.host
+          |JOIN sz y ON sh2.host_b = y.host""".stripMargin),
 
     "g_degdist_drift" ->
       s"""WITH s1r AS (

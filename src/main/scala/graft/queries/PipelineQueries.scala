@@ -225,6 +225,46 @@ object PipelineQueries {
     "ev_type_pairs" -> ((s, dir) =>
       graft.streaming.Funnel.sessionTypePairs(events(s, dir))),
 
+    // distinct-user audience overlap between event types
+    "ev_audience_overlap" -> ((s, dir) =>
+      graft.streaming.Funnel.audienceOverlap(events(s, dir))),
+
+    // conversion-windowed funnel: each step within 1 day of the previous
+    "ev_funnel_windowed" -> ((s, dir) =>
+      graft.streaming.Funnel.funnelWindowed(events(s, dir),
+        Seq("signup", "view", "click", "purchase"), windowSec = 86400L)),
+
+    // top-10 busiest minutes (TakeOrdered, (n desc, minute asc) pin) —
+    // the capacity-planning peak table
+    "ev_peak_minutes" -> ((s, dir) =>
+      events(s, dir)
+        .select((col("ts").cast("timestamp").cast("long")
+          - col("ts").cast("timestamp").cast("long") % 60).as("minute_epoch"))
+        .groupBy("minute_epoch").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("minute_epoch").asc).limit(10)),
+
+    // exact-dup mass per source: which feed re-serves the same pages
+    "d_dup_by_source" -> ((s, dir) =>
+      graft.text.CorpusClean.dupRateBySource(docs(s, dir))),
+
+    // one-row embedding norm audit: zero-norm count + n2 envelope
+    "e_norm_audit" -> ((s, dir) =>
+      graft.functions.Similarity.normAudit(emb(s, dir))),
+
+    // per-source quality triage panel (shared d_quality composite)
+    "d_source_quality" -> ((s, dir) =>
+      graft.text.CorpusClean.sourceQuality(docs(s, dir))),
+
+    // exact-duplicate embedding groups over the e6 quantization; corpus
+    // salted with copies of every 25th vector (the synthetic embeddings
+    // carry no exact dups of their own)
+    "e_exact_dups" -> ((s, dir) => {
+      val v = emb(s, dir)
+      val salted = v.union(v.filter(col("vec_id") % 25 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L))
+      graft.functions.Similarity.exactDupVectors(salted)
+    }),
+
     // exact dedup: content-hash group, keep min doc_id
     "d_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(md5(col("text")).as("content_hash"))
@@ -2214,6 +2254,118 @@ object PipelineQueries {
         |FROM ty a JOIN ty b ON a.user_id = b.user_id AND a.sid = b.sid
         |  AND a.event_type < b.event_type
         |GROUP BY 1, 2""".stripMargin,
+
+    "ev_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY 1),
+        |cm AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_common
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |         AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_common,
+        |       CAST(ROUND(CAST(n_common AS DOUBLE) * 1000000
+        |         / (x.n_users + y.n_users - n_common)) AS BIGINT)
+        |         AS jaccard_e6
+        |FROM cm JOIN sz x ON cm.type_a = x.event_type
+        |JOIN sz y ON cm.type_b = y.event_type""".stripMargin,
+
+    "d_source_quality" ->
+      """WITH q AS (SELECT source, lang, n_chars,
+        |    CAST(ROUND((len(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+        |      / len(text) * 0.5
+        |      + LEAST(len(regexp_extract_all(text, '\S+')), 50)::DOUBLE
+        |        / 50.0 * 0.5) * 1000) AS BIGINT) AS q_e3
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs,
+        |       CAST(ROUND(sum(n_chars) * 1000 / count(*)) AS BIGINT)
+        |         AS mean_chars_e3,
+        |       CAST(ROUND(sum(q_e3) / count(*)) AS BIGINT)
+        |         AS mean_quality_e3
+        |FROM q GROUP BY 1""".stripMargin,
+
+    "e_exact_dups" ->
+      """WITH salted AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings
+        |  WHERE vec_id % 25 = 0),
+        |h AS (SELECT vec_id,
+        |    md5(array_to_string(
+        |      [CAST(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |        AS VARCHAR) for x in embedding], ',')) AS vec_hash
+        |  FROM salted)
+        |SELECT vec_hash, count(*) AS n_vecs,
+        |       CAST(min(vec_id) AS BIGINT) AS canonical_id
+        |FROM h GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "ev_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(ts) // 1000000 AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m1 AS (SELECT user_id, min(t) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |a1 AS (SELECT u.user_id, m1.t_signup FROM u
+        |       LEFT JOIN m1 ON u.user_id = m1.user_id),
+        |m2 AS (SELECT e.user_id, min(e.t) AS t_view FROM ev e
+        |       JOIN a1 ON a1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND a1.t_signup IS NOT NULL
+        |         AND e.t >= a1.t_signup
+        |         AND e.t <= a1.t_signup + 86400 GROUP BY 1),
+        |a2 AS (SELECT a1.*, m2.t_view FROM a1
+        |       LEFT JOIN m2 ON a1.user_id = m2.user_id),
+        |m3 AS (SELECT e.user_id, min(e.t) AS t_click FROM ev e
+        |       JOIN a2 ON a2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND a2.t_view IS NOT NULL
+        |         AND e.t >= a2.t_view
+        |         AND e.t <= a2.t_view + 86400 GROUP BY 1),
+        |a3 AS (SELECT a2.*, m3.t_click FROM a2
+        |       LEFT JOIN m3 ON a2.user_id = m3.user_id),
+        |m4 AS (SELECT e.user_id, min(e.t) AS t_purchase FROM ev e
+        |       JOIN a3 ON a3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND a3.t_click IS NOT NULL
+        |         AND e.t >= a3.t_click
+        |         AND e.t <= a3.t_click + 86400 GROUP BY 1),
+        |a4 AS (SELECT a3.*, m4.t_purchase FROM a3
+        |       LEFT JOIN m4 ON a3.user_id = m4.user_id)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT CAST(CASE WHEN t_purchase IS NOT NULL THEN 4
+        |              WHEN t_click IS NOT NULL THEN 3
+        |              WHEN t_view IS NOT NULL THEN 2
+        |              WHEN t_signup IS NOT NULL THEN 1
+        |              ELSE 0 END AS BIGINT) AS stage
+        |  FROM a4) t
+        |GROUP BY 1""".stripMargin,
+
+    "ev_peak_minutes" ->
+      """WITH m AS (SELECT (epoch_us(ts) // 1000000)
+        |    - (epoch_us(ts) // 1000000) % 60 AS minute_epoch FROM events),
+        |c AS (SELECT minute_epoch, count(*) AS n FROM m GROUP BY 1)
+        |SELECT CAST(minute_epoch AS BIGINT) AS minute_epoch, n FROM c
+        |ORDER BY n DESC, minute_epoch ASC LIMIT 10""".stripMargin,
+
+    "d_dup_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        |         AS n_dups,
+        |       CAST(ROUND(CAST(count(*) - count(DISTINCT md5(text))
+        |         AS DOUBLE) * 1000000 / count(*)) AS BIGINT) AS dup_rate_e6
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "e_norm_audit" ->
+      """WITH n2t AS (SELECT
+        |    list_sum([CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |      * CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |      for x in embedding]) AS n2
+        |  FROM embeddings)
+        |SELECT count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       CAST(min(n2) AS BIGINT) AS min_n2,
+        |       CAST(max(n2) AS BIGINT) AS max_n2
+        |FROM n2t""".stripMargin,
 
     // calibration oracle: same signatures, same bands, matches from the
     // 8-row signature join, exact Jaccard from the shingle tables

@@ -174,6 +174,45 @@ object HostGraph {
     * @param docHosts (host, fp) — one row per hosted document content
     * @return (host_a, host_b, shared, mirror_e6), host_a < host_b
     */
+  /** Host pairs with similar OUTLINK PROFILES: Jaccard overlap of the two
+    * hosts' distinct target-host sets — the link-structure mirror/
+    * syndication detector that complements [[mirrorPairs]]' content
+    * fingerprints (a scraper site copies link panels even when it rewrites
+    * text). The pairing equi-join runs ON THE TARGET with a
+    * `maxHostsPerTarget` band (the CoCitation cap: a target every host
+    * links to is evidence of nothing and would mint all-pairs), and the
+    * profile sizes are measured in the SAME banded space so the Jaccard
+    * is exact over it. Output bounded by Σ tin² over banded targets.
+    *
+    * @return (host_a, host_b, n_shared, jaccard_e6), canonical a < b
+    */
+  def hostLinkSimilarity(pairs: DataFrame,
+                         maxHostsPerTarget: Long = 1000L): DataFrame = {
+    val hp = pairs.select(
+        hostOf(col("src_url")).as("host"), hostOf(col("dst_url")).as("target"))
+      .filter(col("host") =!= "" && col("target") =!= ""
+        && col("host") =!= col("target"))
+      .distinct()
+    val banded = hp.join(
+      hp.groupBy("target").agg(count(lit(1)).as("tin"))
+        .filter(col("tin") <= maxHostsPerTarget).select("target"),
+      Seq("target"), "left_semi")
+    val sizes = banded.groupBy("host").agg(count(lit(1)).as("n_out"))
+    banded.select(col("target"), col("host").as("host_a"))
+      .join(banded.select(col("target"), col("host").as("host_b")),
+        Seq("target"))
+      .filter(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("host").as("host_a"), col("n_out").as("na")),
+        "host_a")
+      .join(sizes.select(col("host").as("host_b"), col("n_out").as("nb")),
+        "host_b")
+      .select(col("host_a"), col("host_b"), col("n_shared"),
+        round(col("n_shared").cast("double") * 1000000
+          / (col("na") + col("nb") - col("n_shared"))).cast("long")
+          .as("jaccard_e6"))
+  }
+
   def mirrorPairs(docHosts: DataFrame, maxHostsPerFp: Int = 50): DataFrame = {
     require(maxHostsPerFp >= 2)
     val h = docHosts.select(col("host"), col("fp")).distinct()

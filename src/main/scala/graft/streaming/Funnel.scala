@@ -293,6 +293,73 @@ object Funnel {
       .agg(count(lit(1)).as("n_sessions"))
   }
 
+  /** Conversion-windowed funnel: the [[stages]] fold with each step
+    * additionally required to land within `windowSec` of the previous
+    * step's time — the form every product funnel actually ships (a
+    * purchase three months after the click is not attribution). Same
+    * per-step join + min-aggregation chain; the window is one extra
+    * predicate pushed into each step's earliest-qualifying-event filter,
+    * so a user's step time is the first event satisfying BOTH order and
+    * window (greedy-earliest semantics, matched by the oracle chain).
+    * Aggregated to the per-stage user counts. Returns (stage, n_users)
+    * with stage 0 = never entered.
+    */
+  def funnelWindowed(events: DataFrame, steps: Seq[String],
+                     windowSec: Long): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val ev = events.select(col("user_id"), col("event_type"),
+      col("ts").cast("timestamp").cast("long").as("t"))
+    val users = ev.select(col("user_id")).distinct()
+    var acc = users
+    var prevCol: String = null
+    steps.foreach { step =>
+      val tc = s"t_$step"
+      val m =
+        if (prevCol == null)
+          ev.filter(col("event_type") === step)
+            .groupBy("user_id").agg(min(col("t")).as(tc))
+        else
+          ev.filter(col("event_type") === step)
+            .join(acc.select(col("user_id"), col(prevCol)), "user_id")
+            .filter(col(prevCol).isNotNull && col("t") >= col(prevCol)
+              && col("t") <= col(prevCol) + windowSec)
+            .groupBy("user_id").agg(min(col("t")).as(tc))
+      acc = acc.join(m, Seq("user_id"), "left")
+      prevCol = tc
+    }
+    val stage = steps.zipWithIndex.foldLeft(lit(0L)) { case (els, (step, i)) =>
+      when(col(s"t_$step").isNotNull, lit(i.toLong + 1)).otherwise(els)
+    }
+    acc.select(col("user_id"), stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Audience overlap between event types: for each canonical type pair,
+    * the distinct-user intersection and its Jaccard against the two
+    * audiences — the "do searchers also buy" panel. The pairing self-join
+    * keys on USER (per-user fan-out ≤ |types|², a small fixed vocabulary),
+    * audience sizes come from one type-keyed hash agg, so nothing is ever
+    * user-quadratic. Returns (type_a, type_b, n_common, jaccard_e6).
+    */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("na")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("nb")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_common"),
+        round(col("n_common").cast("double") * 1000000
+          / (col("na") + col("nb") - col("n_common"))).cast("long")
+          .as("jaccard_e6"))
+  }
+
   def sessionStats(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
     val sess = withSessionIds(events, gapSec)
       .groupBy(col("user_id"), col("sid"))

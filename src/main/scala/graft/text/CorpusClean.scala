@@ -339,6 +339,50 @@ object CorpusClean {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Exact-duplicate mass per source: docs, distinct md5(text) contents,
+    * and the duplicate fraction — WHICH feed is re-serving the same pages
+    * (the per-source drill-down of [[corpusSummary]]'s corpus-level dup
+    * forecast, read next to [[sourceQuality]]). One source-keyed hash agg
+    * over 16-byte content keys. Returns
+    * (source, n_docs, n_distinct, n_dups, dup_rate_e6).
+    */
+  def dupRateBySource(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).cast("long").as("n_dups"),
+        round((col("n_docs") - col("n_distinct")).cast("double") * 1000000
+          / col("n_docs")).cast("long").as("dup_rate_e6"))
+
+  /** Per-source quality panel — the "which feed is garbage" table a
+    * corpus triage starts from: per source, doc count, language spread,
+    * mean char length and the mean of the shared composite quality score
+    * (the d_quality alpha-ratio/token blend, each doc's score an e3
+    * integer, so the per-source sums are exact and the means one rounded
+    * divide each). One scan + one source-keyed hash agg.
+    *
+    * @return (source, n_docs, n_langs, mean_chars_e3, mean_quality_e3)
+    */
+  def sourceQuality(docs: DataFrame): DataFrame = {
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+    val toks = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val q = docs.select(col("source"), col("lang"), col("n_chars"),
+      round((alpha.cast("double") / length(col("text")) * 0.5 +
+        least(toks, lit(50)).cast("double") / 50.0 * 0.5) * 1000)
+        .cast("long").as("q_e3"))
+    q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("q_e3")).as("sum_q"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(col("sum_chars") * 1000 / col("n_docs")).cast("long")
+          .as("mean_chars_e3"),
+        round(col("sum_q") / col("n_docs")).cast("long")
+          .as("mean_quality_e3"))
+  }
+
   /** Identical content filed under MORE THAN ONE language tag — the
     * lang-ID-noise detector for per-language dedup: a pipeline that
     * dedups within language silently keeps every copy of a doc whose
