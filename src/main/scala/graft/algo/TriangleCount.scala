@@ -477,4 +477,34 @@ object TriangleCount {
         greatest(col("v"), col("u")).as("dst"), col("common"))
       .distinct()
   }
+
+  /** Butterfly (2×2 biclique) census of a BIPARTITE edge table (src =
+    * left class, dst = right class) — the triangle analogue for
+    * user×item / host×resource graphs, where triangles cannot exist and
+    * butterflies are the cohesion primitive (Sanei-Mehri et al., KDD'18):
+    * butterflies = Σ over right-pairs C(co-wedge count, 2), computed
+    * from the same capped co-cited-pair counts the co-visitation
+    * operator builds. The `maxLeftDeg` cap is the CoCitation hub guard —
+    * a left vertex of degree d mints C(d,2) wedges, so one unbounded
+    * power user would dominate both cost and count; capped semantics are
+    * part of the contract (count over the capped graph). Integer-exact:
+    * c·(c−1) is even, halved by integer division after the sum.
+    *
+    * @return one row (butterflies, n_copairs, n_wedges)
+    */
+  def butterflies(bipartite: DataFrame, maxLeftDeg: Long = 1000L): DataFrame = {
+    val e = bipartite.select(col("src"), col("dst")).distinct()
+    val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxLeftDeg).select("src")
+    val b = e.join(keep, Seq("src"), "left_semi")
+    val pairs = b.select(col("src"), col("dst").as("r1"))
+      .join(b.select(col("src"), col("dst").as("r2")), Seq("src"))
+      .filter(col("r1") < col("r2"))
+      .groupBy("r1", "r2").agg(count(lit(1)).as("c"))
+    pairs.agg(sum(col("c") * (col("c") - 1)).cast("long").as("w2"),
+        count(lit(1)).as("n_copairs"),
+        sum(col("c")).cast("long").as("n_wedges"))
+      .select(expr("w2 div 2").cast("long").as("butterflies"),
+        col("n_copairs"), col("n_wedges"))
+  }
 }

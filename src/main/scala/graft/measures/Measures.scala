@@ -571,6 +571,41 @@ object Measures {
         .cast("long").as("gini_e6"))
   }
 
+  /** Degree percentile panel (p50/p90/p99/p999/max) from the DEGREE
+    * HISTOGRAM — the operational skew readout behind the auto-derived
+    * broadcast threshold ([[graft.graph.GraphOps]] skew plans): the gap
+    * between p999 and max IS the hub story a partitioning plan must
+    * survive. Exact order statistics: value at position k = min degree
+    * whose cumulative count ≥ k, positions from the ceil convention
+    * k_q = ⌈n·q⌉; the cumulative window runs over the bounded histogram
+    * (dist-hist precedent), everything else is 1-row folds.
+    * Returns (n_vertices, p50, p90, p99, p999, max_deg).
+    */
+  def degreePercentiles(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum(col("c")).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("d").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val tot = deg.agg(count(lit(1)).as("n_vertices"),
+      max(col("d")).cast("long").as("max_deg"))
+    cum.crossJoin(tot)
+      .agg(min(when(col("cum") * 2 >= col("n_vertices"), col("d")))
+          .as("p50"),
+        min(when(col("cum") * 10 >= col("n_vertices") * 9, col("d")))
+          .as("p90"),
+        min(when(col("cum") * 100 >= col("n_vertices") * 99, col("d")))
+          .as("p99"),
+        min(when(col("cum") * 1000 >= col("n_vertices") * 999, col("d")))
+          .as("p999"))
+      .crossJoin(tot)
+      .select(col("n_vertices"), col("p50").cast("long").as("p50"),
+        col("p90").cast("long").as("p90"),
+        col("p99").cast("long").as("p99"),
+        col("p999").cast("long").as("p999"), col("max_deg"))
+  }
+
   /** L1 drift between two snapshots' DEGREE HISTOGRAMS — the
     * distribution-level companion of [[graft.graph.GraphOps
     * .snapshotDrift]]'s set overlaps: edge sets can move a lot while the

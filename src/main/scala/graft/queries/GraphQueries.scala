@@ -608,6 +608,11 @@ object GraphQueries {
     "g_host_similarity" -> ((s, dir) =>
       graft.sources.HostGraph.hostLinkSimilarity(hostPairs(s, dir))),
 
+    // degree percentile panel from the histogram (exact ceil-convention
+    // order statistics, cross-multiplied — no float quantile)
+    "g_degree_percentiles" -> ((s, dir) =>
+      Measures.degreePercentiles(demoEdges(s, dir))),
+
     // raw-dump hygiene audit on the UNNORMALIZED directed projection
     // (line<=2, self-loops and multi-edges kept): the ingest QA row
     "g_edge_audit" -> ((s, dir) => {
@@ -2672,6 +2677,27 @@ object GraphQueries {
 
     "g_bucketed_degrees" ->
       s"WITH $cte SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1",
+
+    "g_degree_percentiles" ->
+      s"""WITH $cte,
+         |deg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1),
+         |hist AS (SELECT d, count(*) AS c FROM deg GROUP BY 1),
+         |cm AS (SELECT d, sum(c) OVER (ORDER BY d ASC
+         |         ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         |tot AS (SELECT count(*) AS n_vertices,
+         |          CAST(max(d) AS BIGINT) AS max_deg FROM deg),
+         |p AS (SELECT
+         |    CAST(min(CASE WHEN cum * 2 >= n_vertices THEN d END)
+         |      AS BIGINT) AS p50,
+         |    CAST(min(CASE WHEN cum * 10 >= n_vertices * 9 THEN d END)
+         |      AS BIGINT) AS p90,
+         |    CAST(min(CASE WHEN cum * 100 >= n_vertices * 99 THEN d END)
+         |      AS BIGINT) AS p99,
+         |    CAST(min(CASE WHEN cum * 1000 >= n_vertices * 999 THEN d END)
+         |      AS BIGINT) AS p999
+         |  FROM cm, tot)
+         |SELECT n_vertices, p50, p90, p99, p999, max_deg
+         |FROM tot, p""".stripMargin,
 
     "g_edge_audit" ->
       s"""WITH r AS (

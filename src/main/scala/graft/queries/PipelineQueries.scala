@@ -251,6 +251,19 @@ object PipelineQueries {
     "e_norm_audit" -> ((s, dir) =>
       graft.functions.Similarity.normAudit(emb(s, dir))),
 
+    // corpus composition by language: docs, tokens, token share
+    "d_lang_mix" -> ((s, dir) =>
+      graft.text.CorpusClean.langMix(docs(s, dir))),
+
+    // butterfly census of the user x item bipartite graph (the covisit
+    // projection with the same deg<=48 cap) — bipartite cohesion scalar
+    "ev_butterflies" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id").as("src"),
+          get_json_object(col("props"), "$.k").cast("long").as("dst"))
+        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      graft.algo.TriangleCount.butterflies(e, maxLeftDeg = 48L)
+    }),
+
     // per-source quality triage panel (shared d_quality composite)
     "d_source_quality" -> ((s, dir) =>
       graft.text.CorpusClean.sourceQuality(docs(s, dir))),
@@ -2353,6 +2366,33 @@ object PipelineQueries {
         |       CAST(ROUND(CAST(count(*) - count(DISTINCT md5(text))
         |         AS DOUBLE) * 1000000 / count(*)) AS BIGINT) AS dup_rate_e6
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "ev_butterflies" ->
+      """WITH rawd AS (
+        |  SELECT DISTINCT user_id AS src, CAST(props->>'k' AS BIGINT) AS dst
+        |  FROM events WHERE props->>'k' IS NOT NULL
+        |    AND user_id <> CAST(props->>'k' AS BIGINT)),
+        |kc AS (SELECT src FROM rawd GROUP BY src HAVING count(*) <= 48),
+        |k AS (SELECT src, dst FROM rawd WHERE src IN (SELECT src FROM kc)),
+        |cp AS (SELECT a.dst AS r1, b.dst AS r2, count(*) AS c
+        |       FROM k a JOIN k b ON a.src = b.src AND a.dst < b.dst
+        |       GROUP BY 1, 2),
+        |s AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS w2,
+        |        count(*) AS n_copairs, CAST(sum(c) AS BIGINT) AS n_wedges
+        |      FROM cp)
+        |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
+        |FROM s""".stripMargin,
+
+    "d_lang_mix" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+        |SELECT lang, n_docs, n_tokens,
+        |       CAST(ROUND(CAST(n_tokens AS DOUBLE) * 1000000 / tot)
+        |         AS BIGINT) AS token_share_e6
+        |FROM per, tot""".stripMargin,
 
     "e_norm_audit" ->
       """WITH n2t AS (SELECT

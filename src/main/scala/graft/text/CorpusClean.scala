@@ -339,6 +339,24 @@ object CorpusClean {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Corpus composition by language: docs, whitespace tokens, and each
+    * language's token share — the language-mix table every corpus report
+    * leads with and the input to any per-language sampling budget (the
+    * lang-axis sibling of [[graft.text.DomainMix.waterfill]]'s host
+    * budgets). One scan + one lang-keyed hash agg + a broadcast 1-row
+    * total. Returns (lang, n_docs, n_tokens, token_share_e6).
+    */
+  def langMix(docs: DataFrame): DataFrame = {
+    val toks = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+    val per = docs.select(col("lang"), toks.cast("long").as("tk"))
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(col("tk")).cast("long").as("n_tokens"))
+    per.crossJoin(per.agg(sum(col("n_tokens")).as("tot")))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") * 1000000 / col("tot"))
+          .cast("long").as("token_share_e6"))
+  }
+
   /** Exact-duplicate mass per source: docs, distinct md5(text) contents,
     * and the duplicate fraction — WHICH feed is re-serving the same pages
     * (the per-source drill-down of [[corpusSummary]]'s corpus-level dup
