@@ -56,6 +56,34 @@ object Matching {
     matched
   }
 
+  /** 2-approximate vertex cover from the greedy maximal matching
+    * (Gavril/Yannakakis): the matched endpoints cover every edge touched
+    * by the matching, and any canonical edge still alive after `rounds`
+    * (both endpoints unmatched) contributes BOTH endpoints as a fallback
+    * — so the result is ALWAYS a valid cover, and when the matching ran
+    * to maximality (empty residual) it carries the classic ≤ 2·OPT
+    * guarantee. The `via` column ('matched' / 'residual') is the audit:
+    * residual rows mean more rounds would shrink the cover. Same
+    * per-round cost as [[greedyRounds]] plus two anti-joins.
+    *
+    * @return (id, via) — the cover set
+    */
+  def vertexCover(edges: DataFrame, rounds: Int, seed: Long): DataFrame = {
+    val matched = greedyRounds(edges, rounds, seed)
+    val canon = GraphOps.canonical(edges)
+    val mEnds = matched.select(col("src").as("id"))
+      .union(matched.select(col("dst").as("id")))
+    val mv = mEnds.distinct()
+    val residual = canon
+      .join(mv.select(col("id").as("src")), Seq("src"), "left_anti")
+      .join(mv.select(col("id").as("dst")), Seq("dst"), "left_anti")
+    val rEnds = residual.select(col("src").as("id"))
+      .union(residual.select(col("dst").as("id")))
+    mEnds.select(col("id"), lit("matched").as("via"))
+      .union(rEnds.select(col("id"), lit("residual").as("via")))
+      .groupBy("id").agg(min(col("via")).as("via"))
+  }
+
   /** Contract a matching into its coarse multigraph — one multilevel-
     * coarsening step (the METIS/multilevel-partitioning shape): each
     * matched pair merges into its lower endpoint (the canonical pair's

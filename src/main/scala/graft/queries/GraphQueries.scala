@@ -2240,6 +2240,12 @@ object GraphQueries {
       graft.algo.Matching.greedyRounds(demoEdges(s, dir), rounds = 3,
         seed = 7L)),
 
+    // Gavril 2-approx vertex cover from the 3-round matching, residual
+    // both-endpoint fallback keeps the cover valid at any round budget
+    "g_vertex_cover_t3" -> ((s, dir) =>
+      graft.algo.Matching.vertexCover(demoEdges(s, dir), rounds = 3,
+        seed = 7L)),
+
     // one multilevel-coarsening step: contract the 3-round matching,
     // parallel slots aggregate into integer weights
     "g_coarsen_t3" -> ((s, dir) => {
@@ -6066,6 +6072,19 @@ object GraphQueries {
     // matching oracle: identical md5 edge priorities and local-minima
     // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
     "g_matching_t3" -> matchingSql(3, 7L),
+
+    "g_vertex_cover_t3" -> {
+      val me = (1 to 3).map(r =>
+        s"SELECT src AS id FROM sel$r UNION ALL SELECT dst FROM sel$r")
+        .mkString(" UNION ALL ")
+      s"""WITH $cte,
+         |${matchingStepsSql(3, 7L)},
+         |me AS ($me),
+         |re AS (SELECT src AS id FROM m3 UNION ALL SELECT dst FROM m3),
+         |u AS (SELECT id, 'matched' AS via FROM me
+         |      UNION ALL SELECT id, 'residual' FROM re)
+         |SELECT id, min(via) AS via FROM u GROUP BY 1""".stripMargin
+    },
 
     // coarsening oracle: the same matching unroll, matched dst → src
     // mapping, weight = surviving slot multiplicity
