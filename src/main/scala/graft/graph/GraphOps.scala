@@ -377,6 +377,49 @@ object GraphOps {
       col("n_srcs"))
   }
 
+  /** Preferential-attachment lift across a crawl delta: do NEW links
+    * attach to already-popular pages? Compares the mean OLD degree of the
+    * endpoints touched by genuinely new canonical pairs (endpoints must
+    * exist in the old snapshot — fresh pages have no old degree to test)
+    * against the old snapshot's overall mean degree; lift ≫ 1e6 is the
+    * Barabási–Albert rich-get-richer regime the power-law tail assumes,
+    * lift ≈ 1e6 says attachment is degree-blind (templated or random
+    * linking). Read next to [[wedgeClosure]]: closure says WHERE new
+    * links land locally, this says WHO attracts them globally. All sums
+    * exact integers (endpoint degree occurrences summed with
+    * multiplicity), two joins + folds.
+    *
+    * @return one row (n_endpoints, sum_deg_endpoints, n_vertices,
+    *         sum_deg, mean_endpoint_deg_e6, mean_deg_e6, lift_e6)
+    */
+  def attachmentLift(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    val deg = oldEdges.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val oldPairs = oldEdges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+    val newPairs = newEdges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+      .join(oldPairs, Seq("a", "b"), "left_anti")
+    val ends = newPairs.select(col("a").as("id"))
+      .union(newPairs.select(col("b").as("id")))
+      .join(deg, Seq("id")) // only endpoints that existed before
+      .agg(count(lit(1)).as("n_endpoints"),
+        coalesce(sum(col("d")), lit(0L)).cast("long")
+          .as("sum_deg_endpoints"))
+    val base = deg.agg(count(lit(1)).as("n_vertices"),
+      sum(col("d")).cast("long").as("sum_deg"))
+    ends.crossJoin(base).select(col("n_endpoints"),
+      col("sum_deg_endpoints"), col("n_vertices"), col("sum_deg"),
+      when(col("n_endpoints") === 0, lit(0L)).otherwise(
+        round(col("sum_deg_endpoints").cast("double") * 1000000
+          / col("n_endpoints")).cast("long")).as("mean_endpoint_deg_e6"),
+      round(col("sum_deg").cast("double") * 1000000 / col("n_vertices"))
+        .cast("long").as("mean_deg_e6"),
+      when(col("n_endpoints") === 0, lit(0L)).otherwise(
+        round(col("sum_deg_endpoints").cast("double") * col("n_vertices")
+          * 1000000 / (col("n_endpoints") * col("sum_deg"))).cast("long"))
+        .as("lift_e6"))
+  }
+
   /** One-row crawl-drift panel between two symmetrized snapshots:
     * canonical-pair and vertex-set Jaccard overlaps — the cheap
     * how-much-did-the-web-move-since-last-crawl scalar pair read before

@@ -613,6 +613,18 @@ object GraphQueries {
     "g_degree_percentiles" -> ((s, dir) =>
       Measures.degreePercentiles(demoEdges(s, dir))),
 
+    // preferential-attachment lift of the crawl delta: mean old degree
+    // of new-pair endpoints vs the overall mean (BA rich-get-richer test)
+    "g_attachment_lift" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def snap(maxLine: Int) = GraphOps.symmetrize(
+        li.filter(col("l_linenumber") <= maxLine)
+          .select((col("l_orderkey") % NodeSpace).as("src"),
+            (col("l_partkey") % NodeSpace).as("dst"))
+          .filter(col("src") =!= col("dst")))
+      GraphOps.attachmentLift(snap(1), snap(2))
+    }),
+
     // raw-dump hygiene audit on the UNNORMALIZED directed projection
     // (line<=2, self-loops and multi-edges kept): the ingest QA row
     "g_edge_audit" -> ((s, dir) => {
@@ -2683,6 +2695,43 @@ object GraphQueries {
 
     "g_bucketed_degrees" ->
       s"WITH $cte SELECT src AS id, count(*) AS degree FROM e0 GROUP BY 1",
+
+    "g_attachment_lift" ->
+      s"""WITH s1r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s1 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s1r UNION ALL SELECT dst, src FROM s1r) u),
+         |s2r AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber <= 2
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |s2 AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM s2r UNION ALL SELECT dst, src FROM s2r) u),
+         |deg AS (SELECT src AS id, count(*) AS d FROM s1 GROUP BY 1),
+         |np AS (
+         |  SELECT src AS a, dst AS b FROM s2 WHERE src < dst
+         |  AND NOT EXISTS (SELECT 1 FROM s1
+         |                  WHERE s1.src = s2.src AND s1.dst = s2.dst)),
+         |en AS (SELECT count(*) AS n_endpoints,
+         |         CAST(coalesce(sum(d), 0) AS BIGINT) AS sum_deg_endpoints
+         |       FROM (SELECT a AS id FROM np
+         |             UNION ALL SELECT b FROM np) e
+         |       JOIN deg ON e.id = deg.id),
+         |ba AS (SELECT count(*) AS n_vertices,
+         |         CAST(sum(d) AS BIGINT) AS sum_deg FROM deg)
+         |SELECT n_endpoints, sum_deg_endpoints, n_vertices, sum_deg,
+         |  CASE WHEN n_endpoints = 0 THEN 0
+         |       ELSE CAST(ROUND(CAST(sum_deg_endpoints AS DOUBLE) * 1000000
+         |            / n_endpoints) AS BIGINT) END AS mean_endpoint_deg_e6,
+         |  CAST(ROUND(CAST(sum_deg AS DOUBLE) * 1000000 / n_vertices)
+         |    AS BIGINT) AS mean_deg_e6,
+         |  CASE WHEN n_endpoints = 0 THEN 0
+         |       ELSE CAST(ROUND(CAST(sum_deg_endpoints AS DOUBLE)
+         |            * n_vertices * 1000000 / (n_endpoints * sum_deg))
+         |            AS BIGINT) END AS lift_e6
+         |FROM en, ba""".stripMargin,
 
     "g_degree_percentiles" ->
       s"""WITH $cte,
