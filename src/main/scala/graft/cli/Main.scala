@@ -476,6 +476,20 @@ object Main {
       t.write.mode("overwrite").parquet(s"$outDir/bfs_tree")
       println(s"[graft] bfstree: rows=${t.count()}")
     }
+    def runSummary(): Unit = {
+      val s1 = graft.measures.Measures.graphSummary(edges).collect().head
+      val p = graft.measures.Measures.degreePercentiles(edges).collect().head
+      val g = graft.measures.Measures.degreeGini(edges).collect().head
+      println(s"[graft] summary: n=${s1.getAs[Long]("n_vertices")}" +
+        s" slots=${s1.getAs[Long]("n_slots")}" +
+        s" deg=[${s1.getAs[Long]("min_deg")},${s1.getAs[Long]("max_deg")}]" +
+        s" avg_deg_e6=${s1.getAs[Long]("avg_deg_e6")}" +
+        s" density_e6=${s1.getAs[Long]("density_e6")}")
+      println(s"[graft] degrees: p50=${p.getAs[Long]("p50")}" +
+        s" p90=${p.getAs[Long]("p90")} p99=${p.getAs[Long]("p99")}" +
+        s" p999=${p.getAs[Long]("p999")} max=${p.getAs[Long]("max_deg")}" +
+        s" gini_e6=${g.getAs[Long]("gini_e6")}")
+    }
     def runMatching(): Unit = {
       val seed = sys.env.getOrElse("SPARK_GRAFT_SAMPLE_SEED", "7").toLong
       val m = graft.algo.Matching.greedyRounds(edges, rounds = 10, seed)
@@ -656,6 +670,7 @@ object Main {
       case "edgebc"      => runEdgeBc()
       case "diameter2"   => runDiameter2()
       case "pprtopics"   => runPprTopics()
+      case "summary"     => runSummary()
       case "all"         => runLp(); runCc(); runPr(); runTri()
       case other         => sys.error(s"unknown algorithm: $other")
     }
