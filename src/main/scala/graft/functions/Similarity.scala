@@ -276,25 +276,55 @@ object Similarity {
     *
     * @return (cid, n_vectors, inertia_e6, mean_d_e6)
     */
-  def ivfCells(vectors: DataFrame, centStride: Int = 29): DataFrame = {
+  def ivfCells(vectors: DataFrame, centStride: Int = 29): DataFrame =
+    ivfAssign(vectors, centStride).groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("d")).cast("long").as("inertia_e6"))
+      .withColumn("mean_d_e6",
+        round(col("inertia_e6").cast("double") / col("n_vectors"))
+          .cast("long"))
+
+  /** Shared sampled-quantizer assignment behind [[ivfCells]] and
+    * [[ivfCellPurity]]: every vector to its nearest stride-sampled
+    * centroid (e6-rounded squared-L2, (d, cid) argmin pin).
+    */
+  private def ivfAssign(vectors: DataFrame, centStride: Int): DataFrame = {
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = v.filter(col("vec_id") % centStride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    val assign = v.crossJoin(broadcast(cents))
+    v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         round(sqDist(col("v"), col("cv")) * 1e6).cast("long").as("d"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))))
       .filter(col("rk") === 1)
-    assign.groupBy("cid")
-      .agg(count(lit(1)).as("n_vectors"),
-        sum(col("d")).cast("long").as("inertia_e6"))
-      .withColumn("mean_d_e6",
-        round(col("inertia_e6").cast("double") / col("n_vectors"))
-          .cast("long"))
+      .select(col("vec_id"), col("cid"), col("d"))
+  }
+
+  /** Label purity per IVF cell: the majority label's share among each
+    * cell's assigned vectors — the does-the-quantizer-respect-semantics
+    * audit beside [[ivfCells]]' balance table (balanced-but-impure cells
+    * mean probe recall will look fine while label-filtered queries fan
+    * out everywhere). Same broadcast-centroid assignment; the majority
+    * window partitions by cell. Returns
+    * (cid, n_vectors, majority_label, n_majority, purity_e6).
+    */
+  def ivfCellPurity(vectors: DataFrame, centStride: Int = 29): DataFrame = {
+    val lab = vectors.select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    val cl = ivfAssign(vectors, centStride).join(lab, "vec_id")
+      .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("cid").orderBy(col("n").desc, col("label").asc)
+    cl.withColumn("rn", row_number().over(w))
+      .withColumn("n_vectors", sum(col("n")).over(Window.partitionBy("cid")))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n_vectors").cast("long").as("n_vectors"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n").cast("double") * 1000000 / col("n_vectors"))
+          .cast("long").as("purity_e6"))
   }
 
   /** Lloyd-trained centroids (k-means) for IVF: `iters` rounds of

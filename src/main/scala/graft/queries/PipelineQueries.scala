@@ -255,6 +255,25 @@ object PipelineQueries {
     "d_lang_mix" -> ((s, dir) =>
       graft.text.CorpusClean.langMix(docs(s, dir))),
 
+    // label purity per IVF cell (majority-label share; the semantics
+    // audit beside e_ivf_cells' balance table)
+    "e_ivf_purity" -> ((s, dir) =>
+      graft.functions.Similarity.ivfCellPurity(emb(s, dir))),
+
+    // signup->purchase conversion-lag histogram at power-of-2 buckets
+    "ev_conv_lag_hist" -> ((s, dir) => {
+      val st = graft.streaming.Funnel.stages(events(s, dir),
+        Seq("signup", "view", "click", "purchase"))
+      st.filter(col("t_purchase").isNotNull)
+        .select((length(bin(col("t_purchase") - col("t_signup") + 1)) - 1)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // vocabulary coverage curve at k in {100, 1000, 10000}
+    "d_vocab_coverage" -> ((s, dir) =>
+      graft.text.TextIndex.vocabCoverage(docs(s, dir))),
+
     // butterfly census of the user x item bipartite graph (the covisit
     // projection with the same deg<=48 cap) — bipartite cohesion scalar
     "ev_butterflies" -> ((s, dir) => {
@@ -2382,6 +2401,80 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "e_ivf_purity" ->
+      """WITH vv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |              [CAST(x AS DOUBLE) for x in embedding] AS v
+        |            FROM embeddings),
+        |ct AS (SELECT vec_id AS cid, v AS cv FROM vv WHERE vec_id % 29 = 0),
+        |ad AS (SELECT vv.vec_id, vv.label, ct.cid,
+        |         CAST(ROUND(list_sum([(v[i+1]-cv[i+1])*(v[i+1]-cv[i+1])
+        |           for i in range(64)]) * 1000000) AS BIGINT) AS d
+        |       FROM vv, ct),
+        |assign AS (SELECT vec_id, label, cid FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |  FROM ad) t WHERE rk = 1),
+        |cl AS (SELECT cid, label, count(*) AS n FROM assign GROUP BY 1, 2),
+        |top AS (SELECT cid, label, n,
+        |          sum(n) OVER (PARTITION BY cid) AS n_vectors,
+        |          row_number() OVER (PARTITION BY cid
+        |            ORDER BY n DESC, label ASC) AS rn
+        |        FROM cl)
+        |SELECT cid, CAST(n_vectors AS BIGINT) AS n_vectors,
+        |       label AS majority_label, n AS n_majority,
+        |       CAST(ROUND(CAST(n AS DOUBLE) * 1000000 / n_vectors)
+        |         AS BIGINT) AS purity_e6
+        |FROM top WHERE rn = 1""".stripMargin,
+
+    "ev_conv_lag_hist" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(ts) // 1000000 AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m1 AS (SELECT user_id, min(t) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |a1 AS (SELECT u.user_id, m1.t_signup FROM u
+        |       LEFT JOIN m1 ON u.user_id = m1.user_id),
+        |m2 AS (SELECT e.user_id, min(e.t) AS t_view FROM ev e
+        |       JOIN a1 ON a1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND a1.t_signup IS NOT NULL
+        |         AND e.t >= a1.t_signup GROUP BY 1),
+        |a2 AS (SELECT a1.*, m2.t_view FROM a1
+        |       LEFT JOIN m2 ON a1.user_id = m2.user_id),
+        |m3 AS (SELECT e.user_id, min(e.t) AS t_click FROM ev e
+        |       JOIN a2 ON a2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND a2.t_view IS NOT NULL
+        |         AND e.t >= a2.t_view GROUP BY 1),
+        |a3 AS (SELECT a2.*, m3.t_click FROM a2
+        |       LEFT JOIN m3 ON a2.user_id = m3.user_id),
+        |m4 AS (SELECT e.user_id, min(e.t) AS t_purchase FROM ev e
+        |       JOIN a3 ON a3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND a3.t_click IS NOT NULL
+        |         AND e.t >= a3.t_click GROUP BY 1),
+        |a4 AS (SELECT a3.user_id, a3.t_signup, m4.t_purchase FROM a3
+        |       LEFT JOIN m4 ON a3.user_id = m4.user_id)
+        |SELECT CAST(length(bin(t_purchase - t_signup + 1)) - 1 AS BIGINT)
+        |         AS bucket,
+        |       count(*) AS n_users
+        |FROM a4 WHERE t_purchase IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "d_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+        |                '[a-z0-9]+')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM tf),
+        |rk AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term ASC)
+        |         AS rk,
+        |         sum(tf) OVER (ORDER BY tf DESC, term ASC
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM tf),
+        |ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |       CAST(max(cum) AS BIGINT) AS covered_tokens,
+        |       CAST(ROUND(CAST(max(cum) AS DOUBLE) * 1000000
+        |         / (SELECT tot FROM tot)) AS BIGINT) AS coverage_e6
+        |FROM rk JOIN ks ON rk.rk <= ks.k
+        |GROUP BY 1""".stripMargin,
 
     "d_lang_mix" ->
       """WITH per AS (SELECT lang, count(*) AS n_docs,

@@ -34,6 +34,38 @@ object TextIndex {
   private def termDf(docs: DataFrame): DataFrame =
     docTermPairs(docs).groupBy("term").agg(count(lit(1)).as("df"))
 
+  /** Vocabulary coverage curve: the fraction of all corpus token
+    * OCCURRENCES covered by the top-k most frequent terms, at a few k
+    * checkpoints — the table that sizes a tokenizer vocabulary (if 10k
+    * types cover 98% of tokens, a 50k vocab buys almost nothing) and
+    * prices the [[oovRate]] threshold. The top-max(k) selection is a
+    * TakeOrdered ((tf desc, term asc) pin); the cumulative window runs
+    * over that BOUNDED prefix only, never the full term table. Returns
+    * (k, covered_tokens, coverage_e6) per checkpoint.
+    */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"need positive ks, got $ks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = docs.select(explode(termsCol).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+    val tot = tf.agg(sum(col("tf")).as("tot"))
+    val ord = Window.orderBy(col("tf").desc, col("term").asc)
+    val cum = tf.orderBy(col("tf").desc, col("term").asc).limit(ks.max)
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum", sum(col("tf")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(ks.toDF("k")))
+      .filter(col("rk") <= col("k"))
+      .groupBy("k").agg(max(col("cum")).as("covered_tokens"))
+      .crossJoin(tot)
+      .select(col("k").cast("long").as("k"),
+        col("covered_tokens").cast("long").as("covered_tokens"),
+        round(col("covered_tokens").cast("double") * 1000000 / col("tot"))
+          .cast("long").as("coverage_e6"))
+  }
+
   /** Doc–doc TF-IDF cosine similarity over the df-banded vocabulary —
     * the sparse lexical counterpart of the embedding-space near-dup pass
     * (catches template/boilerplate overlap that MinHash's shingle sets
