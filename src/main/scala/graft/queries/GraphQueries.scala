@@ -657,6 +657,21 @@ object GraphQueries {
       Measures.degreeHistDrift(snap(1), snap(2))
     }),
 
+    // LP change frontier: vertices still flipping between supersteps 2
+    // and 3, profiled BY DEGREE — is convergence down to the low-degree
+    // periphery (healthy) or still churning hubs (structural trouble)?
+    "g_lp_frontier_t3" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val s2 = LabelPropagation.runFixed(e, 2, symmetric = true)
+        .select(col("id"), col("label").as("l2"))
+      val s3 = LabelPropagation.runFixed(e, 3, symmetric = true)
+        .select(col("id"), col("label").as("l3"))
+      val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      s2.join(s3, "id").filter(col("l2") =!= col("l3"))
+        .join(deg, "id")
+        .groupBy(col("d")).agg(count(lit(1)).as("n_changed"))
+    }),
+
     // LP quality curve: modularity of the labeling after supersteps 1-3
     // — the quality-vs-iteration telemetry next to g_lp_metrics' raw
     // change counts (is another superstep still buying structure?)
@@ -2817,6 +2832,15 @@ object GraphQueries {
          |       CAST(ROUND(CAST(l1_diff AS DOUBLE) * 1000000
          |         / (n_old + n_new)) AS BIGINT) AS drift_e6
          |FROM a""".stripMargin,
+
+    "g_lp_frontier_t3" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |qdeg AS (SELECT src AS id, count(*) AS d FROM e0 GROUP BY 1)
+         |SELECT d.d, count(*) AS n_changed
+         |FROM s2 JOIN s3 ON s2.id = s3.id AND s2.label <> s3.label
+         |JOIN qdeg d ON d.id = s2.id
+         |GROUP BY 1""".stripMargin,
 
     "g_lp_quality_curve" -> {
       val mods = (1 to 3).map { k =>

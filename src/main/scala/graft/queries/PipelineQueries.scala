@@ -274,6 +274,27 @@ object PipelineQueries {
     "d_vocab_coverage" -> ((s, dir) =>
       graft.text.TextIndex.vocabCoverage(docs(s, dir))),
 
+    // first-session conversion share (activation metric)
+    "ev_first_purchase" -> ((s, dir) =>
+      graft.streaming.Funnel.firstSessionConversion(events(s, dir))),
+
+    // document-frequency spectrum: how many index terms at each df —
+    // the postings/sizing panel behind the df bands
+    "d_df_hist" -> ((s, dir) => {
+      val pairs = docs(s, dir).select(col("doc_id"),
+          explode(regexp_extract_all(lower(col("text")),
+            lit("[a-z0-9]+"), lit(0))).as("term")).distinct()
+      pairs.groupBy("term").agg(count(lit(1)).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n_terms"))
+    }),
+
+    // top-10 |covariance| off-diagonal pairs (the anisotropy shortlist)
+    "e_top_correlations" -> ((s, dir) =>
+      graft.functions.Similarity.covarianceMatrix(emb(s, dir))
+        .filter(col("i") < col("j"))
+        .orderBy(abs(col("cov_e12")).desc, col("i").asc, col("j").asc)
+        .limit(10)),
+
     // butterfly census of the user x item bipartite graph (the covisit
     // projection with the same deg<=48 cap) — bipartite cohesion scalar
     "ev_butterflies" -> ((s, dir) => {
@@ -2401,6 +2422,62 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_first_purchase" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id, event_type, t,
+        |        CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, event_type,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |pu AS (SELECT user_id,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS any_p,
+        |         max(CASE WHEN event_type = 'purchase' AND sid = 1
+        |             THEN 1 ELSE 0 END) AS first_p
+        |       FROM s GROUP BY 1),
+        |a AS (SELECT count(*) AS n_users,
+        |        CAST(sum(any_p) AS BIGINT) AS n_buyers,
+        |        CAST(sum(first_p) AS BIGINT) AS n_first_session_buyers
+        |      FROM pu)
+        |SELECT n_users, n_buyers, n_first_session_buyers,
+        |       CASE WHEN n_buyers = 0 THEN 0
+        |            ELSE CAST(ROUND(CAST(n_first_session_buyers AS DOUBLE)
+        |                 * 1000000 / n_buyers) AS BIGINT)
+        |       END AS first_share_e6
+        |FROM a""".stripMargin,
+
+    "d_df_hist" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, term FROM tok),
+        |df AS (SELECT term, count(*) AS df FROM pairs GROUP BY 1)
+        |SELECT df, count(*) AS n_terms FROM df GROUP BY 1""".stripMargin,
+
+    "e_top_correlations" ->
+      """WITH ex AS (SELECT i, j,
+        |    CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xi,
+        |    CAST(ROUND(CAST(embedding[j + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xj
+        |  FROM embeddings, range(64) AS r1(i), range(64) AS r2(j)
+        |  WHERE i < j),
+        |cv AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  count(*) AS n, CAST(sum(xi * xj) AS BIGINT) AS sum_xy_e12,
+        |  CAST(ROUND(sum(xi * xj) / count(*)
+        |    - (sum(xi) / count(*)) * (sum(xj) / count(*))) AS BIGINT)
+        |    AS cov_e12
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT i, j, n, sum_xy_e12, cov_e12 FROM cv
+        |ORDER BY abs(cov_e12) DESC, i ASC, j ASC LIMIT 10""".stripMargin,
 
     "e_ivf_purity" ->
       """WITH vv AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

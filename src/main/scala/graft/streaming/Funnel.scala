@@ -360,6 +360,33 @@ object Funnel {
           .as("jaccard_e6"))
   }
 
+  /** First-session conversion: of the users who ever purchase, how many
+    * did so in their FIRST session? The activation metric that separates
+    * intent-driven arrivals (buy on visit one) from nurtured ones — it
+    * decides where onboarding spend goes. One pass over the shared
+    * [[withSessionIds]] labeling + two hash folds; session 1 is the
+    * user's first by construction (the running break sum starts at 1).
+    * Returns one row (n_users, n_buyers, n_first_session_buyers,
+    * first_share_e6).
+    */
+  def firstSessionConversion(events: DataFrame, gapSec: Long = 1800L,
+                             purchaseType: String = "purchase"): DataFrame = {
+    val st = withSessionIds(events, gapSec)
+    st.groupBy("user_id")
+      .agg(max(when(col("event_type") === purchaseType, 1L).otherwise(0L))
+          .as("any_p"),
+        max(when(col("event_type") === purchaseType && col("sid") === 1, 1L)
+          .otherwise(0L)).as("first_p"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("any_p")).cast("long").as("n_buyers"),
+        sum(col("first_p")).cast("long").as("n_first_session_buyers"))
+      .select(col("n_users"), col("n_buyers"),
+        col("n_first_session_buyers"),
+        when(col("n_buyers") === 0, lit(0L)).otherwise(
+          round(col("n_first_session_buyers").cast("double") * 1000000
+            / col("n_buyers")).cast("long")).as("first_share_e6"))
+  }
+
   def sessionStats(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
     val sess = withSessionIds(events, gapSec)
       .groupBy(col("user_id"), col("sid"))
