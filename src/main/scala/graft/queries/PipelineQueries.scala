@@ -278,6 +278,18 @@ object PipelineQueries {
     "ev_first_purchase" -> ((s, dir) =>
       graft.streaming.Funnel.firstSessionConversion(events(s, dir))),
 
+    // behavioral twins: identical time-ordered event-type sequences
+    // (bot-fleet fingerprint); corpus salted with replayed copies of the
+    // user_id%97==0 cohort since organic twins are rare
+    "ev_behavior_twins" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      val salted = ev.union(ev.filter(col("user_id") % 97 === 0)
+        .withColumn("user_id", col("user_id") + 1000000L)
+        .withColumn("event_id", col("event_id") + 10000000L))
+      graft.streaming.Funnel.behaviorTwins(salted)
+    }),
+
     // document-frequency spectrum: how many index terms at each df —
     // the postings/sizing panel behind the df bands
     "d_df_hist" -> ((s, dir) => {
@@ -2422,6 +2434,20 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_behavior_twins" ->
+      """WITH salted AS (
+        |  SELECT event_id, ts, user_id, event_type FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts, user_id + 1000000, event_type
+        |  FROM events WHERE user_id % 97 = 0),
+        |sq AS (SELECT user_id,
+        |    md5(string_agg(event_type, '|'
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)) AS sig
+        |  FROM salted GROUP BY 1)
+        |SELECT sig, count(*) AS n_users,
+        |       CAST(min(user_id) AS BIGINT) AS canonical_user
+        |FROM sq GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
 
     "ev_first_purchase" ->
       """WITH o AS (

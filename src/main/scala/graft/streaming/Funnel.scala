@@ -360,6 +360,30 @@ object Funnel {
           .as("jaccard_e6"))
   }
 
+  /** Behavioral twins: groups of users with IDENTICAL event-type
+    * sequences (time-ordered), keyed by an md5 fingerprint — scripted
+    * fleets replay the same schedule, so exact sequence collisions at
+    * n ≥ 2 are the highest-precision bot-cluster signal there is (the
+    * behavior-space sibling of `GraphOps.structuralTwins`). The sequence
+    * is assembled per user with array_sort over (t, event_id, type)
+    * structs, so the fingerprint is deterministic under any row order;
+    * per-user state is that user's own history (the botSignals bound) —
+    * cap or sample mega-users upstream. Returns
+    * (sig, n_users, canonical_user) for groups of ≥ 2.
+    */
+  def behaviorTwins(events: DataFrame): DataFrame = {
+    val sig = events.select(col("user_id"),
+        struct(col("ts").cast("timestamp").cast("long").as("t"),
+          col("event_id"), col("event_type")).as("e"))
+      .groupBy("user_id").agg(array_sort(collect_list(col("e"))).as("seq"))
+      .select(col("user_id"), md5(concat_ws("|",
+        transform(col("seq"), e => e.getField("event_type")))).as("sig"))
+    sig.groupBy("sig")
+      .agg(count(lit(1)).as("n_users"),
+        min(col("user_id")).cast("long").as("canonical_user"))
+      .filter(col("n_users") >= 2)
+  }
+
   /** First-session conversion: of the users who ever purchase, how many
     * did so in their FIRST session? The activation metric that separates
     * intent-driven arrivals (buy on visit one) from nurtured ones — it
