@@ -56,6 +56,56 @@ object Matching {
     matched
   }
 
+  /** Heavy-edge greedy matching (the METIS coarsening heuristic, Preis-
+    * style local domination): same locally-minimum-priority rounds as
+    * [[greedyRounds]], but the priority string is
+    * zero-padded (10⁹ − weight) ++ md5, so lexicographic MIN = heaviest
+    * weight first with the deterministic hash as tie-break — matched
+    * pairs absorb the heaviest links, which is exactly what multilevel
+    * partitioning wants collapsed first (the coarse graph's cut
+    * underestimates the fine cut the least). Weight envelope: integer
+    * weights < 10⁹ (web link multiplicities are far below).
+    *
+    * @return (src, dst, weight, round) matched canonical pairs
+    */
+  def greedyRoundsWeighted(wEdges: DataFrame, rounds: Int,
+                           seed: Long): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    var canon = wEdges.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("weight"))
+      .groupBy("src", "dst").agg(max(col("weight")).as("weight"))
+      .select(col("src"), col("dst"), col("weight"),
+        concat(lpad((lit(1000000000L) - col("weight")).cast("string"),
+          10, "0"),
+          md5(concat_ws(":", col("src"), col("dst"), lit(seed))))
+          .as("prio"))
+      .transform(Materialize.eager)
+    var matched: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val inc = canon.select(col("src").as("v"), col("prio"))
+        .union(canon.select(col("dst").as("v"), col("prio")))
+      val vmin = inc.groupBy("v").agg(min(col("prio")).as("pmin"))
+      val sel = canon
+        .join(vmin.select(col("v").as("src"), col("pmin").as("ps")), "src")
+        .join(vmin.select(col("v").as("dst"), col("pmin").as("pd")), "dst")
+        .filter(col("prio") === col("ps") && col("prio") === col("pd"))
+        .select(col("src"), col("dst"), col("weight"),
+          lit(r.toLong).as("round"))
+        .transform(Materialize.eager)
+      matched = if (matched == null) sel else matched.union(sel)
+      val mv = sel.select(col("src").as("id"))
+        .union(sel.select(col("dst"))).distinct()
+      canon = canon
+        .join(mv.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(mv.select(col("id").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"), col("weight"), col("prio"))
+        .transform(Materialize.eager)
+    }
+    matched
+  }
+
   /** 2-approximate vertex cover from the greedy maximal matching
     * (Gavril/Yannakakis): the matched endpoints cover every edge touched
     * by the matching, and any canonical edge still alive after `rounds`

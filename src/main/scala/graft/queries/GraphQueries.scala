@@ -2273,6 +2273,12 @@ object GraphQueries {
       graft.algo.Matching.vertexCover(demoEdges(s, dir), rounds = 3,
         seed = 7L)),
 
+    // heavy-edge (weight-priority) matching on the weighted demo graph —
+    // the METIS coarsening heuristic, heaviest links matched first
+    "g_matching_heavy_t2" -> ((s, dir) =>
+      graft.algo.Matching.greedyRoundsWeighted(demoWeightedEdges(s, dir),
+        rounds = 2, seed = 7L)),
+
     // one multilevel-coarsening step: contract the 3-round matching,
     // parallel slots aggregate into integer weights
     "g_coarsen_t3" -> ((s, dir) => {
@@ -6145,6 +6151,45 @@ object GraphQueries {
     // matching oracle: identical md5 edge priorities and local-minima
     // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
     "g_matching_t3" -> matchingSql(3, 7L),
+
+    "g_matching_heavy_t2" -> {
+      val steps = (1 to 2).map { r =>
+        val mp = s"hm${r - 1}"
+        s"""hvm$r AS MATERIALIZED (SELECT v, min(prio) AS pmin FROM (
+           |    SELECT src AS v, prio FROM $mp
+           |    UNION ALL SELECT dst, prio FROM $mp) i GROUP BY 1),
+           |hsel$r AS MATERIALIZED (SELECT m.src, m.dst, m.weight FROM $mp m
+           |    JOIN hvm$r a ON a.v = m.src JOIN hvm$r b ON b.v = m.dst
+           |    WHERE m.prio = a.pmin AND m.prio = b.pmin),
+           |hmv$r AS MATERIALIZED (SELECT DISTINCT v FROM (
+           |    SELECT src AS v FROM hsel$r
+           |    UNION ALL SELECT dst FROM hsel$r) u),
+           |hm$r AS MATERIALIZED (SELECT src, dst, weight, prio FROM $mp
+           |    WHERE src NOT IN (SELECT v FROM hmv$r)
+           |      AND dst NOT IN (SELECT v FROM hmv$r))""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 2).map(r =>
+        s"SELECT src, dst, weight, CAST($r AS BIGINT) AS round FROM hsel$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |hm0 AS MATERIALIZED (SELECT src, dst, weight,
+         |    lpad(CAST(1000000000 - weight AS VARCHAR), 10, '0')
+         |      || md5(CAST(src AS VARCHAR) || ':' ||
+         |             CAST(dst AS VARCHAR) || ':' || '7') AS prio
+         |  FROM (SELECT src, dst, max(weight) AS weight FROM ew
+         |        WHERE src < dst GROUP BY 1, 2) c),
+         |$steps
+         |$out""".stripMargin
+    },
 
     "g_vertex_cover_t3" -> {
       val me = (1 to 3).map(r =>
