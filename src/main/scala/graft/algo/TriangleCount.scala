@@ -478,6 +478,45 @@ object TriangleCount {
       .distinct()
   }
 
+  /** Directed triangle census by orientation (Fagiolo's decomposition,
+    * the length-3 completion of the dyad census): every directed 3-cycle
+    * u→v→w→u and every transitive triangle {u→v, v→w, u→w}, counted from
+    * the DISTINCT directed edge set with reciprocal pairs INCLUDED (each
+    * pattern instance counts once per ordered edge triple matching it;
+    * cycles are reported divided by 3 — each cycle matches 3 rotations —
+    * so both outputs are instance counts). Cycle-heavy regions are
+    * mutual-exchange communities; transitive-heavy ones are hierarchy
+    * (feed→aggregator→reader). The wedge join u→v→w costs Σ in(v)·out(v),
+    * hub-capped by `maxDeg` on BOTH in- and out-degree (the
+    * closedWalkCounts/SimRank capped-semantics contract); the closure
+    * probes are equi-joins on both keys.
+    *
+    * @return one row (n_cyclic, n_transitive)
+    */
+  def directedTriads(directed: DataFrame, maxDeg: Long = 10000L): DataFrame = {
+    val e = directed.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val outD = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("od"))
+    val inD = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("id"))
+    val keep = outD.join(inD, Seq("v"), "full_outer")
+      .filter(coalesce(col("od"), lit(0L)) <= maxDeg
+        && coalesce(col("id"), lit(0L)) <= maxDeg)
+      .select(col("v"))
+    val ek = e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+    val wedges = ek.select(col("src").as("u"), col("dst").as("v"))
+      .join(ek.select(col("src").as("v"), col("dst").as("w")), Seq("v"))
+      .filter(col("u") =!= col("w"))
+    val cyc = wedges.join(ek.select(col("src").as("w"), col("dst").as("u")),
+        Seq("w", "u"))
+      .agg(count(lit(1)).as("c3"))
+      .select(expr("c3 div 3").cast("long").as("n_cyclic"))
+    val trans = wedges.join(ek.select(col("src").as("u"), col("dst").as("w")),
+        Seq("u", "w"))
+      .agg(count(lit(1)).cast("long").as("n_transitive"))
+    cyc.crossJoin(trans)
+  }
+
   /** Butterfly (2×2 biclique) census of a BIPARTITE edge table (src =
     * left class, dst = right class) — the triangle analogue for
     * user×item / host×resource graphs, where triangles cannot exist and

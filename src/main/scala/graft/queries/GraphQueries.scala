@@ -2279,6 +2279,18 @@ object GraphQueries {
       graft.algo.Matching.greedyRoundsWeighted(demoWeightedEdges(s, dir),
         rounds = 2, seed = 7L)),
 
+    // directed triad census: 3-cycles vs transitive triangles on the
+    // directed projection (Fagiolo orientation decomposition)
+    "g_directed_triads" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_linenumber") === 1)
+      val directed = li.select(
+          (col("l_orderkey") % NodeSpace).as("src"),
+          (col("l_partkey") % NodeSpace).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.algo.TriangleCount.directedTriads(directed)
+    }),
+
     // one multilevel-coarsening step: contract the 3-round matching,
     // parallel slots aggregate into integer weights
     "g_coarsen_t3" -> ((s, dir) => {
@@ -6151,6 +6163,30 @@ object GraphQueries {
     // matching oracle: identical md5 edge priorities and local-minima
     // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
     "g_matching_t3" -> matchingSql(3, 7L),
+
+    "g_directed_triads" ->
+      s"""WITH de AS (
+         |  SELECT DISTINCT l_orderkey % $NodeSpace AS src,
+         |         l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber = 1
+         |    AND l_orderkey % $NodeSpace <> l_partkey % $NodeSpace),
+         |outd AS (SELECT src AS v, count(*) AS od FROM de GROUP BY 1),
+         |ind AS (SELECT dst AS v, count(*) AS id FROM de GROUP BY 1),
+         |keep AS (SELECT coalesce(o.v, i.v) AS v
+         |         FROM outd o FULL OUTER JOIN ind i ON o.v = i.v
+         |         WHERE coalesce(o.od, 0) <= 10000
+         |           AND coalesce(i.id, 0) <= 10000),
+         |ek AS (SELECT src, dst FROM de
+         |       WHERE src IN (SELECT v FROM keep)
+         |         AND dst IN (SELECT v FROM keep)),
+         |wed AS (SELECT a.src AS u, a.dst AS v, b.dst AS w
+         |        FROM ek a JOIN ek b ON a.dst = b.src
+         |        WHERE a.src <> b.dst),
+         |cyc AS (SELECT CAST(count(*) // 3 AS BIGINT) AS n_cyclic
+         |        FROM wed JOIN ek c ON c.src = wed.w AND c.dst = wed.u),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_transitive
+         |       FROM wed JOIN ek c ON c.src = wed.u AND c.dst = wed.w)
+         |SELECT n_cyclic, n_transitive FROM cyc, tr""".stripMargin,
 
     "g_matching_heavy_t2" -> {
       val steps = (1 to 2).map { r =>

@@ -278,6 +278,10 @@ object PipelineQueries {
     "ev_first_purchase" -> ((s, dir) =>
       graft.streaming.Funnel.firstSessionConversion(events(s, dir))),
 
+    // second-order (Markov-2) transition context table
+    "ev_markov2" -> ((s, dir) =>
+      graft.streaming.Funnel.transitions2(events(s, dir))),
+
     // behavioral twins: identical time-ordered event-type sequences
     // (bot-fleet fingerprint); corpus salted with replayed copies of the
     // user_id%97==0 cohort since organic twins are rare
@@ -2434,6 +2438,18 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_markov2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS p1,
+        |         lag(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS p2
+        |  FROM events)
+        |SELECT p2, p1, event_type AS next_type, count(*) AS n
+        |FROM o WHERE p2 IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "ev_behavior_twins" ->
       """WITH salted AS (

@@ -360,6 +360,25 @@ object Funnel {
           .as("jaccard_e6"))
   }
 
+  /** Second-order transition counts: (prev2, prev1) → next over each
+    * user's time-ordered stream — the Markov-2 context table that prices
+    * how much a sequence model gains over the first-order baseline
+    * (compare its conditional entropy against `entropyRate`'s). Two lags
+    * on the shared user-partitioned window, one hash agg bounded by
+    * \|types\|³ cells. Returns (p2, p1, next_type, n).
+    */
+  def transitions2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("timestamp").cast("long").as("t"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .groupBy(col("p2"), col("p1"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Behavioral twins: groups of users with IDENTICAL event-type
     * sequences (time-ordered), keyed by an md5 fingerprint — scripted
     * fleets replay the same schedule, so exact sequence collisions at
