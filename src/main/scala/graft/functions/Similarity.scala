@@ -741,15 +741,40 @@ object Similarity {
     * [[centroidMargin]]: per (vector, candidate label) the exact integer
     * squared-L2 to that label's e6-integer centroid.
     */
+  private def labelCentroids(vectors: DataFrame): DataFrame =
+    vectors.select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
+      .groupBy(col("label").as("clab"), col("dim").as("cdim"))
+      .agg(sum(col("xe6")).as("s"), count(lit(1)).as("nl"))
+      .select(col("clab"), col("cdim"),
+        round(col("s") / col("nl")).cast("long").as("ce6"))
+
+  /** Inter-centroid squared gaps: exact integer squared-L2 between every
+    * canonical pair of label centroids — the BETWEEN-class companion of
+    * [[labelDispersion]]'s within-class tightness (a label pair whose gap
+    * rivals either side's dispersion is not separable, whatever the
+    * confusion matrix sampled). Centroid table is labels×dim; the pair
+    * join is labels²-bounded. Returns (label_a, label_b, gap_d2).
+    */
+  def centroidGaps(vectors: DataFrame): DataFrame = {
+    val cent = labelCentroids(vectors)
+    cent.select(col("clab").as("label_a"), col("cdim"), col("ce6").as("ca"))
+      .join(cent.select(col("clab").as("label_b"), col("cdim"),
+        col("ce6").as("cb")), Seq("cdim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .cast("long").as("gap_d2"))
+  }
+
   private def centroidD2(vectors: DataFrame): DataFrame = {
     val ex = vectors.select(col("vec_id"), col("label").cast("long").as("label"),
         posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), col("label"), col("dim"),
         round(col("x").cast("double") * 1000000).cast("long").as("xe6"))
-    val cent = ex.groupBy(col("label").as("clab"), col("dim").as("cdim"))
-      .agg(sum(col("xe6")).as("s"), count(lit(1)).as("nl"))
-      .select(col("clab"), col("cdim"),
-        round(col("s") / col("nl")).cast("long").as("ce6"))
+    val cent = labelCentroids(vectors)
     ex.join(broadcast(cent), col("dim") === col("cdim"))
       .groupBy(col("vec_id"), col("label"), col("clab"))
       .agg(sum((col("xe6") - col("ce6")) * (col("xe6") - col("ce6")))

@@ -571,6 +571,31 @@ object Measures {
         .cast("long").as("gini_e6"))
   }
 
+  /** Weighted per-community conductance over a symmetric weighted slot
+    * table (src, dst, weight): cut = total weight leaving the community,
+    * vol = total incident weight — the host-graph edition of
+    * [[conductance]], where a community leaking 10⁵ syndicated links is
+    * worse than one leaking 10⁵ singletons. Integer weights keep cut/vol
+    * exact; the ratio is one e6-rounded divide (engine-identical
+    * expression). Returns (label, cut_w, vol_w, conductance_e6).
+    */
+  def conductanceWeighted(wEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val ls = labels.select(col("id").as("src"), col("label").as("ls"))
+    val ld = labels.select(col("id").as("dst"), col("label").as("ld"))
+    val tagged = wEdges.join(ls, "src").join(ld, "dst")
+    val perLabel = tagged.groupBy(col("ls").as("label"))
+      .agg(sum(when(col("ls") =!= col("ld"), col("weight")).otherwise(0L))
+          .cast("long").as("cut_w"),
+        sum(col("weight")).cast("long").as("vol_w"))
+    val w2 = wEdges.agg(sum(col("weight")).cast("long").as("w2"))
+    perLabel.crossJoin(w2)
+      .select(col("label"), col("cut_w"), col("vol_w"),
+        when(least(col("vol_w"), col("w2") - col("vol_w")) === 0, lit(0L))
+          .otherwise(round(col("cut_w").cast("double") * 1000000 /
+            least(col("vol_w"), col("w2") - col("vol_w"))).cast("long"))
+          .as("conductance_e6"))
+  }
+
   /** Degree percentile panel (p50/p90/p99/p999/max) from the DEGREE
     * HISTOGRAM — the operational skew readout behind the auto-derived
     * broadcast threshold ([[graft.graph.GraphOps]] skew plans): the gap

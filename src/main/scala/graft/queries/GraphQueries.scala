@@ -2279,6 +2279,16 @@ object GraphQueries {
       graft.algo.Matching.greedyRoundsWeighted(demoWeightedEdges(s, dir),
         rounds = 2, seed = 7L)),
 
+    // weighted conductance of the id%7 partition over the weighted demo
+    // graph (host-graph edition: leakage priced by link multiplicity;
+    // the g_conductance labeling, so cuts are non-trivial)
+    "g_conductance_weighted" -> ((s, dir) => {
+      val ew = demoWeightedEdges(s, dir)
+      val lab = GraphOps.vertices(demoEdges(s, dir))
+        .select(col("id"), (col("id") % 7).as("label"))
+      Measures.conductanceWeighted(ew, lab)
+    }),
+
     // directed triad census: 3-cycles vs transitive triangles on the
     // directed projection (Fagiolo orientation decomposition)
     "g_directed_triads" -> ((s, dir) => {
@@ -6163,6 +6173,33 @@ object GraphQueries {
     // matching oracle: identical md5 edge priorities and local-minima
     // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
     "g_matching_t3" -> matchingSql(3, 7L),
+
+    "g_conductance_weighted" ->
+      s"""WITH $cte,
+         |rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |tg AS (SELECT ew.src % 7 AS ls, ew.dst % 7 AS ld, ew.weight
+         |       FROM ew),
+         |pl AS (SELECT ls AS label,
+         |         CAST(sum(CASE WHEN ls <> ld THEN weight ELSE 0 END)
+         |           AS BIGINT) AS cut_w,
+         |         CAST(sum(weight) AS BIGINT) AS vol_w
+         |       FROM tg GROUP BY 1),
+         |w2 AS (SELECT CAST(sum(weight) AS BIGINT) AS w2 FROM ew)
+         |SELECT label, cut_w, vol_w,
+         |       CASE WHEN LEAST(vol_w, w2 - vol_w) = 0 THEN 0
+         |            ELSE CAST(ROUND(CAST(cut_w AS DOUBLE) * 1000000
+         |                 / LEAST(vol_w, w2 - vol_w)) AS BIGINT)
+         |       END AS conductance_e6
+         |FROM pl, w2""".stripMargin,
 
     "g_directed_triads" ->
       s"""WITH de AS (

@@ -282,6 +282,20 @@ object PipelineQueries {
     "ev_markov2" -> ((s, dir) =>
       graft.streaming.Funnel.transitions2(events(s, dir))),
 
+    // per-type value panel (revenue table): n, e3-exact sum, mean
+    "ev_value_stats" -> ((s, dir) =>
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1000).cast("long")).cast("long")
+            .as("sum_value_e3"))
+        .select(col("event_type"), col("n"), col("sum_value_e3"),
+          round(col("sum_value_e3") / col("n")).cast("long")
+            .as("mean_value_e3"))),
+
+    // inter-centroid squared gaps (between-class companion of dispersion)
+    "e_centroid_gaps" -> ((s, dir) =>
+      graft.functions.Similarity.centroidGaps(emb(s, dir))),
+
     // behavioral twins: identical time-ordered event-type sequences
     // (bot-fleet fingerprint); corpus salted with replayed copies of the
     // user_id%97==0 cohort since organic twins are rare
@@ -2438,6 +2452,29 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_value_stats" ->
+      """WITH q AS (SELECT event_type,
+        |    CAST(ROUND(value * 1000) AS BIGINT) AS v_e3 FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(v_e3) AS BIGINT) AS sum_value_e3,
+        |       CAST(ROUND(sum(v_e3) / count(*)) AS BIGINT)
+        |         AS mean_value_e3
+        |FROM q GROUP BY 1""".stripMargin,
+
+    "e_centroid_gaps" ->
+      """WITH ex AS (SELECT CAST(label AS BIGINT) AS label, r.range AS dim,
+        |    CAST(ROUND(CAST(embedding[r.range + 1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xe6
+        |  FROM embeddings, range(64) r),
+        |cent AS (SELECT label AS clab, dim,
+        |    CAST(ROUND(sum(xe6) / count(*)) AS BIGINT) AS ce6
+        |  FROM ex GROUP BY 1, 2)
+        |SELECT a.clab AS label_a, b.clab AS label_b,
+        |       CAST(sum((a.ce6 - b.ce6) * (a.ce6 - b.ce6)) AS BIGINT)
+        |         AS gap_d2
+        |FROM cent a JOIN cent b ON a.dim = b.dim AND a.clab < b.clab
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev_markov2" ->
       """WITH o AS (
