@@ -56,6 +56,28 @@ object Matching {
     matched
   }
 
+  /** Weighted contraction: [[contract]] for a WEIGHTED slot table —
+    * parallel edges aggregate by WEIGHT SUM instead of slot count, so
+    * composing `contractWeighted(w, greedyRoundsWeighted(w, …))` keeps
+    * total inter-cluster mass exact across levels (the invariant
+    * multilevel partitioning relies on: the coarse cut equals the fine
+    * cut restricted to the coarse partition). Same two broadcast-sized
+    * left joins + one hash aggregation.
+    */
+  def contractWeighted(wSlots: DataFrame, matched: DataFrame): DataFrame = {
+    val map = matched.select(col("dst").as("id"), col("src").as("rep"))
+    wSlots
+      .join(map.select(col("id").as("src"), col("rep").as("rs")),
+        Seq("src"), "left")
+      .join(map.select(col("id").as("dst"), col("rep").as("rd")),
+        Seq("dst"), "left")
+      .select(coalesce(col("rs"), col("src")).as("src"),
+        coalesce(col("rd"), col("dst")).as("dst"), col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(sum(col("weight")).cast("long")
+        .as("weight"))
+  }
+
   /** Heavy-edge greedy matching (the METIS coarsening heuristic, Preis-
     * style local domination): same locally-minimum-priority rounds as
     * [[greedyRounds]], but the priority string is

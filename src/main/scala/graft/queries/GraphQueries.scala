@@ -2279,6 +2279,15 @@ object GraphQueries {
       graft.algo.Matching.greedyRoundsWeighted(demoWeightedEdges(s, dir),
         rounds = 2, seed = 7L)),
 
+    // heavy-matching coarsening step over the weighted demo graph —
+    // weight-sum contraction keeps inter-cluster mass exact
+    "g_coarsen_heavy_t2" -> ((s, dir) => {
+      val ew = demoWeightedEdges(s, dir)
+      val m = graft.algo.Matching.greedyRoundsWeighted(ew, rounds = 2,
+        seed = 7L)
+      graft.algo.Matching.contractWeighted(ew, m)
+    }),
+
     // weighted conductance of the id%7 partition over the weighted demo
     // graph (host-graph edition: leakage priced by link multiplicity;
     // the g_conductance labeling, so cuts are non-trivial)
@@ -6173,6 +6182,49 @@ object GraphQueries {
     // matching oracle: identical md5 edge priorities and local-minima
     // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
     "g_matching_t3" -> matchingSql(3, 7L),
+
+    "g_coarsen_heavy_t2" -> {
+      val steps = (1 to 2).map { r =>
+        val mp = s"hm${r - 1}"
+        s"""hvm$r AS MATERIALIZED (SELECT v, min(prio) AS pmin FROM (
+           |    SELECT src AS v, prio FROM $mp
+           |    UNION ALL SELECT dst, prio FROM $mp) i GROUP BY 1),
+           |hsel$r AS MATERIALIZED (SELECT m.src, m.dst FROM $mp m
+           |    JOIN hvm$r a ON a.v = m.src JOIN hvm$r b ON b.v = m.dst
+           |    WHERE m.prio = a.pmin AND m.prio = b.pmin),
+           |hmv$r AS MATERIALIZED (SELECT DISTINCT v FROM (
+           |    SELECT src AS v FROM hsel$r
+           |    UNION ALL SELECT dst FROM hsel$r) u),
+           |hm$r AS MATERIALIZED (SELECT src, dst, weight, prio FROM $mp
+           |    WHERE src NOT IN (SELECT v FROM hmv$r)
+           |      AND dst NOT IN (SELECT v FROM hmv$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |hm0 AS MATERIALIZED (SELECT src, dst, weight,
+         |    lpad(CAST(1000000000 - weight AS VARCHAR), 10, '0')
+         |      || md5(CAST(src AS VARCHAR) || ':' ||
+         |             CAST(dst AS VARCHAR) || ':' || '7') AS prio
+         |  FROM (SELECT src, dst, max(weight) AS weight FROM ew
+         |        WHERE src < dst GROUP BY 1, 2) c),
+         |$steps,
+         |mp AS (SELECT dst AS id, src AS rep FROM (
+         |  SELECT src, dst FROM hsel1 UNION ALL SELECT src, dst FROM hsel2) a),
+         |ce AS (SELECT coalesce(ms.rep, ew.src) AS src,
+         |              coalesce(md.rep, ew.dst) AS dst, ew.weight
+         |       FROM ew LEFT JOIN mp ms ON ms.id = ew.src
+         |       LEFT JOIN mp md ON md.id = ew.dst)
+         |SELECT src, dst, CAST(sum(weight) AS BIGINT) AS weight FROM ce
+         |WHERE src <> dst GROUP BY 1, 2""".stripMargin
+    },
 
     "g_conductance_weighted" ->
       s"""WITH $cte,
