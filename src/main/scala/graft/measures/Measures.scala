@@ -182,6 +182,46 @@ object Measures {
     else (m * sxy - sx * sy) / math.sqrt(dx.toDouble * dy.toDouble)
   }
 
+  /** Strength (weighted-degree) assortativity over a symmetric weighted
+    * slot table: Pearson correlation of endpoint STRENGTHS across slots —
+    * do heavy hosts link to heavy hosts? The weighted completion of
+    * [[degreeAssortativity]], returned as a gate-friendly row of exact
+    * integer moments plus the one e6-rounded correlate (sqrt+divide is a
+    * single engine-identical expression). Int64 envelope: m·Σx² with
+    * x = per-vertex strength — document per deployment; at host-graph
+    * scales (strength < 10⁶, slots < 10⁹) products stay < 10²¹? No:
+    * m·sxx ≤ 10⁹·10⁹·10¹² exceeds int64 — THIS operator is for the
+    * contracted host graph (hosts ≤ 10⁷, strength ≤ 10⁵), where
+    * m·sxx ≤ 10⁷·10⁷·10¹⁰ / … stays in range; on bigger graphs bucket
+    * strengths first (the joint-degree pattern).
+    *
+    * @return (m, sx, sy, sxy, sxx, syy, r_e6)
+    */
+  def strengthAssortativity(wEdges: DataFrame): DataFrame = {
+    val st = wEdges.groupBy(col("src").as("id"))
+      .agg(sum(col("weight")).as("s"))
+    val j = wEdges
+      .join(st.select(col("id").as("src"), col("s").as("x")), "src")
+      .join(st.select(col("id").as("dst"), col("s").as("y")), "dst")
+    j.agg(count(lit(1)).as("m"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      .select(col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"),
+        when((col("m") * col("sxx") - col("sx") * col("sx")) === 0
+          || (col("m") * col("syy") - col("sy") * col("sy")) === 0, lit(0L))
+          .otherwise(round(
+            (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+              * 1000000
+              / sqrt((col("m") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")
+                * (col("m") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))).cast("long")).as("r_e6"))
+  }
+
   /** Community-size histogram: how many communities have each member
     * count — the labeling-distribution summary next to the degree
     * histogram. Two partial-aggregated groupBys; output is one row per

@@ -2279,6 +2279,11 @@ object GraphQueries {
       graft.algo.Matching.greedyRoundsWeighted(demoWeightedEdges(s, dir),
         rounds = 2, seed = 7L)),
 
+    // strength assortativity: do heavy vertices link to heavy vertices?
+    // exact integer moments + one e6 correlate
+    "g_assort_strength" -> ((s, dir) =>
+      Measures.strengthAssortativity(demoWeightedEdges(s, dir))),
+
     // heavy-matching coarsening step over the weighted demo graph —
     // weight-sum contraction keeps inter-cluster mass exact
     "g_coarsen_heavy_t2" -> ((s, dir) => {
@@ -6182,6 +6187,38 @@ object GraphQueries {
     // matching oracle: identical md5 edge priorities and local-minima
     // selection, unrolled; MATERIALIZED per-round CTEs (repeated refs)
     "g_matching_t3" -> matchingSql(3, 7L),
+
+    "g_assort_strength" ->
+      s"""WITH rawp AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst,
+         |         CAST(l_quantity AS BIGINT) % 5 + 1 AS w
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |agg AS (SELECT src, dst, sum(w) AS w FROM rawp
+         |        WHERE src <> dst GROUP BY 1, 2),
+         |ew AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight FROM (
+         |         SELECT src, dst, w FROM agg
+         |         UNION ALL SELECT dst, src, w FROM agg) u
+         |       GROUP BY 1, 2),
+         |st AS (SELECT src AS id, CAST(sum(weight) AS BIGINT) AS s
+         |       FROM ew GROUP BY 1),
+         |j AS (SELECT a.s AS x, b.s AS y FROM ew
+         |      JOIN st a ON ew.src = a.id JOIN st b ON ew.dst = b.id),
+         |mo AS (SELECT count(*) AS m,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |       FROM j)
+         |SELECT m, sx, sy, sxy, sxx, syy,
+         |       CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+         |            THEN 0
+         |            ELSE CAST(ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+         |                 * 1000000
+         |                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+         |                   * CAST(m * syy - sy * sy AS DOUBLE)))
+         |              AS BIGINT)
+         |       END AS r_e6
+         |FROM mo""".stripMargin,
 
     "g_coarsen_heavy_t2" -> {
       val steps = (1 to 2).map { r =>

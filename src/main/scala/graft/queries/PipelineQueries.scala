@@ -282,6 +282,24 @@ object PipelineQueries {
     "ev_markov2" -> ((s, dir) =>
       graft.streaming.Funnel.transitions2(events(s, dir))),
 
+    // dispersion (variance-to-mean) of per-minute event counts over
+    // ACTIVE minutes — the Poisson check before anomaly thresholds
+    "ev_dispersion" -> ((s, dir) => {
+      val epoch = col("ts").cast("timestamp").cast("long")
+      events(s, dir)
+        .select((epoch - epoch % 60).as("minute_epoch"))
+        .groupBy("minute_epoch").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_minutes"),
+          sum(col("c")).cast("long").as("sum_c"),
+          sum(col("c") * col("c")).cast("long").as("sumsq_c"))
+        .select(col("n_minutes"), col("sum_c"), col("sumsq_c"),
+          round(col("sum_c").cast("double") * 1000000 / col("n_minutes"))
+            .cast("long").as("mean_e6"),
+          round((col("n_minutes") * col("sumsq_c")
+            - col("sum_c") * col("sum_c")).cast("double") * 1000000
+            / (col("n_minutes") * col("sum_c"))).cast("long").as("vmr_e6"))
+    }),
+
     // per-type value panel (revenue table): n, e3-exact sum, mean
     "ev_value_stats" -> ((s, dir) =>
       events(s, dir).groupBy(col("event_type"))
@@ -2452,6 +2470,22 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_dispersion" ->
+      """WITH m AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT))
+        |    - (CAST(floor(epoch(ts)) AS BIGINT)) % 60 AS minute_epoch
+        |  FROM events),
+        |c AS (SELECT minute_epoch, count(*) AS c FROM m GROUP BY 1),
+        |a AS (SELECT count(*) AS n_minutes,
+        |        CAST(sum(c) AS BIGINT) AS sum_c,
+        |        CAST(sum(c * c) AS BIGINT) AS sumsq_c FROM c)
+        |SELECT n_minutes, sum_c, sumsq_c,
+        |       CAST(ROUND(CAST(sum_c AS DOUBLE) * 1000000 / n_minutes)
+        |         AS BIGINT) AS mean_e6,
+        |       CAST(ROUND(CAST(n_minutes * sumsq_c - sum_c * sum_c
+        |         AS DOUBLE) * 1000000 / (n_minutes * sum_c)) AS BIGINT)
+        |         AS vmr_e6
+        |FROM a""".stripMargin,
 
     "ev_value_stats" ->
       """WITH q AS (SELECT event_type,
