@@ -1528,6 +1528,25 @@ object GraphQueries {
       graft.algo.RandomWalks.walks(e, starts, length = 4)
     }),
 
+    // walk-corpus coverage: visit-count histogram of the l=4 walk corpus
+    // INCLUDING the zero-visit mass — the embedding-corpus quality audit
+    // (unvisited vertices get no training signal at all)
+    "g_walk_coverage" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val starts = GraphOps.vertices(e).filter(col("id") % 100 === 0)
+      val w = graft.algo.RandomWalks.walks(e, starts, length = 4)
+      val visits = w.groupBy(col("vertex").as("id"))
+        .agg(count(lit(1)).as("visits"))
+      val hist = visits.groupBy(col("visits"))
+        .agg(count(lit(1)).as("n_vertices"))
+      val cov = visits.agg(count(lit(1)).as("cov"))
+      val tot = GraphOps.vertices(e).agg(count(lit(1)).as("n"))
+      hist.select(col("visits").cast("long").as("visits"),
+          col("n_vertices"))
+        .union(cov.crossJoin(tot).select(lit(0L).as("visits"),
+          (col("n") - col("cov")).cast("long").as("n_vertices")))
+    }),
+
     // word2vec-SGNS training pairs from the same walk corpus, window 2
     "g_walk_pairs" -> ((s, dir) => {
       val e = demoEdges(s, dir)
@@ -4918,6 +4937,22 @@ object GraphQueries {
     // enough that the mix never overflows signed 64-bit inside the 2^40-id
     // envelope on either engine (VERDICT r3 #1)
     "g_walks_l4" -> walksL4Sql,
+
+    "g_walk_coverage" ->
+      s"""WITH wk AS ($walksL4Sql),
+         |vis AS (SELECT vertex AS id, count(*) AS visits FROM wk GROUP BY 1),
+         |hist AS (SELECT CAST(visits AS BIGINT) AS visits,
+         |           count(*) AS n_vertices FROM vis GROUP BY 1),
+         |raw2 AS (
+         |  SELECT l_orderkey % $NodeSpace AS src, l_partkey % $NodeSpace AS dst
+         |  FROM lineitem WHERE l_linenumber = 1),
+         |vt AS (SELECT count(DISTINCT v) AS n FROM (
+         |  SELECT src AS v FROM raw2 WHERE src <> dst
+         |  UNION ALL SELECT dst FROM raw2 WHERE src <> dst) yy),
+         |cv AS (SELECT count(*) AS cov FROM vis)
+         |SELECT visits, n_vertices FROM hist
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(n - cov AS BIGINT) FROM vt, cv""".stripMargin,
 
     // skip-gram pairs: nested replay of the walk corpus + the windowed
     // self-join — pair counts, not walk rows, are what word2vec trains on

@@ -282,6 +282,10 @@ object PipelineQueries {
     "ev_markov2" -> ((s, dir) =>
       graft.streaming.Funnel.transitions2(events(s, dir))),
 
+    // deterministic 90/5/5 split assignment via the md5Uniform contract
+    "d_splits" -> ((s, dir) =>
+      graft.text.CorpusClean.splitAssign(docs(s, dir))),
+
     // dispersion (variance-to-mean) of per-minute event counts over
     // ACTIVE minutes — the Poisson check before anomaly thresholds
     "ev_dispersion" -> ((s, dir) => {
@@ -2470,6 +2474,17 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "d_splits" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % 100 AS bucket,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         ::BIGINT % 100 < 90 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         ::BIGINT % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "ev_dispersion" ->
       """WITH m AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT))

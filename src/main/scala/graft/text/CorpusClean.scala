@@ -339,6 +339,25 @@ object CorpusClean {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Deterministic train/val/test split assignment: each doc lands in a
+    * split by its 60-bit md5 hash mod 100 — rerun-stable, join-free, and
+    * replayable in ANSI SQL (the md5Uniform contract), so the same doc is
+    * in the same split on every engine that ever touches the corpus (the
+    * property that makes leakage audits like d_decontam meaningful).
+    * Default 90/5/5. One scan.
+    *
+    * @return (doc_id, bucket, split)
+    */
+  def splitAssign(docs: DataFrame, trainPct: Int = 90,
+                  valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100)
+    val h = graft.text.TextIndex.md5Uniform(col("doc_id").cast("string")) % 100
+    docs.select(col("doc_id"), h.cast("long").as("bucket"),
+      when(h < trainPct, "train")
+        .when(h < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Corpus composition by language: docs, whitespace tokens, and each
     * language's token share — the language-mix table every corpus report
     * leads with and the input to any per-language sampling budget (the
