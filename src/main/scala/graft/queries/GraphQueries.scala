@@ -1208,6 +1208,25 @@ object GraphQueries {
     // PageRank distribution, per-vertex terms −r·ln r rounded to e12
     // integers BEFORE the sum (order-free), plus H/ln(n) normalization —
     // the "how centralized is the web graph" scalar next to ev_gini
+    // entropy of the LP(3) community-size distribution — one number for
+    // "one giant blob vs balanced structure", the labeling-side sibling
+    // of g_pr_entropy (same order-free e12-term contract)
+    "g_comm_entropy" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val sizes = LabelPropagation.runFixed(e, 3, symmetric = true)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      val tot = sizes.agg(sum(col("sz")).as("n"),
+        count(lit(1)).as("n_communities"))
+      sizes.crossJoin(tot)
+        .select(col("n"), col("n_communities"),
+          round(-(col("sz").cast("double") / col("n"))
+            * log(col("sz").cast("double") / col("n")) * 1000000000000L)
+            .cast("long").as("t"))
+        .groupBy(col("n").cast("long").as("n_vertices"),
+          col("n_communities"))
+        .agg(sum(col("t")).cast("long").as("h_e12"))
+    }),
+
     "g_pr_entropy" -> ((s, dir) => {
       val e = demoEdges(s, dir)
       val r = PageRank.runFixed(e, 3)
@@ -2893,6 +2912,18 @@ object GraphQueries {
          |       CAST(ROUND(CAST(l1_diff AS DOUBLE) * 1000000
          |         / (n_old + n_new)) AS BIGINT) AS drift_e6
          |FROM a""".stripMargin,
+
+    "g_comm_entropy" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |sz AS (SELECT label, count(*) AS sz FROM s3 GROUP BY 1),
+         |tt AS (SELECT CAST(sum(sz) AS BIGINT) AS n,
+         |         count(*) AS n_communities FROM sz)
+         |SELECT n AS n_vertices, n_communities,
+         |       CAST(sum(CAST(ROUND(-(CAST(sz AS DOUBLE) / n)
+         |         * ln(CAST(sz AS DOUBLE) / n) * 1000000000000)
+         |         AS BIGINT)) AS BIGINT) AS h_e12
+         |FROM sz, tt GROUP BY 1, 2""".stripMargin,
 
     "g_lp_frontier_t3" ->
       s"""WITH $cte,

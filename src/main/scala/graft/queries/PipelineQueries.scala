@@ -286,6 +286,10 @@ object PipelineQueries {
     "d_splits" -> ((s, dir) =>
       graft.text.CorpusClean.splitAssign(docs(s, dir))),
 
+    // daily actives split new vs returning (growth-vs-retention DAU)
+    "ev_new_returning" -> ((s, dir) =>
+      graft.streaming.Funnel.newVsReturning(events(s, dir))),
+
     // dispersion (variance-to-mean) of per-minute event counts over
     // ACTIVE minutes — the Poisson check before anomaly thresholds
     "ev_dispersion" -> ((s, dir) => {
@@ -2474,6 +2478,20 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_new_returning" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT))
+        |      - (CAST(floor(epoch(ts)) AS BIGINT)) % 86400 AS day_epoch
+        |  FROM events),
+        |f AS (SELECT user_id, min(day_epoch) AS fd FROM du GROUP BY 1)
+        |SELECT du.day_epoch,
+        |       CAST(sum(CASE WHEN du.day_epoch = f.fd THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN du.day_epoch <> f.fd THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_returning
+        |FROM du JOIN f ON du.user_id = f.user_id
+        |GROUP BY 1""".stripMargin,
 
     "d_splits" ->
       """SELECT doc_id,

@@ -360,6 +360,27 @@ object Funnel {
           .as("jaccard_e6"))
   }
 
+  /** Daily actives split new vs returning: per epoch day, how many of
+    * the day's distinct users are on their FIRST-ever active day — the
+    * growth-vs-retention decomposition of DAU (a flat DAU hiding shrinking
+    * returners behind a new-user firehose is the classic growth trap).
+    * TZ-free epoch-day floors; one distinct day-user table, a per-user
+    * min fold, one day-keyed agg. Returns (day_epoch, n_new,
+    * n_returning).
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val du = events.select(col("user_id"),
+      (epoch - epoch % 86400).as("day_epoch")).distinct()
+    val first = du.groupBy("user_id").agg(min(col("day_epoch")).as("fd"))
+    du.join(first, "user_id")
+      .groupBy(col("day_epoch"))
+      .agg(sum(when(col("day_epoch") === col("fd"), 1L).otherwise(0L))
+          .cast("long").as("n_new"),
+        sum(when(col("day_epoch") =!= col("fd"), 1L).otherwise(0L))
+          .cast("long").as("n_returning"))
+  }
+
   /** Second-order transition counts: (prev2, prev1) → next over each
     * user's time-ordered stream — the Markov-2 context table that prices
     * how much a sequence model gains over the first-order baseline
