@@ -290,6 +290,15 @@ object PipelineQueries {
     "ev_new_returning" -> ((s, dir) =>
       graft.streaming.Funnel.newVsReturning(events(s, dir))),
 
+    // per-variant funnel: the ev_ab_lift user_id-parity split crossed
+    // with the shared stages pass — the experiment readout at every
+    // funnel depth, not just final conversion
+    "ev_funnel_ab" -> ((s, dir) =>
+      graft.streaming.Funnel.stages(events(s, dir),
+          Seq("signup", "view", "click", "purchase"))
+        .select((col("user_id") % 2).as("variant"), col("stage"))
+        .groupBy("variant", "stage").agg(count(lit(1)).as("n_users"))),
+
     // dispersion (variance-to-mean) of per-minute event counts over
     // ACTIVE minutes — the Poisson check before anomaly thresholds
     "ev_dispersion" -> ((s, dir) => {
@@ -2478,6 +2487,41 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_funnel_ab" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(ts) // 1000000 AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m1 AS (SELECT user_id, min(t) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |a1 AS (SELECT u.user_id, m1.t_signup FROM u
+        |       LEFT JOIN m1 ON u.user_id = m1.user_id),
+        |m2 AS (SELECT e.user_id, min(e.t) AS t_view FROM ev e
+        |       JOIN a1 ON a1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND a1.t_signup IS NOT NULL
+        |         AND e.t >= a1.t_signup GROUP BY 1),
+        |a2 AS (SELECT a1.*, m2.t_view FROM a1
+        |       LEFT JOIN m2 ON a1.user_id = m2.user_id),
+        |m3 AS (SELECT e.user_id, min(e.t) AS t_click FROM ev e
+        |       JOIN a2 ON a2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND a2.t_view IS NOT NULL
+        |         AND e.t >= a2.t_view GROUP BY 1),
+        |a3 AS (SELECT a2.*, m3.t_click FROM a2
+        |       LEFT JOIN m3 ON a2.user_id = m3.user_id),
+        |m4 AS (SELECT e.user_id, min(e.t) AS t_purchase FROM ev e
+        |       JOIN a3 ON a3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND a3.t_click IS NOT NULL
+        |         AND e.t >= a3.t_click GROUP BY 1),
+        |a4 AS (SELECT a3.*, m4.t_purchase FROM a3
+        |       LEFT JOIN m4 ON a3.user_id = m4.user_id)
+        |SELECT user_id % 2 AS variant,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 4
+        |            WHEN t_click IS NOT NULL THEN 3
+        |            WHEN t_view IS NOT NULL THEN 2
+        |            WHEN t_signup IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stage,
+        |  count(*) AS n_users
+        |FROM a4 GROUP BY 1, 2""".stripMargin,
 
     "ev_new_returning" ->
       """WITH du AS (SELECT DISTINCT user_id,
