@@ -290,6 +290,14 @@ object PipelineQueries {
     "ev_new_returning" -> ((s, dir) =>
       graft.streaming.Funnel.newVsReturning(events(s, dir))),
 
+    // session-depth histogram (engagement distribution; k=1 = bounce)
+    "ev_session_depth" -> ((s, dir) =>
+      graft.streaming.Funnel.sessionDepthHist(events(s, dir))),
+
+    // doc-length histogram at power-of-2 char buckets (integer log)
+    "d_len_hist" -> ((s, dir) =>
+      graft.text.CorpusClean.lengthHistogram(docs(s, dir))),
+
     // per-variant funnel: the ev_ab_lift user_id-parity split crossed
     // with the shared stages pass — the experiment readout at every
     // funnel depth, not just final conversion
@@ -2487,6 +2495,28 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_session_depth" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id, t,
+        |        CASE WHEN prev IS NULL OR t - prev > 1800 THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |sess AS (SELECT count(*) AS n_ev FROM s GROUP BY user_id, sid)
+        |SELECT n_ev, count(*) AS n_sessions FROM sess GROUP BY 1""".stripMargin,
+
+    "d_len_hist" ->
+      """SELECT CAST(length(bin(n_chars + 1)) - 1 AS BIGINT) AS bucket,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "ev_funnel_ab" ->
       """WITH ev AS (SELECT user_id, event_type,

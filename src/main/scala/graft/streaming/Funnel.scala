@@ -360,6 +360,19 @@ object Funnel {
           .as("jaccard_e6"))
   }
 
+  /** Session-depth histogram: how many sessions contain exactly k events
+    * — the engagement-depth distribution behind [[sessionStats]]' scalar
+    * panel (a spike at k=1 is bounce traffic, a heavy tail is scraping).
+    * One pass over the shared gaps-and-islands labeling + two hash aggs;
+    * output is bounded by the deepest session. Returns (n_ev,
+    * n_sessions).
+    */
+  def sessionDepthHist(events: DataFrame, gapSec: Long = 1800L): DataFrame =
+    withSessionIds(events, gapSec)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_ev"))
+      .groupBy(col("n_ev")).agg(count(lit(1)).as("n_sessions"))
+
   /** Daily actives split new vs returning: per epoch day, how many of
     * the day's distinct users are on their FIRST-ever active day — the
     * growth-vs-retention decomposition of DAU (a flat DAU hiding shrinking

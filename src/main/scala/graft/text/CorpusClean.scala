@@ -339,6 +339,18 @@ object CorpusClean {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Doc-length histogram at power-of-2 character buckets —
+    * bucket = ⌊log₂(n_chars+1)⌋ via binary length (no float log, the
+    * gamma-bits trick) — the one-glance corpus shape panel next to the
+    * exact d_len_quantiles percentiles: truncation cliffs and spikes
+    * show up as bucket anomalies before any quantile does. One scan +
+    * one ≤ ~40-cell hash agg. Returns (bucket, n_docs).
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    docs.select((length(bin(col("n_chars") + 1)) - 1).cast("long")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+
   /** Deterministic train/val/test split assignment: each doc lands in a
     * split by its 60-bit md5 hash mod 100 — rerun-stable, join-free, and
     * replayable in ANSI SQL (the md5Uniform contract), so the same doc is
