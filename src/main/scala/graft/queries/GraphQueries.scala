@@ -1208,6 +1208,24 @@ object GraphQueries {
     // PageRank distribution, per-vertex terms −r·ln r rounded to e12
     // integers BEFORE the sum (order-free), plus H/ln(n) normalization —
     // the "how centralized is the web graph" scalar next to ev_gini
+    // per-community triangle census: cohesion per LP(3) community (the
+    // triangle-level refinement of g_comm_connectivity's intra-edge
+    // counts); canonical a<b<c enumeration, labels joined on all three
+    "g_comm_triangles" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val lab = LabelPropagation.runFixed(e, 3, symmetric = true)
+      val canon = e.filter(col("src") < col("dst"))
+      val tri = canon.select(col("src").as("a"), col("dst").as("b"))
+        .join(canon.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+        .join(canon.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"))
+      tri.join(lab.select(col("id").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("id").as("b"), col("label").as("lb")), "b")
+        .join(lab.select(col("id").as("c"), col("label").as("lc")), "c")
+        .filter(col("la") === col("lb") && col("lb") === col("lc"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // entropy of the LP(3) community-size distribution — one number for
     // "one giant blob vs balanced structure", the labeling-side sibling
     // of g_pr_entropy (same order-free e12-term contract)
@@ -2912,6 +2930,22 @@ object GraphQueries {
          |       CAST(ROUND(CAST(l1_diff AS DOUBLE) * 1000000
          |         / (n_old + n_new)) AS BIGINT) AS drift_e6
          |FROM a""".stripMargin,
+
+    "g_comm_triangles" ->
+      s"""WITH $cte,
+         |${lpStepsSql(3)},
+         |canon AS (SELECT src, dst FROM e0 WHERE src < dst),
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |        FROM canon e1
+         |        JOIN canon e2 ON e1.dst = e2.src
+         |        JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+         |SELECT la.label, count(*) AS n_triangles
+         |FROM tri
+         |JOIN s3 la ON tri.a = la.id
+         |JOIN s3 lb ON tri.b = lb.id
+         |JOIN s3 lc ON tri.c = lc.id
+         |WHERE la.label = lb.label AND lb.label = lc.label
+         |GROUP BY 1""".stripMargin,
 
     "g_comm_entropy" ->
       s"""WITH $cte,
