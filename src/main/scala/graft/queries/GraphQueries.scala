@@ -1208,6 +1208,23 @@ object GraphQueries {
     // PageRank distribution, per-vertex terms −r·ln r rounded to e12
     // integers BEFORE the sum (order-free), plus H/ln(n) normalization —
     // the "how centralized is the web graph" scalar next to ev_gini
+    // PageRank top-k stability: Jaccard of the top-20 at iteration 3 vs
+    // iteration 5 — the top-of-ranking view converges before the scores
+    // do, and THIS is the signal that picks a serving iteration budget
+    "g_pr_topk_overlap" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      def top(iters: Int) = PageRank.runFixed(e, iters)
+        .select(col("id"),
+          round(col("rank") * 1000000).cast("long").as("r"))
+        .orderBy(col("r").desc, col("id").asc).limit(20)
+        .select(col("id"))
+      top(3).join(top(5), Seq("id"))
+        .agg(count(lit(1)).as("n_common"))
+        .select(lit(20L).as("k"), col("n_common"),
+          round(col("n_common").cast("double") * 1000000
+            / (lit(40L) - col("n_common"))).cast("long").as("jaccard_e6"))
+    }),
+
     // per-community triangle census: cohesion per LP(3) community (the
     // triangle-level refinement of g_comm_connectivity's intra-edge
     // counts); canonical a<b<c enumeration, labels joined on all three
@@ -2930,6 +2947,40 @@ object GraphQueries {
          |       CAST(ROUND(CAST(l1_diff AS DOUBLE) * 1000000
          |         / (n_old + n_new)) AS BIGINT) AS drift_e6
          |FROM a""".stripMargin,
+
+    "g_pr_topk_overlap" -> {
+      val prSteps = (1 to 5).map { k =>
+        s"""qx$k AS (
+           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN qr${k - 1} p ON e0.src = p.id
+           |  JOIN qdeg d ON e0.src = d.id
+           |  GROUP BY 1
+           |), qr$k AS (
+           |  SELECT v.id, 0.15 / (SELECT count(*) FROM verts)
+           |         + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM verts v LEFT JOIN qx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |qdeg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |qr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS r
+         |        FROM verts),
+         |$prSteps,
+         |t3 AS (SELECT id FROM (
+         |  SELECT id, row_number() OVER (ORDER BY
+         |    CAST(ROUND(r * 1000000) AS BIGINT) DESC, id ASC) AS rk
+         |  FROM qr3) t WHERE rk <= 20),
+         |t5 AS (SELECT id FROM (
+         |  SELECT id, row_number() OVER (ORDER BY
+         |    CAST(ROUND(r * 1000000) AS BIGINT) DESC, id ASC) AS rk
+         |  FROM qr5) t WHERE rk <= 20),
+         |cm AS (SELECT count(*) AS n_common
+         |       FROM t3 JOIN t5 ON t3.id = t5.id)
+         |SELECT CAST(20 AS BIGINT) AS k, n_common,
+         |       CAST(ROUND(CAST(n_common AS DOUBLE) * 1000000
+         |         / (40 - n_common)) AS BIGINT) AS jaccard_e6
+         |FROM cm""".stripMargin
+    },
 
     "g_comm_triangles" ->
       s"""WITH $cte,
