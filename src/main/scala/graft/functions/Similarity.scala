@@ -800,6 +800,38 @@ object Similarity {
           .as("n_zero"),
         min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))
 
+  /** Two-NN intrinsic-dimension estimate (Facco et al. 2017): per point
+    * the ratio μ = d₂/d₁ of its two nearest-neighbor DISTANCES (squared
+    * ratios halve the log), ID ≈ n / Σ ln μ — the is-my-64-dim-space
+    * really-64-dimensional audit that decides how aggressive JL/PQ
+    * compression can be (data on a low-dim manifold compresses far
+    * harder than its ambient width suggests). Per-point ln terms are
+    * e6-rounded BEFORE the sum (order-free contract); points with
+    * d₁ = 0 (exact dups — see [[exactDupVectors]]) or d₂ = 0 are
+    * excluded and counted. Exact [[l2TopK]] baseline; the scale path
+    * rides the ANN candidates like every other top-k audit.
+    *
+    * @return one row (n_used, n_degenerate, sum_lnmu_e6, id_e6)
+    */
+  def intrinsicDimension(vectors: DataFrame): DataFrame = {
+    val tk = l2TopK(vectors, vectors, 2)
+    val paired = tk.groupBy(col("qid"))
+      .agg(min(when(col("rank") === 1, col("d_e6"))).as("d1"),
+        min(when(col("rank") === 2, col("d_e6"))).as("d2"))
+    val terms = paired.select(
+      when(col("d1") > 0 && col("d2") > 0,
+        round(log(col("d2").cast("double") / col("d1")) / 2 * 1000000)
+          .cast("long")).as("t"))
+    terms.agg(count(col("t")).as("n_used"),
+        sum(when(col("t").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_degenerate"),
+        coalesce(sum(col("t")), lit(0L)).cast("long").as("sum_lnmu_e6"))
+      .select(col("n_used"), col("n_degenerate"), col("sum_lnmu_e6"),
+        when(col("sum_lnmu_e6") <= 0, lit(0L)).otherwise(
+          round(col("n_used").cast("double") * 1000000000000L
+            / col("sum_lnmu_e6")).cast("long")).as("id_e6"))
+  }
+
   /** Exact-duplicate vector groups: vectors identical after the shared
     * e6 quantization, grouped by the md5 of their comma-joined integer
     * components (16-byte keys, never array equality over the corpus —

@@ -294,6 +294,25 @@ object PipelineQueries {
     "ev_session_depth" -> ((s, dir) =>
       graft.streaming.Funnel.sessionDepthHist(events(s, dir))),
 
+    // two-NN intrinsic-dimension estimate of the embedding space
+    "e_intrinsic_dim" -> ((s, dir) =>
+      graft.functions.Similarity.intrinsicDimension(emb(s, dir))),
+
+    // cart abandonment: users reaching click without purchasing
+    "ev_abandonment" -> ((s, dir) => {
+      val st = graft.streaming.Funnel.stages(events(s, dir),
+        Seq("signup", "view", "click", "purchase"))
+      st.agg(sum(when(col("t_click").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_reached_click"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_purchased"))
+        .select(col("n_reached_click"), col("n_purchased"),
+          when(col("n_reached_click") === 0, lit(0L)).otherwise(
+            round((col("n_reached_click") - col("n_purchased"))
+              .cast("double") * 1000000 / col("n_reached_click"))
+              .cast("long")).as("abandon_e6"))
+    }),
+
     // doc-length histogram at power-of-2 char buckets (integer log)
     "d_len_hist" -> ((s, dir) =>
       graft.text.CorpusClean.lengthHistogram(docs(s, dir))),
@@ -2495,6 +2514,74 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "e_intrinsic_dim" ->
+      """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding]
+        |              AS v FROM embeddings),
+        |ad AS (SELECT a.vec_id AS qid, b.vec_id,
+        |         CAST(ROUND(list_sum([(a.v[i+1]-b.v[i+1])*(a.v[i+1]-b.v[i+1])
+        |           for i in range(64)]) * 1000000) AS BIGINT) AS d_e6
+        |       FROM vv a, vv b WHERE a.vec_id <> b.vec_id),
+        |tk AS (SELECT qid, d_e6, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY d_e6 ASC, vec_id ASC) AS rk FROM ad) t WHERE rk <= 2),
+        |pr AS (SELECT qid,
+        |         min(CASE WHEN rk = 1 THEN d_e6 END) AS d1,
+        |         min(CASE WHEN rk = 2 THEN d_e6 END) AS d2
+        |       FROM tk GROUP BY 1),
+        |tm AS (SELECT CASE WHEN d1 > 0 AND d2 > 0
+        |         THEN CAST(ROUND(ln(CAST(d2 AS DOUBLE) / d1) / 2 * 1000000)
+        |           AS BIGINT) END AS t
+        |       FROM pr),
+        |a AS (SELECT count(t) AS n_used,
+        |        CAST(sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_degenerate,
+        |        CAST(coalesce(sum(t), 0) AS BIGINT) AS sum_lnmu_e6
+        |      FROM tm)
+        |SELECT n_used, n_degenerate, sum_lnmu_e6,
+        |       CASE WHEN sum_lnmu_e6 <= 0 THEN 0
+        |            ELSE CAST(ROUND(CAST(n_used AS DOUBLE) * 1000000000000
+        |                 / sum_lnmu_e6) AS BIGINT) END AS id_e6
+        |FROM a""".stripMargin,
+
+    "ev_abandonment" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              epoch_us(ts) // 1000000 AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |m1 AS (SELECT user_id, min(t) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |a1 AS (SELECT u.user_id, m1.t_signup FROM u
+        |       LEFT JOIN m1 ON u.user_id = m1.user_id),
+        |m2 AS (SELECT e.user_id, min(e.t) AS t_view FROM ev e
+        |       JOIN a1 ON a1.user_id = e.user_id
+        |       WHERE e.event_type = 'view' AND a1.t_signup IS NOT NULL
+        |         AND e.t >= a1.t_signup GROUP BY 1),
+        |a2 AS (SELECT a1.*, m2.t_view FROM a1
+        |       LEFT JOIN m2 ON a1.user_id = m2.user_id),
+        |m3 AS (SELECT e.user_id, min(e.t) AS t_click FROM ev e
+        |       JOIN a2 ON a2.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND a2.t_view IS NOT NULL
+        |         AND e.t >= a2.t_view GROUP BY 1),
+        |a3 AS (SELECT a2.*, m3.t_click FROM a2
+        |       LEFT JOIN m3 ON a2.user_id = m3.user_id),
+        |m4 AS (SELECT e.user_id, min(e.t) AS t_purchase FROM ev e
+        |       JOIN a3 ON a3.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND a3.t_click IS NOT NULL
+        |         AND e.t >= a3.t_click GROUP BY 1),
+        |a4 AS (SELECT a3.*, m4.t_purchase FROM a3
+        |       LEFT JOIN m4 ON a3.user_id = m4.user_id),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_reached_click,
+        |    CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_purchased
+        |  FROM a4)
+        |SELECT n_reached_click, n_purchased,
+        |       CASE WHEN n_reached_click = 0 THEN 0
+        |            ELSE CAST(ROUND(CAST(n_reached_click - n_purchased
+        |                 AS DOUBLE) * 1000000 / n_reached_click) AS BIGINT)
+        |       END AS abandon_e6
+        |FROM c""".stripMargin,
 
     "ev_session_depth" ->
       """WITH o AS (
