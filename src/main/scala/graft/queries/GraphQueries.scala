@@ -1208,6 +1208,19 @@ object GraphQueries {
     // PageRank distribution, per-vertex terms −r·ln r rounded to e12
     // integers BEFORE the sum (order-free), plus H/ln(n) normalization —
     // the "how centralized is the web graph" scalar next to ev_gini
+    // top-20 PageRank mass share: importance concentration at the head
+    // (complements g_pr_entropy/gini with the serving-cache question:
+    // how much of the mass does a 20-page cache cover?)
+    "g_pr_mass_topk" -> ((s, dir) => {
+      val e = demoEdges(s, dir)
+      val r = PageRank.runFixed(e, 5)
+        .select(col("id"), round(col("rank") * 1000000).cast("long")
+          .as("rank_e6"))
+      r.orderBy(col("rank_e6").desc, col("id").asc).limit(20)
+        .agg(sum(col("rank_e6")).cast("long").as("mass_e6"))
+        .select(lit(20L).as("k"), col("mass_e6"))
+    }),
+
     // PageRank top-k stability: Jaccard of the top-20 at iteration 3 vs
     // iteration 5 — the top-of-ranking view converges before the scores
     // do, and THIS is the signal that picks a serving iteration budget
@@ -2947,6 +2960,34 @@ object GraphQueries {
          |       CAST(ROUND(CAST(l1_diff AS DOUBLE) * 1000000
          |         / (n_old + n_new)) AS BIGINT) AS drift_e6
          |FROM a""".stripMargin,
+
+    "g_pr_mass_topk" -> {
+      val prSteps = (1 to 5).map { k =>
+        s"""qx$k AS (
+           |  SELECT e0.dst AS id, sum(p.r / d.od) AS s
+           |  FROM e0 JOIN qr${k - 1} p ON e0.src = p.id
+           |  JOIN qdeg d ON e0.src = d.id
+           |  GROUP BY 1
+           |), qr$k AS (
+           |  SELECT v.id, 0.15 / (SELECT count(*) FROM verts)
+           |         + 0.85 * coalesce(x.s, 0) AS r
+           |  FROM verts v LEFT JOIN qx$k x ON v.id = x.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $cte,
+         |qdeg AS (SELECT src AS id, count(*) AS od FROM e0 GROUP BY 1),
+         |qr0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS r
+         |        FROM verts),
+         |$prSteps,
+         |rk AS (SELECT id, CAST(ROUND(r * 1000000) AS BIGINT) AS rank_e6
+         |       FROM qr5),
+         |top AS (SELECT rank_e6 FROM (
+         |  SELECT rank_e6, row_number() OVER (ORDER BY rank_e6 DESC, id ASC)
+         |    AS rn FROM rk) t WHERE rn <= 20)
+         |SELECT CAST(20 AS BIGINT) AS k,
+         |       CAST(sum(rank_e6) AS BIGINT) AS mass_e6
+         |FROM top""".stripMargin
+    },
 
     "g_pr_topk_overlap" -> {
       val prSteps = (1 to 5).map { k =>

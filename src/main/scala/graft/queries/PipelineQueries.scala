@@ -298,6 +298,10 @@ object PipelineQueries {
     "e_intrinsic_dim" -> ((s, dir) =>
       graft.functions.Similarity.intrinsicDimension(emb(s, dir))),
 
+    // longest consecutive-day streak per user, histogrammed
+    "ev_streaks" -> ((s, dir) =>
+      graft.streaming.Funnel.streakHistogram(events(s, dir))),
+
     // cart abandonment: users reaching click without purchasing
     "ev_abandonment" -> ((s, dir) => {
       val st = graft.streaming.Funnel.stages(events(s, dir),
@@ -2514,6 +2518,28 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "ev_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |    CAST((CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 86400
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |o AS (SELECT user_id, day,
+        |        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |      FROM du),
+        |m AS (SELECT user_id, day,
+        |        CASE WHEN prev IS NULL OR day - prev > 1 THEN 1 ELSE 0 END
+        |          AS brk
+        |      FROM o),
+        |s AS (SELECT user_id,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY day
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |ln AS (SELECT user_id, count(*) AS len FROM s GROUP BY user_id, sid),
+        |mx AS (SELECT user_id, CAST(max(len) AS BIGINT) AS streak_days
+        |       FROM ln GROUP BY 1)
+        |SELECT streak_days, count(*) AS n_users FROM mx GROUP BY 1""".stripMargin,
 
     "e_intrinsic_dim" ->
       """WITH vv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding]

@@ -373,6 +373,32 @@ object Funnel {
       .agg(count(lit(1)).as("n_ev"))
       .groupBy(col("n_ev")).agg(count(lit(1)).as("n_sessions"))
 
+  /** Longest consecutive-day activity streak per user, histogrammed —
+    * the habit-formation metric product teams optimize (a shrinking long-
+    * streak tail is churn before churn shows). Same gaps-and-islands
+    * shape as sessions, one level up: the distinct day-user table breaks
+    * where the day gap exceeds 1, the per-user MAX streak feeds a
+    * bounded histogram. Windows partition by user. Returns
+    * (streak_days, n_users).
+    */
+  def streakHistogram(events: DataFrame): DataFrame = {
+    val epoch = col("ts").cast("timestamp").cast("long")
+    val du = events.select(col("user_id"),
+      ((epoch - epoch % 86400) / 86400).cast("long").as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val streaks = du
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull
+        || col("day") - col("prev") > 1, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id")).agg(max(col("len")).as("streak_days"))
+    streaks.groupBy(col("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Daily actives split new vs returning: per epoch day, how many of
     * the day's distinct users are on their FIRST-ever active day — the
     * growth-vs-retention decomposition of DAU (a flat DAU hiding shrinking
