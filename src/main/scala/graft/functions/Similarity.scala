@@ -800,6 +800,33 @@ object Similarity {
           .as("n_zero"),
         min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"))
 
+  /** kNN label agreement per class: of each point's cosine top-k
+    * neighbors, how many share its label — the LOCAL embedding-quality
+    * view that catches what the centroid family cannot (a class split
+    * into two clean blobs scores perfect agreement here while its
+    * centroid sits in the void between them). Exact integer pair counts
+    * per label, one final divide; exact brute-force baseline with the
+    * usual ANN-candidate swap at corpus scale.
+    *
+    * @return (label, n_points, n_pairs, n_agree, agree_e6)
+    */
+  def knnLabelAgreement(vectors: DataFrame, k: Int): DataFrame = {
+    val lab = vectors.select(col("vec_id"),
+      col("label").cast("long").as("label"))
+    bruteForceTopK(vectors, vectors, k)
+      .join(lab.select(col("vec_id").as("qid"), col("label").as("ql")),
+        "qid")
+      .join(lab.select(col("vec_id"), col("label").as("nl")), "vec_id")
+      .groupBy(col("ql").as("label"))
+      .agg(countDistinct(col("qid")).as("n_points"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).cast("long")
+          .as("n_agree"))
+      .select(col("label"), col("n_points"), col("n_pairs"), col("n_agree"),
+        round(col("n_agree").cast("double") * 1000000 / col("n_pairs"))
+          .cast("long").as("agree_e6"))
+  }
+
   /** Two-NN intrinsic-dimension estimate (Facco et al. 2017): per point
     * the ratio μ = d₂/d₁ of its two nearest-neighbor DISTANCES (squared
     * ratios halve the log), ID ≈ n / Σ ln μ — the is-my-64-dim-space

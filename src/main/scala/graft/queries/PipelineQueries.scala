@@ -302,6 +302,10 @@ object PipelineQueries {
     "ev_streaks" -> ((s, dir) =>
       graft.streaming.Funnel.streakHistogram(events(s, dir))),
 
+    // kNN label agreement per class (local embedding-quality view)
+    "e_knn_agreement" -> ((s, dir) =>
+      graft.functions.Similarity.knnLabelAgreement(emb(s, dir), k = 3)),
+
     // cart abandonment: users reaching click without purchasing
     "ev_abandonment" -> ((s, dir) => {
       val st = graft.streaming.Funnel.stages(events(s, dir),
@@ -2518,6 +2522,34 @@ object PipelineQueries {
         |      FROM cp)
         |SELECT CAST(w2 // 2 AS BIGINT) AS butterflies, n_copairs, n_wedges
         |FROM s""".stripMargin,
+
+    "e_knn_agreement" ->
+      """WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum([v[i+1] * v[i+1] for i in range(64)])) AS nrm
+        |      FROM v),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n),
+        |s AS (SELECT qid, vec_id,
+        |        CAST(ROUND(list_sum([qv[i+1] * v[i+1] for i in range(64)])
+        |          / (qn * nrm) * 1000000) AS BIGINT) AS sim_e6
+        |      FROM q, n WHERE qid <> vec_id),
+        |tk AS (SELECT qid, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY sim_e6 DESC, vec_id ASC) AS rank FROM s) t
+        |  WHERE rank <= 3),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+        |        FROM embeddings)
+        |SELECT ql.label, count(DISTINCT tk.qid) AS n_points,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_agree,
+        |       CAST(ROUND(CAST(sum(CASE WHEN ql.label = nl.label
+        |         THEN 1 ELSE 0 END) AS DOUBLE) * 1000000 / count(*))
+        |         AS BIGINT) AS agree_e6
+        |FROM tk JOIN lab ql ON tk.qid = ql.vec_id
+        |JOIN lab nl ON tk.vec_id = nl.vec_id
+        |GROUP BY 1""".stripMargin,
 
     "ev_streaks" ->
       """WITH du AS (SELECT DISTINCT user_id,
