@@ -302,6 +302,22 @@ object PipelineQueries {
     "ev_streaks" -> ((s, dir) =>
       graft.streaming.Funnel.streakHistogram(events(s, dir))),
 
+    // 7-day trailing-mean smoothed DAU over the BOUNDED day table (the
+    // day-window precedent of ev_wau; ma7 denominator is the actual
+    // trailing row count so the series starts honest, not inflated)
+    "ev_dau_smooth" -> ((s, dir) => {
+      val epoch = col("ts").cast("timestamp").cast("long")
+      val dau = events(s, dir)
+        .select((epoch - epoch % 86400).as("day_epoch"), col("user_id"))
+        .distinct()
+        .groupBy("day_epoch").agg(count(lit(1)).as("dau"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day_epoch").asc).rowsBetween(-6, 0)
+      dau.withColumn("ma7_e6",
+          round(avg(col("dau")).over(w) * 1000000).cast("long"))
+        .select(col("day_epoch"), col("dau"), col("ma7_e6"))
+    }),
+
     // kNN label agreement per class (local embedding-quality view)
     "e_knn_agreement" -> ((s, dir) =>
       graft.functions.Similarity.knnLabelAgreement(emb(s, dir), k = 3)),
@@ -2550,6 +2566,18 @@ object PipelineQueries {
         |FROM tk JOIN lab ql ON tk.qid = ql.vec_id
         |JOIN lab nl ON tk.vec_id = nl.vec_id
         |GROUP BY 1""".stripMargin,
+
+    "ev_dau_smooth" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |    (CAST(floor(epoch(ts)) AS BIGINT))
+        |      - (CAST(floor(epoch(ts)) AS BIGINT)) % 86400 AS day_epoch
+        |  FROM events),
+        |dau AS (SELECT day_epoch, count(*) AS dau FROM du GROUP BY 1)
+        |SELECT day_epoch, dau,
+        |       CAST(ROUND(avg(dau) OVER (ORDER BY day_epoch ASC
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000)
+        |         AS BIGINT) AS ma7_e6
+        |FROM dau""".stripMargin,
 
     "ev_streaks" ->
       """WITH du AS (SELECT DISTINCT user_id,
