@@ -86,13 +86,25 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** One min-propagation superstep. The keep-previous fallback rides the
+    * aggregation as a SELF-MESSAGE (labels unioned into the gather output)
+    * instead of a per-superstep vertex-sized left join:
+    * min(own ∪ neighbor labels) ≡ least(own, coalesce(nbMin, own)) for
+    * every vertex, including ones receiving no neighbor messages — one
+    * hash aggregation per superstep, no join after the gather (guide §2.4:
+    * two operations keyed the same way share one exchange). `labels` must
+    * cover the full vertex set (the existing [[run]] contract — warm
+    * starts left-join the vertex table and coalesce to own id).
+    */
   def superstep(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val msgs = edges.join(labels, edges("dst") === labels("id"))
+    // shuffle-hash build of the label state: same rationale as
+    // LabelPropagation.gather (stats-less iterative state falls back to
+    // SMJ and re-sorts the persisted edge side every superstep)
+    val msgs = edges.join(labels.hint("shuffle_hash"),
+        edges("dst") === labels("id"))
       .select(edges("src").as("id"), labels("label"))
-    val neighborMin = msgs.groupBy("id").agg(min(col("label")).as("nbMin"))
-    labels.join(neighborMin, Seq("id"), "left")
-      .select(col("id"),
-        least(col("label"), coalesce(col("nbMin"), col("label"))).as("label"))
+    msgs.union(labels.select(col("id"), col("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
   }
 
   /** Skew-aware min-propagation superstep — the LP hot/cold routing
@@ -104,16 +116,15 @@ object ConnectedComponents {
     */
   def superstepSkewAware(plan: GraphOps.SkewPlan, labels: DataFrame): DataFrame = {
     val hotLabels = labels.join(broadcast(plan.hotIds), Seq("id"), "left_semi")
-    val coldMsgs = plan.coldEdges.join(labels, plan.coldEdges("dst") === labels("id"))
+    val coldMsgs = plan.coldEdges.join(labels.hint("shuffle_hash"),
+        plan.coldEdges("dst") === labels("id"))
       .select(plan.coldEdges("src").as("id"), labels("label"))
     val hotMsgs = plan.hotEdges
       .join(broadcast(hotLabels), plan.hotEdges("dst") === hotLabels("id"))
       .select(plan.hotEdges("src").as("id"), hotLabels("label"))
-    val neighborMin = coldMsgs.union(hotMsgs)
-      .groupBy("id").agg(min(col("label")).as("nbMin"))
-    labels.join(neighborMin, Seq("id"), "left")
-      .select(col("id"),
-        least(col("label"), coalesce(col("nbMin"), col("label"))).as("label"))
+    // self-message fold, as in [[superstep]]: no post-gather join
+    coldMsgs.union(hotMsgs).union(labels.select(col("id"), col("label")))
+      .groupBy("id").agg(min(col("label")).as("label"))
   }
 
   /** @param autoSkew as in [[LabelPropagation.run]]: derive the hot-vertex

@@ -198,7 +198,8 @@ object LabelPropagation {
   def superstepWeighted(edges: DataFrame, labels: DataFrame,
                         symmetric: Boolean = false,
                         packedArgmax: Option[Boolean] = None): DataFrame = {
-    val msgs = edges.join(labels, edges("dst") === labels("id"))
+    val msgs = edges.join(labels.hint("shuffle_hash"),
+        edges("dst") === labels("id"))
       .select(edges("src").as("id"), labels("label"), edges("weight"))
     val counts = msgs.groupBy(col("id"), col("label"))
       .agg(sum(col("weight")).cast("long").as("cnt"))
@@ -224,8 +225,16 @@ object LabelPropagation {
       .select(col("id"), coalesce(col("newLabel"), col("label")).as("label"))
   }
 
+  /** Gather join with the label state pinned to a shuffled-hash build
+    * (guide §3.1): without stats the planner falls back to sort-merge and
+    * re-SORTS the (persisted, unchanging) edge side every superstep —
+    * plan-verified on the 25.6M-slot scaling graph, where all six
+    * supersteps planned SMJ on [dst]≡[id]. The per-partition label slice
+    * is |V|/partitions rows of 16 bytes at any scale, so the hash build
+    * is always safe; broadcast would not survive web-scale vertex counts.
+    */
   private def gather(edges: DataFrame, labels: DataFrame): DataFrame =
-    edges.join(labels, edges("dst") === labels("id"))
+    edges.join(labels.hint("shuffle_hash"), edges("dst") === labels("id"))
       .select(edges("src").as("id"), labels("label"))
 
   /** Superstep over the CSR-blocked adjacency form (north_star:
@@ -272,7 +281,9 @@ object LabelPropagation {
                packedArgmax: Option[Boolean] = None,
                eagerEvery: Int = 10): DataFrame = {
     val packed = resolvePacked(edges, packedArgmax)
-    var labels = initLabels(GraphOps.vertices(edges))
+    var labels = initLabels(
+      if (symmetric) GraphOps.verticesSymmetric(edges)
+      else GraphOps.vertices(edges))
     var i = 0
     while (i < supersteps) {
       i += 1
@@ -299,7 +310,9 @@ object LabelPropagation {
                   symmetric: Boolean = false,
                   packedArgmax: Option[Boolean] = None): DataFrame = {
     val packed = resolvePacked(edges, packedArgmax)
-    var labels = initLabels(GraphOps.vertices(edges))
+    var labels = initLabels(
+      if (symmetric) GraphOps.verticesSymmetric(edges)
+      else GraphOps.vertices(edges))
     var hist: DataFrame = null
     var i = 0
     while (i < supersteps) {
@@ -326,7 +339,9 @@ object LabelPropagation {
                  symmetric: Boolean = false,
                  packedArgmax: Option[Boolean] = None): DataFrame = {
     val packed = resolvePacked(edges, packedArgmax)
-    var labels = initLabels(GraphOps.vertices(edges))
+    var labels = initLabels(
+      if (symmetric) GraphOps.verticesSymmetric(edges)
+      else GraphOps.vertices(edges))
     var i = 0
     while (i < supersteps) {
       i += 1; labels = superstep(edges, labels, symmetric, packed)
@@ -407,13 +422,41 @@ object LabelPropagation {
       symmetric: Boolean = false,
       tieBreakSeed: Option[Long] = None,
       autoSkew: Boolean = true): Superstep.Result = {
-    val init = initLabels(GraphOps.vertices(edges))
-    val packed = packedBudgetOk(edges)
+    val init = initLabels(
+      if (symmetric) GraphOps.verticesSymmetric(edges)
+      else GraphOps.vertices(edges))
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val derivedPlan =
-      if (skewPlan.isEmpty && autoSkew && tieBreakSeed.isEmpty)
-        GraphOps.planSkewAuto(edges, parts)
-      else None
+    val wantAuto = skewPlan.isEmpty && autoSkew && tieBreakSeed.isEmpty
+    // ONE aggregation job serves both setup decisions: the packed-argmax
+    // bit budget and the skew threshold read the same groupBy(dst) degree
+    // table (round 5 ran two identical-shaped jobs here, both inside the
+    // timed region of lp_converge — guide §2.4, share the pass).
+    val (packed, derivedPlan) =
+      if (wantAuto) {
+        val row = edges.groupBy(col("dst"))
+          .agg(count(lit(1)).as("deg"), max(col("src")).as("maxSrc"))
+          .agg(max(col("deg")).as("maxDeg"),
+            max(greatest(col("dst"), col("maxSrc"))).as("maxId"),
+            percentile_approx(col("deg"), lit(0.999), lit(10000)).as("q"),
+            avg(col("deg")).as("mean"), sum(col("deg")).as("total"))
+          .first()
+        if (row.isNullAt(0)) (true, None) // empty edge table
+        else {
+          val p = row.getLong(1) < (1L << PackLabelBits) &&
+            row.getLong(0) < (1L << 23)
+          // identical derivation to GraphOps.deriveSkewThreshold/planSkewAuto
+          val threshold = math.max(row.getLong(2),
+            math.ceil(row.getDouble(3) * 8.0).toLong)
+          val fairShare = math.max(row.getLong(4) / math.max(parts, 1), 1L)
+          val plan =
+            if (row.getLong(0) > math.max(threshold, fairShare)) {
+              val pl = GraphOps.planSkewBy(edges, "dst", threshold, parts)
+              if (pl.hotIds.count() <= 1000000L) Some(pl)
+              else { GraphOps.unpersistSkew(pl); None }
+            } else None
+          (p, plan)
+        }
+      } else (packedBudgetOk(edges), None)
     // hashed tie-break re-seeds per iteration (the reference re-draws
     // rand() every call; a fixed per-(id,label) choice can 2-cycle)
     var it = 0

@@ -24,6 +24,19 @@ object PageRank {
   final case class Result(ranks: DataFrame, iterations: Int, converged: Boolean,
                           l1History: Seq[Double])
 
+  /** Rank-state side of the per-iteration `edges ⋈ ranks` join, pinned to
+    * a shuffled-hash build (guide §3.1). Left to size estimates, the
+    * iterative rank table has no stats and the planner falls back to
+    * sort-merge — which re-SORTS the (persisted, unchanging) edge table
+    * every iteration; profiled on the r6 bench graph the 10-iteration run
+    * planned SMJ on [src]≡[id] each round. The per-partition rank slice is
+    * vertex-state-sized at ANY scale (|V|/partitions rows of 16 bytes), so
+    * hashing it is always safe, while broadcasting would not survive 10^12
+    * vertices — shuffled-hash is the scale-correct strategy, and AQE skew
+    * splitting still applies to the streamed edge side.
+    */
+  private def stateSide(ranks: DataFrame): DataFrame = ranks.hint("shuffle_hash")
+
   /** @param autoSkew derive an OUT-degree hot-vertex threshold
     *        ([[GraphOps.planSkewAuto]] keyed on `src` — PageRank's
     *        per-iteration join keys on the rank SOURCE, so the skewed key
@@ -59,7 +72,7 @@ object PageRank {
     val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+    val edgesDeg = edges.join(stateSide(outDeg), edges("src") === outDeg("id"))
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -91,7 +104,7 @@ object PageRank {
       val contribs = skewPlan match {
         case Some(p) =>
           val hotRanks = ranks.join(broadcast(p.hotIds), Seq("id"), "left_semi")
-          p.coldEdges.join(ranks, p.coldEdges("src") === ranks("id"))
+          p.coldEdges.join(stateSide(ranks), p.coldEdges("src") === ranks("id"))
             .select(p.coldEdges("dst").as("id"),
               (col("rank") / col("outdeg")).as("c"))
             .union(p.hotEdges
@@ -100,7 +113,7 @@ object PageRank {
                 (hotRanks("rank") / p.hotEdges("outdeg")).as("c")))
         case None =>
           edgesDeg
-            .join(ranks, edgesDeg("src") === ranks("id"))
+            .join(stateSide(ranks), edgesDeg("src") === ranks("id"))
             .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
       }
       val sums = contribs.groupBy("id").agg(sum("c").as("s"))
@@ -149,10 +162,12 @@ object PageRank {
     */
   def runFixed(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                partitions: Int = 32, symmetric: Boolean = false): DataFrame = {
-    val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // symmetric: src alone covers every endpoint — half the vertex scan
+    val verts = (if (symmetric) GraphOps.verticesSymmetric(edges)
+      else GraphOps.vertices(edges)).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+    val edgesDeg = edges.join(stateSide(outDeg), edges("src") === outDeg("id"))
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -182,7 +197,7 @@ object PageRank {
           dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
         else 0.0
       val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("id"))
+        .join(stateSide(ranks), edgesDeg("src") === ranks("id"))
         .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
       val sums = contribs.groupBy("id").agg(sum("c").as("s"))
       ranks = (if (symmetric)
@@ -232,7 +247,7 @@ object PageRank {
     val n = verts.count()
     val wOut = weightedEdges.groupBy(col("src").as("id"))
       .agg(sum(col("weight")).cast("long").as("wout"))
-    val edgesW = weightedEdges.join(wOut, weightedEdges("src") === wOut("id"))
+    val edgesW = weightedEdges.join(stateSide(wOut), weightedEdges("src") === wOut("id"))
       .select(weightedEdges("src"), weightedEdges("dst"),
         weightedEdges("weight"), col("wout"))
       .repartition(partitions, col("src"))
@@ -251,7 +266,7 @@ object PageRank {
           dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
         else 0.0
       val contribs = edgesW
-        .join(ranks, edgesW("src") === ranks("id"))
+        .join(stateSide(ranks), edgesW("src") === ranks("id"))
         .select(edgesW("dst").as("id"),
           (col("rank") * col("weight") / col("wout")).as("c"))
       val sums = contribs.groupBy("id").agg(sum("c").as("s"))
@@ -292,7 +307,7 @@ object PageRank {
                            partitions: Int = 32): DataFrame = {
     val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+    val edgesDeg = edges.join(stateSide(outDeg), edges("src") === outDeg("id"))
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -319,7 +334,7 @@ object PageRank {
           dangling.join(ranks, "id").agg(sum("rank")).first().getDouble(0)
         else 0.0
       val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("id"))
+        .join(stateSide(ranks), edgesDeg("src") === ranks("id"))
         .select(edgesDeg("dst").as("id"), (col("rank") / col("outdeg")).as("c"))
       val sums = contribs.groupBy("id").agg(sum("c").as("s"))
       ranks = reset.join(sums, Seq("id"), "left")
@@ -364,7 +379,7 @@ object PageRank {
                      partitions: Int = 32): DataFrame = {
     val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+    val edgesDeg = edges.join(stateSide(outDeg), edges("src") === outDeg("id"))
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -393,8 +408,8 @@ object PageRank {
         else ranks.join(dangling, Seq("id"), "left_semi")
           .groupBy(col("topic").as("dt")).agg(sum("rank").as("dmass"))
       val contribs = edgesDeg
-        .join(ranks.select(col("topic"), col("id").as("rid"), col("rank")),
-          edgesDeg("src") === col("rid"))
+        .join(stateSide(ranks.select(col("topic"), col("id").as("rid"),
+          col("rank"))), edgesDeg("src") === col("rid"))
         .select(col("topic"), edgesDeg("dst").as("id"),
           (col("rank") / col("outdeg")).as("c"))
       val sums = contribs.groupBy("topic", "id").agg(sum("c").as("s"))
@@ -503,7 +518,7 @@ object PageRank {
     val verts = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+    val edgesDeg = edges.join(stateSide(outDeg), edges("src") === outDeg("id"))
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -571,7 +586,7 @@ object PageRank {
     val outDeg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgesDeg = edges.join(outDeg, edges("src") === outDeg("id"))
+    val edgesDeg = edges.join(stateSide(outDeg), edges("src") === outDeg("id"))
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)

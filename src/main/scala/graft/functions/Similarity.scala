@@ -1054,8 +1054,14 @@ object Similarity {
     * directly drives. Distances are e6-integer exact (the shared ANN
     * contract), ties break by vec_id asc.
     *
-    * Plan: each step is one seed-broadcast join + per-vector min + one
-    * global argmax (1-row) — k−1 bounded steps, never a |V|² table.
+    * Plan: the per-vector nearest-seed distance is CARRIED between steps
+    * (dmin' = least(dmin, d² to the newest seed) — a narrow map against a
+    * broadcast 1-row seed, no re-scan of the whole seed set), and each
+    * step's argmax is `orderBy(dmin desc, vec_id asc).limit(1)` — a
+    * `TakeOrderedAndProject` (per-partition top-1 + driver merge of one
+    * row per partition), the [[graft.algo.Influence.voteRank]] shape. No
+    * global window, no single-partition sort, no |V|² table; total work
+    * is O(|V|·k) distance evaluations.
     *
     * @return (rank, vec_id, d_e6) — d = distance to nearest earlier
     *         seed (0 for the pinned first seed)
@@ -1073,24 +1079,35 @@ object Similarity {
       .select(lit(1L).as("rank"), col("vec_id"), lit(0L).as("d_e6"),
         col("xe"))
       .transform(graft.engine.Materialize.eager)
+    // (vec_id, xe, dmin) for every non-seed vector: dmin = d² to the
+    // nearest chosen seed so far. Seeding it from seed 1 and folding in
+    // only the NEWEST seed each round computes exactly min over all seeds.
+    var state =
+      if (k == 1) null
+      else v.crossJoin(broadcast(seeds.select(col("vec_id").as("sid"),
+          col("xe").as("se"))))
+        .filter(col("vec_id") =!= col("sid"))
+        .select(col("vec_id"), col("xe"), d2(col("xe"), col("se")).as("dmin"))
+        .transform(graft.engine.Materialize.eager)
     var t = 1
     while (t < k) {
       t += 1
-      val nearest = v.join(seeds.select(col("vec_id").as("sid"),
-          col("xe").as("se")), col("vec_id") =!= col("sid"))
-        .join(seeds.select(col("vec_id").as("ex")),
-          col("vec_id") === col("ex"), "left_anti")
-        .select(col("vec_id"), col("xe"), d2(col("xe"), col("se")).as("d"))
-        .groupBy("vec_id").agg(min(col("d")).as("dmin"),
-          first(col("xe")).as("xe"))
-      val pick = nearest.withColumn("rn",
-          row_number().over(Window.orderBy(col("dmin").desc,
-            col("vec_id").asc)))
-        .filter(col("rn") === 1)
+      val pick = state.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
         .select(lit(t.toLong).as("rank"), col("vec_id"),
           col("dmin").as("d_e6"), col("xe"))
+        .transform(graft.engine.Materialize.eager)
       seeds = seeds.union(pick)
         .transform(graft.engine.Materialize.eager)
+      if (t < k) {
+        val prev = state
+        state = state.crossJoin(broadcast(pick.select(
+            col("vec_id").as("sid"), col("xe").as("se"))))
+          .filter(col("vec_id") =!= col("sid"))
+          .select(col("vec_id"), col("xe"),
+            least(col("dmin"), d2(col("xe"), col("se"))).as("dmin"))
+          .transform(graft.engine.Materialize.eager)
+        prev.unpersist(blocking = false)
+      }
     }
     seeds.select(col("rank"), col("vec_id"), col("d_e6"))
   }

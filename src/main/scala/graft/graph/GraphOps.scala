@@ -44,6 +44,14 @@ object GraphOps {
       .union(edges.select(col("dst").as("id")))
       .distinct()
 
+  /** Vertex set of a SYMMETRIZED edge table: every edge appears in both
+    * directions, so the src column alone already covers every endpoint —
+    * half the scan and no union vs [[vertices]]. Callers assert symmetry
+    * (the same contract as the `symmetric` fast paths in LP/PageRank).
+    */
+  def verticesSymmetric(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id")).distinct()
+
   /** Out-degree per vertex (reference `getGrade`,
     * `community_measures.cu:8-19` — CSR extent width). On a symmetrized
     * graph out-degree == degree.
