@@ -155,9 +155,21 @@ object ConnectedComponents {
     val parts = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val derivedPlan =
       if (autoSkew) GraphOps.planSkewAuto(edges, parts) else None
+    var it = 0
     val step: DataFrame => DataFrame = derivedPlan match {
       case Some(p) => labels => superstepSkewAware(p, labels)
-      case None    => labels => superstep(edges, labels)
+      case None => labels => {
+        it += 1
+        // superstep 1 from identity init labels (no warm start): the
+        // gather's label lookup is a no-op, so the messages ARE the edge
+        // rows — skip the join, keep the self-message union (labels is
+        // the materialized init, needed as the convergence prev anyway)
+        if (it == 1 && initLabels.isEmpty)
+          edges.select(col("src").as("id"), col("dst").as("label"))
+            .union(labels.select(col("id"), col("label")))
+            .groupBy("id").agg(min(col("label")).as("label"))
+        else superstep(edges, labels)
+      }
     }
     // Early-stop/plateau heuristics are for LP's noisy community curve; CC
     // is monotone so only the exact changes==0 rule applies.

@@ -276,18 +276,34 @@ object LabelPropagation {
     * @param packedArgmax None = derive from [[packedBudgetOk]] (one extra
     *        aggregation job); Some(b) = caller-asserted eligibility.
     */
+  /** Symmetric-mode superstep 1 shortcut: with init labels label(v) = v,
+    * the gather's label lookup is the identity — message (src, label(dst))
+    * IS the edge row (src, dst) — so the first superstep is the argmax
+    * over the edge table directly: no vertex-set distinct, no gather join,
+    * no label exchange (guide §2.4, remove the shuffle outright). Only
+    * valid in symmetric mode, where the keep-previous fallback (which
+    * would need the init labels) is skipped.
+    */
+  private def firstStepSymmetric(edges: DataFrame, packed: Boolean,
+                                 mapSideCombine: Boolean = true): DataFrame =
+    argmax(edges.select(col("src").as("id"), col("dst").as("label")),
+      packed, mapSideCombine)
+
   def runFixed(edges: DataFrame, supersteps: Int,
                symmetric: Boolean = false,
                packedArgmax: Option[Boolean] = None,
                eagerEvery: Int = 10): DataFrame = {
     val packed = resolvePacked(edges, packedArgmax)
-    var labels = initLabels(
-      if (symmetric) GraphOps.verticesSymmetric(edges)
-      else GraphOps.vertices(edges))
+    var labels =
+      if (symmetric && supersteps > 0) null // first step needs no init
+      else initLabels(
+        if (symmetric) GraphOps.verticesSymmetric(edges)
+        else GraphOps.vertices(edges))
     var i = 0
     while (i < supersteps) {
       i += 1
-      labels = superstep(edges, labels, symmetric, packed)
+      labels = (if (i == 1 && symmetric) firstStepSymmetric(edges, packed)
+        else superstep(edges, labels, symmetric, packed))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       if (eagerEvery > 0 && i % eagerEvery == 0 && i < supersteps)
         labels = labels.localCheckpoint(eager = true)
@@ -310,9 +326,11 @@ object LabelPropagation {
                   symmetric: Boolean = false,
                   packedArgmax: Option[Boolean] = None): DataFrame = {
     val packed = resolvePacked(edges, packedArgmax)
-    var labels = initLabels(
-      if (symmetric) GraphOps.verticesSymmetric(edges)
-      else GraphOps.vertices(edges))
+    var labels =
+      if (symmetric && supersteps > 0) null
+      else initLabels(
+        if (symmetric) GraphOps.verticesSymmetric(edges)
+        else GraphOps.vertices(edges))
     var hist: DataFrame = null
     var i = 0
     while (i < supersteps) {
@@ -321,7 +339,8 @@ object LabelPropagation {
       // history union) — Materialize.eager truncates the plan AND releases
       // the pre-checkpoint cache entry, where a bare persist leaked one
       // MEMORY_AND_DISK entry per superstep for the session (ADVICE r4)
-      labels = superstep(edges, labels, symmetric, packed)
+      labels = (if (i == 1 && symmetric) firstStepSymmetric(edges, packed)
+        else superstep(edges, labels, symmetric, packed))
         .transform(graft.engine.Materialize.eager)
       val it = labels.select(col("id"), col("label"))
       hist = if (hist == null) it else hist.union(it)
@@ -339,12 +358,17 @@ object LabelPropagation {
                  symmetric: Boolean = false,
                  packedArgmax: Option[Boolean] = None): DataFrame = {
     val packed = resolvePacked(edges, packedArgmax)
-    var labels = initLabels(
-      if (symmetric) GraphOps.verticesSymmetric(edges)
-      else GraphOps.vertices(edges))
+    var labels =
+      if (symmetric && supersteps > 0) null
+      else initLabels(
+        if (symmetric) GraphOps.verticesSymmetric(edges)
+        else GraphOps.vertices(edges))
     var i = 0
     while (i < supersteps) {
-      i += 1; labels = superstep(edges, labels, symmetric, packed)
+      i += 1
+      labels =
+        if (i == 1 && symmetric) firstStepSymmetric(edges, packed)
+        else superstep(edges, labels, symmetric, packed)
     }
     labels
   }
@@ -463,7 +487,16 @@ object LabelPropagation {
     def seedNow(): Option[Long] = { it += 1; tieBreakSeed.map(_ + it) }
     val step: DataFrame => DataFrame = skewPlan.orElse(derivedPlan) match {
       case Some(p) => labels => superstepSkewAware(p, labels, packed)
-      case None    => labels => superstep(edges, labels, symmetric, packed, seedNow())
+      case None => labels => {
+        val seed = seedNow()
+        // superstep 1 from identity init labels: the gather join is a
+        // no-op lookup, so skip it (firstStepSymmetric) — pinned
+        // tie-break + symmetric only; init stays materialized as the
+        // convergence join's prev side
+        if (it == 1 && symmetric && seed.isEmpty)
+          firstStepSymmetric(edges, packed)
+        else superstep(edges, labels, symmetric, packed, seed)
+      }
     }
     try Superstep.run("lp", init, step, nNodes,
       earlyStop = earlyStop, checkpointer = checkpointer,

@@ -19,15 +19,22 @@ import graft.graph.GraphOps
   */
 object TriangleCount {
 
-  /** Degree-ordered orientation of the canonical edge set. */
+  /** Degree-ordered orientation of the canonical edge set. The two
+    * degree-attach joins build a shuffled hash on the (vertex-sized)
+    * degree table — stats-less aggregation outputs otherwise plan as
+    * sort-merge and sort the full canonical edge set twice (guide §3.1;
+    * plan-verified on the r6 bench graph).
+    */
   def oriented(edges: DataFrame): DataFrame = {
     val canon = GraphOps.canonical(edges) // src<dst, one row per pair
     val deg = canon
       .select(col("src").as("id")).union(canon.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = canon
-      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
-      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+      .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg")
+        .hint("shuffle_hash"), "src")
+      .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg")
+        .hint("shuffle_hash"), "dst")
     withDeg.select(
       when(struct(col("sdeg").as("d"), col("src").as("i")) <
              struct(col("ddeg").as("d"), col("dst").as("i")),
@@ -41,14 +48,21 @@ object TriangleCount {
   def countTriangles(edges: DataFrame): Long =
     triangles(edges).count()
 
-  /** One row (a, b, c) per triangle, in oriented order. */
+  /** One row (a, b, c) per triangle, in oriented order. The wedge and
+    * closure joins hash-build on the oriented edge table: its per-partition
+    * slice is E/P rows of 16 bytes (partition counts scale with E), and the
+    * orientation caps the wedge fan-out, so the build side is always the
+    * bounded one — sort-merge would instead sort the wedge stream, whose
+    * row count is Σ in·out over middles.
+    */
   def triangles(edges: DataFrame): DataFrame = {
     val o = oriented(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val e1 = o.select(col("u").as("a"), col("v").as("b"))
     val e2 = o.select(col("u").as("b2"), col("v").as("c"))
     val e3 = o.select(col("u").as("a3"), col("v").as("c3"))
-    e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+    e1.join(e2.hint("shuffle_hash"), col("b") === col("b2"))
+      .join(e3.hint("shuffle_hash"),
+        col("a") === col("a3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))
   }
 

@@ -38,13 +38,15 @@ object PlanDump {
               e: Exception): Unit = ()
         })
     names.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+      // loop-shaped queries execute (checkpoint) DURING construction, so
+      // the capture window must open before the query function runs
+      plans.synchronized(plans.clear())
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val sb = new StringBuilder
       sb ++= s"== $name: explain(formatted) ==\n"
       sb ++= df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       if (exec) {
-        plans.synchronized(plans.clear())
         df.collect()
         Thread.sleep(2000) // async listener drain
         val ps = plans.synchronized(plans.toSeq)
