@@ -70,15 +70,21 @@ object Hits {
     var iter = 0
     while (iter < iterations) {
       iter += 1
-      // authority update: gather hub mass along edge direction
-      val aRaw = eSrc.join(scores.select(col("id").as("hid"), col("hub")),
+      // authority update: gather hub mass along edge direction. The
+      // score state is stats-less mid-loop, so pin a shuffled-hash build
+      // (vertex-sized per partition) — otherwise the planner sort-merges
+      // and re-sorts the persisted edge side every iteration (guide §3.1,
+      // the PageRank.stateSide rationale).
+      val aRaw = eSrc.join(scores.select(col("id").as("hid"), col("hub"))
+          .hint("shuffle_hash"),
           col("src") === col("hid"))
         .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("a"))
       val aJoined = verts.join(aRaw, Seq("id"), "left")
         .select(col("id"), coalesce(col("a"), lit(0.0)).as("a"))
       val auth = l1Normalize(aJoined, "a", "auth")
       // hub update: gather the NEW authority mass against edge direction
-      val hRaw = eDst.join(auth.select(col("id").as("aid"), col("auth").as("av")),
+      val hRaw = eDst.join(auth.select(col("id").as("aid"), col("auth").as("av"))
+          .hint("shuffle_hash"),
           col("dst") === col("aid"))
         .groupBy(col("src").as("id")).agg(sum(col("av")).as("h"))
       val hJoined = verts.join(hRaw, Seq("id"), "left")

@@ -88,8 +88,11 @@ object Louvain {
     val tot = assign.join(strength, "id")
       .groupBy(col("com")).agg(sum(col("k")).as("tot"))
     // k_{i,d}: i's weight into each neighbor community, neighbors j ≠ i
+    // shuffled-hash build of the assignment state (PageRank.stateSide
+    // rationale: no stats mid-loop → SMJ re-sorts the edge side)
     val kid = edges.filter(col("src") =!= col("dst"))
-      .join(assign.select(col("id").as("nid"), col("com")), col("dst") === col("nid"))
+      .join(assign.select(col("id").as("nid"), col("com")).hint("shuffle_hash"),
+        col("dst") === col("nid"))
       .groupBy(col("src").as("id"), col("com"))
       .agg(sum(col("weight")).cast("long").as("kid"))
     // candidates = neighbor communities ∪ the own community (kid 0 when no
@@ -158,10 +161,10 @@ object Louvain {
     */
   def aggregateGraph(edges: DataFrame, assign: DataFrame): DataFrame =
     edges
-      .join(assign.select(col("id").as("sid"), col("com").as("srcCom")),
-        col("src") === col("sid"))
-      .join(assign.select(col("id").as("did"), col("com").as("dstCom")),
-        col("dst") === col("did"))
+      .join(assign.select(col("id").as("sid"), col("com").as("srcCom"))
+        .hint("shuffle_hash"), col("src") === col("sid"))
+      .join(assign.select(col("id").as("did"), col("com").as("dstCom"))
+        .hint("shuffle_hash"), col("dst") === col("did"))
       .groupBy(col("srcCom").as("src"), col("dstCom").as("dst"))
       .agg(sum(col("weight")).cast("long").as("weight"))
 

@@ -68,14 +68,18 @@ object Salsa {
     var iter = 0
     while (iter < iterations) {
       iter += 1
-      val aRaw = eSrc.join(scores.select(col("id").as("hid"), col("hub")),
+      // shuffled-hash build of the score state (PageRank.stateSide
+      // rationale: no stats mid-loop → SMJ re-sorts the edge side)
+      val aRaw = eSrc.join(scores.select(col("id").as("hid"), col("hub"))
+          .hint("shuffle_hash"),
           col("src") === col("hid"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("hub") / col("od")).as("a"))
       val aJoined = verts.join(aRaw, Seq("id"), "left")
         .select(col("id"), coalesce(col("a"), lit(0.0)).as("a"))
       val auth = l1Normalize(aJoined, "a", "auth")
-      val hRaw = eDst.join(auth.select(col("id").as("aid"), col("auth").as("av")),
+      val hRaw = eDst.join(auth.select(col("id").as("aid"), col("auth").as("av"))
+          .hint("shuffle_hash"),
           col("dst") === col("aid"))
         .groupBy(col("src").as("id"))
         .agg(sum(col("av") / col("ind")).as("h"))

@@ -40,7 +40,10 @@ object Spectral {
     var iter = 0
     while (iter < iterations) {
       iter += 1
-      val gathered = e.join(x.select(col("id").as("xid"), col("katz")),
+      // shuffled-hash build of the vertex state (PageRank.stateSide
+      // rationale: no stats mid-loop → SMJ re-sorts the edge side)
+      val gathered = e.join(x.select(col("id").as("xid"), col("katz"))
+          .hint("shuffle_hash"),
           col("src") === col("xid"))
         .groupBy(col("dst").as("id")).agg(sum(col("katz")).as("s"))
       x = verts.join(gathered, Seq("id"), "left")
@@ -94,7 +97,8 @@ object Spectral {
     while (iter < iterations) {
       iter += 1
       scale *= invAlpha
-      val gathered = e.join(z.select(col("id").as("zid"), col("z")),
+      val gathered = e.join(z.select(col("id").as("zid"), col("z"))
+          .hint("shuffle_hash"),
           col("src") === col("zid"))
         .groupBy(col("dst").as("id")).agg(sum(col("z")).as("s"))
       z = verts.join(gathered, Seq("id"), "left")
@@ -144,7 +148,8 @@ object Spectral {
     var iter = 0
     while (iter < iterations) {
       iter += 1
-      val gathered = e.join(w.select(col("id").as("wid"), col("walks")),
+      val gathered = e.join(w.select(col("id").as("wid"), col("walks"))
+          .hint("shuffle_hash"),
           col("src") === col("wid"))
         .groupBy(col("dst").as("id")).agg(sum(col("walks")).as("s"))
       w = verts.join(gathered, Seq("id"), "left")
@@ -199,7 +204,7 @@ object Spectral {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val wPrev = eigenvectorWalkCounts(edges, iterations - 1, partitions)
     val gathered = edges
-      .join(wPrev.select(col("id").as("wid"), col("walks")),
+      .join(wPrev.select(col("id").as("wid"), col("walks")).hint("shuffle_hash"),
         col("src") === col("wid"))
       .groupBy(col("dst").as("id")).agg(sum(col("walks")).as("s"))
     val sPrev = wPrev.agg(sum(col("walks")).cast("long").as("w_prev"))
