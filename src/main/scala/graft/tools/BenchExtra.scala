@@ -79,6 +79,30 @@ object BenchExtra {
               e: Exception): Unit = ()
         })
 
+    // registry mode: time EVERY declared query at the given scale factor
+    // with the noop sink (guide §1.4) — the measure-first sweep over the
+    // whole oracle-gated surface. Prints one `REGQ <name> <sec>` line per
+    // query, slowest last. Env: SPARK_GRAFT_SF_DIR (default sf0.01).
+    if (query == "registry") {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        spark.sparkContext.setJobDescription(s"registry: $name")
+        try {
+          val (_, sec) = time {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          results += ((name, sec))
+        } catch { case e: Throwable =>
+          System.err.println(s"[registry] $name failed: ${e.getMessage}")
+        }
+      }
+      results.sortBy(_._2).foreach { case (n, s) => println(f"REGQ $n $s%.3f") }
+      println(f"REGQ_TOTAL ${results.map(_._2).sum}%.1f over ${results.size} queries")
+      spark.stop()
+      return
+    }
+
     // scaling-probe mode: mirrors Bench.scalingRunAt's superstep chain
     // (synthetic Zipf graph, mapSideCombine=false, one hash action) so the
     // scaling path's join strategy and per-superstep cost can be inspected
