@@ -62,12 +62,16 @@ object StronglyConnected {
       colors.count()
       var changed = 1L
       while (changed > 0L) {
-        val gathered = sub
-          .join(colors.select(col("id").as("cid"), col("color")), col("src") === col("cid"))
-          .groupBy(col("dst").as("id")).agg(max(col("color")).as("inMax"))
-        val next = colors.join(gathered, Seq("id"), "left")
-          .select(col("id"),
-            greatest(col("color"), coalesce(col("inMax"), col("color"))).as("color"))
+        // self-message fold (the CC superstep shape with max for min):
+        // max(own ∪ predecessor colors) needs no keep-previous join, and
+        // the stats-less color state hash-builds (PageRank.stateSide
+        // rationale) instead of re-sorting the subgraph every round
+        val next = sub
+          .join(colors.select(col("id").as("cid"), col("color"))
+            .hint("shuffle_hash"), col("src") === col("cid"))
+          .select(col("dst").as("id"), col("color"))
+          .union(colors.select(col("id"), col("color")))
+          .groupBy("id").agg(max(col("color")).as("color"))
           .localCheckpoint(eager = true)
         changed = next.join(colors.withColumnRenamed("color", "prev"), "id")
           .filter(col("color") =!= col("prev")).count()

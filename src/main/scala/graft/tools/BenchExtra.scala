@@ -85,8 +85,13 @@ object BenchExtra {
     // query, slowest last. Env: SPARK_GRAFT_SF_DIR (default sf0.01).
     if (query == "registry") {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+      // SPARK_GRAFT_ONLY: comma-separated subset (same contract as Verify)
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
       val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-      graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(kv => only.forall(_(kv._1))).foreach { case (name, fn) =>
         spark.sparkContext.setJobDescription(s"registry: $name")
         try {
           val (_, sec) = time {
