@@ -173,10 +173,18 @@ object ConnectedComponents {
     }
     // Early-stop/plateau heuristics are for LP's noisy community curve; CC
     // is monotone so only the exact changes==0 rule applies.
+    // With no warm start the init is the identity labeling: iteration 1's
+    // convergence scalars fold to the join-free `label != id` aggregate,
+    // and on the plain (no-skew) path the first superstep references init
+    // exactly once (the self-message union), so the setup persist+count
+    // job is skipped and init is computed inside iteration 1's job.
+    val coldIdentity = initLabels.isEmpty
     try Superstep.run("cc", init, step, nNodes,
       earlyStop = false, plateau = false,
       checkpointer = checkpointer, checkpointEvery = checkpointEvery,
-      maxIter = maxIter)
+      maxIter = maxIter,
+      identityInit = coldIdentity,
+      materializeInit = !(coldIdentity && derivedPlan.isEmpty))
     finally derivedPlan.foreach(GraphOps.unpersistSkew)
   }
 }

@@ -498,9 +498,17 @@ object LabelPropagation {
         else superstep(edges, labels, symmetric, packed, seed)
       }
     }
+    // init is always the identity labeling here, so iteration 1's
+    // convergence scalars need no prev-side join (Superstep identityInit);
+    // on the plain pinned symmetric path the first superstep reads only the
+    // edge table (firstStepSymmetric), so the init table is referenced at
+    // most zero times and its setup persist+count job is skipped too.
+    val plainSymmetric = symmetric && tieBreakSeed.isEmpty &&
+      skewPlan.isEmpty && derivedPlan.isEmpty
     try Superstep.run("lp", init, step, nNodes,
       earlyStop = earlyStop, checkpointer = checkpointer,
-      checkpointEvery = checkpointEvery, maxIter = maxIter)
+      checkpointEvery = checkpointEvery, maxIter = maxIter,
+      identityInit = true, materializeInit = !plainSymmetric)
     finally derivedPlan.foreach(GraphOps.unpersistSkew) // auto plan is run-scoped
   }
 }

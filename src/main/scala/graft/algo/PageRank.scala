@@ -162,11 +162,20 @@ object PageRank {
     */
   def runFixed(edges: DataFrame, iterations: Int, damping: Double = 0.85,
                partitions: Int = 32, symmetric: Boolean = false): DataFrame = {
-    // symmetric: src alone covers every endpoint — half the vertex scan
-    val verts = (if (symmetric) GraphOps.verticesSymmetric(edges)
-      else GraphOps.vertices(edges)).persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count()
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    // symmetric: the src column alone covers every endpoint, so the
+    // out-degree table's key set IS the vertex set — one persisted
+    // aggregation serves |V|, the init ranks AND the edge decoration,
+    // replacing the separate vertices-distinct job of the general path
+    // (guide §2.4: two operations keyed the same way share one pass).
+    val outDeg0 = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val (verts, n, outDeg) =
+      if (symmetric) {
+        val od = outDeg0.persist(StorageLevel.MEMORY_AND_DISK)
+        (od.select(col("id")), od.count(), od)
+      } else {
+        val v = GraphOps.vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        (v, v.count(), outDeg0)
+      }
     val edgesDeg = edges.join(stateSide(outDeg), edges("src") === outDeg("id"))
       .select(edges("src"), edges("dst"), col("outdeg"))
       .repartition(partitions, col("src"))

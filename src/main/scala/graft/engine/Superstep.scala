@@ -57,6 +57,25 @@ object Superstep {
     *                      resume point; re-emitted in metrics.json (no
     *                      history loss) and used to seed the convergence
     *                      rules' community-count history
+    * @param identityInit  caller asserts `initLabels` maps every vertex to
+    *                      itself (label == id). Iteration 1's convergence
+    *                      scalars then fold to a join-free aggregate over
+    *                      the new labels alone (`label != id` counts the
+    *                      changes), removing the prev-side join of the
+    *                      first superstep (guide §2.4). Only meaningful at
+    *                      `startIter == 0`; resumed runs compare against
+    *                      real prior labels as before.
+    * @param materializeInit false = skip the setup persist+count of the
+    *                      init table — correct only when iteration 1's
+    *                      update references init AT MOST once (it is then
+    *                      computed inside that iteration's single job
+    *                      instead of a separate setup action; a
+    *                      twice-referenced lazy init would be computed
+    *                      twice). Callers assert this about their own
+    *                      update function; combined with `identityInit`
+    *                      the init table may never be evaluated at all
+    *                      (LP's symmetric first superstep reads only the
+    *                      edge table).
     */
   def run(
       algorithm: String,
@@ -69,7 +88,9 @@ object Superstep {
       checkpointEvery: Int = 5,
       maxIter: Option[Int] = None,
       startIter: Int = 0,
-      priorMetrics: Seq[SuperstepMetrics] = Nil): Result = {
+      priorMetrics: Seq[SuperstepMetrics] = Nil,
+      identityInit: Boolean = false,
+      materializeInit: Boolean = true): Result = {
 
     val cap = startIter + maxIter.getOrElse(maxIterations(nNodes))
     val metrics = ArrayBuffer.empty[SuperstepMetrics]
@@ -77,8 +98,12 @@ object Superstep {
     val conv = new Convergence(earlyStop, plateau)
     priorMetrics.foreach(m => conv.seed(m.communities))
 
-    var labels = initLabels.persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    var labels =
+      if (materializeInit) {
+        val l = initLabels.persist(StorageLevel.MEMORY_AND_DISK)
+        l.count()
+        l
+      } else initLabels
     var iter = startIter
     var converged = false
 
@@ -109,12 +134,31 @@ object Superstep {
       // Convergence scalars — the only data that crosses to the driver
       // (the reference copies the whole labels array back per iteration,
       // `algorithms.h:735-739`; we keep labels distributed). Both scalars
-      // come from ONE aggregation job over the prev⋈next join.
-      val convRow = next.join(prev.withColumnRenamed("label", "labelAnt"), "id")
-        .agg(
-          coalesce(sum(when(col("label") =!= col("labelAnt"), 1L).otherwise(0L)),
-            lit(0L)).as("chg"),
-          countDistinct(col("label")).as("com"))
+      // come from ONE aggregation job over the prev⋈next join — except on
+      // iteration 1 of an identity-init run, where prev maps every id to
+      // itself and the join folds away: `label != id` over next alone is
+      // the same changed-vertex count (next covers exactly the vertex set,
+      // the invariant every later prev⋈next join already relies on).
+      val convRow = (if (identityInit && iter == startIter + 1)
+          next.agg(
+            coalesce(sum(when(col("label") =!= col("id"), 1L).otherwise(0L)),
+              lit(0L)).as("chg"),
+            countDistinct(col("label")).as("com"))
+        else
+          // prev side pinned to a shuffled-hash build (guide §3.1): the
+          // lazily-checkpointed prev carries no stats, so the planner
+          // falls back to sort-merge — two vertex-table sorts per
+          // superstep, rescued only by AQE's runtime broadcast rewrite
+          // (which cannot fire at web-scale vertex counts). Both sides
+          // are hash-partitioned on id by the preceding aggregations, so
+          // the hash join runs exchange-free with no per-superstep
+          // driver broadcast hop.
+          next.join(prev.withColumnRenamed("label", "labelAnt")
+              .hint("shuffle_hash"), "id")
+            .agg(
+              coalesce(sum(when(col("label") =!= col("labelAnt"), 1L).otherwise(0L)),
+                lit(0L)).as("chg"),
+              countDistinct(col("label")).as("com")))
         .first()
       val changes = convRow.getLong(0)
       val communities = convRow.getLong(1)
