@@ -194,7 +194,10 @@ object Louvain {
       while (!stable && r < maxRoundsPerLevel) {
         r += 1
         val next = moveRound(g, strength, assign, m2, r).localCheckpoint(eager = true)
-        val moved = next.join(assign.withColumnRenamed("com", "prev"), "id")
+        // prev side hash-built (guide §3.1): the checkpointed assignment
+        // carries no stats, so the stability count would plan sort-merge
+        val moved = next.join(assign.withColumnRenamed("com", "prev")
+            .hint("shuffle_hash"), "id")
           .filter(col("com") =!= col("prev")).count()
         assign.unpersist(blocking = false)
         assign = next

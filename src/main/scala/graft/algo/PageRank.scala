@@ -125,7 +125,11 @@ object PageRank {
         // eager checkpoint only — a persist before it would register a
         // cache entry the returned wrapper can never release
         .localCheckpoint(eager = true)
-      val delta = next.join(ranks.withColumnRenamed("rank", "prev"), "id")
+      // prev side hash-built (guide §3.1): the checkpointed rank table
+      // carries no stats, so the planner would sort-merge this
+      // vertex-sized co-partitioned join every iteration
+      val delta = next.join(ranks.withColumnRenamed("rank", "prev")
+          .hint("shuffle_hash"), "id")
         .agg(max(abs(col("rank") - col("prev")))).first().getDouble(0)
       hist += delta
       ranks.unpersist(blocking = false)

@@ -146,8 +146,11 @@ object SemiSyncLP {
         labels = next
         c += 1
       }
+      // prev side hash-built (guide §3.1): stats-less checkpointed state
+      // would otherwise plan this stability count as sort-merge
       val changes = labels
-        .join(before.withColumnRenamed("label", "prev"), "id")
+        .join(before.withColumnRenamed("label", "prev")
+          .hint("shuffle_hash"), "id")
         .filter(col("label") =!= col("prev")).count()
       before.unpersist(blocking = false)
       converged = changes == 0L

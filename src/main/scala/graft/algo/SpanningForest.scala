@@ -82,7 +82,9 @@ object SpanningForest {
           val next = parent.join(hop, col("par") === col("hc"))
             .select(col("comp"), col("hp").as("par"))
             .localCheckpoint(eager = true)
-          changed = next.join(parent.withColumnRenamed("par", "prev"), "comp")
+          // prev side hash-built (guide §3.1): stats-less pointer table
+          changed = next.join(parent.withColumnRenamed("par", "prev")
+              .hint("shuffle_hash"), "comp")
             .filter(col("par") =!= col("prev")).count()
           parent = next
         }

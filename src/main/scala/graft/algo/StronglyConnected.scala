@@ -73,7 +73,9 @@ object StronglyConnected {
           .union(colors.select(col("id"), col("color")))
           .groupBy("id").agg(max(col("color")).as("color"))
           .localCheckpoint(eager = true)
-        changed = next.join(colors.withColumnRenamed("color", "prev"), "id")
+        // prev side hash-built (guide §3.1): stats-less checkpointed colors
+        changed = next.join(colors.withColumnRenamed("color", "prev")
+            .hint("shuffle_hash"), "id")
           .filter(col("color") =!= col("prev")).count()
         colors.unpersist(blocking = false)
         colors = next
@@ -201,7 +203,9 @@ object StronglyConnected {
         .select(col("comp"),
           greatest(col("level"), coalesce(col("inLv"), col("level"))).as("level"))
         .localCheckpoint(eager = true)
-      changed = next.join(lv.withColumnRenamed("level", "prev"), "comp")
+      // prev side hash-built (guide §3.1): stats-less checkpointed levels
+      changed = next.join(lv.withColumnRenamed("level", "prev")
+          .hint("shuffle_hash"), "comp")
         .filter(col("level") =!= col("prev")).count()
       lv = next
     }
