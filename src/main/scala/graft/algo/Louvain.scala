@@ -85,7 +85,10 @@ object Louvain {
                 m2: Long, round: Int): DataFrame = {
     // Σtot per community (self-strength included — the score subtracts
     // k_i again for the own-community candidate)
-    val tot = assign.join(strength, "id")
+    // vertex-state side hash-built (guide §3.1): assign is stats-less
+    // mid-loop and both sides are vertex-sized, so the planner would
+    // sort-merge; strength is the persisted side → build it
+    val tot = assign.join(strength.hint("shuffle_hash"), "id")
       .groupBy(col("com")).agg(sum(col("k")).as("tot"))
     // k_{i,d}: i's weight into each neighbor community, neighbors j ≠ i
     // shuffled-hash build of the assignment state (PageRank.stateSide
@@ -100,10 +103,15 @@ object Louvain {
     val cand = kid
       .unionByName(assign.select(col("id"), col("com"), lit(0L).as("kid")))
       .groupBy(col("id"), col("com")).agg(sum(col("kid")).as("kid"))
+    // strength/assign are vertex-sized state (never broadcastable at
+    // web scale) → hash builds; tot is COMMUNITY-sized and shrinks per
+    // level, so it stays stats/AQE-driven — broadcast is the right
+    // strategy for it exactly when it is small
     val scored = cand
       .join(tot, "com")
-      .join(strength, "id")
-      .join(assign.select(col("id"), col("com").as("ownCom")), "id")
+      .join(strength.hint("shuffle_hash"), "id")
+      .join(assign.select(col("id"), col("com").as("ownCom"))
+        .hint("shuffle_hash"), "id")
       .select(col("id"), col("com"), col("ownCom"),
         (lit(m2) * col("kid") -
           col("k") * when(col("com") === col("ownCom"), col("tot") - col("k"))
@@ -123,7 +131,9 @@ object Louvain {
   private def pickMoves(scored: DataFrame): DataFrame = {
     val mx = scored.groupBy(col("id")).agg(max(col("score")).as("mx"))
       .select(col("id").as("mid"), col("mx"))
-    scored.join(mx, col("id") === col("mid") && col("score") === col("mx"))
+    // vertex-sized max table hash-built against the candidate stream
+    scored.join(mx.hint("shuffle_hash"),
+        col("id") === col("mid") && col("score") === col("mx"))
       .groupBy(col("id")).agg(
         max(when(col("com") === col("ownCom"), 1L).otherwise(0L)).as("hasOwn"),
         min(col("com")).as("minCom"),
@@ -206,7 +216,8 @@ object Louvain {
       strength.unpersist(blocking = false)
       // compose onto original ids, contract, and decide whether to go on
       val newComposed = composed.alias("c")
-        .join(assign.alias("a"), col("c.com") === col("a.id"))
+        .join(assign.alias("a").hint("shuffle_hash"),
+          col("c.com") === col("a.id"))
         .select(col("c.id"), col("a.com"))
         .localCheckpoint(eager = true)
       composed.unpersist(blocking = false)
